@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Relational / TPC-H-style operators over the driver testdata, extending the
+  * reference's surface (SURVEY.md §2.3/§2.4/§2.5/§2.6/§2.7 "absent" rows) to
+  * a complete batch-analytics palette: multi-way joins, semi/anti joins,
+  * grouped + rollup aggregation, OVER-clause windows, top-k, set ops,
+  * deterministic dedup.
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *    broadcast explicitly — the fact table never shuffles for those joins.
+  *  - fact⋈fact joins (lineitem⋈orders) shuffle on the join key; AQE handles
+  *    skew/coalescing at runtime (enabled in graft.engine.Sessions).
+  *  - All money aggregates are rounded at the output edge only, never
+  *    mid-plan, so partial aggregation (map-side combine) stays exact.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: grouped aggregation with partial
+    * (map-side) aggregation; the shipdate filter is pushed to the parquet
+    * scan (visible as PushedFilters in explain).
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: segment customers ⋈ orders ⋈ lineitem, revenue per
+    * order, top 10. customer is a dimension here → broadcast; only
+    * lineitem⋈orders shuffles (on the order key).
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation for one region. All four dimension
+    * sides broadcast; the plan shuffles lineitem only once (for its join to
+    * orders) and aggregates by nation.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join: customers that have at least one open order (EXISTS). */
+  def customersWithOpenOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "O").select("o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no in-progress ('P') order (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "P").select("o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Outer join + null handling: every nation with its customer count
+    * (nations with none keep count 0).
+    */
+  def nationCustomerCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    Tables.nation(spark, sfDir)
+      .join(cust, col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy("n_nationkey")
+  }
+
+  /** OVER-clause window functions: top-2 orders per customer by total price
+    * (rank), plus each order's share of the customer total. Deterministic
+    * tie-break on o_orderkey.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cust_total", sum(col("o_totalprice")).over(wAll))
+      .where(col("rn") <= 2)
+      .select(
+        col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"),
+        round(col("o_totalprice") / col("cust_total") * 100, 2).as("pct_of_cust"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Global top-k with deterministic tie-break (sort + limit; Spark executes
+    * as TakeOrderedAndProject — no full sort at scale).
+    */
+  def topOrders(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Set operation (EXCEPT): hour buckets that saw clicks but no purchases.
+    * `except` plans as a distinct-aggregate anti-join — shuffles on the full
+    * row, which is fine for the low-cardinality bucket domain.
+    */
+  def clickedNotPurchased(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def hours(t: String) = ev.where(col("event_type") === t)
+      .select(date_format(window(col("ts"), "1 hour").getField("start"),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .distinct()
+    hours("click").except(hours("purchase")).orderBy("hour")
+  }
+
+  /** Deterministic dedup: keep the earliest event per (user_id, event_type)
+    * via row_number ordered by (ts, event_id) — the streaming analog is
+    * dropDuplicatesWithinWatermark (graft.streaming).
+    */
+  def firstEventPerUserType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** ROLLUP aggregation (grouping-set hierarchy); null grouping keys are
+    * coalesced to 'ALL' so the oracle compare is unambiguous.
+    */
+  def returnFlagRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Scalar-function palette: CASE WHEN bucketing, string functions, LIKE —
+    * the built-ins the reference never used (SURVEY.md §2.8 "absent" row).
+    */
+  def orderValueBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 100000, "SMALL")
+          .when(col("o_totalprice") < 300000, "MEDIUM")
+          .otherwise("LARGE").as("bucket"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        when(col("o_orderpriority").like("%URGENT%"), 1).otherwise(0).as("is_urgent"))
+      .orderBy("o_orderkey")
+
+  /** Correlated-style aggregate filter: orders above their customer's
+    * average order value (self-join on a pre-aggregated side).
+    */
+  def aboveCustomerAverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val avgByCust = ord.groupBy(col("o_custkey").as("k"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.join(avgByCust, col("o_custkey") === col("k"))
+      .where(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+}

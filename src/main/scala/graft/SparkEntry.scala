@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{EventPipelines, Relational}
+import graft.operators.{EventPipelines, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,17 @@ object SparkEntry {
     "rollup_returnflag" -> ((s, d) => Relational.returnFlagRollup(s, d)),
     "scalar_buckets" -> ((s, d) => Relational.orderValueBuckets(s, d)),
     "join_above_cust_avg" -> ((s, d) => Relational.aboveCustomerAverage(s, d)),
+    // ── text analysis over documents (LLM-pipeline operators) ───────────
+    "text_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_fingerprints" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_winnow_fingerprints" -> ((s, d) =>
+      TextAnalysis.winnowedFingerprints(Tables.documents(s, d)).orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,13 +112,13 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 2) AS avg_qty,
-        |       round(avg(l_extendedprice), 2) AS avg_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+        |       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+        |       floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+        |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+        |       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -115,7 +126,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_q3_top10" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -127,7 +138,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "tpch_q5_nation_revenue" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -153,7 +164,7 @@ object SparkEntry {
         |ORDER BY n_nationkey""".stripMargin,
     "window_top2_per_customer" ->
       """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice,
-        |       round(o_totalprice / cust_total * 100, 2) AS pct_of_cust
+        |       floor((o_totalprice / cust_total * 100) * 100 + 0.5) / 100 AS pct_of_cust
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
@@ -183,7 +194,7 @@ object SparkEntry {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
         |       count(*) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
@@ -204,5 +215,65 @@ object SparkEntry {
         |  ON o.o_custkey = a.k
         |WHERE o.o_totalprice > a.avg_price
         |ORDER BY o_orderkey""".stripMargin,
+    "text_token_counts" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_lex_tokens,
+         |       CAST(length(text) AS INTEGER) AS n_chars_raw
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_intersect(toks, $lst)) AS INTEGER) AS s_$l"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n            ")
+      s"""WITH t AS (SELECT doc_id, lang AS lang_actual, list_distinct($duckToks) AS toks FROM documents),
+         |s AS (SELECT doc_id, lang_actual,
+         |       $scores
+         |FROM t),
+         |b AS (SELECT *, $bestExpr AS best FROM s)
+         |SELECT doc_id, lang_actual,
+         |       CASE WHEN best <= 0 THEN 'und'
+         |            $caseArms
+         |            ELSE 'und' END AS lang_pred,
+         |       ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" -> {
+      val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |       CAST(length(text) AS INTEGER) AS n_chars,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       floor(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+         |       floor((len(list_intersect(list_distinct(toks), $stopList)) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS stop_hits_ratio,
+         |       floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_ratio
+         |FROM t)
+         |SELECT *,
+         |       floor((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+         |             + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+         |             + distinct_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $duckNorm AS norm, $duckToks AS toks FROM documents)
+         |SELECT doc_id,
+         |       md5(norm) AS fp_exact,
+         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // text_winnow_fingerprints: xxhash64-based — not DuckDB-expressible,
+    // driver records the weaker rows-only check.
   )
+
+  /** DuckDB expression for TextAnalysis.normalize / tokens (kept adjacent to
+    * the Spark definitions so the two dialects stay in lock-step).
+    */
+  private def duckNorm: String =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private def duckToks: String =
+    s"string_split($duckNorm, ' ')"
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.OracleRound
 
 /** Relational / TPC-H-style operators over the driver testdata, extending the
   * reference's surface (SURVEY.md §2.3/§2.4/§2.5/§2.6/§2.7 "absent" rows) to
@@ -31,13 +32,13 @@ object Relational {
       .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        OracleRound.roundN(sum(col("l_quantity")), 2).as("sum_qty"),
+        OracleRound.roundN(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        OracleRound.roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        OracleRound.roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        OracleRound.roundN(avg(col("l_quantity")), 2).as("avg_qty"),
+        OracleRound.roundN(avg(col("l_extendedprice")), 2).as("avg_price"),
+        OracleRound.roundN(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -58,7 +59,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(OracleRound.roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(
         col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -87,7 +88,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(OracleRound.roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -137,7 +138,7 @@ object Relational {
       .where(col("rn") <= 2)
       .select(
         col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"),
-        round(col("o_totalprice") / col("cust_total") * 100, 2).as("pct_of_cust"))
+        OracleRound.roundN(col("o_totalprice") / col("cust_total") * 100, 2).as("pct_of_cust"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -185,7 +186,7 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        OracleRound.roundN(sum(col("l_quantity")), 2).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),

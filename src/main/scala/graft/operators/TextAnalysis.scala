@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.OracleRound
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All operators are pure column expressions (whole-stage codegen'd — no
+  * UDFs), so they scale linearly with input: no shuffle except the final
+  * per-document projection, which is none at all. At 100 TB these run
+  * map-only over the parquet scan.
+  *
+  * The normalization/tokenization base here is shared with the dedup
+  * operators (graft.operators.Dedup) so "same document" means the same thing
+  * across the pipeline.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: lowercase, non-alphanumeric runs → single
+    * space, trimmed. Kept deliberately simple so it is expressible in both
+    * Spark and the DuckDB oracle (regexp_replace + 'g' flag there).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column =
+    split(normalize(text), " ")
+
+  /** BPE-ish lexer tokens: letter runs, digit runs, or single
+    * non-alphanumeric marks — a cheap proxy for subword token counting.
+    */
+  def lexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Small per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic, oracle-expressible; not a production lexicon.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "zai"))
+
+  /** Stopwords for the quality score (English-centric, like the data). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are")
+
+  /** Token counting: whitespace tokens + BPE-ish lexer tokens + distinct
+    * token count per document. Map-only.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(lexTokens(col("text"))).as("n_lex_tokens"),
+      length(col("text")).as("n_chars_raw"))
+  }
+
+  /** Language ID: score = number of *distinct* marker words present, argmax
+    * across languages with a fixed priority order for ties (en, de, es, fr,
+    * zh, then 'und' when no marker hits at all).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("lang_actual") +:
+        langMarkers.map { case (l, ws) =>
+          size(array_intersect(toks, array(ws.map(lit): _*))).as(s"s_$l")
+        }): _*)
+    val best = langMarkers.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    // `when` chains evaluate in order, so the first language (in langMarkers
+    // order) reaching the max score wins — deterministic tie-break.
+    val predOrdered = langMarkers.foldLeft(when(best <= 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === best, lit(l))
+    }.otherwise("und")
+    scored.select(
+      (col("doc_id") +: col("lang_actual") +: predOrdered.as("lang_pred") +:
+        langMarkers.map { case (l, _) => col(s"s_$l") }): _*)
+  }
+
+  /** Quality scoring: length/punctuation/stopword/repetition signals with a
+    * composite 0..1 score. All ratios rounded for oracle stability.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val raw = col("text")
+    val toks = tokens(raw)
+    val nTok = size(toks).cast("double")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("double")
+    // punctuation = anything that normalization deletes (besides spaces)
+    val nPunct = (length(raw) -
+      length(regexp_replace(raw, "[^a-z0-9 ]", ""))).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val df = docs.select(
+      col("doc_id"),
+      length(raw).as("n_chars"),
+      size(toks).as("n_tokens"),
+      OracleRound.roundN(nPunct / greatest(length(raw).cast("double"), lit(1.0)), 4).as("punct_ratio"),
+      OracleRound.roundN(nStop / greatest(nTok, lit(1.0)), 4).as("stop_hits_ratio"),
+      OracleRound.roundN(distinctRatio, 4).as("distinct_ratio"))
+    // composite: long enough, low punctuation, some lexical diversity
+    df.withColumn("quality",
+      OracleRound.roundN(
+        when(col("n_tokens") >= 10, lit(0.4)).otherwise(lit(0.0)) +
+          when(col("punct_ratio") <= 0.1, lit(0.3)).otherwise(lit(0.0)) +
+          col("distinct_ratio") * 0.3, 4))
+  }
+
+  /** Document fingerprinting, oracle-checkable half: md5 of the normalized
+    * text (exact-dup key) and md5 of the sorted distinct token set
+    * (bag-of-words key, order-insensitive).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = normalize(col("text"))
+    val bag = concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("fp_exact"),
+      md5(bag).as("fp_bag"))
+  }
+
+  /** Rolling-hash shingle fingerprints (winnowing-style): hash every k-word
+    * shingle with xxhash64, keep the minimum per window of w consecutive
+    * shingle hashes. Output is the distinct set of kept hashes per doc —
+    * the classic MOSS/winnowing document signature. Not SQL-expressible in
+    * the oracle (xxhash64 is Spark-specific) → rows-only check.
+    */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    val shingleHashes = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val winnowed = array_distinct(transform(
+      sequence(lit(0), greatest(size(shingleHashes) - w, lit(0))),
+      i => array_min(slice(shingleHashes, i + 1, lit(w)))))
+    docs.select(
+      col("doc_id"),
+      sort_array(winnowed).as("fingerprint_hashes"),
+      size(sort_array(winnowed)).as("n_fingerprints"))
+  }
+}

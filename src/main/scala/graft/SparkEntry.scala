@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{EventPipelines, Relational, TextAnalysis}
+import graft.operators.{Dedup, EventPipelines, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,6 +71,19 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id")),
     "text_winnow_fingerprints" -> ((s, d) =>
       TextAnalysis.winnowedFingerprints(Tables.documents(s, d)).orderBy("doc_id")),
+    // ── deduplication (LLM-pipeline operators) ──────────────────────────
+    "dedup_exact_docs" -> ((s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d)).orderBy("keep_id")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_simhash_sigs" -> ((s, d) =>
+      Dedup.simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -267,6 +280,39 @@ object SparkEntry {
          |FROM t ORDER BY doc_id""".stripMargin,
     // text_winnow_fingerprints: xxhash64-based — not DuckDB-expressible,
     // driver records the weaker rows-only check.
+    "dedup_exact_docs" ->
+      s"""WITH t AS (SELECT doc_id, md5($duckNorm) AS fp_exact FROM documents)
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp_exact
+         |FROM t GROUP BY fp_exact ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                            for i in range(1, len(toks) - 1)]) AS sh
+         |      FROM t)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // dedup_minhash_lsh / dedup_simhash_* : xxhash64-based signatures are
+    // not DuckDB-expressible → rows-only checks; their correctness is
+    // anchored by DedupSpec comparing LSH candidates against the exact
+    // (oracle-checked) dedup_ngram_jaccard pairs.
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_reduce([a.v[i] * b.v[i] for i in range(1, 1 + len(a.v))],
+        |                     (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
 
   /** DuckDB expression for TextAnalysis.normalize / tokens (kept adjacent to

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, EventPipelines, Relational, TextAnalysis}
+import graft.operators.{Dedup, EventPipelines, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,11 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
+    // ── similarity search (LLM-pipeline operators) ──────────────────────
+    "sim_bruteforce_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+    "sim_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -313,6 +318,25 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_bruteforce_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM n JOIN q ON n.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_lsh_topk: deterministic but its seeded hyperplane literals are
+    // not reasonably SQL-expressible → rows-only; SimilaritySpec measures
+    // its recall against the oracle-checked brute-force top-k.
   )
 
   /** DuckDB expression for TextAnalysis.normalize / tokens (kept adjacent to

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column (`array<float>`, dim 64).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus, rank with a per-query window. The corpus side
+  *    streams map-only (no corpus shuffle until the final per-query top-k,
+  *    which TakeOrdered-style aggregates k rows per query). This is the
+  *    oracle anchor and the right plan whenever |queries| is small.
+  *  - [[lshTopK]]: random-hyperplane LSH (sign-bit buckets, multiple
+  *    tables) — the 100 TB path. Corpus is bucketed once (map-only),
+  *    queries probe their bucket per table, candidates = bucket matches,
+  *    ranked by exact cosine. Candidate count ≈ T · n / 2^bits per query
+  *    instead of n.
+  *
+  * Hyperplanes are generated from a fixed seed at plan-build time and
+  * inlined as literals, so results are deterministic across runs/engines.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector (queries = `isQuery`
+    * subset of the corpus; self-matches excluded).
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val queries = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** Deterministic random hyperplanes: `tables` × `bits` planes of `dim`
+    * gaussian components, fixed seed.
+    */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket id of vector column `v` for one table's planes. */
+  private def bucketId(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      val planeLit = array(p.map(lit): _*)
+      when(VectorOps.dot(v, planeLit) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via multi-table sign-LSH: candidates are corpus vectors
+    * sharing the query's bucket in ANY table; ranked by exact cosine.
+    * Recall is tunable via (tables, bits): more tables → higher recall,
+    * more bits → smaller buckets. See SimilaritySpec for the measured
+    * recall vs [[bruteForceTopK]].
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      tables: Int = 8,
+      bits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim)
+    val e = embeddings
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+
+    // bucket every vector once per table: (vec_id, table, bucket)
+    val bucketStructs = array((0 until tables).map { t =>
+      struct(lit(t).as("t"), bucketId(col("v"), planes(t)).as("bucket"))
+    }: _*)
+    val bucketed = e
+      .select(col("vec_id"), col("v"), col("nrm"), explode(bucketStructs).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.t").as("t"), col("b.bucket").as("bucket"))
+
+    val qb = bucketed.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("t"), col("bucket"))
+
+    // candidate = same (table, bucket); dedup across tables, then exact rank
+    val cands = bucketed.join(broadcast(qb), Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qn"),
+        col("v"), col("nrm"))
+      .dropDuplicates("query_id", "vec_id")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+}

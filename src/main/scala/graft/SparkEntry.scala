@@ -84,6 +84,17 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
+    // batch form of StreamOps.windowedTypeCounts (same plan minus the
+    // watermark, which only bounds state in streaming mode)
+    "stream_window_type_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.OracleRound.round2(sum(col("value"))).as("total"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")),
     // ── similarity search (LLM-pipeline operators) ──────────────────────
     "sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
@@ -318,6 +329,13 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "stream_window_type_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 minute', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       floor((sum(value)) * 100 + 0.5) / 100 AS total
+        |FROM events
+        |GROUP BY time_bucket(INTERVAL '1 minute', ts::TIMESTAMP), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

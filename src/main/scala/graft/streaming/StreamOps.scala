@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators beyond the reference's surface, for the `events`
+  * stream shape (event_id, ts, user_id, event_type, value): watermarked
+  * windowed aggregation, streaming dedup, and custom sessionization state —
+  * the stateful palette (SURVEY.md §2.9 T7) of Structured Streaming.
+  *
+  * Every transform is `DataFrame => DataFrame` and source-agnostic; tests
+  * drive them through MemoryStream (no Kafka connector in this env,
+  * SURVEY.md §7), production would swap in `readStream.format(...)` with a
+  * checkpoint location for exactly-once (reference: checkpoint/ dir,
+  * srapk_structure_streaming.py:176,184).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregation (append mode): count + sum per
+    * (window, event_type). State is bounded by the watermark; at scale the
+    * shuffle key (window, event_type) keeps state partitioned evenly.
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowLength: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Streaming exact dedup on a business key within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    * window (unbounded-state-safe at 100 TB/day), unlike plain
+    * `dropDuplicates` which accumulates keys forever.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** One user session: contiguous activity with gaps < the timeout. */
+  case class SessionUpdate(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** Internal per-user state buffer (public: Catalyst's state encoder
+    * generates Java that must reach the constructor).
+    */
+  case class SessionState(
+      start: Long, end: Long, n: Long, total: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * session row when a user is idle past `gapMs` (event-time driven via
+    * the watermark). The canonical mapGroupsWithState pattern the reference
+    * never needed but a pipeline at scale does (per-key state store,
+    * timeout-driven eviction).
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    // project first, watermark last: a cast re-creates the attribute and
+    // would strip the event-time watermark tag from `ts`
+    val typed = events
+      .select(
+        col("user_id").cast("long"),
+        col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Double)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(
+              userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(
+                    end = math.max(s.end, t), n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  closed ::= SessionUpdate(
+                    userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** MemoryStream goldens for the extension streaming operators: watermarked
+  * window agg (append emission), dedup-within-watermark, sessionization.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-streamops-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** (event_id, ts, user_id, event_type, value) rows fed in batches. */
+  private def feed(
+      name: String,
+      batches: Seq[Seq[(Long, Timestamp, Long, String, Double)]],
+      pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+  : Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = pipeline(df).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+      spark.table(name).collect()
+    } finally query.stop()
+  }
+
+  test("windowed type counts emit closed windows only (append mode)") {
+    val out = feed("wtc_out", Seq(
+      Seq(
+        (1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 00:00:20"), 2L, "click", 2.0),
+        (3L, ts("2024-01-01 00:00:30"), 1L, "view", 5.0)),
+      // advances watermark past 00:01 → closes the 00:00 window
+      Seq((4L, ts("2024-01-01 00:03:00"), 3L, "click", 1.0))),
+      df => StreamOps.windowedTypeCounts(df))
+    val rows = out.map(r => (r.getTimestamp(0).toString, r.getString(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 00:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    val out = feed("dedup_out", Seq(Seq(
+      (1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:00:20"), 1L, "click", 1.0), // dup key
+      (3L, ts("2024-01-01 00:00:30"), 1L, "view", 1.0),
+      (4L, ts("2024-01-01 00:00:40"), 2L, "click", 1.0))),
+      df => StreamOps.dedupWithinWatermark(df))
+    assert(out.length == 3)
+    assert(out.map(r => (r.getLong(2), r.getString(3))).toSet ==
+      Set((1L, "click"), (1L, "view"), (2L, "click")))
+  }
+
+  test("sessionize closes a session after the idle gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sessions = StreamOps.sessionize(spark, df, gapMs = 60000L, watermark = "1 minute")
+    val query = sessions.toDF().writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two events 10s apart (one session)
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 00:00:20"), 1L, "click", 2.0)))
+      query.processAllAvailable()
+      // 10 minutes later: watermark sails past session end + gap → timeout
+      stream.addData(Seq((3L, ts("2024-01-01 00:10:00"), 2L, "click", 1.0)))
+      query.processAllAvailable()
+      // one more batch so the timed-out state is actually fired
+      stream.addData(Seq((4L, ts("2024-01-01 00:11:00"), 2L, "click", 1.0)))
+      query.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+      assert(out.exists { r =>
+        r.getAs[Long]("user_id") == 1L &&
+          r.getAs[Long]("n_events") == 2L &&
+          r.getAs[Double]("total_value") == 3.0
+      }, s"expected user 1 session, got ${out.mkString(",")}")
+    } finally query.stop()
+  }
+}

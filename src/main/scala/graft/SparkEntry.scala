@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, EventPipelines, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventPipelines, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     "sim_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+    // ── multimodal binary-column plumbing (stubbed decode) ──────────────
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.attachMedia(Tables.documents(s, d))).toDF().orderBy("doc_id")),
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s,
+        Multimodal.attachMedia(Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -355,6 +363,27 @@ object SparkEntry {
     // sim_lsh_topk: deterministic but its seeded hyperplane literals are
     // not reasonably SQL-expressible → rows-only; SimilaritySpec measures
     // its recall against the oracle-checked brute-force top-k.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(strlen(text) AS INTEGER) AS size_bytes,
+        |       list_reduce([CAST(ascii(text[i]) AS BIGINT) for i in range(1, CAST(strlen(text) AS INTEGER) + 1)],
+        |                   (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum,
+        |       CAST(strlen(text) % 251 AS INTEGER) AS width,
+        |       CAST((strlen(text) * 7 + 13) % 251 AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN strlen(text) // 100 + 1 ELSE 1 END AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        |       CAST(byte_offset // 100 AS INTEGER) AS frame_idx,
+        |       CAST(byte_offset AS INTEGER) AS byte_offset,
+        |       CAST(least(100, n - byte_offset) AS INTEGER) AS frame_bytes
+        |FROM (
+        |  SELECT doc_id, strlen(text) AS n,
+        |         unnest(generate_series(0, CAST(strlen(text) AS BIGINT) - 1, 100)) AS byte_offset
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 
   /** DuckDB expression for TextAnalysis.normalize / tokens (kept adjacent to

@@ -311,14 +311,19 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |s AS (SELECT doc_id,
-         |             list_distinct([array_to_string(toks[i:i+2], ' ')
-         |                            for i in range(1, len(toks) - 1)]) AS sh
-         |      FROM t)
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id)
          |SELECT * FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |  SELECT doc_a, doc_b,
+         |         CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+         |  FROM p
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     // dedup_minhash_lsh / dedup_simhash_* : xxhash64-based signatures are

@@ -19,8 +19,19 @@ object VectorOps {
   /** Cast an array<float> column to array<double>. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential left-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left-fold dot product of two equal-length double arrays,
+    * as a custom codegen Expression (tight Java loop; see DotProductExpr).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(DotProductExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** The higher-order-function spelling of [[dot]] — kept as the reference
+    * implementation; VectorOpsSpec asserts both are bit-identical.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */

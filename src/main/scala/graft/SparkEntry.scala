@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, EventPipelines, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventPipelines, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,10 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     "sim_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+    // ── SQL surface / approx / session windows ──────────────────────────
+    "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
+    "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
+    "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(s,
@@ -368,6 +372,28 @@ object SparkEntry {
     // sim_lsh_topk: deterministic but its seeded hyperplane literals are
     // not reasonably SQL-expressible → rows-only; SimilaritySpec measures
     // its recall against the oracle-checked brute-force top-k.
+    "sql_revenue_by_status" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // approx_distinct_users: HLL sketch values are engine-specific →
+    // rows-only; ApproxSpec bounds the relative error vs the exact count.
+    "session_windows" ->
+      """WITH o AS (SELECT user_id, ts::TIMESTAMP AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM o),
+        |g AS (SELECT user_id, t,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |       strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** The `spark.sql` entry point of the engine: temp-view registration plus
+  * ANSI-SQL queries — a user of the reference's DataFrame surface can also
+  * drive everything through SQL (same Catalyst plans either way).
+  */
+object SqlSurface {
+
+  /** Register every testdata table as a temp view named as in TESTDATA.md. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Tables.names.foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** Run a SQL query against the registered views. */
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(query)
+  }
+
+  /** Revenue by order status via pure SQL — exercises the parser path end
+    * to end (same physical plan as the DataFrame form).
+    */
+  def revenueByStatus(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir,
+      """SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+
+  /** HLL approximate distinct (approx_count_distinct) next to the exact
+    * count — the approximation target the oracle can't mirror exactly, so
+    * ApproxSpec bounds its relative error instead.
+    */
+  def approxUserCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  /** Batch session-window aggregation (session_window: gap-merged windows
+    * — the built-in cousin of StreamOps.sessionize): sessions per user with
+    * a 30-minute gap, event counts per session.
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+}

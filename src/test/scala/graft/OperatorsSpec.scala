@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators._
+
+/** Per-operator sanity specs complementing the DuckDB oracle (which checks
+  * exact values at sf0.01): invariants that must hold at any scale factor.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  test("approx_count_distinct within 5% of exact per event_type") {
+    val rows = SqlSurface.approxUserCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("session windows partition each user's events") {
+    val sessions = SqlSurface.sessionWindows(spark, sf)
+    val total = sessions.agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("windowDistinct buckets partition the events (counts add up)") {
+    val win = EventPipelines.windowDistinct(Tables.events(spark, sf))
+    val total = win.agg(sum(col("n"))).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("language id predicts a language from the declared palette") {
+    val langs = (TextAnalysis.langMarkers.map(_._1) :+ "und").toSet
+    val preds = TextAnalysis.languageId(Tables.documents(spark, sf))
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(langs), s"unexpected predictions: ${preds -- langs}")
+  }
+
+  test("winnowed fingerprints are non-empty and sorted per doc") {
+    val fp = TextAnalysis.winnowedFingerprints(Tables.documents(spark, sf)).collect()
+    assert(fp.nonEmpty)
+    fp.foreach { r =>
+      val hs = r.getAs[scala.collection.Seq[Long]]("fingerprint_hashes")
+      assert(hs.nonEmpty && hs == hs.sorted)
+    }
+  }
+
+  test("pricing summary groups cover all (returnflag, linestatus) pairs") {
+    val got = Relational.pricingSummary(spark, sf)
+      .select("l_returnflag", "l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+  }
+
+  test("multimodal decode preserves row count and typed schema") {
+    val docs = Tables.documents(spark, sf)
+    val out = Multimodal.decodeFeatures(spark, Multimodal.attachMedia(docs))
+    assert(out.count() == docs.count())
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "size_bytes", "checksum", "width", "height", "n_frames"))
+  }
+}

@@ -84,6 +84,10 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(Tables.documents(s, d)).orderBy("doc_id", "rank")),
     // batch form of StreamOps.windowedTypeCounts (same plan minus the
     // watermark, which only bounds state in streaming mode)
     "stream_window_type_counts" -> ((s, d) =>
@@ -353,6 +357,42 @@ object SparkEntry {
         |FROM events
         |GROUP BY time_bucket(INTERVAL '1 minute', ts::TIMESTAMP), event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+         |SELECT d.doc_id, coalesce(min(r.v), d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_top_terms" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term)
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY tf DESC, term) AS rank
+         |  FROM f)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

@@ -181,6 +181,47 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup clusters: connected components over the exact jaccard pair
+    * graph, by iterative min-label propagation (label(u) ← min(label(u),
+    * min label of neighbors)) until fixpoint — the distributed CC algorithm
+    * that needs O(diameter) joins, each a small shuffle over the edge set
+    * (pairs ≪ corpus). Every document gets a cluster_id = smallest doc_id
+    * in its component (singletons: itself); "keep the canonical copy" is
+    * then `WHERE doc_id = cluster_id`.
+    */
+  def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v")
+      .persist()
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl"))
+      .persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("nbr_lbl")), "v")
+        .groupBy(col("u")).agg(min(col("nbr_lbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val out = docs.select(col("doc_id"))
+      .join(labels.select(col("u").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    edges.unpersist()
+    out
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. All-pairs with
     * norms precomputed once per row — the exact verifier; the LSH-bucketed
     * scale path lives in graft.operators.Similarity.

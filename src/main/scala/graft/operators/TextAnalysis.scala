@@ -128,6 +128,26 @@ object TextAnalysis {
       md5(bag).as("fp_bag"))
   }
 
+  /** Top-N terms per document by frequency (deterministic tie-break on the
+    * term itself) — integer counts only, so oracle-exact. Term statistics
+    * are the building block for TF-IDF-style scoring; counts stay integer
+    * here because cross-engine log()/division on doubles is not
+    * reproducible bit-for-bit.
+    */
+  def topTerms(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= n)
+      .select("doc_id", "rank", "term", "tf")
+  }
+
   /** Rolling-hash shingle fingerprints (winnowing-style): hash every k-word
     * shingle with xxhash64, keep the minimum per window of w consecutive
     * shingle hashes. Output is the distinct set of kept hashes per doc —

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+
+/** Source/sink coverage beyond parquet (SURVEY.md §2.1 "file formats" row):
+  * csv and json batch round-trips, a streaming file source, and a
+  * checkpointed streaming parquet sink (exactly-once bookkeeping — the
+  * reference's T5 machinery, srapk_structure_streaming.py:176).
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-sources-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv round-trip preserves rows and schema (header + inferSchema)") {
+    val dir = tmp("graft-csv")
+    val nation = Tables.nation(spark, "/root/testdata/sf0.001")
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == nation.count())
+    assert(back.columns.toSeq == nation.columns.toSeq)
+  }
+
+  test("json-lines round-trip preserves rows and values") {
+    val dir = tmp("graft-json")
+    val region = Tables.region(spark, "/root/testdata/sf0.001")
+    region.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == region.count())
+    val names = back.select("r_name").collect().map(_.getString(0)).toSet
+    assert(names == region.select("r_name").collect().map(_.getString(0)).toSet)
+  }
+
+  test("streaming file source -> checkpointed parquet sink is exactly-once") {
+    val srcDir = tmp("graft-stream-src")
+    val outDir = tmp("graft-stream-out")
+    val ckpt = tmp("graft-stream-ckpt")
+    val events = Tables.events(spark, "/root/testdata/sf0.001").limit(100)
+    events.write.mode("overwrite").json(srcDir)
+
+    val schema = events.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(srcDir)
+        .where(col("event_type") === "click")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    // restart against the same checkpoint: no new input → no duplicates
+    runOnce()
+    val n2 = spark.read.parquet(outDir).count()
+    assert(n1 > 0, "first run should emit click rows")
+    assert(n2 == n1, s"restart must not re-emit committed batches ($n1 -> $n2)")
+  }
+}

@@ -106,6 +106,8 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
+    "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),
+    "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
     "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
     "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
@@ -416,6 +418,17 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sql_graft_dot" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       list_reduce([a.v[i] * b.v[i] for i in range(1, 1 + len(a.v))],
+        |                   (x, y) -> x + y) AS dot
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "agg_salted_user_counts" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // approx_distinct_users: HLL sketch values are engine-specific →
     // rows-only; ApproxSpec bounds the relative error vs the exact count.
     "session_windows" ->

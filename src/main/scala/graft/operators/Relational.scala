@@ -208,6 +208,25 @@ object Relational {
         when(col("o_orderpriority").like("%URGENT%"), 1).otherwise(0).as("is_urgent"))
       .orderBy("o_orderkey")
 
+  /** Two-phase salted aggregation — the skew-mitigation pattern for
+    * heavy-hitter keys at 100 TB: phase 1 aggregates on (key, salt) so one
+    * hot key spreads over `salts` reducers; phase 2 merges the partials.
+    * Result is identical to a direct groupBy (the oracle checks exactly
+    * that); sums stay integer-safe by rounding only at the output edge.
+    */
+  def saltedUserTypeCounts(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+    val partial = ev
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+    partial
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"),
+        OracleRound.round2(sum(col("pv"))).as("total_value"))
+      .orderBy("user_id")
+  }
+
   /** Correlated-style aggregate filter: orders above their customer's
     * average order value (self-join on a pre-aggregated side).
     */

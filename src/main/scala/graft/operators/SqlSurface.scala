@@ -11,11 +11,15 @@ import graft.engine.Tables
   */
 object SqlSurface {
 
-  /** Register every testdata table as a temp view named as in TESTDATA.md. */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
+  /** Register every testdata table as a temp view named as in TESTDATA.md,
+    * plus graft's SQL functions (graft_dot).
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
     Tables.names.foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     }
+    graft.functions.GraftFunctions.register(spark)
+  }
 
   /** Run a SQL query against the registered views. */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
@@ -34,6 +38,19 @@ object SqlSurface {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
+
+  /** Pairwise dot products of the first few embeddings via the SQL-
+    * registered custom expression (`graft_dot`) — proves the codegen
+    * Expression is reachable from the SQL surface, not just the Column API.
+    */
+  def sqlDotProducts(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir,
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       graft_dot(transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                 transform(b.embedding, x -> CAST(x AS DOUBLE))) AS dot
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 5 AND b.vec_id < 5
+        |ORDER BY vec_a, vec_b""".stripMargin)
 
   /** HLL approximate distinct (approx_count_distinct) next to the exact
     * count — the approximation target the oracle can't mirror exactly, so

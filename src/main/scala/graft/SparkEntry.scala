@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, EventPipelines, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, EventPipelines, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +108,8 @@ object SparkEntry {
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),
     "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
+    "join_asof_latest_order" -> ((s, d) =>
+      AsOfJoin.eventsToLatestOrder(s, d).orderBy("event_id")),
     "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
     "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
@@ -429,6 +431,14 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |       floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "join_asof_latest_order" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     // approx_distinct_users: HLL sketch values are engine-specific →
     // rows-only; ApproxSpec bounds the relative error vs the exact count.
     "session_windows" ->

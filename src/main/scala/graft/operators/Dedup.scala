@@ -79,11 +79,14 @@ object Dedup {
     * mins — a single pass, map-side combinable, no per-row nested loops.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, k: Int = 3): DataFrame = {
-    val exploded = docs.select(
-      col("doc_id"),
-      explode(shingles(col("text"), k)).as("sh"))
+    // hash each shingle string once; the i-th permutation re-hashes only
+    // the fixed-width base (int, long) — ~an order of magnitude less
+    // hashing work than xxhash64(i, shingle_string) per permutation
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("base"))
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("base"))).as(s"h$i"))
     exploded
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)

@@ -110,6 +110,7 @@ object SparkEntry {
     "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
     "join_asof_latest_order" -> ((s, d) =>
       AsOfJoin.eventsToLatestOrder(s, d).orderBy("event_id")),
+    "agg_order_stats" -> ((s, d) => Relational.orderStats(s, d)),
     "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
     "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
@@ -431,6 +432,12 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |       floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_order_stats" ->
+      """SELECT o_orderstatus,
+        |       floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_price,
+        |       floor(stddev_samp(o_totalprice) * 100 + 0.5) / 100 AS sd,
+        |       floor(corr(o_totalprice, o_custkey) * 10000 + 0.5) / 10000 AS c
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_asof_latest_order" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |           FROM orders GROUP BY o_custkey, o_orderdate)

@@ -227,6 +227,19 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Statistical aggregates: exact interpolated median (percentile),
+    * sample stddev, Pearson correlation — rounded at the edge since
+    * variance/corr accumulation order differs across engines.
+    */
+  def orderStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        OracleRound.round2(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+        OracleRound.round2(stddev_samp(col("o_totalprice"))).as("sd"),
+        OracleRound.roundN(corr(col("o_totalprice"), col("o_custkey")), 4).as("c"))
+      .orderBy("o_orderstatus")
+
   /** Correlated-style aggregate filter: orders above their customer's
     * average order value (self-join on a pre-aggregated side).
     */

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Rsvp
+
+/** Property-based tests (SURVEY.md §5 strategy #3): structural invariants
+  * over scalacheck-generated inputs, run through real Spark plans.
+  * (Raw Gen sampling with fixed seeds — the scalatest/scalacheck bridge
+  * artifact is not in the offline dependency cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-prop-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  /** Deterministic sample stream from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("collect_set equals sorted-distinct of inputs") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(0, 20)), 10).foreach { xs =>
+      val got = xs.toDF("x")
+        .agg(sort_array(collect_set(col("x"))).as("s"))
+        .collect().head.getAs[scala.collection.Seq[Int]]("s")
+      assert(got.toList == xs.distinct.sorted, s"input $xs")
+    }
+  }
+
+  test("from_json . to_json round-trips generated (city, country) structs") {
+    import spark.implicits._
+    val gen = for {
+      city <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+      country <- Gen.oneOf("us", "de", "fr")
+    } yield (city, country)
+    samples(gen, 10).foreach { case (city, country) =>
+      val df = Seq((city, country)).toDF("group_city", "group_country")
+      val back = df
+        .select(to_json(struct(col("group_city"), col("group_country"))).as("j"))
+        .select(from_json(col("j"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "group_city STRING, group_country STRING")).as("s"))
+        .select("s.*").collect().head
+      assert(back.getString(0) == city && back.getString(1) == country)
+    }
+  }
+
+  test("1-minute windows partition the time axis (each ts in exactly its bucket)") {
+    import spark.implicits._
+    val tsGen = Gen.chooseNum(0L, 86400L * 30)
+      .map(s => new Timestamp(1704067200000L + s * 1000))
+    samples(Gen.nonEmptyListOf(tsGen), 10).foreach { ts =>
+      val rows = ts.toDF("ts")
+        .select(col("ts"), window(col("ts"), "1 minute").as("w"))
+        .select(col("ts"), col("w.start").as("s"), col("w.end").as("e"))
+        .collect()
+      rows.foreach { r =>
+        val t = r.getTimestamp(0).getTime
+        val s = r.getTimestamp(1).getTime
+        val e = r.getTimestamp(2).getTime
+        assert(s <= t && t < e && e - s == 60000L && s % 60000L == 0,
+          s"ts $t window [$s,$e)")
+      }
+    }
+  }
+
+  test("OracleRound.round2 is idempotent and within half-cent") {
+    import spark.implicits._
+    samples(Gen.chooseNum(0.0, 1e6), 20).foreach { x =>
+      val r = Seq(x).toDF("x")
+        .select(graft.functions.OracleRound.round2(col("x")).as("a"))
+        .select(col("a"), graft.functions.OracleRound.round2(col("a")).as("b"))
+        .collect().head
+      val (once, twice) = (r.getDouble(0), r.getDouble(1))
+      assert(once == twice, s"round2 not idempotent for $x")
+      assert(math.abs(once - x) <= 0.005 + 1e-9, s"round2($x) = $once")
+    }
+  }
+
+  test("RSVP schema nullability: corrupt JSON yields null struct, not a crash") {
+    import spark.implicits._
+    val bad = Seq("{not json", """{"rsvp_id": "str"}""", "")
+      .toDF("value").withColumn("timestamp", lit("2021-06-06 12:00:00"))
+    val parsed = Rsvp.parse(bad)
+    assert(parsed.count() == 3) // permissive mode: rows survive, fields null
+    assert(parsed.where(col("rsvp_id").isNotNull).count() == 0)
+  }
+}

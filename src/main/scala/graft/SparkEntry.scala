@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AsOfJoin, Dedup, EventPipelines, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, EventPipelines, FunctionSurface, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +111,11 @@ object SparkEntry {
     "join_asof_latest_order" -> ((s, d) =>
       AsOfJoin.eventsToLatestOrder(s, d).orderBy("event_id")),
     "agg_order_stats" -> ((s, d) => Relational.orderStats(s, d)),
+    "fn_array" -> ((s, d) => FunctionSurface.arrayFunctions(s, d).orderBy("vec_id")),
+    "fn_datetime" -> ((s, d) => FunctionSurface.datetimeFunctions(s, d)),
+    "cube_status_priority" -> ((s, d) => FunctionSurface.statusPriorityCube(s, d)),
+    "set_intersect_hours" -> ((s, d) => FunctionSurface.clickAndPurchaseHours(s, d)),
+    "pivot_event_types" -> ((s, d) => FunctionSurface.eventTypePivot(s, d)),
     "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
     "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
@@ -431,6 +436,45 @@ object SparkEntry {
     "agg_salted_user_counts" ->
       """SELECT user_id, count(*) AS n_events,
         |       floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INTEGER) AS dim,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+        |       CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct,
+        |       floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS first_val,
+        |       floor(CAST(list_max(embedding) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS max_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS age_days,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+        |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cube_status_priority" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "set_intersect_hours" ->
+      """SELECT DISTINCT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour
+        |FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY hour""".stripMargin,
+    "pivot_event_types" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_order_stats" ->
       """SELECT o_orderstatus,

@@ -24,8 +24,26 @@ class BucketingSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  /** Drop the table and its physical location: when suites share one
+    * session (getOrCreate), this spec's warehouse config may be ignored
+    * and a stale location from a previous run fails saveAsTable.
+    */
+  private def dropHard(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
+    dropHard("li_bucketed")
+    dropHard("ord_bucketed")
     Tables.lineitem(spark, sf).write
       .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")

@@ -47,6 +47,33 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream–stream inner join with watermarks on both sides and a time-
+    * interval condition (SURVEY.md §2.3 "absent" row): each purchase joined
+    * to the same user's clicks in the preceding `horizon`. State on both
+    * sides is bounded by the watermarks + interval; the join shuffles both
+    * streams on user_id — the standard attribution-join topology.
+    */
+  def clickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
+      horizonMinutes: Int = 10): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("c_user"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("value"))
+  }
+
   /** One user session: contiguous activity with gaps < the timeout. */
   case class SessionUpdate(
       user_id: Long,

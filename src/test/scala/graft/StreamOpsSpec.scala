@@ -54,6 +54,21 @@ class StreamOpsSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("windowed agg runs on the RocksDB state store (large-state backend)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = feed("wtc_rocks_out", Seq(
+        Seq((1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0),
+          (2L, ts("2024-01-01 00:00:20"), 2L, "click", 2.0)),
+        Seq((3L, ts("2024-01-01 00:03:00"), 3L, "click", 1.0))),
+        df => StreamOps.windowedTypeCounts(df))
+      assert(out.map(r => (r.getString(1), r.getLong(2))).toSet ==
+        Set(("click", 2L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     val out = feed("dedup_out", Seq(Seq(
       (1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0),
@@ -64,6 +79,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.length == 3)
     assert(out.map(r => (r.getLong(2), r.getString(3))).toSet ==
       Set((1L, "click"), (1L, "view"), (2L, "click")))
+  }
+
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchaseStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(s: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamOps.clickToPurchase(df(clickStream), df(purchaseStream))
+    val q = joined.writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      clickStream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),   // within 10 min
+        (2L, ts("2024-01-01 00:20:00"), 1L, "click", 0.0),   // after purchase
+        (3L, ts("2024-01-01 00:01:00"), 2L, "click", 0.0)))  // other user
+      purchaseStream.addData(Seq(
+        (10L, ts("2024-01-01 00:05:00"), 1L, "purchase", 9.99)))
+      q.processAllAvailable()
+      val out = spark.table("attr_out").collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((10L, 1L)),
+        s"expected purchase 10 attributed to click 1 only, got ${out.mkString(",")}")
+    } finally q.stop()
   }
 
   test("sessionize closes a session after the idle gap") {

@@ -104,6 +104,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     "sim_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+    "sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),

@@ -65,6 +65,106 @@ object Similarity {
       when(VectorOps.dot(v, planeLit) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Spherical k-means coarse quantizer for IVF: deterministic init (the
+    * first `nlist` vectors), fixed `iters` Lloyd rounds. Assignment is
+    * argmax dot against L2-normalized centroids; the (tiny) centroid set
+    * is pulled to the driver each round and re-broadcast as literals —
+    * the standard k-means topology (per-round cost: one map over the
+    * corpus + one (cluster, dim)-keyed partial aggregation).
+    */
+  def trainIvfCentroids(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      iters: Int = 3): Array[Array[Double]] = {
+    val e = embeddings
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nv", transform(col("v"), x => x / VectorOps.l2Norm(col("v"))))
+      .select(col("vec_id"), col("nv"))
+      .persist()
+    def normalize(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var cents: Array[Array[Double]] = e.where(col("vec_id") < nlist)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("nv").toArray)
+      .map(normalize)
+    (1 to iters).foreach { _ =>
+      val assigned = e.withColumn("cluster", assignCluster(col("nv"), cents))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            normalize(arr)
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    e.unpersist()
+    cents
+  }
+
+  /** argmax-dot cluster assignment against centroid literals (array_max
+    * over (dot, idx) structs — compares by dot, ties by idx).
+    */
+  private def assignCluster(nv: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dot(nv, array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid
+    * (map-only once trained); each query probes its `nprobe` closest
+    * centroids' buckets and reranks candidates by exact cosine. Candidate
+    * count ≈ nprobe/nlist of the corpus — the inverted-file scale path,
+    * complementary to [[lshTopK]].
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val cents = trainIvfCentroids(embeddings, nlist, iters)
+    val e = embeddings
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .withColumn("cluster", assignCluster(col("nv"), cents))
+
+    // per-query probe list: nprobe clusters with the highest centroid dot
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+    }: _*)
+    val probes = transform(
+      slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("i"))
+    val queries = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), probes.as("probe_clusters"))
+
+    val cands = e.join(broadcast(queries),
+      array_contains(col("probe_clusters"), col("cluster")) &&
+        col("vec_id") =!= col("query_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** ANN top-k via multi-table sign-LSH: candidates are corpus vectors
     * sharing the query's bucket in ANY table; ranked by exact cosine.
     * Recall is tunable via (tables, bits): more tables → higher recall,

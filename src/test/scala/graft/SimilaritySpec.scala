@@ -29,6 +29,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb))
+    val ivf = pairs(Similarity.ivfTopK(emb))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.5, s"IVF recall@5 $recall below floor")
+  }
+
   test("LSH ANN recall@5 vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =

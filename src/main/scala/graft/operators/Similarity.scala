@@ -25,8 +25,8 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  /** Exact top-k by cosine for each query vector (queries = `isQuery`
-    * subset of the corpus; self-matches excluded).
+  /** Exact top-k by cosine for each query vector (queries = the first
+    * `numQueries` corpus vectors by vec_id; self-matches excluded).
     */
   def bruteForceTopK(
       embeddings: DataFrame,

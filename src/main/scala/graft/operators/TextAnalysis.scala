@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
 import graft.functions.OracleRound
 
 /** Text-analysis operators for a large-scale training-data pipeline, over the

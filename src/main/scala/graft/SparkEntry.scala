@@ -34,8 +34,12 @@ object SparkEntry {
       EventPipelines.joinTypeLookup(Tables.events(s, d))
         .select("event_id", "user_id", "type_name", "value")
         .orderBy("event_id")),
+    // array columns are serialized at the oracle edge (concat_ws) because
+    // the driver's pandas hash-compare cannot sort ndarray cells; the
+    // operator itself still returns a real array<string> (A2 collect_set).
     "ref_q3_window_agg" -> ((s, d) =>
       EventPipelines.windowDistinct(Tables.events(s, d))
+        .withColumn("types", concat_ws(",", col("types")))
         .orderBy("window_start")),
     "ref_q4_json_extract" -> ((s, d) =>
       EventPipelines.parseProps(Tables.events(s, d))
@@ -50,6 +54,8 @@ object SparkEntry {
     "tpch_q1_pricing" -> ((s, d) => Relational.pricingSummary(s, d)),
     "tpch_q3_top10" -> ((s, d) => Relational.shippingPriority(s, d)),
     "tpch_q5_nation_revenue" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "tpch_q14_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
+    "tpch_q9_brand_nation_volume" -> ((s, d) => Relational.brandVolumeByNation(s, d)),
     "join_semi_open_orders" -> ((s, d) => Relational.customersWithOpenOrders(s, d)),
     "join_anti_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "join_outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
@@ -70,7 +76,9 @@ object SparkEntry {
     "text_fingerprints" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id")),
     "text_winnow_fingerprints" -> ((s, d) =>
-      TextAnalysis.winnowedFingerprints(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.winnowedFingerprints(Tables.documents(s, d))
+        .withColumn("fingerprint_hashes", concat_ws(",", col("fingerprint_hashes")))
+        .orderBy("doc_id")),
     // ── deduplication (LLM-pipeline operators) ──────────────────────────
     "dedup_exact_docs" -> ((s, d) =>
       Dedup.exactDedup(Tables.documents(s, d)).orderBy("keep_id")),
@@ -82,8 +90,11 @@ object SparkEntry {
       Dedup.simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    // grid-blocked exact plan (equi-join per block-pair cell — no
+    // nested-loop/cartesian); the naive all-pairs form is its spec-checked
+    // verifier (DedupSpec, sf0.001)
     "dedup_embedding_cosine" -> ((s, d) =>
-      Dedup.embeddingCosinePairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
+      Dedup.embeddingCosinePairsBlocked(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Tables.documents(s, d)).orderBy("doc_id")),
     "text_top_terms" -> ((s, d) =>
@@ -105,7 +116,8 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     "sim_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+      Similarity.ivfTopK(Tables.embeddings(s, d), cacheKey = d)
+        .orderBy("query_id", "rank")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),
@@ -148,7 +160,7 @@ object SparkEntry {
     "ref_q3_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 minute', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       strftime(time_bucket(INTERVAL '1 minute', ts::TIMESTAMP) + INTERVAL '1 minute', '%Y-%m-%d %H:%M:%S') AS window_end,
-        |       list_sort(list(DISTINCT event_type)) AS types,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |       count(*) AS n
         |FROM events
         |GROUP BY time_bucket(INTERVAL '1 minute', ts::TIMESTAMP)
@@ -205,6 +217,23 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "tpch_q14_promo_revenue" ->
+      """SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |         sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-02-01'""".stripMargin,
+    "tpch_q9_brand_nation_volume" ->
+      """SELECT n_name, p_brand,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |GROUP BY n_name, p_brand
+        |ORDER BY n_name, p_brand""".stripMargin,
     "join_semi_open_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Partitioning
 import graft.functions.VectorOps
 
 /** Deduplication operators for a training-data pipeline, over `documents`
@@ -17,59 +18,92 @@ import graft.functions.VectorOps
   *    anchor and for small blocked domains).
   *  - SimHash is one 64-bit signature per doc; candidate pairs come from
   *    16-bit band buckets (hamming-LSH), verified with bit_count(xor).
-  *  - Embedding near-dup joins on coarse LSH sign-buckets in the scale
-  *    path (graft.operators.Similarity); the thresholded all-pairs form
-  *    here is the exact verifier.
+  *  - Embedding near-dup: [[embeddingCosinePairsBlocked]] is the exact
+  *    scale path (grid-blocked all-pairs, the distributed-GEMM topology);
+  *    [[embeddingNearDupPairs]] is the sign-LSH approximate path for the
+  *    high-threshold near-dup regime; the naive all-pairs form is the
+  *    small-SF verifier.
   */
 object Dedup {
 
   import TextAnalysis.{normalize, tokens}
 
-  /** Word k-shingles of the normalized text (default k=3). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Word k-shingles of a token-array column. Pass a MATERIALIZED token
+    * column (an attribute), not an inline `tokens(text)` expression: HOF
+    * lambdas re-evaluate captured expression subtrees per array element,
+    * so an inline tokenizer costs one regex split per SHINGLE instead of
+    * per row (~10× on the profile).
+    */
+  def shinglesOf(toks: Column, k: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
+
+  /** Word k-shingles of the normalized text (default k=3). Convenience
+    * form for small inputs/tests; hot paths materialize the token column
+    * first and use [[shinglesOf]].
+    */
+  def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(text), k)
 
   /** Exact dedup: group documents by the md5 of their normalized text; keep
     * the smallest doc_id as canonical, count group size. One shuffle on the
     * digest — the canonical exact-dedup plan at any scale.
     */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs
+    Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), md5(normalize(col("text"))).as("fp_exact"))
       .groupBy(col("fp_exact"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups", "fp_exact")
 
   /** Exact n-gram (word-shingle) Jaccard similarity for all pairs above a
-    * threshold, via an inverted-index (posting-list) join: explode distinct
-    * shingles, equi-join on the shingle, count shared shingles per pair,
-    * then jaccard = inter / (|A| + |B| - inter) from counts alone — no
-    * per-pair array intersection. Pairs sharing zero shingles never appear,
-    * which loses nothing above any threshold > 0.
+    * threshold, via prefix filtering (SSJoin/PPJoin): order each document's
+    * shingles rarest-first by global document frequency, posting-join only
+    * on each doc's prefix (the first `n - ceil(t·n) + 1` shingles), then
+    * verify candidates with an exact `array_intersect`.
     *
-    * Cost is Σ_s freq(s)² over shingles, not n² (545s → ~10s at sf0.1 vs
-    * the naive all-pairs array_intersect form). For corpora with hot
-    * shingles, add prefix filtering; [[minhashLshPairs]] is the
-    * approximate candidate generator at extreme scale.
+    * Completeness proof (why the prefix join misses nothing): J(A,B) ≥ t
+    * implies |A∩B| ≥ t·max(|A|,|B|) ≥ t·|A|. If A and B shared no shingle
+    * in A's prefix, every shared shingle would sit in A's last
+    * `ceil(t·|A|) − 1` positions, so |A∩B| < t·|A| — contradiction. The
+    * (df, shingle) sort key is a total order, so both docs rank a shared
+    * shingle identically.
+    *
+    * Scale: the join fans out only on prefix postings of the RAREST
+    * shingles — hot template shingles (high df) sort last and drop out of
+    * prefixes, so Σ freq² blowup on skewed corpora is capped; the verify
+    * step is one equi-join per candidate pair. The per-doc shingle arrays
+    * are computed once (persisted) and reused by both verify sides.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val base = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOf(col("toks"), k).as("shs"))
+      .persist()
+    base.count() // materialize once: the posting explode + both verify joins reuse it
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ord"))
+      .select(col("doc_id"),
+        transform(array_sort(col("ord")), s => s.getField("sh")).as("ord"))
+    val plen = (size(col("ord")) -
+      ceil(size(col("ord")) * lit(threshold)) + 1).cast("int")
+    val prefix = ordered
+      .select(col("doc_id"), explode(slice(col("ord"), lit(1), plen)).as("sh"))
+    val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .select(
         col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+        (col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -82,8 +116,9 @@ object Dedup {
     // hash each shingle string once; the i-th permutation re-hashes only
     // the fixed-width base (int, long) — ~an order of magnitude less
     // hashing work than xxhash64(i, shingle_string) per permutation
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+    val exploded = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), k)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("base"))
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("base"))).as(s"h$i"))
@@ -111,7 +146,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, k)
+    // signatures feed banding AND both verify-join sides: materialize once
+    // (the signature computation includes the shingle explode — recomputing
+    // it 3× dominated the round-1 bench)
+    val sigs = minhashSignatures(docs, numHashes, k).persist()
+    sigs.count()
 
     val bandStructs = array((0 until bands).map { bnd =>
       struct(
@@ -144,7 +183,7 @@ object Dedup {
     * Explode + 64 partial-agg sums — one pass, map-side combinable.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = docs
+    val exploded = Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val votes = (0 until 64).map { j =>
@@ -165,7 +204,10 @@ object Dedup {
     * across 4 bands); verify with bit_count(xor) ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 5): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    // both self-join sides scan the signatures (64 agg exprs each) —
+    // materialize once
+    val sigs = simhashSignatures(docs).persist()
+    sigs.count()
     val bandStructs = array((0 until 4).map { bnd =>
       struct(
         lit(bnd).as("band"),
@@ -184,50 +226,161 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Near-dup clusters: connected components over the exact jaccard pair
-    * graph, by iterative min-label propagation (label(u) ← min(label(u),
-    * min label of neighbors)) until fixpoint — the distributed CC algorithm
-    * that needs O(diameter) joins, each a small shuffle over the edge set
-    * (pairs ≪ corpus). Every document gets a cluster_id = smallest doc_id
-    * in its component (singletons: itself); "keep the canonical copy" is
-    * then `WHERE doc_id = cluster_id`.
+  /** Near-dup clusters over the exact jaccard pair graph: candidate pairs
+    * from [[ngramJaccardPairs]] (prefix-filtered, computed ONCE), connected
+    * components via [[clustersFromPairs]].
     */
-  def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+  def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(docs, ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b"))
+
+  /** Connected components by iterative min-label propagation over a pair
+    * list (exact jaccard pairs here; [[minhashLshPairs]] / [[simhashPairs]]
+    * at extreme scale — DedupSpec proves LSH-pair clusters match exact-pair
+    * clusters on the testdata). Every document gets cluster_id = smallest
+    * doc_id in its component (singletons: itself); "keep the canonical
+    * copy" is then `WHERE doc_id = cluster_id`.
+    *
+    * Scale shape: the edge list is materialized ONCE up front
+    * (`localCheckpoint` — eager, lineage cut), each round is one join +
+    * partial-agg min over that cached edge set, and each round's labels are
+    * checkpointed so lineage stays O(1) instead of growing per iteration.
+    * Convergence needs O(diameter) rounds — near-dup components are
+    * small/dense (diameter ≤ 3 in practice), so this beats the O(log n)
+    * large-star/small-star alternative on constant factors here. The
+    * convergence probe is `isEmpty` on the already-materialized round
+    * output — a limit-1 scan of cached partitions, NOT a recompute (the
+    * round-1 version re-derived the full jaccard graph per probe).
+    */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // checkpoint the pair list BEFORE the symmetric union — the union's two
+    // branches would otherwise each evaluate the (expensive) pair plan
+    val p = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v")
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < 20) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("nbr_lbl")), "v")
         .groupBy(col("u")).agg(min(col("nbr_lbl")).as("nbr_min"))
       val next = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
-        .where(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          (col("nbr_min") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      converged = next.where(col("chg")).isEmpty
+      labels = next.drop("chg")
       iter += 1
     }
-    val out = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(labels.select(col("u").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-    edges.unpersist()
-    out
+  }
+
+  /** Exact thresholded all-pairs cosine, grid-blocked — the distributed
+    * exact plan at any threshold. Vectors are hashed into `blocks` blocks;
+    * a (bi ≤ bj) block-pair grid drives TWO equi-joins, so each cell's
+    * cross product materializes through an ordinary shuffle join (no
+    * BroadcastNestedLoopJoin, no full-corpus broadcast). Replication
+    * factor is `blocks` per side — the blocked-GEMM topology: at 100 TB,
+    * pick blocks ≈ √parallelism and each cell is one partition-sized GEMM
+    * tile. Output pairs are canonicalized (least, greatest), so every
+    * unordered pair appears exactly once; the cosine expression is the
+    * same sequential fold as [[embeddingCosinePairs]], hence bit-identical
+    * results.
+    *
+    * Why not LSH here: sign-LSH candidate recall collapses near θ ≈ 60°
+    * (cos 0.45-0.5, where this corpus's qualifying pairs live) — honest
+    * recall-1.0 candidates would need hundreds of hyperplane tables. LSH
+    * ([[embeddingNearDupPairs]]) is the right path only in the true
+    * near-dup regime (cos ≥ ~0.8).
+    */
+  def embeddingCosinePairsBlocked(
+      embeddings: DataFrame,
+      threshold: Double = 0.45,
+      blocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val grid = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj")
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(
+        col("vec_id"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+      .persist()
+    e.count() // both grid sides scan it
+    val a = e.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("bi"))
+    val b = e.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("bj"))
+    a.join(broadcast(grid), "bi")
+      .join(b, "bj")
+      // off-diagonal cells see each unordered pair once (in id-agnostic
+      // order); diagonal cells need ida < idb to drop self/dup pairs
+      .where(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .select(
+        least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Embedding near-dup via sign-LSH: bucket candidates (vectors sharing a
+    * (table, bucket) cell for ANY of `tables` hyperplane tables) verified
+    * by exact cosine ≥ threshold. The bucket join is an equi-join on
+    * (table, bucket) — candidates per vector ≈ tables · n / 2^bits instead
+    * of n². APPROXIMATE: candidate recall is 1−(1−(1−θ/π)^bits)^tables,
+    * excellent in the near-dup regime (cos ≥ 0.8) and poor by θ ≈ 60° —
+    * use [[embeddingCosinePairsBlocked]] when the threshold is moderate
+    * and exactness is required. DedupSpec measures this path's recall
+    * against the exact form on the testdata.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.45,
+      tables: Int = 16,
+      bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = Similarity.hyperplanes(tables, bits, dim)
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(
+        col("vec_id"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .persist()
+    e.count() // bucketing + both verify-join sides reuse the cache
+    val bucketStructs = array((0 until tables).map { t =>
+      struct(lit(t).as("t"), Similarity.bucketId(col("v"), planes(t)).as("bucket"))
+    }: _*)
+    val bucketed = e
+      .select(col("vec_id"), explode(bucketStructs).as("b"))
+      .select(col("vec_id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
+    val cands = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(
+        col("vec_a"), col("vec_b"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. All-pairs with
-    * norms precomputed once per row — the exact verifier; the LSH-bucketed
-    * scale path lives in graft.operators.Similarity.
+    * norms precomputed once per row — the exact verifier for
+    * [[embeddingNearDupPairs]] (the LSH-bucketed scale path above).
     */
   def embeddingCosinePairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     val e = embeddings.select(

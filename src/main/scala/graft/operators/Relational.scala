@@ -14,8 +14,11 @@ import graft.functions.OracleRound
   * deterministic dedup.
   *
   * Scale notes (100 TB design):
-  *  - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
-  *    broadcast explicitly — the fact table never shuffles for those joins.
+  *  - Fixed-size dimensions (region: 5 rows, nation: 25 rows, in-memory
+  *    lookups) are broadcast explicitly — the fact table never shuffles for
+  *    those joins. SF-scaled tables (customer/supplier/part) get NO hint:
+  *    Catalyst/AQE broadcasts them while small and switches to shuffle
+  *    joins when they outgrow spark.sql.autoBroadcastJoinThreshold.
   *  - fact⋈fact joins (lineitem⋈orders) shuffle on the join key; AQE handles
   *    skew/coalescing at runtime (enabled in graft.engine.Sessions).
   *  - All money aggregates are rounded at the output edge only, never
@@ -43,8 +46,9 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-style: segment customers ⋈ orders ⋈ lineitem, revenue per
-    * order, top 10. customer is a dimension here → broadcast; only
-    * lineitem⋈orders shuffles (on the order key).
+    * order, top 10. customer scales with SF (15 M rows at sf100), so no
+    * explicit broadcast hint — Catalyst/AQE picks broadcast while the
+    * filtered side fits and falls back to shuffle join beyond that.
     */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -57,7 +61,7 @@ object Relational {
       .where(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(OracleRound.roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(
@@ -68,9 +72,11 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style: revenue by nation for one region. All four dimension
-    * sides broadcast; the plan shuffles lineitem only once (for its join to
-    * orders) and aggregates by nation.
+  /** TPC-H Q5-style: revenue by nation for one region. nation/region are
+    * fixed-size (25/5 rows at every SF) → broadcast hints; customer and
+    * supplier grow with SF (15 M / 1 M rows at sf100) → no hint, so
+    * Catalyst/AQE can switch them to shuffle joins once they outgrow the
+    * broadcast threshold. lineitem shuffles once (for its join to orders).
     */
   def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val region = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
@@ -81,8 +87,8 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -239,6 +245,47 @@ object Relational {
         OracleRound.round2(stddev_samp(col("o_totalprice"))).as("sd"),
         OracleRound.roundN(corr(col("o_totalprice"), col("o_custkey")), 4).as("c"))
       .orderBy("o_orderstatus")
+
+  /** TPC-H Q14-style promotion effect: lineitem ⋈ part over one shipdate
+    * month, PROMO revenue share. part scales with SF (20 M rows at sf100)
+    * → no broadcast hint; the shipdate filter prunes lineitem at the scan,
+    * so AQE sees a small probe side and can still pick broadcast when it
+    * fits. One shuffle on the part key otherwise.
+    */
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-02-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(OracleRound.roundN(
+        lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+          sum(rev), 4).as("promo_pct"))
+  }
+
+  /** TPC-H Q9-style: revenue by (nation, brand) through the full
+    * part ⋈ lineitem ⋈ supplier ⋈ nation star. Both SF-scaled dimensions
+    * (part, supplier) joined WITHOUT hints — lineitem shuffles on each
+    * fact-side key, nation broadcasts.
+    */
+  def brandVolumeByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir)
+      .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select("p_partkey", "p_brand")
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(OracleRound.roundN(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name", "p_brand")
+  }
 
   /** Correlated-style aggregate filter: orders above their customer's
     * average order value (self-join on a pre-aggregated side).

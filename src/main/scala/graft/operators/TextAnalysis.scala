@@ -135,7 +135,7 @@ object TextAnalysis {
     */
   def topTerms(docs: DataFrame, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
+    val counts = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -154,16 +154,21 @@ object TextAnalysis {
     * the oracle (xxhash64 is Spark-specific) → rows-only check.
     */
   def winnowedFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = tokens(col("text"))
-    val shingleHashes = transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    val winnowed = array_distinct(transform(
-      sequence(lit(0), greatest(size(shingleHashes) - w, lit(0))),
-      i => array_min(slice(shingleHashes, i + 1, lit(w)))))
-    docs.select(
-      col("doc_id"),
-      sort_array(winnowed).as("fingerprint_hashes"),
-      size(sort_array(winnowed)).as("n_fingerprints"))
+    // each stage materializes its array as an attribute before the next
+    // HOF captures it — a lambda re-evaluates captured expression subtrees
+    // per element, so inlining `tokens`/`hashes` would re-tokenize the doc
+    // once per shingle (and re-hash every shingle once per window)
+    graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("hashes"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hashes")) - w, lit(0))),
+        i => array_min(slice(col("hashes"), i + 1, lit(w))))).as("winnowed"))
+      .select(
+        col("doc_id"),
+        sort_array(col("winnowed")).as("fingerprint_hashes"),
+        size(col("winnowed")).as("n_fingerprints"))
   }
 }

@@ -59,4 +59,59 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getDouble(2) >= 0.4))
   }
+
+  test("prefix-filtered jaccard equals the naive all-pairs form") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val naive = {
+      val e = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
+      val a = e.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+      val b = e.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter") / (size(col("sa")) + size(col("sb")) - col("inter"))
+            .cast("double")).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val fast = Dedup.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == naive, s"prefix filter diverged: missing=${naive -- fast} extra=${fast -- naive}")
+  }
+
+  test("grid-blocked embedding pairs equal the exact all-pairs output") {
+    val exact = Dedup.embeddingCosinePairs(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Dedup.embeddingCosinePairsBlocked(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted embedding near-dups")
+    assert(blocked == exact,
+      s"blocked path diverged: missing=${exact -- blocked} extra=${blocked -- exact}")
+  }
+
+  test("LSH embedding near-dup candidates have measurable recall vs exact") {
+    val exact = Dedup.embeddingCosinePairs(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this corpus's qualifying pairs sit at θ ≈ 60° — the hard regime for
+    // sign-LSH (16×8-bit default recall ≈ 0.3 here, by design; see
+    // scaladoc). 4-bit buckets fit this angle: per-table match prob
+    // (1−θ/π)^4 ≈ 0.18, 16 tables → recall ≈ 0.95.
+    val lsh = Dedup.embeddingNearDupPairs(Tables.embeddings(spark, sf), bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, s"LSH false positives: ${lsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sign-LSH recall collapsed: $recall")
+  }
+
+  test("clusters from LSH pairs match clusters from exact pairs") {
+    val docs = Tables.documents(spark, sf)
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(Dedup.nearDupClusters(docs))
+    val viaLsh = toMap(Dedup.clustersFromPairs(docs,
+      Dedup.minhashLshPairs(docs).select("doc_a", "doc_b")))
+    // cluster ids are canonical (min doc_id), so equal maps ⇔ equal clustering
+    assert(viaLsh == exact)
+  }
 }

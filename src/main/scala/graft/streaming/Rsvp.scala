@@ -101,12 +101,17 @@ object Rsvp {
   def q1UsOnly(parsed: DataFrame): DataFrame =
     parsed.where(col("group.group_country") === "us")
 
-  /** Q2 (srapk_structure_streaming.py:67-143): project the 8 nested fields,
-    * broadcast-join the state lookup on the 2-letter code, keep the full
-    * state name (the reference keeps `states_df.group_state`, dropping the
-    * event-side short code), and serialize to the nested JSON payload of
-    * the reference's Kafka sink value (event sub-object nested at :140,
-    * whole value at :143).
+  /** Q2 (srapk_structure_streaming.py:67-143): project the 8 nested fields
+    * (q2_data, :68-77), broadcast-join the state lookup on the 2-letter
+    * code, keep the full state name (the reference keeps
+    * `states_df.group_state`, dropping the event-side short code), and
+    * serialize the reference's exact Kafka wire format:
+    *  - the event sub-payload is `to_json` of (event_id, event_name, time)
+    *    FIRST (:140), so the outer `to_json` (:143) double-encodes it as a
+    *    JSON *string* field — not a nested object;
+    *  - the outer struct is (event, group_city, group_country, group_id,
+    *    group_state) — `group_name` is projected mid-plan but absent from
+    *    the final payload (the reference drops it at :143).
     */
   def q2UsMeetups(parsed: DataFrame, states: DataFrame): DataFrame = {
     val projected = q1UsOnly(parsed).select(
@@ -122,30 +127,33 @@ object Rsvp {
       .join(broadcast(states),
         projected("group_state") === states("state_short"), "inner")
       .select(
+        to_json(struct(col("event_id"), col("event_name"), col("time"))).as("event"),
+        col("group_city"), col("group_country"), col("group_id"),
+        col("group_name"), states("group_state"))
+      .select(
         to_json(struct(
-          col("group_city"),
-          col("group_country"),
-          col("group_id"),
-          col("group_name"),
-          states("group_state"),
-          struct(col("event_name"), col("event_id"), col("time")).as("event")
-        )).as("value"))
+          col("event"), col("group_city"), col("group_country"),
+          col("group_id"), col("group_state"))).as("value"))
   }
 
-  /** Q3 (srapk_structure_streaming.py:150-165): 1-minute watermark +
-    * tumbling window, distinct cities per window, datetime parts of the
-    * window start, JSON payload. Output mode append (reference default).
+  /** Q3 (srapk_structure_streaming.py:150-167): 1-minute watermark +
+    * tumbling window over ALL events (the reference builds q3_data from the
+    * raw stream, not the US-filtered Q1 — :150-151), distinct cities per
+    * window, then the reference's exact payload (:158-167): (month,
+    * `day_of_the_month`, hour, minute, cities) with the window struct
+    * dropped. Output mode append (reference default). `cities` is sorted
+    * for determinism — the reference's collect_set order is unspecified, so
+    * any fixed order is a valid instance of the same set.
     */
   def q3WindowCities(parsed: DataFrame): DataFrame =
-    q1UsOnly(parsed)
+    parsed
       .withWatermark("timestamp", "1 minute")
       .groupBy(window(col("timestamp"), "1 minute"))
       .agg(sort_array(collect_set(col("group.group_city"))).as("cities"))
       .select(
         to_json(struct(
-          col("window.start").as("window_start"),
           month(col("window.start")).as("month"),
-          dayofmonth(col("window.start")).as("day"),
+          dayofmonth(col("window.start")).as("day_of_the_month"),
           hour(col("window.start")).as("hour"),
           minute(col("window.start")).as("minute"),
           col("cities"))).as("value"))

@@ -18,19 +18,7 @@ class RsvpStreamSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .getOrCreate()
 
-  /** RSVP JSON line shaped like /root/reference/data_example.json. */
-  private def rsvp(
-      country: String, state: String, city: String,
-      rsvpId: Long, eventTimeMs: Long = 1624379400000L): String =
-    s"""{"venue":{"venue_name":"V","lon":-121.3,"lat":44.0,"venue_id":26124106},
-       |"visibility":"public","response":"yes","guests":0,
-       |"member":{"member_id":237162623,"photo":"p","member_name":"M"},
-       |"rsvp_id":$rsvpId,"mtime":1622913129340,
-       |"event":{"event_name":"E","event_id":"278643223","time":$eventTimeMs,"event_url":"u"},
-       |"group":{"group_topics":[{"urlkey":"k","topic_name":"T"}],
-       |"group_city":"$city","group_country":"$country","group_id":1,
-       |"group_name":"G","group_lon":-121.0,"group_urlname":"g",
-       |"group_state":"$state","group_lat":44.0}}""".stripMargin.replaceAll("\n", "")
+  import RsvpFixtures.rsvp
 
   private def runStream(
       rows: Seq[(String, String)],
@@ -89,23 +77,41 @@ class RsvpStreamSpec extends AnyFunSuite {
     val json = out.head.getString(0)
     assert(json.contains(""""group_state":"OREGON""""))
     assert(json.contains(""""group_city":"Bend""""))
-    assert(json.contains(""""event":{"event_name":"E""""))
+  }
+
+  test("Q2 emits the reference's exact wire format (golden)") {
+    // srapk_structure_streaming.py:140-143: `event` is to_json'd FIRST, so
+    // the outer to_json double-encodes it as a JSON string; the outer field
+    // order is (event, group_city, group_country, group_id, group_state)
+    // and group_name is dropped. event.time renders per the corrected
+    // epoch-millis reading (SURVEY.md §0): 1624379400000 = 2021-06-22
+    // 16:30:00 UTC.
+    val rows = Seq(rsvp("us", "OR", "Bend", 1) -> "2021-06-06 12:00:01")
+    val out = runStream(
+      rows, df => Rsvp.q2UsMeetups(df, Rsvp.statesDf(spark)), "q2_golden_out")
+    assert(out.map(_.getString(0)).toSeq == Seq(RsvpFixtures.q2GoldenBend))
   }
 
   test("Q3 append mode emits a window only after the watermark passes it") {
     val rows = Seq(
       rsvp("us", "OR", "Bend", 1) -> "2021-06-06 12:00:10",
-      rsvp("us", "CA", "Fresno", 2) -> "2021-06-06 12:00:20",
+      // non-US rows are counted too: the reference's Q3 windows the RAW
+      // stream (srapk:150-151), not the US-filtered Q1
+      rsvp("gb", "", "London", 2) -> "2021-06-06 12:00:15",
+      rsvp("us", "CA", "Fresno", 3) -> "2021-06-06 12:00:20",
       // batch 2: event time 12:03 → watermark 12:02 → closes window 12:00
-      rsvp("us", "WA", "Seattle", 3) -> "2021-06-06 12:03:00",
+      rsvp("us", "WA", "Seattle", 4) -> "2021-06-06 12:03:00",
       // batch 3: late row for 12:00, beyond watermark → dropped
-      rsvp("us", "TX", "Austin", 4) -> "2021-06-06 12:00:30")
+      rsvp("us", "TX", "Austin", 5) -> "2021-06-06 12:00:30")
     val out = runStream(
-      rows, Rsvp.q3WindowCities, "q3_out", batches = Seq(2, 1, 1))
+      rows, Rsvp.q3WindowCities, "q3_out", batches = Seq(3, 1, 1))
     assert(out.length == 1, s"expected exactly the closed 12:00 window, got ${out.mkString})")
     val json = out.head.getString(0)
-    assert(json.contains(""""cities":["Bend","Fresno"]"""))
     assert(!json.contains("Austin"), "late row beyond watermark must be dropped")
-    assert(json.contains(""""month":6""") && json.contains(""""hour":12"""))
+    // reference payload (srapk:158-167): month, day_of_the_month, hour,
+    // minute, cities — window struct dropped
+    assert(json ==
+      """{"month":6,"day_of_the_month":6,"hour":12,"minute":0,""" +
+        """"cities":["Bend","Fresno","London"]}""")
   }
 }

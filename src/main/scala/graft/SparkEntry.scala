@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AsOfJoin, Dedup, EventPipelines, FunctionSurface, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, EventPipelines, FunctionSurface, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,6 +99,10 @@ object SparkEntry {
       Dedup.nearDupClusters(Tables.documents(s, d)).orderBy("doc_id")),
     "text_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d)).orderBy("doc_id", "rank")),
+    // composed end-to-end curation: language ID + quality gate + near-dup
+    // canonical selection + token accounting in one declarative plan
+    "pipeline_curated_corpus" -> ((s, d) =>
+      Curation.curatedCorpus(Tables.documents(s, d)).orderBy("doc_id")),
     // batch form of StreamOps.windowedTypeCounts (same plan minus the
     // watermark, which only bounds state in streaming mode)
     "stream_window_type_counts" -> ((s, d) =>
@@ -424,6 +428,64 @@ object SparkEntry {
          |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_curated_corpus" -> {
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_intersect(dtoks, $lst)) AS s_$l"
+      }.mkString(",\n       ")
+      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n            ")
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |clus AS (SELECT d.doc_id, coalesce(min(r.v), d.doc_id) AS cluster_id
+         |         FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+         |         GROUP BY d.doc_id),
+         |lm AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM t),
+         |ls AS (SELECT doc_id,
+         |       $scores
+         |FROM lm),
+         |lp AS (SELECT doc_id,
+         |       CASE WHEN best <= 0 THEN 'und'
+         |            $caseArms
+         |            ELSE 'und' END AS lang_pred
+         |FROM (SELECT *, $bestExpr AS best FROM ls)),
+         |q AS (SELECT doc_id,
+         |       floor(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+         |       floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_ratio,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens
+         |FROM t),
+         |qq AS (SELECT doc_id, n_tokens,
+         |       floor((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+         |             + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+         |             + distinct_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+         |FROM q)
+         |SELECT c.doc_id, lp.lang_pred, qq.quality, qq.n_tokens
+         |FROM clus c
+         |JOIN lp ON lp.doc_id = c.doc_id
+         |JOIN qq ON qq.doc_id = c.doc_id
+         |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en' AND qq.quality >= 0.5
+         |ORDER BY c.doc_id""".stripMargin
+    },
     "text_top_terms" ->
       s"""WITH c AS (
          |  SELECT doc_id, unnest($duckToks) AS term FROM documents),

@@ -50,6 +50,41 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are")
 
+  /** `lang_pred` as a single column expression over a token-array column —
+    * the composable form of [[languageId]] (same markers, same max-score +
+    * fixed-priority tie-break; OperatorsSpec asserts the two agree on every
+    * testdata document). Lets pipelines add language ID as one map-stage
+    * column instead of a join against the languageId frame.
+    */
+  def langPredOf(toks: Column): Column = {
+    val d = array_distinct(toks)
+    val scores = langMarkers.map { case (_, ws) =>
+      size(array_intersect(d, array(ws.map(lit): _*)))
+    }
+    val best = scores.reduce((a, b) => greatest(a, b))
+    langMarkers.zip(scores).foldLeft(when(best <= 0, "und")) {
+      case (acc, ((l, _), s)) => acc.when(s === best, lit(l))
+    }.otherwise("und")
+  }
+
+  /** Composite quality score as a single column expression — the composable
+    * form of [[qualityScore]]'s `quality` column (same rounded signals;
+    * OperatorsSpec asserts agreement on every testdata document).
+    */
+  def qualityOf(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double")
+    val punctRatio =
+      OracleRound.roundN(nPunct / greatest(length(text).cast("double"), lit(1.0)), 4)
+    val distinctRatio =
+      OracleRound.roundN(size(array_distinct(toks)).cast("double") / nTok, 4)
+    OracleRound.roundN(
+      when(size(toks) >= 10, lit(0.4)).otherwise(lit(0.0)) +
+        when(punctRatio <= 0.1, lit(0.3)).otherwise(lit(0.0)) +
+        distinctRatio * 0.3, 4)
+  }
+
   /** Token counting: whitespace tokens + BPE-ish lexer tokens + distinct
     * token count per document. Map-only.
     */

@@ -74,4 +74,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.schema.fieldNames.toSeq ==
       Seq("doc_id", "media_type", "size_bytes", "checksum", "width", "height", "n_frames"))
   }
+
+  test("langPredOf / qualityOf expression forms agree with the operator frames") {
+    val docs = Tables.documents(spark, sf)
+    val viaOps = TextAnalysis.languageId(docs).select(col("doc_id"), col("lang_pred"))
+      .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")), "doc_id")
+    val viaExprs = docs
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
+        TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"))
+    assert(viaOps.except(viaExprs).isEmpty && viaExprs.except(viaOps).isEmpty)
+  }
+
+  test("curatedCorpus keeps only canonical, predicted-en, quality-gated docs") {
+    val docs = Tables.documents(spark, sf)
+    val kept = Curation.curatedCorpus(docs).collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.getAs[String]("lang_pred") == "en"))
+    assert(kept.forall(_.getAs[Double]("quality") >= 0.5))
+    // canonical = smallest doc_id of its near-dup cluster: no kept doc may
+    // appear as the larger side of a qualifying pair
+    val dupBs = Dedup.ngramJaccardPairs(docs)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(kept.forall(r => !dupBs.contains(r.getAs[Long]("doc_id"))))
+  }
 }

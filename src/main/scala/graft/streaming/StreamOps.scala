@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming operators beyond the reference's surface, for the `events`
   * stream shape (event_id, ts, user_id, event_type, value): watermarked
@@ -72,6 +72,54 @@ object StreamOps {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("click_id"), col("value"))
+  }
+
+  /** Per-user running aggregate emitted each micro-batch. */
+  case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 arbitrary-state processor: one `ValueState` cell per user
+    * holding (count, sum). `transformWithState` is the successor API to
+    * mapGroupsWithState — typed state cells (value/list/map), TTL, and
+    * timers on the RocksDB state store, the backend that keeps huge
+    * per-key state off-heap at 100 TB/day. TTLConfig.NONE here; a
+    * production pipeline would set a TTL to bound abandoned-key state.
+    */
+  private class RunningTotalProcessor
+      extends StatefulProcessor[Long, (Long, Double), RunningTotal] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      var (n, total) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { case (_, v) => n += 1; total += v }
+      state.update((n, total))
+      Iterator.single(RunningTotal(userId, n, total))
+    }
+  }
+
+  /** Per-user running (count, sum) over the event stream via
+    * `transformWithState` (update mode: one refreshed row per user per
+    * micro-batch). Requires the RocksDB state store provider — the
+    * operator rejects the default HDFS-backed store by design.
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame): Dataset[RunningTotal] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalProcessor,
+        TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** One user session: contiguous activity with gaps < the timeout. */

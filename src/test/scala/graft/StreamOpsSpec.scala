@@ -69,6 +69,35 @@ class StreamOpsSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      val query = StreamOps.runningTotals(spark, df).writeStream
+        .format("memory").queryName("tws_out").outputMode("update").start()
+      try {
+        stream.addData(Seq(
+          (1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0),
+          (2L, ts("2024-01-01 00:00:20"), 1L, "click", 2.0),
+          (3L, ts("2024-01-01 00:00:30"), 2L, "view", 5.0)))
+        query.processAllAvailable()
+        stream.addData(Seq(
+          (4L, ts("2024-01-01 00:01:00"), 1L, "click", 4.0)))
+        query.processAllAvailable()
+        val rows = spark.table("tws_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // batch 1: user 1 → (2, 3.0), user 2 → (1, 5.0);
+        // batch 2 refreshes user 1 → (3, 7.0) from restored state
+        assert(rows.toSet == Set((1L, 2L, 3.0), (2L, 1L, 5.0), (1L, 3L, 7.0)))
+      } finally query.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     val out = feed("dedup_out", Seq(Seq(
       (1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0),

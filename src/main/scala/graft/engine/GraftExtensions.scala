@@ -1,0 +1,31 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductExpr
+
+/** Builder/config-time extension wiring — the cluster deployment path for
+  * graft's custom Catalyst expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.engine.GraftExtensions ...
+  * }}}
+  *
+  * Every session built from that conf resolves `graft_dot` in SQL without
+  * any runtime call (SURVEY.md §2.10 preference order: native codegen
+  * Expression, surfaced through the standard extension point).
+  * [[graft.functions.GraftFunctions.register]] stays as the runtime
+  * fallback for sessions the driver harness creates without the conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProductExpr(exprs.head, exprs(1))
+      }))
+}

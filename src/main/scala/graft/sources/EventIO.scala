@@ -130,6 +130,18 @@ final case class ConsoleEventSink(numRows: Int = 20) extends EventSink {
       .start()
 }
 
+/** foreachBatch sink: runs a user function per micro-batch with the epoch
+  * id — the escape hatch for destinations without a native connector
+  * (idempotent upserts keyed by epoch, multi-table writes). Batch mode
+  * applies the same function once with epoch −1, so the write logic is
+  * shared between modes.
+  */
+final case class ForeachBatchEventSink(fn: (DataFrame, Long) => Unit) extends EventSink {
+  def write(df: DataFrame): Unit = fn(df, -1L)
+  def writeStream(df: DataFrame): StreamingQuery =
+    df.writeStream.foreachBatch(fn).outputMode("append").start()
+}
+
 /** Kafka topic sink (reference srapk:181-193: checkpointed, value-column
   * payload). Jar-gated like [[KafkaEventSource]].
   */

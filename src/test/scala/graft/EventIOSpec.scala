@@ -76,6 +76,18 @@ class EventIOSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("spark-sql-kafka"))
   }
 
+  test("foreachBatch sink shares write logic between batch and streaming") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val sink = ForeachBatchEventSink((df, epoch) => seen.add(epoch -> df.count()))
+    sink.write(RsvpApp.q1Batch(spark, FileEventSource(envelopeDir(rows))))
+    assert(seen.poll() == (-1L, 2L)) // batch mode: epoch -1, two US rows
+    val q = RsvpApp.q1Stream(spark, FileEventSource(envelopeDir(rows)), sink)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = seen.toArray(Array.empty[(Long, Long)])
+    assert(streamed.map(_._2).sum == 2L) // same rows through the same fn
+    assert(streamed.forall(_._1 >= 0L)) // real epoch ids in streaming mode
+  }
+
   test("console sink (S6 debug path) runs in both modes") {
     val source = FileEventSource(envelopeDir(rows))
     val sink = ConsoleEventSink(numRows = 5)

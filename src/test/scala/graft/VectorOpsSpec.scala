@@ -32,6 +32,31 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff pairs differ between codegen and HOF dot")
   }
 
+  test("spark.sql.extensions config injects graft_dot at session build time") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is a STATIC conf read from the SparkContext
+      // conf at context creation (the spark-submit --conf path); this JVM's
+      // shared context predates it, so exercise the same class through the
+      // equivalent programmatic hook
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.engine.GraftExtensions)
+        .getOrCreate()
+      val d = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("norms are positive and cosine is within [-1, 1]") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))

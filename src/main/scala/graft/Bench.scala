@@ -19,13 +19,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // driver contract: bench runs at local[32] (TESTDATA.md) — default to
+    // the full box, override with SPARK_GRAFT_CPUS for constrained runs
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
+    // the engine session (AQE on — coalesces the many small shuffles a
+    // 32-way local run otherwise fragments into, UTC, ui off)
+    val spark = graft.engine.Sessions.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the real data: a full-column hash forces every page off disk

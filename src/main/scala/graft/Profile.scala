@@ -37,6 +37,16 @@ object Profile {
     val pairs = Dedup.ngramJaccardPairs(docs)
       .select("doc_a", "doc_b").localCheckpoint()
     t("clustersFromPairs")(Dedup.clustersFromPairs(docs, pairs).count())
+    t("curation enrichment only") {
+      import graft.operators.TextAnalysis
+      docs.select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
+          TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
+          size(col("toks")).as("n_tokens"))
+        .count()
+    }
+    t("curatedCorpus")(graft.operators.Curation.curatedCorpus(docs).count())
     spark.stop()
   }
 }

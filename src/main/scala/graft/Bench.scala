@@ -37,21 +37,28 @@ object Bench {
         .selectExpr("sum(xxhash64(struct(*)))").collect()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // INTERLEAVED rounds (q1..qN, q1..qN, ...) rather than back-to-back
+    // repeats of each query: a transient box stall then hits one sample of
+    // many queries instead of all samples of one, so the per-query median
+    // stays robust
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop operator-persisted frames AND localCheckpoint blocks —
-        // clearCache() alone leaves checkpointed RDDs in the block manager,
-        // and their accumulation across runs degrades later measurements
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        dt
-      }.sorted
-      name -> times(times.size / 2)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      samples(name) ::= (System.nanoTime() - t0) / 1e9
+      // drop operator-persisted frames AND localCheckpoint blocks —
+      // clearCache() alone leaves checkpointed RDDs in the block manager,
+      // and their accumulation across runs degrades later measurements
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val results = names.map { name =>
+      val ts = samples(name).sorted
+      name -> ts(ts.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -255,8 +255,19 @@ object Dedup {
     // checkpoint the pair list BEFORE the symmetric union — the union's two
     // branches would otherwise each evaluate the (expensive) pair plan
     val p = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    // size the loop's parallelism to the (materialized, cheap-to-count)
+    // edge set, ~64k edges per partition: near-dup graphs are tiny relative
+    // to the corpus, and running O(diameter) rounds of 32-way shuffles over
+    // a few hundred edges costs more in task overhead than the work itself.
+    // Grows with the graph, capped at the session default — AQE for the
+    // iterative loop it cannot re-plan across actions.
+    val spark = pairs.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      p.count() / 65536 + 1)).toInt
     val edges = p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v")
+      .repartition(parts, col("v"))
       .localCheckpoint()
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl"))

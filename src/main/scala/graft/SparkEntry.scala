@@ -56,6 +56,7 @@ object SparkEntry {
     "tpch_q5_nation_revenue" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "tpch_q14_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
     "tpch_q9_brand_nation_volume" -> ((s, d) => Relational.brandVolumeByNation(s, d)),
+    "tpch_q7_trade_volume" -> ((s, d) => Relational.nationTradeVolume(s, d)),
     "join_semi_open_orders" -> ((s, d) => Relational.customersWithOpenOrders(s, d)),
     "join_anti_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
     "join_outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
@@ -103,6 +104,14 @@ object SparkEntry {
     // canonical selection + token accounting in one declarative plan
     "pipeline_curated_corpus" -> ((s, d) =>
       Curation.curatedCorpus(Tables.documents(s, d)).orderBy("doc_id")),
+    "pipeline_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
+    // seeded Bernoulli sampling — not oracle-expressible → rows-only;
+    // per-stratum tolerance is spec-anchored (OperatorsSpec)
+    "pipeline_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d),
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
+        .select("doc_id", "lang").orderBy("doc_id")),
     // batch form of StreamOps.windowedTypeCounts (same plan minus the
     // watermark, which only bounds state in streaming mode)
     "stream_window_type_counts" -> ((s, d) =>
@@ -238,6 +247,32 @@ object SparkEntry {
         |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
         |GROUP BY n_name, p_brand
         |ORDER BY n_name, p_brand""".stripMargin,
+    "tpch_q7_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "pipeline_pack_sequences" -> {
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM t)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "join_semi_open_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Partitioning
@@ -45,5 +46,45 @@ object Curation {
       .where(col("doc_id") === col("cluster_id") &&
         col("lang_pred") === "en" && col("quality") >= minQuality)
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
+  }
+
+  /** Stratified sample over a key column with per-stratum fractions —
+    * `df.stat.sampleBy` (seeded per-row Bernoulli, map-only, no shuffle):
+    * the corpus re-balancing step (e.g. downsample a dominant language).
+    * Deterministic given the seed WITHIN Spark, but the RNG is not
+    * oracle-expressible → rows-only driver check, anchored by the
+    * per-stratum tolerance spec in OperatorsSpec.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      strata: Map[String, Double],
+      keyCol: String = "lang",
+      seed: Long = 42L): DataFrame =
+    docs.stat.sampleBy(keyCol, strata, seed)
+
+  /** Sequence packing for training: assign documents (in deterministic
+    * doc_id order) to fixed token-budget bins by cumulative token count —
+    * bin = floor((cumsum − n_tokens) / budget), i.e. a doc starts a new
+    * bin when the running total crosses the budget. The streaming-friendly
+    * greedy packer every LLM data pipeline ships; exact bin boundaries are
+    * a single prefix-sum (window) over the corpus order.
+    *
+    * Scale note: the unpartitioned ORDER BY doc_id window is a single-
+    * reducer prefix sum — fine into the millions of docs per packing
+    * shard; at the 100 TB corpus level, call this per shard/partition key
+    * (e.g. per source) so each shard packs independently, exactly how
+    * production packing runs (bins never span shards anyway).
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Int = 2048): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / tokenBudget)
+          .cast("long").as("bin_id"))
   }
 }

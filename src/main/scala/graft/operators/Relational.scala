@@ -287,6 +287,39 @@ object Relational {
       .orderBy("n_name", "p_brand")
   }
 
+  /** TPC-H Q7-style: bilateral trade volume between two nations by ship
+    * year — supplier nation × customer nation through the full
+    * lineitem ⋈ orders ⋈ customer ⋈ supplier star, both directions. The
+    * nation dim is pre-filtered to the two names BEFORE the join (so the
+    * broadcast carries 2 rows) and the cross-pair condition applies after.
+    */
+  def nationTradeVolume(
+      spark: SparkSession, sfDir: String,
+      n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .where(col("n_name").isin(n1, n2))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        year(col("l_shipdate")).as("l_year"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nations.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+      .join(broadcast(nations.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(OracleRound.roundN(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Correlated-style aggregate filter: orders above their customer's
     * average order value (self-join on a pre-aggregated side).
     */

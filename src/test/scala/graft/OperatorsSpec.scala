@@ -99,4 +99,40 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_b").collect().map(_.getLong(0)).toSet
     assert(kept.forall(r => !dupBs.contains(r.getAs[Long]("doc_id"))))
   }
+
+  test("stratified sample keeps full strata at fraction 1.0 and thins the rest") {
+    val docs = Tables.documents(spark, sf)
+    val sampled = Curation.stratifiedSample(docs,
+      Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
+    val byLang = sampled.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) =>
+      if (lang == "en")
+        assert(byLang.getOrElse("en", 0L) < n, "en stratum must be thinned")
+      else
+        assert(byLang.getOrElse(lang, 0L) == n, s"$lang stratum must be kept whole")
+    }
+    // deterministic for a fixed seed
+    val again = Curation.stratifiedSample(docs,
+      Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("sequence packing bins are contiguous, ordered, and offset-consistent") {
+    val packed = Curation.packSequences(Tables.documents(spark, sf), tokenBudget = 512)
+      .orderBy("doc_id").collect()
+    assert(packed.nonEmpty)
+    var prevCum = 0L
+    var prevBin = 0L
+    packed.foreach { r =>
+      val (n, cum, bin) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(cum == prevCum + n, "cumulative sum must be exact")
+      assert(bin == (cum - n) / 512, "bin = floor(start offset / budget)")
+      assert(bin >= prevBin, "bin ids are nondecreasing in corpus order")
+      prevCum = cum; prevBin = bin
+    }
+  }
 }

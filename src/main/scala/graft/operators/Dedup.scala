@@ -74,11 +74,18 @@ object Dedup {
     * prefixes, so Σ freq² blowup on skewed corpora is capped; the verify
     * step is one equi-join per candidate pair. The per-doc shingle arrays
     * are computed once (persisted) and reused by both verify sides.
+    * Shingles are carried as 64-bit xxhash64 keys end to end, so the
+    * posting/verify shuffles move fixed-width longs instead of ~20-byte
+    * strings; a hash collision could merge two shingles (probability
+    * ≈ shingles²/2⁶⁴ — vanishing, and the DuckDB oracle computes the
+    * string form, so any effect would surface as a hash mismatch).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val base = Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesOf(col("toks"), k).as("shs"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("toks"), k),
+          s => xxhash64(s))).as("shs"))
       .persist()
     base.count() // materialize once: the posting explode + both verify joins reuse it
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))

@@ -106,6 +106,9 @@ object SparkEntry {
       Curation.curatedCorpus(Tables.documents(s, d)).orderBy("doc_id")),
     "pipeline_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
+    // sharded form: partitioned window → one prefix-sum reducer per source
+    "pipeline_pack_by_source" -> ((s, d) =>
+      Curation.packSequencesBy(Tables.documents(s, d)).orderBy("doc_id")),
     // seeded Bernoulli sampling — not oracle-expressible → rows-only;
     // per-stratum tolerance is spec-anchored (OperatorsSpec)
     "pipeline_stratified_sample" -> ((s, d) =>
@@ -270,6 +273,18 @@ object SparkEntry {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |      FROM t)
          |SELECT doc_id, n_tokens, cum_tokens,
+         |       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "pipeline_pack_by_source" -> {
+      s"""WITH t AS (SELECT source, doc_id,
+         |                  CAST(len($duckToks) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM t)
+         |SELECT source, doc_id, n_tokens, cum_tokens,
          |       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id
          |FROM c ORDER BY doc_id""".stripMargin
     },

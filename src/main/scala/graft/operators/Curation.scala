@@ -87,4 +87,27 @@ object Curation {
         floor((col("cum_tokens") - col("n_tokens")) / tokenBudget)
           .cast("long").as("bin_id"))
   }
+
+  /** [[packSequences]] sharded by a key column (e.g. `source`): each shard
+    * packs independently through a PARTITIONED window, so the prefix sum
+    * runs one reducer per shard instead of one global reducer — the form
+    * that scales to the full corpus (bins never span sources in a real
+    * training mix anyway). bin_id is globally unique via (shard, local bin)
+    * dense numbering: hash-free, deterministic, join-backable to the shard.
+    */
+  def packSequencesBy(
+      docs: DataFrame,
+      shardCol: String = "source",
+      tokenBudget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col(shardCol), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col(shardCol), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / tokenBudget)
+          .cast("long").as("bin_id"))
+  }
 }

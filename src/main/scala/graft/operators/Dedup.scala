@@ -33,11 +33,18 @@ object Dedup {
     * lambdas re-evaluate captured expression subtrees per array element,
     * so an inline tokenizer costs one regex split per SHINGLE instead of
     * per row (~10× on the profile).
+    *
+    * Docs with fewer than k tokens have no k-shingle and yield an empty
+    * array — the `when` guard matters: `sequence(1, size-(k-1))` would
+    * otherwise DESCEND for short docs (sequence(1, 0) = [1, 0]) and
+    * `slice(toks, 0, k)` throws on index 0.
     */
   def shinglesOf(toks: Column, k: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(lit(Array.empty[String]))
 
   /** Word k-shingles of the normalized text (default k=3). Convenience
     * form for small inputs/tests; hot paths materialize the token column
@@ -95,8 +102,12 @@ object Dedup {
       .agg(collect_list(struct(col("df"), col("sh"))).as("ord"))
       .select(col("doc_id"),
         transform(array_sort(col("ord")), s => s.getField("sh")).as("ord"))
+    // required overlap is the mathematical ceil(t·n); double arithmetic can
+    // land an exactly-representable product a hair ABOVE the true value for
+    // non-dyadic thresholds (e.g. 0.3), and ceil would then overshoot by one
+    // and shorten the prefix — the epsilon keeps ceil on the correct side
     val plen = (size(col("ord")) -
-      ceil(size(col("ord")) * lit(threshold)) + 1).cast("int")
+      ceil(size(col("ord")) * lit(threshold) - lit(1e-9)) + 1).cast("int")
     val prefix = ordered
       .select(col("doc_id"), explode(slice(col("ord"), lit(1), plen)).as("sh"))
     val cands = prefix.as("a").join(prefix.as("b"),

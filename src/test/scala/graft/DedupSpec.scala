@@ -60,24 +60,69 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getDouble(2) >= 0.4))
   }
 
-  test("prefix-filtered jaccard equals the naive all-pairs form") {
+  private def naiveJaccardPairs(
+      docs: org.apache.spark.sql.DataFrame,
+      threshold: Double): Set[(Long, Long, Double)] = {
     import org.apache.spark.sql.functions._
+    val e = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
+    val a = e.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+    val b = e.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (size(col("sa")) + size(col("sb")) - col("inter"))
+          .cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("prefix-filtered jaccard equals the naive all-pairs form") {
     val docs = Tables.documents(spark, sf)
-    val naive = {
-      val e = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
-      val a = e.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
-      val b = e.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter") / (size(col("sa")) + size(col("sb")) - col("inter"))
-            .cast("double")).as("jaccard"))
-        .where(col("jaccard") >= 0.5)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    }
+    val naive = naiveJaccardPairs(docs, 0.5)
     val fast = Dedup.ngramJaccardPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fast == naive, s"prefix filter diverged: missing=${naive -- fast} extra=${fast -- naive}")
+  }
+
+  test("prefix filter stays complete at a non-dyadic threshold") {
+    // 0.3 is not exactly representable in binary: the prefix length must
+    // still use the mathematical ceil(t·n) (Dedup guards the double ceil
+    // with an epsilon), or a boundary pair silently drops out
+    val docs = Tables.documents(spark, sf)
+    val naive = naiveJaccardPairs(docs, 0.3)
+    val fast = Dedup.ngramJaccardPairs(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty, "expected pairs at the lower threshold")
+    assert(fast == naive, s"prefix filter diverged at t=0.3: missing=${naive -- fast} extra=${fast -- naive}")
+  }
+
+  test("documents with fewer than k tokens flow through every shingle path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),
+      (2L, "one"),
+      (3L, "two words"),
+      (4L, "the quick brown fox jumps over the lazy dog runs far"),
+      (5L, "the quick brown fox jumps over the lazy dog runs far")
+    ).toDF("doc_id", "text")
+    val shs = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(shs(1L).isEmpty && shs(2L).isEmpty && shs(3L).isEmpty)
+    assert(shs(4L).nonEmpty)
+    // pair + signature + cluster paths must not throw on the tiny docs and
+    // must pair exactly the planted twins
+    val pairs = Dedup.ngramJaccardPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)), s"got $pairs")
+    val lsh = Dedup.minhashLshPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((4L, 5L)), s"got $lsh")
+    val clusters = Dedup.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
   }
 
   test("grid-blocked embedding pairs equal the exact all-pairs output") {

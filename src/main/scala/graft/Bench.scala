@@ -47,23 +47,36 @@ object Bench {
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // full-result action: hash-fold every row AND column of the query
+      // output (same idiom as the warmup) so Catalyst cannot prune
+      // unevaluated projections — `count()` benched map-only queries
+      // (fingerprints, winnowing, decode checksums) as bare parquet scans
+      try { fn(spark, sfDir).selectExpr("sum(xxhash64(struct(*)))").collect() }
+      catch { case _: Throwable => () }
       samples(name) ::= (System.nanoTime() - t0) / 1e9
-      // drop operator-persisted frames AND localCheckpoint blocks —
-      // clearCache() alone leaves checkpointed RDDs in the block manager,
-      // and their accumulation across runs degrades later measurements
+      // free operator-internal caches (the documented OpCache contract),
+      // then sweep defensively: clearCache() alone leaves checkpointed
+      // RDDs in the block manager, and their accumulation across runs
+      // degrades later measurements
+      graft.engine.OpCache.release(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    val results = names.map { name =>
+    // per-query {min, median, max, runs}: this box swings up to 10×
+    // between windows (BASELINE.md), so a bare median is unfalsifiable —
+    // the spread lets the gate tell noise from regression
+    val stats = names.map { name =>
       val ts = samples(name).sorted
-      name -> ts(ts.size / 2)
+      (name, ts.head, ts(ts.size / 2), ts.last, ts.size)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = stats.map { case (k, _, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = stats.map { case (k, mn, med, mx, n) =>
+      s""""$k":{"min":$mn,"median":$med,"max":$mx,"runs":$n}"""
+    }.mkString("{", ",", "}")
+    val total = stats.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

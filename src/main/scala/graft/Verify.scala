@@ -19,8 +19,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop operator-persisted frames and localCheckpoint blocks so the
-      // full query sweep doesn't accumulate block-manager memory
+      // free operator-internal caches (OpCache contract), then sweep
+      // defensively so the full query sweep doesn't accumulate
+      // block-manager memory
+      graft.engine.OpCache.release(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

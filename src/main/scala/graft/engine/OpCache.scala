@@ -1,0 +1,96 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Caller-managed cache scope for operator-internal materializations.
+  *
+  * Several operators (LSH dedup, IVF/LSH similarity, connected components)
+  * must materialize an intermediate frame that multiple downstream joins
+  * consume — recomputing it per consumer dominated the round-1 bench. But a
+  * bare `persist()` inside a library operator leaks: Spark's CacheManager
+  * holds a strong reference until someone unpersists, so a long-lived
+  * session (a query service, a test JVM) accumulates block-manager memory
+  * per call — the failure mode BASELINE.md measured as "worth 8× on
+  * dedup_clusters".
+  *
+  * Contract: operators register every internal persist/localCheckpoint
+  * here; callers invoke [[release]] once they have fully materialized
+  * (collected / written) the operator's result. Bench, Verify and the test
+  * suites do so after every query. `release` frees localCheckpoint blocks
+  * too, so frames derived from a released operator result cannot be
+  * re-executed afterwards — release is "I am done with this result", not a
+  * cache hint. CacheSpec asserts the block manager is empty after each
+  * SparkEntry query + release.
+  *
+  * Registration is per-SparkSession and thread-safe; the
+  * before/after diff in [[checkpointWithHandle]] assumes one operator
+  * builds its plan at a time per session (true for every harness here —
+  * concurrent plan CONSTRUCTION would need finer RDD tracking, though
+  * concurrent EXECUTION of already-built plans is fine).
+  */
+object OpCache {
+
+  private val registry =
+    new ConcurrentHashMap[SparkSession, mutable.Buffer[() => Unit]]()
+
+  private def register(spark: SparkSession, free: () => Unit): Unit = {
+    val buf = registry.computeIfAbsent(spark, _ => mutable.Buffer.empty)
+    buf.synchronized { buf += free }
+  }
+
+  /** Persist + eagerly materialize `df`. The cache is freed by [[release]]
+    * (or a direct `df.unpersist()`); until then every consumer of `df`
+    * reads the in-memory copy.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    df.persist()
+    df.count()
+    register(df.sparkSession, () => df.unpersist(blocking = false))
+    df
+  }
+
+  /** Eager, lineage-cut materialization (`localCheckpoint`) returning the
+    * checkpointed frame and a handle that frees exactly its blocks.
+    * Dataset.localCheckpoint offers no unpersist path of its own (the
+    * blocks belong to an internal RDD), so the handle captures the RDDs
+    * that appeared in the block manager across the call. Freeing the
+    * handle makes the frame — and anything derived from it —
+    * non-recomputable; free only superseded intermediates.
+    */
+  def checkpointWithHandle(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val fresh = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !before.contains(id) => rdd
+    }.toList
+    (out, () => fresh.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** [[checkpointWithHandle]] with the free registered for [[release]] —
+    * for checkpoints that live as long as the operator's result.
+    */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val (out, free) = checkpointWithHandle(df)
+    register(df.sparkSession, free)
+    out
+  }
+
+  /** Register an externally-created free (e.g. the handle of a checkpoint
+    * that backs an operator's returned plan) for [[release]].
+    */
+  def defer(spark: SparkSession)(free: () => Unit): Unit =
+    register(spark, free)
+
+  /** Free every operator-internal cache registered for `spark`. Call after
+    * fully materializing the results you asked the operators for.
+    */
+  def release(spark: SparkSession): Unit = {
+    val buf = registry.remove(spark)
+    if (buf != null) buf.synchronized { buf.foreach(_.apply()) }
+  }
+}

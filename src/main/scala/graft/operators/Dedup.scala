@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Partitioning
+import graft.engine.{OpCache, Partitioning}
 import graft.functions.VectorOps
 
 /** Deduplication operators for a training-data pipeline, over `documents`
@@ -88,13 +88,14 @@ object Dedup {
     * string form, so any effect would surface as a hash mismatch).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val base = Partitioning.ensureParallelism(docs, col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(transform(shinglesOf(col("toks"), k),
-          s => xxhash64(s))).as("shs"))
-      .persist()
-    base.count() // materialize once: the posting explode + both verify joins reuse it
+    // materialize once: the posting explode + both verify joins reuse it
+    // (OpCache so callers can free the blocks once done — see OpCache doc)
+    val base = OpCache.materialize(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(transform(shinglesOf(col("toks"), k),
+            s => xxhash64(s))).as("shs")))
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ordered = sh.join(dfreq, "sh")
@@ -108,8 +109,12 @@ object Dedup {
     // and shorten the prefix — the epsilon keeps ceil on the correct side
     val plen = (size(col("ord")) -
       ceil(size(col("ord")) * lit(threshold) - lit(1e-9)) + 1).cast("int")
-    val prefix = ordered
-      .select(col("doc_id"), explode(slice(col("ord"), lit(1), plen)).as("sh"))
+    // the prefix postings feed BOTH sides of the candidate self-join, and
+    // the subplan above them (dfreq join + collect_list + per-doc sort) is
+    // expensive; the static plan shows no ReusedExchange for the two
+    // sides, so materialize once (slim rows: two longs each)
+    val prefix = OpCache.materialize(ordered
+      .select(col("doc_id"), explode(slice(col("ord"), lit(1), plen)).as("sh")))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -167,8 +172,7 @@ object Dedup {
     // signatures feed banding AND both verify-join sides: materialize once
     // (the signature computation includes the shingle explode — recomputing
     // it 3× dominated the round-1 bench)
-    val sigs = minhashSignatures(docs, numHashes, k).persist()
-    sigs.count()
+    val sigs = OpCache.materialize(minhashSignatures(docs, numHashes, k))
 
     val bandStructs = array((0 until bands).map { bnd =>
       struct(
@@ -216,16 +220,34 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates via hamming-LSH: bucket on each of four
-    * 16-bit bands (a pair within hamming distance ≤ 3 of a 64-bit hash
-    * shares at least one exact band by pigeonhole... for ≤3 flipped bits
-    * across 4 bands); verify with bit_count(xor) ≤ maxHamming.
+  /** SimHash band buckets with skew-capped salting — the candidate
+    * generator behind [[simhashPairs]], exposed so DedupSpec can measure
+    * the candidate volume directly.
+    *
+    * Base scheme: bucket on each of four 16-bit bands (a pair within
+    * hamming distance ≤ 3 of a 64-bit hash shares at least one exact band
+    * by pigeonhole). The per-bucket self-join is m² in the bucket size,
+    * and with only 4 × 65 536 buckets a template-heavy corpus at 10⁹⁺ docs
+    * concentrates into few buckets — quadratic blowup.
+    *
+    * Skew cap: buckets larger than `bucketCap` are sub-split into
+    * s = ceil(m / bucketCap) salt groups by a doc_id hash, bounding the
+    * per-bucket join to ~m·bucketCap rows (linear in m for fixed cap).
+    * Signature bits can NOT be the salt — template near-dups share those
+    * too, so they would all land in one sub-bucket again. The cost is
+    * recall inside hot buckets only: a pair in a split bucket collides in
+    * a given band with probability 1/s, but gets 4 independent band
+    * chances (the salt reseeds per band), so hot-pair recall is
+    * 1−(1−1/s)⁴ — and exact-duplicate floods, the usual cause of
+    * degenerate buckets, belong to [[exactDedup]] upstream of any simhash
+    * pass. Buckets at or under the cap keep salt 0 and the pigeonhole
+    * guarantee exactly as before; `bucketCap = Int.MaxValue` disables
+    * capping.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 5): DataFrame = {
-    // both self-join sides scan the signatures (64 agg exprs each) —
-    // materialize once
-    val sigs = simhashSignatures(docs).persist()
-    sigs.count()
+  def simhashBuckets(docs: DataFrame, bucketCap: Int = 10000): DataFrame = {
+    // signatures feed the band explode once; the banded frame then feeds
+    // the bucket-size agg AND the salted output — materialize both stages
+    val sigs = OpCache.materialize(simhashSignatures(docs))
     val bandStructs = array((0 until 4).map { bnd =>
       struct(
         lit(bnd).as("band"),
@@ -233,16 +255,48 @@ object Dedup {
     }: _*)
     val banded = sigs
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    // only HOT buckets (> cap) appear in the size table, so it stays tiny
+    // (≤ 4n/cap rows) and broadcasts; every cool bucket keeps salt 0 via
+    // the left join's null
+    val hot = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") > bucketCap)
+    val salted = banded.join(broadcast(hot), Seq("band", "bh"), "left")
+      .withColumn("salt",
+        when(col("m").isNotNull,
+          pmod(xxhash64(col("doc_id"), col("band")),
+            ceil(col("m") / lit(bucketCap)).cast("long")).cast("int"))
+          .otherwise(lit(0)))
+      .drop("m")
+    // both sides of the candidate self-join scan this frame
+    OpCache.materialize(salted)
+  }
+
+  /** SimHash near-dup candidate pairs from the salted band buckets of
+    * [[simhashBuckets]], with the hamming distance attached (unfiltered —
+    * [[simhashPairs]] applies the threshold).
+    */
+  def simhashCandidates(docs: DataFrame, bucketCap: Int = 10000): DataFrame = {
+    val banded = simhashBuckets(docs, bucketCap)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-      .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs: [[simhashCandidates]] (banded hamming-LSH
+    * with skew-capped buckets) verified with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 5,
+      bucketCap: Int = 10000): DataFrame =
+    simhashCandidates(docs, bucketCap).where(col("hamming") <= maxHamming)
 
   /** Near-dup clusters over the exact jaccard pair graph: candidate pairs
     * from [[ngramJaccardPairs]] (prefix-filtered, computed ONCE), connected
@@ -272,7 +326,7 @@ object Dedup {
   def clustersFromPairs(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // checkpoint the pair list BEFORE the symmetric union — the union's two
     // branches would otherwise each evaluate the (expensive) pair plan
-    val p = pairs.toDF("doc_a", "doc_b").localCheckpoint()
+    val (p, freeP) = OpCache.checkpointWithHandle(pairs.toDF("doc_a", "doc_b"))
     // size the loop's parallelism to the (materialized, cheap-to-count)
     // edge set, ~64k edges per partition: near-dup graphs are tiny relative
     // to the corpus, and running O(diameter) rounds of 32-way shuffles over
@@ -283,28 +337,34 @@ object Dedup {
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       p.count() / 65536 + 1)).toInt
-    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v")
-      .repartition(parts, col("v"))
-      .localCheckpoint()
-    var labels = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl"))
-      .localCheckpoint()
+    val (edges, freeEdges) = OpCache.checkpointWithHandle(
+      p.union(p.select(col("doc_b"), col("doc_a")))
+        .toDF("u", "v")
+        .repartition(parts, col("v")))
+    freeP() // edges is self-contained; the pair blocks are superseded
+    var (labels, freeLabels) = OpCache.checkpointWithHandle(
+      edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("nbr_lbl")), "v")
         .groupBy(col("u")).agg(min(col("nbr_lbl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
-          (col("nbr_min") < col("lbl")).as("chg"))
-        .localCheckpoint()
+      val (next, freeNext) = OpCache.checkpointWithHandle(
+        labels.join(nbrMin, Seq("u"), "left")
+          .select(col("u"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+            (col("nbr_min") < col("lbl")).as("chg")))
       converged = next.where(col("chg")).isEmpty
+      freeLabels() // each round's labels supersede the previous round's
       labels = next.drop("chg")
+      freeLabels = freeNext
       iter += 1
     }
+    freeEdges() // the returned plan reads only docs + the final labels
+    // the final labels' blocks back the returned frame — release()-scoped
+    OpCache.defer(spark)(freeLabels)
     docs.select(col("doc_id"))
       .join(labels.select(col("u").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -337,14 +397,13 @@ object Dedup {
     import spark.implicits._
     val grid = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
       .toDF("bi", "bj")
-    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
-      .select(
-        col("vec_id"),
-        VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.l2Norm(col("v")))
-      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
-      .persist()
-    e.count() // both grid sides scan it
+    val e = OpCache.materialize( // both grid sides scan it
+      Partitioning.ensureParallelism(embeddings, col("vec_id"))
+        .select(
+          col("vec_id"),
+          VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.l2Norm(col("v")))
+        .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int")))
     val a = e.select(col("vec_id").as("ida"), col("v").as("va"),
       col("nrm").as("na"), col("blk").as("bi"))
     val b = e.select(col("vec_id").as("idb"), col("v").as("vb"),
@@ -379,13 +438,12 @@ object Dedup {
       bits: Int = 8,
       dim: Int = 64): DataFrame = {
     val planes = Similarity.hyperplanes(tables, bits, dim)
-    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
-      .select(
-        col("vec_id"),
-        VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.l2Norm(col("v")))
-      .persist()
-    e.count() // bucketing + both verify-join sides reuse the cache
+    val e = OpCache.materialize( // bucketing + both verify-join sides reuse it
+      Partitioning.ensureParallelism(embeddings, col("vec_id"))
+        .select(
+          col("vec_id"),
+          VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.l2Norm(col("v"))))
     val bucketStructs = array((0 until tables).map { t =>
       struct(lit(t).as("t"), Similarity.bucketId(col("v"), planes(t)).as("bucket"))
     }: _*)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.Partitioning
+import graft.engine.{OpCache, Partitioning}
 import graft.functions.VectorOps
 
 /** Similarity search over an embedding column (`array<float>`, dim 64).
@@ -129,7 +129,16 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  /** Centroids for `cacheKey`, training at most once per (key, params). */
+  /** Centroids for `cacheKey`, training at most once per (key, params).
+    *
+    * CONTRACT: `cacheKey` must encode the DATA VERSION, not just its
+    * location — the memo is never invalidated, so keying a path whose
+    * contents later change (appends, re-generation) would silently bucket
+    * with stale centroids. For mutable datasets, fold a version/snapshot id
+    * or a file-listing fingerprint (paths + mtimes) into the key, or pass
+    * `cacheKey = ""` to retrain per call. Stale centroids degrade IVF
+    * recall, never correctness of the exact rerank.
+    */
   def ivfCentroids(
       embeddings: DataFrame,
       nlist: Int = 16,
@@ -158,12 +167,13 @@ object Similarity {
       centroids: Option[Array[Array[Double]]] = None,
       cacheKey: String = ""): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(embeddings, nlist, iters, cacheKey))
-    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.l2Norm(col("v")))
-      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-      .withColumn("cluster", assignCluster(col("nv"), cents))
-      .persist() // the bucketed corpus feeds both the query side and the probe join
+    // the bucketed corpus feeds both the query side and the probe join
+    val e = OpCache.materialize(
+      Partitioning.ensureParallelism(embeddings, col("vec_id"))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.l2Norm(col("v")))
+        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+        .withColumn("cluster", assignCluster(col("nv"), cents)))
 
     // per-query probe list: nprobe clusters with the highest centroid dot
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
@@ -204,10 +214,11 @@ object Similarity {
       bits: Int = 4,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim)
-    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.l2Norm(col("v")))
-      .persist() // feeds bucketing, the query side, and the late vector rejoin
+    // feeds bucketing, the query side, and the late vector rejoin
+    val e = OpCache.materialize(
+      Partitioning.ensureParallelism(embeddings, col("vec_id"))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.l2Norm(col("v"))))
 
     // bucket every vector once per table — ids only, so the `tables`×
     // explode and the bucket join never carry the 64-dim payload; vectors

@@ -149,6 +149,43 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"sign-LSH recall collapsed: $recall")
   }
 
+  test("simhash bucket cap keeps candidates sub-quadratic on a template flood") {
+    import spark.implicits._
+    // 400 near-identical template docs: simhash votes are dominated by the
+    // shared 60-token template, so (almost) all docs agree on all four
+    // 16-bit bands and pile into the same buckets — the degenerate corpus
+    // where the uncapped band join goes m²
+    val template = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val m = 400
+    val docs = (1 to m).map(i => (i.toLong, s"$template unique$i extra$i"))
+      .toDF("doc_id", "text")
+    val cap = 25
+    val uncapped = Dedup.simhashCandidates(docs, bucketCap = Int.MaxValue).count()
+    val capped = Dedup.simhashCandidates(docs, bucketCap = cap).count()
+    // flood sanity: the uncapped join really is ~quadratic (≥ half of all
+    // m(m-1)/2 pairs collide in some band)
+    assert(uncapped >= m.toLong * (m - 1) / 4, s"flood not quadratic: $uncapped")
+    // capped volume: each of the 4 bands splits a hot bucket of size m into
+    // s = ceil(m/cap) salt groups → ≤ m·cap/2 same-salt pairs per band,
+    // ≤ 2·m·cap over the union; allow 1.5× for salting imbalance
+    assert(capped <= 3L * m * cap,
+      s"capped candidates not linear in m: $capped > ${3L * m * cap}")
+    assert(capped < uncapped / 2,
+      s"cap had no effect: $capped vs uncapped $uncapped")
+  }
+
+  test("simhash recall survives an aggressive bucket cap on the real corpus") {
+    val exact = truePairs
+    // cap=2 forces every bucket of size ≥ 3 to sub-split (s small → per-band
+    // survival 1/s with four independent band chances) — recall must degrade
+    // gracefully, not collapse
+    val sim = Dedup.simhashPairs(Tables.documents(spark, sf), bucketCap = 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.6, s"capped simhash recall $recall too low")
+  }
+
   test("clusters from LSH pairs match clusters from exact pairs") {
     val docs = Tables.documents(spark, sf)
     def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

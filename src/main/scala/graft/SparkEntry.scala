@@ -100,6 +100,11 @@ object SparkEntry {
       Dedup.nearDupClusters(Tables.documents(s, d)).orderBy("doc_id")),
     "text_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d)).orderBy("doc_id", "rank")),
+    // corpus-level document/collection frequency + per-(doc,term) TF-IDF
+    "text_term_stats" -> ((s, d) =>
+      TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidf(Tables.documents(s, d)).orderBy("doc_id", "term")),
     // composed end-to-end curation: language ID + quality gate + near-dup
     // canonical selection + token accounting in one declarative plan
     "pipeline_curated_corpus" -> ((s, d) =>
@@ -546,6 +551,22 @@ object SparkEntry {
          |  FROM f)
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    "text_term_stats" ->
+      s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |FROM f GROUP BY term
+         |ORDER BY term""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT f.doc_id, f.term, f.tf, d.df,
+         |       ${graft.functions.OracleRound.duck(
+               "f.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))", 4)} AS tfidf
+         |FROM f JOIN d USING (term) CROSS JOIN n
+         |ORDER BY doc_id, term""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

@@ -182,6 +182,49 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf")
   }
 
+  /** Per-(doc, term) term frequencies — the shared base of [[termStats]]
+    * and [[tfidf]]: one explode plus one (doc_id, term) partial-agg
+    * shuffle.
+    */
+  private def termFrequencies(docs: DataFrame): DataFrame =
+    graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus-level term statistics: per term, the document frequency `df`
+    * (how many documents contain it) and collection frequency `cf` (total
+    * occurrences) — the building block TF-IDF weighting needs beyond
+    * per-document counts. Two partial-agg shuffles (never a distinct over
+    * the raw token stream): tokens fold to (doc, term, tf) first, so the
+    * per-term pass aggregates one row per posting, not per occurrence.
+    */
+  def termStats(docs: DataFrame): DataFrame =
+    termFrequencies(docs)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+  /** TF-IDF per (document, term): integer `tf` and `df` plus the classic
+    * weight tf · ln(N/df), rounded at the oracle edge (OracleRound — ln is
+    * the one non-exactly-rounded op here, identical modulo 1 ulp across
+    * engines, and the fixed floor-rounding keeps both sides on the same
+    * decimal). N arrives as a broadcast single-row aggregate, so the plan
+    * stays fully lazy — no driver-side count.
+    *
+    * The tf frame feeds both the df aggregation and the final join —
+    * materialized once via OpCache (slim rows: id, term, count).
+    */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val tf = graft.engine.OpCache.materialize(termFrequencies(docs))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        OracleRound.round4(col("tf") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
+  }
+
   /** Rolling-hash shingle fingerprints (winnowing-style): hash every k-word
     * shingle with xxhash64, keep the minimum per window of w consecutive
     * shingle hashes. Output is the distinct set of kept hashes per doc —

@@ -105,6 +105,20 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d)).orderBy("doc_id", "term")),
+    // Gopher-style repetition signals (non-distinct bigram concentration)
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d)).orderBy("doc_id")),
+    // benchmark-leakage guard: every 50th doc stands in as the "benchmark"
+    // suite; its distinct shingle set is broadcast, the corpus pass stays
+    // map-side
+    "pipeline_decontaminate" -> ((s, d) =>
+      Curation.decontaminate(Tables.documents(s, d),
+        Tables.documents(s, d).where(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")),
+    // C4-style PII redaction (map-only counts + scrub; synthetic-PII
+    // redaction behavior is spec-anchored in OperatorsSpec)
+    "pipeline_scrub_pii" -> ((s, d) =>
+      Curation.scrubPii(Tables.documents(s, d)).orderBy("doc_id")),
     // composed end-to-end curation: language ID + quality gate + near-dup
     // canonical selection + token accounting in one declarative plan
     "pipeline_curated_corpus" -> ((s, d) =>
@@ -551,6 +565,49 @@ object SparkEntry {
          |  FROM f)
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |             unnest([array_to_string(toks[i:i+1], ' ')
+         |                     for i in range(1, len(toks))]) AS bg
+         |      FROM t),
+         |c AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY doc_id, bg),
+         |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |             CAST(max(tf) AS BIGINT) AS top_bigram_tf
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(a.top_bigram_tf, 0) AS top_bigram_tf,
+         |       ${graft.functions.OracleRound.duck(
+               "CAST(coalesce(a.top_bigram_tf, 0) AS DOUBLE) / " +
+                 "greatest(CAST(coalesce(a.n_bigrams, 0) AS DOUBLE), 1.0)", 4)} AS top_bigram_frac
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0),
+         |o AS (SELECT s.doc_id, count(*) AS n_overlap
+         |      FROM s JOIN b USING (sh) GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(o.n_overlap, 0) AS n_overlap,
+         |       coalesce(o.n_overlap, 0) >= 10 AS contaminated
+         |FROM documents d LEFT JOIN o USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_scrub_pii" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |       CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_phones,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |         '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_term_stats" ->
       s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term)

@@ -62,6 +62,75 @@ object Curation {
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
   }
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * word k-shingles it shares with ANY document of `benchmark`, and flag
+    * docs at or above `minOverlap` — the standard eval-leakage guard a
+    * training-data pipeline runs before every corpus release. A corpus doc
+    * that IS a benchmark doc flags at full overlap, by design: leaked
+    * benchmark text is exactly what this removes.
+    *
+    * Scale shape: benchmark suites are tiny relative to a 100 TB corpus,
+    * so the benchmark's distinct shingle set (64-bit hashes) is BROADCAST
+    * and the corpus-side scan stays map-side — no corpus shuffle for
+    * candidate generation; the only exchange is the per-doc overlap count
+    * over MATCHED postings (a vanishing fraction of the corpus). Shingles
+    * are compared as xxhash64 keys (collision odds ≈ shingles²/2⁶⁴; the
+    * oracle computes the string form, so any effect surfaces as a hash
+    * mismatch).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 3,
+      minOverlap: Int = 10): DataFrame = {
+    val corpusSh = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(transform(Dedup.shinglesOf(col("toks"), k),
+          s => xxhash64(s))).as("sh"))
+    val benchSh = benchmark
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(Dedup.shinglesOf(col("toks"), k)).as("s"))
+      .select(xxhash64(col("s")).as("sh"))
+      .distinct()
+    // corpus shingles are distinct per doc and the broadcast side distinct
+    // overall, so each (doc, shared shingle) joins exactly once: count(*)
+    // IS the distinct-overlap count, map-side combinable
+    val overlaps = corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.select(col("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** PII scrubbing: count and redact email addresses, URLs and
+    * phone-shaped numbers — the C4-style cleanup pass before any text
+    * reaches training. Map-only (counts and redaction are column
+    * expressions over one scan; zero shuffle at any scale). The regexes
+    * use only plain ASCII classes so Java (Spark) and RE2 (DuckDB oracle)
+    * agree; URLs are redacted before emails so a URL's userinfo@host form
+    * can't double-count.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val url = "https?://[^ ]+"
+    val phone = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), url, "<URL>"),
+          email, "<EMAIL>"),
+        phone, "<PHONE>").as("scrubbed"))
+  }
+
   /** Stratified sample over a key column with per-stratum fractions —
     * `df.stat.sampleBy` (seeded per-row Bernoulli, map-only, no shuffle):
     * the corpus re-balancing step (e.g. downsample a dominant language).

@@ -182,6 +182,39 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf")
   }
 
+  /** Repetition signals (Gopher-rule style): per document, the total
+    * bigram count, the most frequent bigram's count, and their ratio — a
+    * high top-bigram fraction marks boilerplate/template text that the
+    * distinct-token ratio in [[qualityScore]] misses. Bigrams here are
+    * NON-distinct (repetition is the point). Two partial-agg shuffles:
+    * (doc, bigram) counts, then a per-doc max/sum fold; docs with fewer
+    * than two tokens come back with zeros via the left join.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val perBigram = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = perBigram.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), max(col("tf")).as("top_bigram_tf"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_tf"), lit(0L)).as("top_bigram_tf"),
+        OracleRound.round4(
+          coalesce(col("top_bigram_tf"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_bigrams"), lit(0L)).cast("double"), lit(1.0)))
+          .as("top_bigram_frac"))
+  }
+
   /** Per-(doc, term) term frequencies — the shared base of [[termStats]]
     * and [[tfidf]]: one explode plus one (doc_id, term) partial-agg
     * shuffle.

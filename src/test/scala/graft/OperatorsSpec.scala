@@ -121,6 +121,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("scrubPii redacts synthetic emails, urls and phone numbers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe@example.com or on 555-123-4567 today"),
+      (2L, "see https://example.com/path?q=1 for details"),
+      (3L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.scrubPii(docs).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(3) == 1) // email + phone
+    assert(out(0).getString(4) ==
+      "contact me at <EMAIL> or on <PHONE> today")
+    assert(out(1).getInt(2) == 1)
+    assert(out(1).getString(4) == "see <URL> for details")
+    assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0 &&
+      out(2).getInt(3) == 0 && out(2).getString(4) == out(2).getString(4))
+  }
+
+  test("decontaminate flags benchmark overlap and spares disjoint docs") {
+    import spark.implicits._
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    val docs = Seq(
+      (1L, leaked),                                   // verbatim benchmark copy
+      (2L, s"prefix words here $leaked suffix words"), // contains the benchmark span
+      (3L, "totally different content about nothing shared with anything else at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leaked)).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, bench, minOverlap = 10)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._2, "verbatim benchmark copy must flag")
+    assert(out(2L)._2, "embedded benchmark span must flag")
+    assert(out(2L)._1 >= 16, "all 16 benchmark shingles appear in doc 2")
+    assert(!out(3L)._2 && out(3L)._1 == 0, "disjoint doc must come back clean")
+  }
+
+  test("repetitionStats measures bigram concentration") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),     // 4 bigrams, all "spam spam"
+      (2L, "one two three four five"),      // 4 distinct bigrams
+      (3L, "single")                        // no bigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 1L, 0.25)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"got ${out(3L)}")
+  }
+
   test("sequence packing bins are contiguous, ordered, and offset-consistent") {
     val packed = Curation.packSequences(Tables.documents(spark, sf), tokenBudget = 512)
       .orderBy("doc_id").collect()

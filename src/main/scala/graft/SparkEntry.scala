@@ -105,6 +105,9 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d)).orderBy("doc_id", "term")),
+    // corpus-self unigram LM scoring (perplexity-gate building block)
+    "text_unigram_nll" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
     // Gopher-style repetition signals (non-distinct bigram concentration)
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d)).orderBy("doc_id")),
@@ -565,6 +568,19 @@ object SparkEntry {
          |  FROM f)
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    "text_unigram_nll" ->
+      s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |m AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM f GROUP BY term),
+         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM m)
+         |SELECT f.doc_id,
+         |       CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+         |       ${graft.functions.OracleRound.duck(
+               "-(sum(CAST(f.tf AS DOUBLE) * ln(CAST(m.cf AS DOUBLE) / CAST(tot.total AS DOUBLE))) " +
+                 "/ CAST(sum(f.tf) AS DOUBLE))", 4)} AS nll
+         |FROM f JOIN m USING (term) CROSS JOIN tot
+         |GROUP BY f.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |b AS (SELECT doc_id,

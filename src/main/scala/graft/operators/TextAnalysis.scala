@@ -258,6 +258,34 @@ object TextAnalysis {
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
 
+  /** Unigram language-model scoring (CCNet-style perplexity filtering):
+    * train the corpus's own unigram model (term probability = collection
+    * frequency / total tokens) and score every document by its per-token
+    * negative log-likelihood — low-NLL documents read like the corpus,
+    * high-NLL ones are outliers/noise; thresholding on this is the classic
+    * LM quality gate.
+    *
+    * Scale shape: the model IS [[termStats]]'s cf column (vocab-sized);
+    * documents fold to (doc, term, tf) postings first, so the model join
+    * and the per-doc fold both move one row per posting. The corpus total
+    * is a single-row aggregate broadcast into the plan — fully lazy, no
+    * driver action.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tf = graft.engine.OpCache.materialize(termFrequencies(docs))
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = model.agg(sum(col("cf")).as("total"))
+    tf.join(model, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        OracleRound.round4(
+          -(sum(col("tf").cast("double") *
+              log(col("cf").cast("double") / col("total").cast("double"))) /
+            sum(col("tf")).cast("double"))).as("nll"))
+  }
+
   /** Rolling-hash shingle fingerprints (winnowing-style): hash every k-word
     * shingle with xxhash64, keep the minimum per window of w consecutive
     * shingle hashes. Output is the distinct set of kept hashes per doc —

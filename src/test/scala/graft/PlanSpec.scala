@@ -31,7 +31,7 @@ class PlanSpec extends AnyFunSuite {
     */
   private val boundedNestedLoop = Set(
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "text_tfidf",
-    "sql_graft_dot")
+    "text_unigram_nll", "sql_graft_dot")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {

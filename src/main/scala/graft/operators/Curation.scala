@@ -131,6 +131,32 @@ object Curation {
         phone, "<PHONE>").as("scrubbed"))
   }
 
+  /** Token-budget corpus selection: rank documents by the composite
+    * quality score (ties broken by doc_id — fully deterministic) and keep
+    * the best prefix whose cumulative token count fits `tokenBudget` —
+    * "assemble the best N-token corpus", the step after scoring in a
+    * corpus build. A document that straddles the boundary is kept iff it
+    * starts inside the budget (same convention as [[packSequences]] bins).
+    *
+    * Scale note: like [[packSequences]], the global quality-ordered prefix
+    * sum is one window reducer — per-shard budgets
+    * (`Window.partitionBy(source)`) are the form for a full corpus; the
+    * global form matches how final mixes are cut within a shard.
+    */
+  def tokenBudgetSelect(docs: DataFrame, tokenBudget: Long = 100000L): DataFrame = {
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
+        size(col("toks")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Stratified sample over a key column with per-stratum fractions —
     * `df.stat.sampleBy` (seeded per-row Bernoulli, map-only, no shuffle):
     * the corpus re-balancing step (e.g. downsample a dominant language).

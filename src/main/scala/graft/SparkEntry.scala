@@ -160,6 +160,11 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), cacheKey = d)
         .orderBy("query_id", "rank")),
+    // PQ/ADC compressed-index scan with exact rerank — rows-only
+    // (k-means codebooks not SQL-expressible); recall spec'd vs brute force
+    "sim_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), cacheKey = d)
+        .orderBy("query_id", "rank")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),

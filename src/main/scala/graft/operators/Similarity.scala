@@ -200,6 +200,167 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Product-quantization codebooks: the L2-normalized vectors are cut
+    * into `m` subspaces of dim/m components and each subspace gets its own
+    * `ksub`-centroid k-means codebook (plain Lloyd, deterministic init
+    * from the first `ksub` subvectors, means NOT renormalized — PQ
+    * centroids are plain averages). Returned as [m][ksub][dim/m] literal
+    * arrays; the collect per round is bounded at ksub × dim/m doubles.
+    *
+    * Same memo contract as [[ivfCentroids]]: `cacheKey` must encode the
+    * data version; empty key retrains per call.
+    */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 3,
+      dim: Int = 64,
+      cacheKey: String = ""): Array[Array[Array[Double]]] = {
+    val key = s"$cacheKey|pq|$m|$ksub|$iters|$dim"
+    if (cacheKey.nonEmpty) {
+      val hit = pqCache.get(key)
+      if (hit != null) return hit
+    }
+    val trained = trainPqCodebooks(embeddings, m, ksub, iters, dim)
+    if (cacheKey.nonEmpty) pqCache.put(key, trained)
+    trained
+  }
+
+  /** Nearest codebook entry for a subvector: argmin ‖x−c‖² computed as
+    * argmax (x·c − ‖c‖²/2) — exact, since ‖x‖² is common to all entries.
+    */
+  private def nearestCode(sv: Column, book: Array[Array[Double]]): Column =
+    array_max(array(book.zipWithIndex.map { case (c, j) =>
+      val bias = c.map(x => x * x).sum / 2.0
+      struct((VectorOps.dot(sv, array(c.map(lit): _*)) - lit(bias)).as("d"),
+        lit(j).as("i"))
+    }: _*)).getField("i")
+
+  def trainPqCodebooks(
+      embeddings: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    require(m * dsub == dim, s"m=$m must divide dim=$dim")
+    val e = embeddings
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nv", transform(col("v"), x => x / VectorOps.l2Norm(col("v"))))
+      .select(col("vec_id"), col("nv"))
+      .persist()
+    try {
+      (0 until m).map { s =>
+        val sub = e.select(col("vec_id"), slice(col("nv"), s * dsub + 1, dsub).as("sv"))
+        var cents: Array[Array[Double]] = sub.where(col("vec_id") < ksub)
+          .orderBy(col("vec_id")).collect()
+          .map(_.getAs[scala.collection.Seq[Double]]("sv").toArray)
+        (1 to iters).foreach { _ =>
+          val sums = sub
+            .withColumn("cluster", nearestCode(col("sv"), cents))
+            .select(col("cluster"), posexplode(col("sv")).as(Seq("pos", "x")))
+            .groupBy(col("cluster"), col("pos"))
+            .agg(avg(col("x")).as("mcol"))
+            .collect()
+          val byCluster = sums.groupBy(_.getInt(0))
+          cents = cents.indices.map { cIdx =>
+            byCluster.get(cIdx) match {
+              case Some(rows) =>
+                val arr = new Array[Double](dsub)
+                rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+                arr
+              case None => cents(cIdx) // empty cluster keeps its centroid
+            }
+          }.toArray
+        }
+        cents
+      }.toArray
+    } finally e.unpersist()
+  }
+
+  /** ANN top-k via product quantization with asymmetric distance (ADC):
+    * the corpus is compressed to `m` small codes per vector (here m ints;
+    * a byte each in storage terms — n·m bytes scanned instead of
+    * n·dim·4), each query precomputes one `m × ksub` dot-product lookup
+    * table against the codebooks, and the candidate scan is `m` table
+    * lookups per corpus row — the classic IVF-less PQ scan. The approx
+    * top-`rerank` shortlist per query is re-ranked by exact cosine over
+    * the uncompressed vectors, so returned scores are exact and the
+    * compression only affects recall (measured in SimilaritySpec).
+    *
+    * The query vectors (bounded: `numQueries` rows) are collected to build
+    * the lookup tables as literals — the per-query preprocessing step of
+    * any PQ implementation, here done at plan-build time.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 50,
+      dim: Int = 64,
+      cacheKey: String = ""): DataFrame = {
+    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
+    val dsub = dim / m
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = OpCache.materialize( // feeds encoding, the query side, and the rerank
+      Partitioning.ensureParallelism(embeddings, col("vec_id"))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.l2Norm(col("v")))
+        .withColumn("nv", transform(col("v"), x => x / col("nrm"))))
+
+    // the compressed index: ids + m codes (this is ALL the ADC scan reads)
+    val coded = e.select(
+      (col("vec_id") +: (0 until m).map { s =>
+        nearestCode(slice(col("nv"), s * dsub + 1, dsub), books(s)).as(s"c$s")
+      }): _*)
+
+    // per-query ADC tables: table[s][j] = q_sub(s) · book(s)(j)
+    val qTables = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("nv")).orderBy(col("vec_id")).collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val qnv = r.getAs[scala.collection.Seq[Double]]("nv").toArray
+        val tabs = (0 until m).map { s =>
+          books(s).map(c =>
+            (0 until dsub).map(d => qnv(s * dsub + d) * c(d)).sum).toSeq
+        }
+        (qid, tabs)
+      }.toSeq.toDF("query_id", "tables")
+
+    val approx = (0 until m).map { s =>
+      element_at(element_at(col("tables"), s + 1), col(s"c$s") + 1)
+    }.reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = coded.join(broadcast(qTables), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), approx.as("approx"))
+      .withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= rerank)
+      .select("query_id", "vec_id")
+
+    // exact rerank of the shortlist over the uncompressed vectors
+    val queries = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** ANN top-k via multi-table sign-LSH: candidates are corpus vectors
     * sharing the query's bucket in ANY table; ranked by exact cosine.
     * Recall is tunable via (tables, bits): more tables → higher recall,

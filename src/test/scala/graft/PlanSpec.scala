@@ -30,8 +30,8 @@ class PlanSpec extends AnyFunSuite {
     *    codegen graft_dot expression, both sides literal-bounded
     */
   private val boundedNestedLoop = Set(
-    "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "text_tfidf",
-    "text_unigram_nll", "sql_graft_dot")
+    "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+    "text_tfidf", "text_unigram_nll", "sql_graft_dot")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {

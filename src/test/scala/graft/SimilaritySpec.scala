@@ -41,6 +41,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 $recall below floor")
   }
 
+  test("PQ ANN recall@5 vs brute force, scores exact after rerank") {
+    val emb = Tables.embeddings(spark, sf)
+    def byPair(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = byPair(Similarity.bruteForceTopK(emb))
+    val pq = byPair(Similarity.pqTopK(emb))
+    val hit = exact.keySet & pq.keySet
+    val recall = hit.size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall (${hit.size}/${exact.size})")
+    assert(recall >= 0.5, s"PQ recall@5 $recall below floor")
+    // the rerank is exact, so every shared pair carries the identical cosine
+    hit.foreach(p => assert(pq(p) == exact(p), s"rerank score drifted at $p"))
+  }
+
   test("LSH ANN recall@5 vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -20,7 +20,6 @@ class BucketingSpec extends AnyFunSuite {
       .builder("graft-bucketing-test").master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
       .getOrCreate()
   }
 
@@ -42,6 +41,17 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
+    // force the SMJ path for THIS test only — getOrCreate shares one
+    // session across suites, so a builder-level config would leak the
+    // disabled broadcast into every later suite's plans (PlanSpec would
+    // see un-hinted theta joins degrade to CartesianProduct)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody(sf)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  private def bucketedJoinBody(sf: String): Unit = {
     dropHard("li_bucketed")
     dropHard("ord_bucketed")
     Tables.lineitem(spark, sf).write

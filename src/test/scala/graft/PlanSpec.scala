@@ -34,6 +34,10 @@ class PlanSpec extends AnyFunSuite {
     "text_tfidf", "text_unigram_nll", "sql_graft_dot")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
+    // defend against sibling suites of the shared session having toggled
+    // join-strategy confs — this sweep judges the library's plans under
+    // the engine defaults
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

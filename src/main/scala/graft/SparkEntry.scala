@@ -187,6 +187,10 @@ object SparkEntry {
       Multimodal.sampleFrames(s,
         Multimodal.attachMedia(Tables.documents(s, d)))
         .orderBy("doc_id", "frame_idx")),
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeImages(s,
+        Multimodal.attachMedia(Tables.documents(s, d)))
+        .orderBy("doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -784,6 +788,26 @@ object SparkEntry {
         |       CAST((strlen(text) * 7 + 13) % 251 AS INTEGER) AS height,
         |       CAST(CASE WHEN doc_id % 3 = 2 THEN strlen(text) // 100 + 1 ELSE 1 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH f AS (SELECT doc_id,
+        |       CAST(strlen(text) AS INTEGER) AS size_bytes,
+        |       CAST(strlen(text) % 251 AS INTEGER) AS in_w,
+        |       CAST((strlen(text) * 7 + 13) % 251 AS INTEGER) AS in_h
+        |FROM documents WHERE doc_id % 3 = 0),
+        |r AS (SELECT *,
+        |       floor(CAST(greatest(in_h, 1) AS DOUBLE) * 64 / CAST(greatest(in_w, 1) AS DOUBLE)) AS fith
+        |FROM f)
+        |SELECT doc_id, size_bytes, in_w, in_h,
+        |       CAST(CASE WHEN in_w <= 64 AND in_h <= 64 THEN in_w
+        |            WHEN fith <= 64 THEN 64
+        |            ELSE CAST(floor(CAST(greatest(in_w, 1) AS DOUBLE) * 64 / CAST(greatest(in_h, 1) AS DOUBLE)) AS INTEGER) END AS INTEGER) AS out_w,
+        |       CAST(CASE WHEN in_w <= 64 AND in_h <= 64 THEN in_h
+        |            WHEN fith <= 64 THEN CAST(fith AS INTEGER)
+        |            ELSE 64 END AS INTEGER) AS out_h,
+        |       CAST(floor(CAST(size_bytes AS DOUBLE) *
+        |                  CAST(out_w * out_h AS DOUBLE) /
+        |                  greatest(CAST(in_w * in_h AS DOUBLE), 1.0)) AS BIGINT) AS out_bytes
+        |FROM r ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |       CAST(byte_offset // 100 AS INTEGER) AS frame_idx,

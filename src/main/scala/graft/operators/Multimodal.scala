@@ -83,6 +83,40 @@ object Multimodal {
     }
   }
 
+  /** Resize stub for image payloads: aspect-preserving fit into a
+    * `(tw × th)` box — keep dimensions that already fit, else scale the
+    * tighter side down with floor arithmetic (exact: all products are
+    * small integers, representable in doubles on any engine). Emits the
+    * resized dimensions and a proportional byte estimate — the metadata
+    * half of a resize stage; a real implementation re-encodes the payload
+    * where the `???` codec stub sits in [[decodeFeatures]]. Map-only, no
+    * shuffle at any scale.
+    */
+  def resizeImages(
+      spark: SparkSession,
+      media: DataFrame,
+      tw: Int = 64,
+      th: Int = 64): DataFrame = {
+    val feats = decodeFeatures(spark, media).toDF()
+    val w = greatest(col("width"), lit(1)).cast("double")
+    val h = greatest(col("height"), lit(1)).cast("double")
+    val fitH = floor(h * tw / w).cast("int") // height if scaled to width tw
+    val noScale = col("width") <= tw && col("height") <= th
+    feats.where(col("media_type") === "image")
+      .select(
+        col("doc_id"), col("size_bytes"),
+        col("width").as("in_w"), col("height").as("in_h"),
+        when(noScale, col("width")).when(fitH <= th, lit(tw))
+          .otherwise(floor(w * th / h).cast("int")).as("out_w"),
+        when(noScale, col("height")).when(fitH <= th, fitH)
+          .otherwise(lit(th)).as("out_h"))
+      .withColumn("out_bytes",
+        floor(col("size_bytes").cast("double") *
+          (col("out_w") * col("out_h")).cast("double") /
+          greatest((col("in_w") * col("in_h")).cast("double"), lit(1.0)))
+          .cast("long"))
+  }
+
   /** Frame sampling stub for video payloads: every `stride` bytes is a
     * "frame" offset — demonstrates the explode-to-frames shape whose row
     * count is data-dependent (a real sampler emits keyframe offsets).

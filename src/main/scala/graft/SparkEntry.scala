@@ -87,6 +87,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    // incremental shape: dedup a "new crawl" (every 5th doc) against the
+    // rest of the corpus without re-clustering it
+    "dedup_cross_corpus" -> ((s, d) =>
+      Dedup.crossCorpusPairs(
+        Tables.documents(s, d).where(col("doc_id") % 5 === 0),
+        Tables.documents(s, d).where(col("doc_id") % 5 =!= 0))
+        .orderBy("new_id", "old_id")),
     "dedup_simhash_sigs" -> ((s, d) =>
       Dedup.simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -464,6 +471,25 @@ object SparkEntry {
          |  JOIN sz nb ON nb.doc_id = doc_b)
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cross_corpus" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh
+         |      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |      GROUP BY a.doc_id, b.doc_id)
+         |SELECT * FROM (
+         |  SELECT new_id, old_id,
+         |         CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+         |  FROM p
+         |  JOIN sz na ON na.doc_id = new_id
+         |  JOIN sz nb ON nb.doc_id = old_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY new_id, old_id""".stripMargin,
     // dedup_minhash_lsh / dedup_simhash_* : xxhash64-based signatures are
     // not DuckDB-expressible → rows-only checks; their correctness is
     // anchored by DedupSpec comparing LSH candidates against the exact

@@ -130,6 +130,64 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact cross-corpus near-dup pairs: jaccard ≥ threshold between a NEW
+    * corpus and an EXISTING one — dedup the fresh crawl against what the
+    * training set already holds, the production shape where re-clustering
+    * the full corpus per increment would be wasteful. Same rarest-first
+    * prefix filter as [[ngramJaccardPairs]] (completeness proof there
+    * carries over verbatim), with the document-frequency order computed
+    * over the UNION of both sides so the two prefix sets rank shingles
+    * identically; the candidate join is prefix(new) ⋈ prefix(existing) —
+    * never new×existing.
+    *
+    * Scale: the increment is small relative to the corpus, so the
+    * new-side posting list is tiny; hot shingles still drop out of both
+    * prefixes via the shared df order, capping fan-out on the big side.
+    */
+  def crossCorpusPairs(
+      newDocs: DataFrame,
+      existing: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame) = OpCache.materialize(
+      Partitioning.ensureParallelism(df, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(transform(shinglesOf(col("toks"), k),
+            s => xxhash64(s))).as("shs")))
+    val bNew = shingled(newDocs)
+    val bOld = shingled(existing)
+    // shared df order over BOTH corpora (vocab-sized; feeds two consumers)
+    val dfreq = OpCache.materialize(
+      bNew.select(explode(col("shs")).as("sh"))
+        .union(bOld.select(explode(col("shs")).as("sh")))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df")))
+    def prefixOf(base: DataFrame): DataFrame = {
+      val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val ordered = sh.join(dfreq, "sh")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("df"), col("sh"))).as("ord"))
+        .select(col("doc_id"),
+          transform(array_sort(col("ord")), s => s.getField("sh")).as("ord"))
+      val plen = (size(col("ord")) -
+        ceil(size(col("ord")) * lit(threshold) - lit(1e-9)) + 1).cast("int")
+      ordered.select(col("doc_id"),
+        explode(slice(col("ord"), lit(1), plen)).as("sh"))
+    }
+    val cands = prefixOf(bNew).as("a")
+      .join(prefixOf(bOld).as("b"), col("a.sh") === col("b.sh"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    cands
+      .join(bNew.select(col("doc_id").as("new_id"), col("shs").as("sa")), "new_id")
+      .join(bOld.select(col("doc_id").as("old_id"), col("shs").as("sb")), "old_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(col("new_id"), col("old_id"),
+        (col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures: `numHashes` independent permutations simulated by
     * seeding xxhash64 with the hash index; signature[i] = min over shingles.
     * Computed by exploding shingles once and taking `numHashes` partial-agg

@@ -149,6 +149,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"sign-LSH recall collapsed: $recall")
   }
 
+  test("cross-corpus prefix join equals the naive cross jaccard") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val naive = naiveJaccardPairs(docs, 0.5).flatMap { case (a, b, j) =>
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b, j))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a, j))
+      else None
+    }
+    val fast = Dedup.crossCorpusPairs(
+      docs.where(col("doc_id") % 5 === 0),
+      docs.where(col("doc_id") % 5 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty, "expected planted pairs to straddle the split")
+    assert(fast == naive,
+      s"cross-corpus diverged: missing=${naive -- fast} extra=${fast -- naive}")
+  }
+
   test("simhash bucket cap keeps candidates sub-quadratic on a template flood") {
     import spark.implicits._
     // 400 near-identical template docs: simhash votes are dominated by the

@@ -74,6 +74,33 @@ object StreamOps {
         col("click_id"), col("value"))
   }
 
+  /** Streaming curation over a documents-shaped stream (doc_id, ts, text):
+    * the batch [[graft.operators.Curation]] enrichment — language ID,
+    * quality score, token count, all pure column expressions, hence
+    * stateless map stages in streaming — followed by exact-dup
+    * suppression on the content fingerprint within the watermark horizon.
+    * Near-dup clustering is inherently batch (it needs the global pair
+    * graph), so the streaming side gates on language/quality/exact
+    * content and defers near-dup canonicalization to the periodic batch
+    * pass — the standard split for continuous corpus ingestion.
+    */
+  def curateStream(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langPredOf(col("toks")))
+      .withColumn("quality", TextAnalysis.qualityOf(col("text"), col("toks")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("fp_exact", md5(TextAnalysis.normalize(col("text"))))
+      .where(col("lang_pred") === "en" && col("quality") >= minQuality)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp_exact")
+      .select("doc_id", "ts", "lang_pred", "quality", "n_tokens", "fp_exact")
+  }
+
   /** Per-user running aggregate emitted each micro-batch. */
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -38,6 +38,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curation gates language/quality and dedups exact content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val german = "der hund ist nicht ein kleines tier und das haus ist gross hier heute"
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamOps.curateStream(df).writeStream
+      .format("memory").queryName("curate_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:01"), good),
+        (2L, ts("2024-01-01 00:00:02"), good), // exact dup, different id
+        (3L, ts("2024-01-01 00:00:03"), german), // language-gated
+        (4L, ts("2024-01-01 00:00:04"), "short junk"))) // quality-gated
+      query.processAllAvailable()
+      val out = spark.table("curate_out").collect()
+      assert(out.map(_.getLong(0)).toSet == Set(1L),
+        s"expected only doc 1 to survive, got ${out.map(_.getLong(0)).toSeq}")
+      assert(out.head.getString(2) == "en")
+      assert(out.head.getDouble(3) >= 0.5)
+    } finally query.stop()
+  }
+
   test("windowed type counts emit closed windows only (append mode)") {
     val out = feed("wtc_out", Seq(
       Seq(

@@ -112,6 +112,9 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d)).orderBy("doc_id", "term")),
+    // corpus quality-distribution telemetry (equal-count deciles)
+    "text_quality_deciles" -> ((s, d) =>
+      TextAnalysis.qualityDeciles(Tables.documents(s, d)).orderBy("decile")),
     // corpus-self unigram LM scoring (perplexity-gate building block)
     "text_unigram_nll" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
@@ -607,6 +610,23 @@ object SparkEntry {
          |  FROM f)
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    "text_quality_deciles" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       floor(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+         |       floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_ratio
+         |FROM t),
+         |q AS (SELECT doc_id,
+         |       floor((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+         |             + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+         |             + distinct_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+         |FROM m),
+         |d AS (SELECT quality, ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM q)
+         |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_docs,
+         |       min(quality) AS min_quality, max(quality) AS max_quality
+         |FROM d GROUP BY decile
+         |ORDER BY decile""".stripMargin,
     "text_unigram_nll" ->
       s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),

@@ -258,6 +258,27 @@ object TextAnalysis {
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
 
+  /** Quality-decile telemetry: documents ranked by composite quality
+    * (doc_id tie-break) and cut into ten equal-count buckets — the
+    * monitoring table a corpus build publishes per snapshot so
+    * distribution drift is visible release-over-release. The global ntile
+    * is one window reducer (fine for a telemetry pass; shard it by source
+    * like [[graft.operators.Curation.packSequencesBy]] when per-source
+    * drift matters).
+    */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), qualityOf(col("text"), col("toks")).as("quality"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
   /** Unigram language-model scoring (CCNet-style perplexity filtering):
     * train the corpus's own unigram model (term probability = collection
     * frequency / total tokens) and score every document by its per-token

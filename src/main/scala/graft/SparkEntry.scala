@@ -175,6 +175,10 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d), cacheKey = d)
         .orderBy("query_id", "rank")),
+    // IVF coarse pruning × PQ compressed scan — the production ANN pairing
+    "sim_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d), cacheKey = d)
+        .orderBy("query_id", "rank")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),

@@ -361,6 +361,90 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** ANN top-k via IVF + PQ — the production pairing at extreme scale:
+    * IVF prunes COMPUTE (only `nprobe` of `nlist` clusters are scanned
+    * per query) and PQ prunes MEMORY/BANDWIDTH (the scan reads m codes
+    * per vector, never the raw floats; raw vectors are touched only for
+    * the `rerank`-sized shortlist). Per-query cost ≈
+    * (nprobe/nlist)·n·m lookups + rerank exact dots, against n·dim·4
+    * bytes of raw-vector scan for brute force.
+    *
+    * Query preprocessing (probe list + ADC tables) is literal-built from
+    * the bounded query set at plan time, like [[pqTopK]]; returned scores
+    * are exact cosines from the rerank, so IVF/PQ approximation affects
+    * recall only (measured in SimilaritySpec).
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 50,
+      dim: Int = 64,
+      cacheKey: String = ""): DataFrame = {
+    val cents = ivfCentroids(embeddings, nlist, 3, cacheKey)
+    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
+    val dsub = dim / m
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = OpCache.materialize( // the index build: cluster + codes, once
+      Partitioning.ensureParallelism(embeddings, col("vec_id"))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.l2Norm(col("v")))
+        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+        .withColumn("cluster", assignCluster(col("nv"), cents)))
+    val coded = e.select(
+      (col("vec_id") +: col("cluster") +: (0 until m).map { s =>
+        nearestCode(slice(col("nv"), s * dsub + 1, dsub), books(s)).as(s"c$s")
+      }): _*)
+
+    // per-query probe list + ADC tables, driver-built from the bounded set
+    val qSide = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("nv")).orderBy(col("vec_id")).collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val qnv = r.getAs[scala.collection.Seq[Double]]("nv").toArray
+        val probes = cents.zipWithIndex
+          .map { case (c, i) => (c.zip(qnv).map { case (a, b) => a * b }.sum, i) }
+          .sortBy(-_._1).take(nprobe).map(_._2).toSeq
+        val tabs = (0 until m).map { s =>
+          books(s).map(c =>
+            (0 until dsub).map(d => qnv(s * dsub + d) * c(d)).sum).toSeq
+        }
+        (qid, probes, tabs)
+      }.toSeq.toDF("query_id", "probes", "tables")
+
+    val approx = (0 until m).map { s =>
+      element_at(element_at(col("tables"), s + 1), col(s"c$s") + 1)
+    }.reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = coded.join(broadcast(qSide),
+        array_contains(col("probes"), col("cluster")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), approx.as("approx"))
+      .withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= rerank)
+      .select("query_id", "vec_id")
+
+    val queries = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** ANN top-k via multi-table sign-LSH: candidates are corpus vectors
     * sharing the query's bucket in ANY table; ranked by exact cosine.
     * Recall is tunable via (tables, bits): more tables → higher recall,

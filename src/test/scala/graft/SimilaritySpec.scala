@@ -56,6 +56,20 @@ class SimilaritySpec extends AnyFunSuite {
     hit.foreach(p => assert(pq(p) == exact(p), s"rerank score drifted at $p"))
   }
 
+  test("IVF+PQ ANN recall@5 vs brute force, scores exact after rerank") {
+    val emb = Tables.embeddings(spark, sf)
+    def byPair(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = byPair(Similarity.bruteForceTopK(emb))
+    val ivfpq = byPair(Similarity.ivfPqTopK(emb))
+    val hit = exact.keySet & ivfpq.keySet
+    val recall = hit.size.toDouble / exact.size
+    info(s"IVF+PQ recall@5 = $recall (${hit.size}/${exact.size})")
+    assert(recall >= 0.4, s"IVF+PQ recall@5 $recall below floor")
+    hit.foreach(p => assert(ivfpq(p) == exact(p), s"rerank score drifted at $p"))
+  }
+
   test("LSH ANN recall@5 vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =

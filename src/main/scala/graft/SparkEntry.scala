@@ -118,6 +118,9 @@ object SparkEntry {
     // corpus-self unigram LM scoring (perplexity-gate building block)
     "text_unigram_nll" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
+    // interpolated bigram LM (Jelinek-Mercer λ=0.75, corpus-self model)
+    "text_bigram_nll" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
     // Gopher-style repetition signals (non-distinct bigram concentration)
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d)).orderBy("doc_id")),
@@ -643,6 +646,36 @@ object SparkEntry {
                  "/ CAST(sum(f.tf) AS DOUBLE))", 4)} AS nll
          |FROM f JOIN m USING (term) CROSS JOIN tot
          |GROUP BY f.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "text_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(toks[1:len(toks)-1]) AS p,
+         |             unnest(toks[2:len(toks)]) AS w
+         |      FROM t WHERE len(toks) >= 2),
+         |f AS (SELECT doc_id, p, w, count(*) AS tf FROM g GROUP BY doc_id, p, w),
+         |big AS (SELECT p, w, CAST(sum(tf) AS BIGINT) AS cb FROM f GROUP BY p, w),
+         |ctx AS (SELECT p, CAST(sum(cb) AS BIGINT) AS cp FROM big GROUP BY p),
+         |c AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |u AS (SELECT term, count(*) AS cw FROM c GROUP BY term),
+         |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total FROM u),
+         |s AS (SELECT f.doc_id,
+         |             CAST(sum(f.tf) AS BIGINT) AS n_bigrams,
+         |             ${graft.functions.OracleRound.duck(
+               "-(sum(CAST(f.tf AS DOUBLE) * ln(" +
+                 "0.75 * (CAST(big.cb AS DOUBLE) / CAST(ctx.cp AS DOUBLE)) + " +
+                 "0.25 * (CAST(u.cw AS DOUBLE) / CAST(tot.total AS DOUBLE)))) " +
+                 "/ CAST(sum(f.tf) AS DOUBLE))", 4)} AS nll2
+         |      FROM f
+         |      JOIN big USING (p, w)
+         |      JOIN ctx USING (p)
+         |      JOIN u ON u.term = f.w
+         |      CROSS JOIN tot
+         |      GROUP BY f.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(s.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(s.nll2, 0.0) AS nll2
+         |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),

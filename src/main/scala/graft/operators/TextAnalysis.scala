@@ -307,6 +307,54 @@ object TextAnalysis {
             sum(col("tf")).cast("double"))).as("nll"))
   }
 
+  /** Interpolated bigram LM scoring — the next step from
+    * [[unigramLogProb]] toward real perplexity filtering: score interior
+    * token positions by ln(λ·p(w|prev) + (1−λ)·p(w)) with
+    * Jelinek-Mercer smoothing (λ = 0.75), both distributions trained on
+    * the corpus itself. Documents fold to (doc, prev, w, tf) bigram
+    * postings; the model sides are two partial-agg tables (bigram and
+    * context counts) joined back by equi-keys — no shuffle carries raw
+    * text. Docs with fewer than two tokens come back with zeros.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val toks = col("toks")
+    val bigramStructs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("p"), element_at(toks, i + 1).as("w"))))
+      .otherwise(array().cast("array<struct<p:string,w:string>>"))
+    // (doc, prev, w, tf) — feeds the bigram model AND the scoring join
+    val docBg = graft.engine.OpCache.materialize(
+      graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(bigramStructs).as("b"))
+        .groupBy(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+        .agg(count(lit(1)).as("tf")))
+    val big = docBg.groupBy(col("p"), col("w")).agg(sum(col("tf")).as("cb"))
+    val ctx = big.groupBy(col("p")).agg(sum(col("cb")).as("cp"))
+    val uni = graft.engine.OpCache.materialize(
+      termFrequencies(docs).groupBy(col("term")).agg(sum(col("tf")).as("cw")))
+    val total = uni.agg(sum(col("cw")).as("total"))
+    val prob =
+      lit(lambda) * (col("cb").cast("double") / col("cp").cast("double")) +
+        lit(1.0 - lambda) * (col("cw").cast("double") / col("total").cast("double"))
+    val scored = docBg
+      .join(big, Seq("p", "w"))
+      .join(ctx, Seq("p"))
+      .join(uni.select(col("term").as("w"), col("cw")), Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        OracleRound.round4(
+          -(sum(col("tf").cast("double") * log(prob)) /
+            sum(col("tf")).cast("double"))).as("nll2"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll2"), lit(0.0)).as("nll2"))
+  }
+
   /** Rolling-hash shingle fingerprints (winnowing-style): hash every k-word
     * shingle with xxhash64, keep the minimum per window of w consecutive
     * shingle hashes. Output is the distinct set of kept hashes per doc —

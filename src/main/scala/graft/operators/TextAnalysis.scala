@@ -322,25 +322,35 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("p"), element_at(toks, i + 1).as("w"))))
       .otherwise(array().cast("array<struct<p:string,w:string>>"))
-    // (doc, prev, w, tf) — feeds the bigram model AND the scoring join
+    // (doc, context-key, word-key, tf) — token strings are hashed to
+    // 64-bit keys BEFORE the first shuffle (same policy as the jaccard
+    // shingle pipeline: fixed-width longs through every exchange;
+    // collision odds ≈ vocab²/2⁶⁴, and the string-form DuckDB oracle
+    // would surface any effect as a hash mismatch). Feeds the bigram
+    // model AND the scoring join.
     val docBg = graft.engine.OpCache.materialize(
       graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(bigramStructs).as("b"))
-        .groupBy(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+        .select(col("doc_id"),
+          xxhash64(col("b.p")).as("pk"),
+          xxhash64(col("b.p"), col("b.w")).as("bk"),
+          xxhash64(col("b.w")).as("wk"))
+        .groupBy(col("doc_id"), col("pk"), col("bk"), col("wk"))
         .agg(count(lit(1)).as("tf")))
-    val big = docBg.groupBy(col("p"), col("w")).agg(sum(col("tf")).as("cb"))
-    val ctx = big.groupBy(col("p")).agg(sum(col("cb")).as("cp"))
+    val big = docBg.groupBy(col("bk")).agg(sum(col("tf")).as("cb"))
+    val ctx = docBg.groupBy(col("pk")).agg(sum(col("tf")).as("cp"))
     val uni = graft.engine.OpCache.materialize(
-      termFrequencies(docs).groupBy(col("term")).agg(sum(col("tf")).as("cw")))
+      termFrequencies(docs).groupBy(col("term")).agg(sum(col("tf")).as("cw"))
+        .select(xxhash64(col("term")).as("wk"), col("cw")))
     val total = uni.agg(sum(col("cw")).as("total"))
     val prob =
       lit(lambda) * (col("cb").cast("double") / col("cp").cast("double")) +
         lit(1.0 - lambda) * (col("cw").cast("double") / col("total").cast("double"))
     val scored = docBg
-      .join(big, Seq("p", "w"))
-      .join(ctx, Seq("p"))
-      .join(uni.select(col("term").as("w"), col("cw")), Seq("w"))
+      .join(big, Seq("bk"))
+      .join(ctx, Seq("pk"))
+      .join(uni, Seq("wk"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(

@@ -42,6 +42,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(names == region.select("r_name").collect().map(_.getString(0)).toSet)
   }
 
+  test("orc round-trip preserves rows, schema and values") {
+    val dir = tmp("graft-orc")
+    val nation = Tables.nation(spark, "/root/testdata/sf0.001")
+    nation.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.columns.toSeq == nation.columns.toSeq)
+    // ORC is self-describing: values AND types must survive exactly
+    val key = org.apache.spark.sql.functions.xxhash64(
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("*")))
+    val a = back.select(key).collect().map(_.getLong(0)).sorted
+    val b = nation.select(key).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("streaming file source -> checkpointed parquet sink is exactly-once") {
     val srcDir = tmp("graft-stream-src")
     val outDir = tmp("graft-stream-out")

@@ -41,7 +41,12 @@ object Bench {
     // repeats of each query: a transient box stall then hits one sample of
     // many queries instead of all samples of one, so the per-query median
     // stays robust
+    // optional comma-separated subset for local iteration (unset = all,
+    // which is what the driver runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to runs; name <- names) {

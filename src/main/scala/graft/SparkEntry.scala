@@ -105,6 +105,10 @@ object SparkEntry {
       Dedup.embeddingCosinePairsBlocked(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Tables.documents(s, d)).orderBy("doc_id")),
+    // dedup telemetry: cluster-size histogram over the same cluster table
+    "dedup_cluster_stats" -> ((s, d) =>
+      Dedup.clusterStats(Dedup.nearDupClusters(Tables.documents(s, d)))
+        .orderBy("cluster_size")),
     "text_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d)).orderBy("doc_id", "rank")),
     // corpus-level document/collection frequency + per-(doc,term) TF-IDF
@@ -549,6 +553,35 @@ object SparkEntry {
          |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |cl AS (SELECT d.doc_id, coalesce(min(r.v), d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+         |       GROUP BY d.doc_id)
+         |SELECT cluster_size, count(*) AS n_clusters FROM (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+         |GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
     "pipeline_curated_corpus" -> {
       val langs = TextAnalysis.langMarkers.map(_._1)
       val scores = TextAnalysis.langMarkers.map { case (l, ws) =>

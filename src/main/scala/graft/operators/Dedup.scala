@@ -429,6 +429,19 @@ object Dedup {
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Dedup telemetry: the cluster-size histogram — how many clusters of
+    * each size the near-dup pass found. The table a corpus build publishes
+    * per snapshot: a sudden mass at high sizes means a template flood (or
+    * a broken shingler), size-1 count tracks the unique share. Input is
+    * any `(doc_id, cluster_id)` frame ([[nearDupClusters]] /
+    * [[clustersFromPairs]]); two partial-agg shuffles over id pairs.
+    */
+  def clusterStats(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Exact thresholded all-pairs cosine, grid-blocked — the distributed
     * exact plan at any threshold. Vectors are hashed into `blocks` blocks;
     * a (bi ≤ bj) block-pair grid drives TWO equi-joins, so each cell's

@@ -86,6 +86,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard is complete on random corpora and thresholds") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // small vocab forces real overlaps; doc lengths span the tiny-doc
+    // guard boundary; thresholds include non-dyadic values near the
+    // ceil-rounding edge the prefix length computation must respect
+    val docGen = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+        .map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(12, docGen)
+    val thresholds = Seq(0.3, 0.5, 0.7)
+    samples(corpusGen, 5).zipWithIndex.foreach { case (texts, i) =>
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val t = thresholds(i % thresholds.size)
+      val naive = {
+        // docs with no k-shingle can't pair (the operator generates no
+        // postings for them); the naive side must skip them too or the
+        // union-size denominator hits 0/0 under ANSI mode
+        val e = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
+          .where(size(col("shs")) > 0)
+        val a = e.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+        val b = e.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter") / (size(col("sa")) + size(col("sb")) - col("inter"))
+              .cast("double")).as("j"))
+          .where(col("j") >= t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val fast = Dedup.ngramJaccardPairs(docs, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive,
+        s"t=$t corpus=$texts missing=${naive -- fast} extra=${fast -- naive}")
+    }
+  }
+
   test("RSVP schema nullability: corrupt JSON yields null struct, not a crash") {
     import spark.implicits._
     val bad = Seq("{not json", """{"rsvp_id": "str"}""", "")

@@ -147,6 +147,13 @@ object SparkEntry {
     // canonical selection + token accounting in one declarative plan
     "pipeline_curated_corpus" -> ((s, d) =>
       Curation.curatedCorpus(Tables.documents(s, d)).orderBy("doc_id")),
+    // the pre-training release gate: dedup-canonical + language + quality
+    // + decontamination + PII exposure, one composed plan
+    "pipeline_release_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.releaseGate(docs, Dedup.nearDupClusters(docs),
+        docs.where(col("doc_id") % 50 === 0)).orderBy("doc_id")
+    }),
     "pipeline_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     // sharded form: partitioned window → one prefix-sum reducer per source
@@ -582,64 +589,34 @@ object SparkEntry {
          |  SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
          |GROUP BY cluster_size
          |ORDER BY cluster_size""".stripMargin,
-    "pipeline_curated_corpus" -> {
-      val langs = TextAnalysis.langMarkers.map(_._1)
-      val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
-        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_intersect(dtoks, $lst)) AS s_$l"
-      }.mkString(",\n       ")
-      val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val caseArms = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n            ")
-      s"""WITH RECURSIVE
-         |t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-         |                                   for i in range(1, len(toks) - 1)])) AS sh
-         |      FROM t),
-         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |      GROUP BY a.doc_id, b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM p
-         |  JOIN sz na ON na.doc_id = doc_a
-         |  JOIN sz nb ON nb.doc_id = doc_b
-         |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-         |clus AS (SELECT d.doc_id, coalesce(min(r.v), d.doc_id) AS cluster_id
-         |         FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-         |         GROUP BY d.doc_id),
-         |lm AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM t),
-         |ls AS (SELECT doc_id,
-         |       $scores
-         |FROM lm),
-         |lp AS (SELECT doc_id,
-         |       CASE WHEN best <= 0 THEN 'und'
-         |            $caseArms
-         |            ELSE 'und' END AS lang_pred
-         |FROM (SELECT *, $bestExpr AS best FROM ls)),
-         |q AS (SELECT doc_id,
-         |       floor(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS punct_ratio,
-         |       floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_ratio,
-         |       CAST(len(toks) AS INTEGER) AS n_tokens
-         |FROM t),
-         |qq AS (SELECT doc_id, n_tokens,
-         |       floor((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
-         |             + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
-         |             + distinct_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
-         |FROM q)
+    "pipeline_curated_corpus" -> (curationCtePrefix +
+      s"""
          |SELECT c.doc_id, lp.lang_pred, qq.quality, qq.n_tokens
          |FROM clus c
          |JOIN lp ON lp.doc_id = c.doc_id
          |JOIN qq ON qq.doc_id = c.doc_id
          |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en' AND qq.quality >= 0.5
-         |ORDER BY c.doc_id""".stripMargin
-    },
+         |ORDER BY c.doc_id""".stripMargin),
+    "pipeline_release_gate" -> (curationCtePrefix +
+      s""",
+         |bsh AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0),
+         |ov AS (SELECT s.doc_id, count(*) AS n_overlap
+         |       FROM s JOIN bsh USING (sh) GROUP BY s.doc_id),
+         |pii AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+         |           + len(regexp_extract_all(text, 'https?://[^ ]+'))
+         |           + len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_pii
+         |        FROM documents)
+         |SELECT c.doc_id, lp.lang_pred, qq.quality, qq.n_tokens,
+         |       coalesce(ov.n_overlap, 0) AS n_overlap, pii.n_pii
+         |FROM clus c
+         |JOIN lp ON lp.doc_id = c.doc_id
+         |JOIN qq ON qq.doc_id = c.doc_id
+         |JOIN pii ON pii.doc_id = c.doc_id
+         |LEFT JOIN ov ON ov.doc_id = c.doc_id
+         |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en' AND qq.quality >= 0.5
+         |  AND coalesce(ov.n_overlap, 0) < 10
+         |ORDER BY c.doc_id""".stripMargin),
     "text_top_terms" ->
       s"""WITH c AS (
          |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
@@ -943,4 +920,64 @@ object SparkEntry {
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def duckToks: String =
     s"string_split($duckNorm, ' ')"
+
+  /** Shared oracle CTE prefix for the curation pipeline family: shingles →
+    * exact jaccard pairs → recursive-CTE connected components (`clus`),
+    * plus language prediction (`lp`) and quality (`qq`) — the DuckDB
+    * mirror of `Curation.curatedCorpusFromClusters`'s upstream. Final
+    * SELECTs differ per query (pipeline_curated_corpus,
+    * pipeline_release_gate).
+    */
+  private def curationCtePrefix: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(dtoks, $lst)) AS s_$l"
+    }.mkString(",\n       ")
+    val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseArms = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString("\n            ")
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                                   for i in range(1, len(toks) - 1)])) AS sh
+       |      FROM t),
+       |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  JOIN sz na ON na.doc_id = doc_a
+       |  JOIN sz nb ON nb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |clus AS (SELECT d.doc_id, coalesce(min(r.v), d.doc_id) AS cluster_id
+       |         FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |         GROUP BY d.doc_id),
+       |lm AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM t),
+       |ls AS (SELECT doc_id,
+       |       $scores
+       |FROM lm),
+       |lp AS (SELECT doc_id,
+       |       CASE WHEN best <= 0 THEN 'und'
+       |            $caseArms
+       |            ELSE 'und' END AS lang_pred
+       |FROM (SELECT *, $bestExpr AS best FROM ls)),
+       |q AS (SELECT doc_id,
+       |       floor(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+       |       floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_ratio,
+       |       CAST(len(toks) AS INTEGER) AS n_tokens
+       |FROM t),
+       |qq AS (SELECT doc_id, n_tokens,
+       |       floor((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+       |             + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |             + distinct_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+       |FROM q)""".stripMargin
+  }
 }

@@ -62,6 +62,33 @@ object Curation {
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
   }
 
+  /** The release gate: every check a corpus snapshot must pass before
+    * training, composed as ONE declarative plan — near-dup canonical
+    * selection + language + quality ([[curatedCorpusFromClusters]]),
+    * benchmark decontamination ([[decontaminate]]), and PII exposure
+    * counts ([[scrubPii]]). Each stage keeps its own scale shape (the
+    * enrichments are map stages, the benchmark shingles broadcast, the
+    * cluster table is the dedup-once input); the gate itself adds two
+    * doc_id equi-joins.
+    */
+  def releaseGate(
+      docs: DataFrame,
+      clusters: DataFrame,
+      benchmark: DataFrame,
+      minQuality: Double = 0.5,
+      maxOverlap: Int = 10): DataFrame = {
+    val curated = curatedCorpusFromClusters(docs, clusters, minQuality)
+    val decon = decontaminate(docs, benchmark, minOverlap = maxOverlap)
+    val pii = scrubPii(docs).select(col("doc_id"),
+      (col("n_emails") + col("n_urls") + col("n_phones")).as("n_pii"))
+    curated
+      .join(decon, "doc_id")
+      .join(pii, "doc_id")
+      .where(!col("contaminated"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        col("n_tokens"), col("n_overlap"), col("n_pii"))
+  }
+
   /** Benchmark decontamination: count, per corpus document, the distinct
     * word k-shingles it shares with ANY document of `benchmark`, and flag
     * docs at or above `minOverlap` — the standard eval-leakage guard a

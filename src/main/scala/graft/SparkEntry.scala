@@ -159,6 +159,10 @@ object SparkEntry {
     // sharded form: partitioned window → one prefix-sum reducer per source
     "pipeline_pack_by_source" -> ((s, d) =>
       Curation.packSequencesBy(Tables.documents(s, d)).orderBy("doc_id")),
+    // k-per-source deterministic sample through the custom bounded
+    // TypedImperativeAggregate (map-side k-fold, not a full window sort)
+    "pipeline_group_sample" -> ((s, d) =>
+      Curation.groupSample(Tables.documents(s, d)).orderBy("source", "doc_id")),
     // seeded Bernoulli sampling — not oracle-expressible → rows-only;
     // per-stratum tolerance is spec-anchored (OperatorsSpec)
     "pipeline_stratified_sample" -> ((s, d) =>
@@ -749,6 +753,14 @@ object SparkEntry {
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 10000
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_group_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3
+        |ORDER BY source, doc_id""".stripMargin,
     "text_term_stats" ->
       s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductExpr
+import graft.functions.{BottomKAgg, DotProductExpr}
 
 /** Builder/config-time extension wiring — the cluster deployment path for
   * graft's custom Catalyst expressions:
@@ -20,7 +20,7 @@ import graft.functions.DotProductExpr
   * fallback for sessions the driver harness creates without the conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
@@ -28,4 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot(arrayA, arrayB)")
         DotProductExpr(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bottom_k"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottom_k"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "graft_bottom_k(key, value, k)")
+        require(exprs(2).foldable, "graft_bottom_k's k must be a literal")
+        BottomKAgg(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }))
+  }
 }

@@ -16,5 +16,22 @@ object GraftFunctions {
         DotProductExpr(exprs.head, exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottom_k",
+      exprs => {
+        require(exprs.length == 3, "graft_bottom_k(key, value, k)")
+        BottomKAgg(exprs.head, exprs(1), literalK(exprs(2)))
+          .toAggregateExpression()
+      },
+      "scala_udf")
+  }
+
+  private def literalK(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable, "graft_bottom_k's k must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"k must be integral, got $other")
+    }
   }
 }

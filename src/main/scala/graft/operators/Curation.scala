@@ -184,6 +184,24 @@ object Curation {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic k-per-group sample via the bounded
+    * [[graft.functions.BottomKAgg]] aggregate: each group keeps the k
+    * documents with the smallest `md5(doc_id)` — hash order is
+    * uncorrelated with any data order, so this is a uniform sample, and
+    * it is reproducible across runs and engines. The aggregate folds
+    * map-side to k rows per group BEFORE the exchange (O(k) state), where
+    * the equivalent `row_number` window would shuffle and sort every row
+    * of every group — the difference that matters on billion-row groups.
+    */
+  def groupSample(docs: DataFrame, groupCol: String = "source", k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(groupCol), md5(col("doc_id").cast("string")).as("sk"), col("doc_id"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_bottom_k(sk, doc_id, $k)").as("ids"))
+      .select(col(groupCol), explode(col("ids")).as("doc_id"))
+  }
+
   /** Stratified sample over a key column with per-stratum fractions —
     * `df.stat.sampleBy` (seeded per-row Bernoulli, map-only, no shuffle):
     * the corpus re-balancing step (e.g. downsample a dominant language).

@@ -121,6 +121,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("groupSample keeps exactly k docs per group, stable across partitionings") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sampled = Curation.groupSample(docs, k = 3)
+    val perGroup = sampled.groupBy(col("source")).count().collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getLong(1) == 3))
+    // partial-agg merge correctness: a different partitioning must fold to
+    // the identical sample (the heap merge is order-insensitive)
+    val repart = Curation.groupSample(docs.repartition(7, col("doc_id")), k = 3)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(asSet(sampled) == asSet(repart))
+    // the SQL registration path resolves too
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("docs_gs")
+    val viaSql = spark.sql(
+      """SELECT source, explode(graft_bottom_k(md5(CAST(doc_id AS STRING)), doc_id, 3)) AS doc_id
+        |FROM docs_gs GROUP BY source""".stripMargin)
+    assert(asSet(viaSql) == asSet(sampled))
+  }
+
   test("scrubPii redacts synthetic emails, urls and phone numbers") {
     import spark.implicits._
     val docs = Seq(

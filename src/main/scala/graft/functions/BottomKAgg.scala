@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * per group (hash order is uncorrelated with any data order) — the
   * classic scalable group-sample. State is a max-heap of (key, value)
   * capped at k; merge folds heaps pairwise, so partial aggregation
-  * composes exactly.
+  * composes exactly. Spill serialization uses `writeUTF`, which bounds a
+  * single key at 64 KiB — ample for digest keys (md5 hex = 32 chars);
+  * pre-hash longer keys.
   */
 case class BottomKAgg(
     key: Expression,

@@ -159,6 +159,9 @@ object SparkEntry {
     // sharded form: partitioned window → one prefix-sum reducer per source
     "pipeline_pack_by_source" -> ((s, d) =>
       Curation.packSequencesBy(Tables.documents(s, d)).orderBy("doc_id")),
+    // temperature-weighted source mixing table (alpha=0.7 upsampling)
+    "pipeline_mixture_weights" -> ((s, d) =>
+      Curation.mixtureWeights(Tables.documents(s, d)).orderBy("source")),
     // k-per-source deterministic sample through the custom bounded
     // TypedImperativeAggregate (map-side k-fold, not a full window sort)
     "pipeline_group_sample" -> ((s, d) =>
@@ -753,6 +756,16 @@ object SparkEntry {
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 10000
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_mixture_weights" ->
+      s"""WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |             pow(CAST(sum(n) AS DOUBLE), 0.7) AS pw
+         |      FROM t GROUP BY source),
+         |z AS (SELECT sum(pw) AS z FROM g)
+         |SELECT source, n_docs, n_tokens,
+         |       ${graft.functions.OracleRound.duck("g.pw / z.z", 4)} AS weight
+         |FROM g CROSS JOIN z
+         |ORDER BY source""".stripMargin,
     "pipeline_group_sample" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

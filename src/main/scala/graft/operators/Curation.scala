@@ -184,6 +184,26 @@ object Curation {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Temperature-weighted source mixture: per source, document and token
+    * counts plus the sampling weight `tokens^alpha / Σ tokens^alpha` —
+    * the mixing table a multi-source corpus build publishes (alpha < 1
+    * upsamples small sources, the multilingual-sampling trick; alpha = 1
+    * is proportional). One partial-agg shuffle on source plus a broadcast
+    * single-row normalizer; weights rounded at the oracle edge (pow is
+    * the 1-ulp op here, same policy as ln in the LM scores).
+    */
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("pw", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val z = perSource.agg(sum(col("pw")).as("z"))
+    perSource.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.OracleRound.round4(col("pw") / col("z")).as("weight"))
+  }
+
   /** Deterministic k-per-group sample via the bounded
     * [[graft.functions.BottomKAgg]] aggregate: each group keeps the k
     * documents with the smallest `md5(doc_id)` — hash order is

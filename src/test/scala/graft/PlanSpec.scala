@@ -32,7 +32,7 @@ class PlanSpec extends AnyFunSuite {
   private val boundedNestedLoop = Set(
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
-    "sql_graft_dot")
+    "pipeline_mixture_weights", "sql_graft_dot")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query at the given SF and prints
   * one JSON line {"metric":"total",...} for the driver's bench gate.
@@ -14,9 +14,83 @@ import org.apache.spark.sql.SparkSession
   *  - the cache is cleared between runs so operator-persisted frames from
   *    one query can't inflate (memory pressure) or deflate (reuse) another;
   *  - queries run in sorted-name order so run-to-run comparisons are
-  *    apples-to-apples.
+  *    apples-to-apples;
+  *  - a run that THROWS is recorded in `errors` (exception class + message)
+  *    and its duration is EXCLUDED from the samples — a broken query must
+  *    surface as an error, never as a fast median (round-3 verdict).
   */
 object Bench {
+
+  /** Per-query timing stats over the successful runs only. */
+  final case class QueryStats(name: String, min: Double, median: Double,
+      max: Double, runs: Int)
+
+  /** One bench pass: interleaved rounds (q1..qN, q1..qN, ...) rather than
+    * back-to-back repeats of each query — a transient box stall then hits
+    * one sample of many queries instead of all samples of one, so the
+    * per-query median stays robust. Returns (stats for queries with ≥1
+    * successful run, first error message per failing query).
+    */
+  def measure(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      runs: Int): (Seq[QueryStats], Map[String, String]) = {
+    val names = queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to runs; name <- names) {
+      val fn = queries(name)
+      val t0 = System.nanoTime()
+      // full-result action: hash-fold every row AND column of the query
+      // output (same idiom as the warmup) so Catalyst cannot prune
+      // unevaluated projections — `count()` benched map-only queries
+      // (fingerprints, winnowing, decode checksums) as bare parquet scans.
+      // The fold is bit_xor, NOT sum: under ANSI mode (Spark 4 default)
+      // summing uniform random longs overflows with near-certainty on
+      // multi-row outputs, which the round-3 catch-all silently ate.
+      try {
+        fn(spark, sfDir).selectExpr("bit_xor(xxhash64(struct(*)))").collect()
+        samples(name) ::= (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+      // free operator-internal caches (the documented OpCache contract),
+      // then sweep defensively: clearCache() alone leaves checkpointed
+      // RDDs in the block manager, and their accumulation across runs
+      // degrades later measurements
+      graft.engine.OpCache.release(spark)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val stats = names.flatMap { name =>
+      val ts = samples(name).sorted
+      if (ts.isEmpty) None
+      else Some(QueryStats(name, ts.head, ts(ts.size / 2), ts.last, ts.size))
+    }
+    (stats, errors.toMap)
+  }
+
+  /** The driver-contract JSON line. `value` sums the medians of the
+    * SUCCESSFUL queries only; failing queries appear under "errors" and
+    * never contribute a (near-zero) failure time to the total.
+    */
+  def render(stats: Seq[QueryStats], errors: Map[String, String], sfDir: String): String = {
+    val qs = stats.map(s => s"""\"${s.name}\":${s.median}""").mkString("{", ",", "}")
+    val spread = stats.map { s =>
+      s""""${s.name}":{"min":${s.min},"median":${s.median},"max":${s.max},"runs":${s.runs}}"""
+    }.mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString("{", ",", "}")
+    val total = stats.map(_.median).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: bench runs at local[32] (TESTDATA.md) — default to
@@ -34,54 +108,20 @@ object Bench {
     // (count() would read only row-group metadata)
     graft.engine.Tables.names.foreach { t =>
       try graft.engine.Tables.load(spark, sfDir, t)
-        .selectExpr("sum(xxhash64(struct(*)))").collect()
+        .selectExpr("bit_xor(xxhash64(struct(*)))").collect()
       catch { case _: Throwable => }
     }
-    // INTERLEAVED rounds (q1..qN, q1..qN, ...) rather than back-to-back
-    // repeats of each query: a transient box stall then hits one sample of
-    // many queries instead of all samples of one, so the per-query median
-    // stays robust
     // optional comma-separated subset for local iteration (unset = all,
     // which is what the driver runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    for (_ <- 1 to runs; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // full-result action: hash-fold every row AND column of the query
-      // output (same idiom as the warmup) so Catalyst cannot prune
-      // unevaluated projections — `count()` benched map-only queries
-      // (fingerprints, winnowing, decode checksums) as bare parquet scans
-      try { fn(spark, sfDir).selectExpr("sum(xxhash64(struct(*)))").collect() }
-      catch { case _: Throwable => () }
-      samples(name) ::= (System.nanoTime() - t0) / 1e9
-      // free operator-internal caches (the documented OpCache contract),
-      // then sweep defensively: clearCache() alone leaves checkpointed
-      // RDDs in the block manager, and their accumulation across runs
-      // degrades later measurements
-      graft.engine.OpCache.release(spark)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val (stats, errors) = measure(spark, sfDir, queries, runs)
     // per-query {min, median, max, runs}: this box swings up to 10×
     // between windows (BASELINE.md), so a bare median is unfalsifiable —
     // the spread lets the gate tell noise from regression
-    val stats = names.map { name =>
-      val ts = samples(name).sorted
-      (name, ts.head, ts(ts.size / 2), ts.last, ts.size)
-    }
-    val qs = stats.map { case (k, _, med, _, _) => s"\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val spread = stats.map { case (k, mn, med, mx, n) =>
-      s""""$k":{"min":$mn,"median":$med,"max":$mx,"runs":$n}"""
-    }.mkString("{", ",", "}")
-    val total = stats.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(render(stats, errors, sfDir))
     spark.stop()
   }
 }

@@ -96,8 +96,12 @@ object SparkEntry {
         .orderBy("new_id", "old_id")),
     "dedup_simhash_sigs" -> ((s, d) =>
       Dedup.simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
+    // bucketCap opted in HERE (not a library default): bounds the hot-
+    // bucket self-join at template-flood scale, trading capped-bucket
+    // recall (1-(1-1/s)^4) for linear join size — see simhashBuckets doc
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+      Dedup.simhashPairs(Tables.documents(s, d), bucketCap = 10000)
+        .orderBy("doc_a", "doc_b")),
     // grid-blocked exact plan (equi-join per block-pair cell — no
     // nested-loop/cartesian); the naive all-pairs form is its spec-checked
     // verifier (DedupSpec, sf0.001)
@@ -609,11 +613,17 @@ object SparkEntry {
          |bsh AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0),
          |ov AS (SELECT s.doc_id, count(*) AS n_overlap
          |       FROM s JOIN bsh USING (sh) GROUP BY s.doc_id),
+         |piiu AS (SELECT doc_id, text,
+         |                regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g') AS t_url
+         |         FROM documents),
+         |piie AS (SELECT *,
+         |                regexp_replace(t_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t_email
+         |         FROM piiu),
          |pii AS (SELECT doc_id,
-         |        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+         |        CAST(len(regexp_extract_all(t_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
          |           + len(regexp_extract_all(text, 'https?://[^ ]+'))
-         |           + len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_pii
-         |        FROM documents)
+         |           + len(regexp_extract_all(t_email, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_pii
+         |        FROM piie)
          |SELECT c.doc_id, lp.lang_pred, qq.quality, qq.n_tokens,
          |       coalesce(ov.n_overlap, 0) AS n_overlap, pii.n_pii
          |FROM clus c
@@ -726,17 +736,21 @@ object SparkEntry {
          |       coalesce(o.n_overlap, 0) >= 10 AS contaminated
          |FROM documents d LEFT JOIN o USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // counts taken on the progressively redacted text (URL → email →
+    // phone), mirroring Curation.scrubPii: n_* = placeholders emitted
     "pipeline_scrub_pii" ->
-      """SELECT doc_id,
-        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+      """WITH u AS (SELECT doc_id, text,
+        |                  regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g') AS t_url
+        |           FROM documents),
+        |e AS (SELECT *,
+        |             regexp_replace(t_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t_email
+        |      FROM u)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
         |       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
-        |       CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_phones,
-        |       regexp_replace(
-        |         regexp_replace(
-        |           regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-        |         '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       CAST(len(regexp_extract_all(t_email, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_phones,
+        |       regexp_replace(t_email, '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM e ORDER BY doc_id""".stripMargin,
     "pipeline_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
          |m AS (SELECT doc_id,

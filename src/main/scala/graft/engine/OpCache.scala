@@ -26,11 +26,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cache hint. CacheSpec asserts the block manager is empty after each
   * SparkEntry query + release.
   *
-  * Registration is per-SparkSession and thread-safe; the
-  * before/after diff in [[checkpointWithHandle]] assumes one operator
-  * builds its plan at a time per session (true for every harness here —
-  * concurrent plan CONSTRUCTION would need finer RDD tracking, though
-  * concurrent EXECUTION of already-built plans is fine).
+  * Registration is per-SparkSession and thread-safe, and
+  * [[checkpointWithHandle]] derives its free handle from the checkpointed
+  * frame's own plan — concurrent operators in one session (the long-lived
+  * query-service deployment) can never free each other's blocks.
   */
 object OpCache {
 
@@ -56,19 +55,22 @@ object OpCache {
   /** Eager, lineage-cut materialization (`localCheckpoint`) returning the
     * checkpointed frame and a handle that frees exactly its blocks.
     * Dataset.localCheckpoint offers no unpersist path of its own (the
-    * blocks belong to an internal RDD), so the handle captures the RDDs
-    * that appeared in the block manager across the call. Freeing the
-    * handle makes the frame — and anything derived from it —
+    * blocks belong to an internal RDD), so the handle digs that RDD out of
+    * the returned frame's plan: a local checkpoint analyzes to a
+    * `LogicalRDD` leaf wrapping exactly the persisted RDD. Deriving the
+    * handle from the frame itself (not a before/after diff of the block
+    * manager) keeps concurrent plan construction in one session safe — two
+    * threads checkpointing at once each free only their own blocks.
+    * Freeing the handle makes the frame — and anything derived from it —
     * non-recomputable; free only superseded intermediates.
     */
   def checkpointWithHandle(df: DataFrame): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    val fresh = sc.getPersistentRDDs.collect {
-      case (id, rdd) if !before.contains(id) => rdd
-    }.toList
-    (out, () => fresh.foreach(_.unpersist(blocking = false)))
+    val rdds = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdds.nonEmpty, "localCheckpoint did not produce a LogicalRDD plan")
+    (out, () => rdds.foreach(_.unpersist(blocking = false)))
   }
 
   /** [[checkpointWithHandle]] with the free registered for [[release]] —

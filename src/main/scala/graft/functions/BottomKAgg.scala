@@ -5,10 +5,10 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded bottom-k aggregate: keeps the `k` values with the SMALLEST sort
@@ -26,9 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * per group (hash order is uncorrelated with any data order) — the
   * classic scalable group-sample. State is a max-heap of (key, value)
   * capped at k; merge folds heaps pairwise, so partial aggregation
-  * composes exactly. Spill serialization uses `writeUTF`, which bounds a
-  * single key at 64 KiB — ample for digest keys (md5 hex = 32 chars);
-  * pre-hash longer keys.
+  * composes exactly. Spill serialization length-prefixes each key's UTF-8
+  * bytes, so keys of ANY length round-trip (digest keys are still the
+  * sensible choice — the heap holds k full keys in memory per group).
+  * Input types are declared ([[ExpectsInputTypes]]): a non-string key or
+  * non-long value fails at ANALYSIS time, not as an executor-side
+  * ClassCastException.
   */
 case class BottomKAgg(
     key: Expression,
@@ -36,9 +39,13 @@ case class BottomKAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.PriorityQueue[(String, Long)]] {
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(String, Long)]]
+    with ExpectsInputTypes {
 
   require(k > 0, "graft_bottom_k needs k > 0")
+
+  // covariant narrowing: AbstractDataType is private[sql], DataType is not
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
 
   private def heapOrdering: Ordering[(String, Long)] =
     Ordering.by[(String, Long), (String, Long)](identity)(
@@ -79,7 +86,14 @@ case class BottomKAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, v) => out.writeUTF(s); out.writeLong(v) }
+    buf.foreach { case (s, v) =>
+      // length-prefixed UTF-8 (NOT writeUTF, whose 2-byte length field
+      // caps a key at 64 KiB and fails only at shuffle time)
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -88,7 +102,13 @@ case class BottomKAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
-    (1 to n).foreach(_ => buf.enqueue((in.readUTF(), in.readLong())))
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      buf.enqueue((s, in.readLong()))
+    }
     buf
   }
 

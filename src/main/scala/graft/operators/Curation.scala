@@ -139,23 +139,32 @@ object Curation {
     * reaches training. Map-only (counts and redaction are column
     * expressions over one scan; zero shuffle at any scale). The regexes
     * use only plain ASCII classes so Java (Spark) and RE2 (DuckDB oracle)
-    * agree; URLs are redacted before emails so a URL's userinfo@host form
-    * can't double-count.
+    * agree.
+    *
+    * Counts are taken on the PROGRESSIVELY redacted text, in redaction
+    * order (URL → email → phone): each n_* column counts exactly the
+    * matches its redaction pass replaces, so an email or phone embedded
+    * inside a URL is neither double-counted nor counted-but-swallowed —
+    * the n_* columns always sum to the number of placeholder tokens in
+    * `scrubbed`.
     */
   def scrubPii(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
     val url = "https?://[^ ]+"
     val phone = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
-    docs.select(
-      col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
-      size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), url, "<URL>"),
-          email, "<EMAIL>"),
-        phone, "<PHONE>").as("scrubbed"))
+    // stage the intermediate redactions as attributes so each regex runs
+    // once per row (inlining would re-run the URL pass per consumer)
+    docs
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), url, "<URL>").as("t_url"))
+      .select(col("doc_id"), col("text"), col("t_url"),
+        regexp_replace(col("t_url"), email, "<EMAIL>").as("t_email"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t_url"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("t_email"), lit(phone), lit(0))).as("n_phones"),
+        regexp_replace(col("t_email"), phone, "<PHONE>").as("scrubbed"))
   }
 
   /** Token-budget corpus selection: rank documents by the composite

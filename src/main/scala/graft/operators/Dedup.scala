@@ -299,10 +299,14 @@ object Dedup {
     * 1−(1−1/s)⁴ — and exact-duplicate floods, the usual cause of
     * degenerate buckets, belong to [[exactDedup]] upstream of any simhash
     * pass. Buckets at or under the cap keep salt 0 and the pigeonhole
-    * guarantee exactly as before; `bucketCap = Int.MaxValue` disables
-    * capping.
+    * guarantee exactly as before.
+    *
+    * The DEFAULT is `Int.MaxValue` — exact pigeonhole recall, no capping.
+    * Capping trades hot-bucket recall for bounded join size, so it is an
+    * explicit opt-in at scale-sensitive call sites (SparkEntry's
+    * dedup_simhash_pairs passes 10000), never a silent behavior change.
     */
-  def simhashBuckets(docs: DataFrame, bucketCap: Int = 10000): DataFrame = {
+  def simhashBuckets(docs: DataFrame, bucketCap: Int = Int.MaxValue): DataFrame = {
     // signatures feed the band explode once; the banded frame then feeds
     // the bucket-size agg AND the salted output — materialize both stages
     val sigs = OpCache.materialize(simhashSignatures(docs))
@@ -336,7 +340,7 @@ object Dedup {
     * [[simhashBuckets]], with the hamming distance attached (unfiltered —
     * [[simhashPairs]] applies the threshold).
     */
-  def simhashCandidates(docs: DataFrame, bucketCap: Int = 10000): DataFrame = {
+  def simhashCandidates(docs: DataFrame, bucketCap: Int = Int.MaxValue): DataFrame = {
     val banded = simhashBuckets(docs, bucketCap)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -353,7 +357,7 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 5,
-      bucketCap: Int = 10000): DataFrame =
+      bucketCap: Int = Int.MaxValue): DataFrame =
     simhashCandidates(docs, bucketCap).where(col("hamming") <= maxHamming)
 
   /** Near-dup clusters over the exact jaccard pair graph: candidate pairs

@@ -147,7 +147,10 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "contact me at jane.doe@example.com or on 555-123-4567 today"),
       (2L, "see https://example.com/path?q=1 for details"),
-      (3L, "clean text with no pii at all")
+      (3L, "clean text with no pii at all"),
+      // email inside a URL: swallowed by the URL pass, so it must count
+      // as a URL (not an email) — counts equal redactions by construction
+      (4L, "auth at https://jane.doe@example.com/login please")
     ).toDF("doc_id", "text")
     val out = Curation.scrubPii(docs).orderBy("doc_id").collect()
     assert(out(0).getInt(1) == 1 && out(0).getInt(3) == 1) // email + phone
@@ -157,6 +160,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getString(4) == "see <URL> for details")
     assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0 &&
       out(2).getInt(3) == 0 && out(2).getString(4) == out(2).getString(4))
+    assert(out(3).getInt(1) == 0 && out(3).getInt(2) == 1 && out(3).getInt(3) == 0)
+    assert(out(3).getString(4) == "auth at <URL> please")
   }
 
   test("decontaminate flags benchmark overlap and spares disjoint docs") {

@@ -124,6 +124,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_bottom_k keys beyond 64 KiB survive the spill round-trip") {
+    // writeUTF's 2-byte length field capped keys at 64 KiB and failed only
+    // at shuffle time; serialization is now length-prefixed UTF-8, so a
+    // 100 KiB key must round-trip through partial-agg serialize/merge
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val big = "x" * 100000
+    val rows = (1L to 40L).map(i => (i % 2, f"$big${100 - i}%03d", i))
+    val got = rows.toDF("g", "k", "v")
+      .repartition(8) // force serialized partial buffers across tasks
+      .groupBy("g").agg(expr("graft_bottom_k(k, v, 2)").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // keys share the huge prefix and sort by the zero-padded (100 - i)
+    // suffix, so each group's smallest keys belong to its LARGEST i values
+    assert(got(0L) == List(40L, 38L) && got(1L) == List(39L, 37L))
+  }
+
+  test("graft_bottom_k rejects mis-typed arguments at analysis time") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1, 2)).toDF("a", "b")
+    df.createOrReplaceTempView("bk_types")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      // int key (not string), int value (not long): must fail in analysis,
+      // not as an executor-side ClassCastException
+      spark.sql("SELECT graft_bottom_k(a, b, 2) FROM bk_types").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("ensureParallelism rejects post-shuffle frames before running any job") {
+    import spark.implicits._
+    val shuffled = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Partitioning.ensureParallelism(shuffled, col("doc_id"))
+    }
+    assert(e.getMessage.contains("scan-only"))
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore, "the rejected probe must not run a hidden job")
+    // and the legitimate shape — scan + map-side ops — still passes
+    val ok = graft.engine.Partitioning.ensureParallelism(
+      Seq((1L, "a")).toDF("doc_id", "text").where(col("doc_id") > 0), col("doc_id"))
+    assert(ok.count() == 1)
+  }
+
   test("RSVP schema nullability: corrupt JSON yields null struct, not a crash") {
     import spark.implicits._
     val bad = Seq("{not json", """{"rsvp_id": "str"}""", "")

@@ -143,9 +143,15 @@ object SparkEntry {
     // redaction behavior is spec-anchored in OperatorsSpec)
     "pipeline_scrub_pii" -> ((s, d) =>
       Curation.scrubPii(Tables.documents(s, d)).orderBy("doc_id")),
-    // best-quality prefix under a token budget (corpus assembly step)
+    // best-quality prefix under a token budget (corpus assembly step);
+    // exact distributed prefix sum (GlobalOrder) — no global window
     "pipeline_token_budget" -> ((s, d) =>
       Curation.tokenBudgetSelect(Tables.documents(s, d), 10000L)
+        .orderBy("doc_id")),
+    // per-source budgets through a partitioned window — one prefix-sum
+    // reducer per shard, the production corpus-mix shape
+    "pipeline_budget_by_source" -> ((s, d) =>
+      Curation.tokenBudgetSelectBy(Tables.documents(s, d), "source", 3000L)
         .orderBy("doc_id")),
     // composed end-to-end curation: language ID + quality gate + near-dup
     // canonical selection + token accounting in one declarative plan
@@ -769,6 +775,25 @@ object SparkEntry {
          |FROM q)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 10000
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_budget_by_source" ->
+      s"""WITH t AS (SELECT source, doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT source, doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       floor(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+         |       floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_ratio
+         |FROM t),
+         |q AS (SELECT source, doc_id, n_tokens,
+         |       floor((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+         |             + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+         |             + distinct_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+         |FROM m),
+         |c AS (SELECT source, doc_id, quality, n_tokens,
+         |       CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM q)
+         |SELECT source, doc_id, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < 3000
          |ORDER BY doc_id""".stripMargin,
     "pipeline_mixture_weights" ->
       s"""WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),

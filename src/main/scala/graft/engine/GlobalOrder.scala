@@ -1,0 +1,81 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact global-order primitives.
+  *
+  * `Window.orderBy(...)` with no partition spec is Spark's one
+  * non-scalable window: the whole input serializes through a single
+  * reducer. But an exact global running sum (and therefore an exact global
+  * rank) does not need one — the classic distributed prefix-sum topology
+  * is:
+  *
+  *  1. range-repartition by the sort key (a wide exchange, sampling-based
+  *     bounds — the same machinery as a distributed ORDER BY);
+  *  2. run the running sum per partition (`Window.partitionBy(pid)` — one
+  *     reducer PER PARTITION, i.e. full parallelism);
+  *  3. add each partition's exclusive offset, computed from a
+  *     partition-count-sized aggregate (≤ `defaultParallelism` rows) that
+  *     broadcasts.
+  *
+  * The only unpartitioned window left runs over that bounded offset table
+  * — rows = shuffle partitions, never corpus-sized (PlanSpec asserts
+  * exactly this shape). Results are EXACT and identical to the
+  * single-reducer form: range partitioning totally orders rows across
+  * partitions, and the per-partition layout cancels out of the final sum.
+  */
+object GlobalOrder {
+
+  /** Internal partition-id column; PlanSpec keys its unpartitioned-window
+    * allowance on aggregates grouping by this name.
+    */
+  val PidCol = "__gpid"
+
+  /** `df` plus column `out` = running sum of `value` over the GLOBAL order
+    * given by `order` (inclusive of the current row) — semantically
+    * `sum(value).over(Window.orderBy(order).rowsBetween(unboundedPreceding,
+    * currentRow))`, but computed with the distributed topology above.
+    * `order` must be a total order (tie-break on a unique key) for the
+    * result to be well-defined.
+    *
+    * With `value = lit(1L)`, `out` is the exact global 1-based rank.
+    *
+    * The range-partitioned frame is materialized (OpCache — caller
+    * releases) so its partition ids stay consistent between the offset
+    * aggregate and the main pass.
+    */
+  def withPrefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val parts = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val parted = OpCache.materialize(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn(PidCol, spark_partition_id()))
+    // exclusive per-partition offsets: ≤ `parts` rows, so the
+    // unpartitioned window here is bounded by the cluster, not the data
+    val wOff = Window.orderBy(col(PidCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted
+      .groupBy(col(PidCol))
+      .agg(sum(value).as("__psum"))
+      .select(col(PidCol),
+        coalesce(sum(col("__psum")).over(wOff), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy(col(PidCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offsets), PidCol)
+      .withColumn(out, (col("__off") + sum(value).over(wLocal)).cast("long"))
+      .drop(PidCol, "__off")
+  }
+
+  /** Exact global 1-based rank over `order` (a total order), distributed.
+    * Equivalent to `row_number().over(Window.orderBy(order: _*))` as long —
+    * without the single reducer.
+    */
+  def withGlobalRank(df: DataFrame, order: Seq[Column], out: String): DataFrame =
+    withPrefixSum(df, order, lit(1L), out)
+}

@@ -174,23 +174,50 @@ object Curation {
     * corpus build. A document that straddles the boundary is kept iff it
     * starts inside the budget (same convention as [[packSequences]] bins).
     *
-    * Scale note: like [[packSequences]], the global quality-ordered prefix
-    * sum is one window reducer — per-shard budgets
-    * (`Window.partitionBy(source)`) are the form for a full corpus; the
-    * global form matches how final mixes are cut within a shard.
+    * Scale shape: the quality-ordered prefix sum runs through
+    * [[graft.engine.GlobalOrder.withPrefixSum]] — a range exchange plus
+    * per-partition windows and a broadcast offset table — NOT a global
+    * single-reducer `Window.orderBy` (the round-3 scale-killer). Exact
+    * same result, full parallelism. For per-shard budgets use
+    * [[tokenBudgetSelectBy]].
     */
   def tokenBudgetSelect(docs: DataFrame, tokenBudget: Long = 100000L): DataFrame = {
-    val w = Window.orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Partitioning.ensureParallelism(docs, col("doc_id"))
+    val scored = Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
         size(col("toks")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    graft.engine.GlobalOrder.withPrefixSum(scored,
+        Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
       .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** [[tokenBudgetSelect]] sharded by a key column (e.g. `source`): each
+    * shard keeps its own best-quality prefix under `budgetPerShard` through
+    * a PARTITIONED window — one prefix-sum reducer per shard. This is the
+    * production corpus-mix shape (budgets are normally set per source by
+    * the mixture table, not globally), complementing the distributed
+    * global form.
+    */
+  def tokenBudgetSelectBy(
+      docs: DataFrame,
+      shardCol: String = "source",
+      budgetPerShard: Long = 20000L): DataFrame = {
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col(shardCol), col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col(shardCol), col("doc_id"),
+        TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
+        size(col("toks")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < budgetPerShard)
+      .select(col(shardCol), col("doc_id"), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
   }
 
   /** Temperature-weighted source mixture: per source, document and token
@@ -249,22 +276,20 @@ object Curation {
     * doc_id order) to fixed token-budget bins by cumulative token count —
     * bin = floor((cumsum − n_tokens) / budget), i.e. a doc starts a new
     * bin when the running total crosses the budget. The streaming-friendly
-    * greedy packer every LLM data pipeline ships; exact bin boundaries are
-    * a single prefix-sum (window) over the corpus order.
+    * greedy packer every LLM data pipeline ships.
     *
-    * Scale note: the unpartitioned ORDER BY doc_id window is a single-
-    * reducer prefix sum — fine into the millions of docs per packing
-    * shard; at the 100 TB corpus level, call this per shard/partition key
-    * (e.g. per source) so each shard packs independently, exactly how
-    * production packing runs (bins never span shards anyway).
+    * Scale shape: the doc_id-ordered prefix sum runs through
+    * [[graft.engine.GlobalOrder.withPrefixSum]] (range exchange +
+    * per-partition windows + broadcast offsets) — no single-reducer global
+    * window. [[packSequencesBy]] remains the per-shard form when bins
+    * should not span sources.
     */
   def packSequences(docs: DataFrame, tokenBudget: Int = 2048): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Partitioning.ensureParallelism(docs, col("doc_id"))
+    val counted = Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    graft.engine.GlobalOrder.withPrefixSum(counted,
+        Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
       .select(
         col("doc_id"), col("n_tokens"), col("cum_tokens"),
         floor((col("cum_tokens") - col("n_tokens")) / tokenBudget)

@@ -261,18 +261,36 @@ object TextAnalysis {
   /** Quality-decile telemetry: documents ranked by composite quality
     * (doc_id tie-break) and cut into ten equal-count buckets — the
     * monitoring table a corpus build publishes per snapshot so
-    * distribution drift is visible release-over-release. The global ntile
-    * is one window reducer (fine for a telemetry pass; shard it by source
-    * like [[graft.operators.Curation.packSequencesBy]] when per-source
-    * drift matters).
+    * distribution drift is visible release-over-release.
+    *
+    * Scale shape: a global `ntile(10)` is one window reducer, so the
+    * decile is instead derived from the EXACT distributed global rank
+    * ([[graft.engine.GlobalOrder.withGlobalRank]]: range exchange +
+    * per-partition windows + broadcast offsets) and ntile's own bucket
+    * arithmetic — with N rows, the first N mod 10 buckets take
+    * ceil(N/10) rows, the rest floor(N/10). Bit-identical to
+    * `ntile(10) OVER (ORDER BY quality, doc_id)` (the DuckDB oracle keeps
+    * that form), at full parallelism.
     */
   def qualityDeciles(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("quality"), col("doc_id"))
-    graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+    val scored = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), qualityOf(col("text"), col("toks")).as("quality"))
-      .withColumn("decile", ntile(10).over(w))
+    val ranked = graft.engine.GlobalOrder.withGlobalRank(scored,
+      Seq(col("quality"), col("doc_id")), "rank")
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    // ntile(10) closed form over the exact rank: big buckets (size q+1)
+    // first, then small ones (size q). CaseWhen short-circuits, so the
+    // q = 0 division in the otherwise-branch is unreachable when N < 10.
+    val q = col("n_total").cast("long") / 10L
+    val r = col("n_total") % 10
+    val bigSpan = r * (floor(q) + 1)
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        when(col("rank") <= bigSpan,
+          floor((col("rank") - 1) / (floor(q) + 1)) + 1)
+          .otherwise(r + floor((col("rank") - bigSpan - 1) / floor(q)) + 1)
+          .cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("quality")).as("min_quality"),

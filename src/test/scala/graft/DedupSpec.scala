@@ -203,6 +203,20 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"capped simhash recall $recall too low")
   }
 
+  test("shared cluster table equals the live computation and computes once") {
+    val docs = Tables.documents(spark, sf)
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val key = s"dedupspec-${System.nanoTime()}" // fresh memo entry
+    val first = Dedup.sharedNearDupClusters(docs, cacheKey = key)
+    assert(toMap(first) == toMap(Dedup.nearDupClusters(docs)))
+    // second call must READ the published table, not recompute: same
+    // parquet files back both frames
+    val second = Dedup.sharedNearDupClusters(docs, cacheKey = key)
+    assert(first.inputFiles.nonEmpty &&
+      first.inputFiles.toSet == second.inputFiles.toSet)
+  }
+
   test("clusters from LSH pairs match clusters from exact pairs") {
     val docs = Tables.documents(spark, sf)
     def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

@@ -85,8 +85,12 @@ object SparkEntry {
       Dedup.exactDedup(Tables.documents(s, d)).orderBy("keep_id")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    // LSH candidates verified with the EXACT shingle jaccard: the result
+    // is exactPairs ∩ candidates, so with banding recall 1.0 (DedupSpec
+    // measures it) the DuckDB exact-pair oracle value-checks this path
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+      Dedup.minhashLshVerifiedPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
     // incremental shape: dedup a "new crawl" (every 5th doc) against the
     // rest of the corpus without re-clustering it
     "dedup_cross_corpus" -> ((s, d) =>
@@ -501,24 +505,12 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, md5($duckNorm) AS fp_exact FROM documents)
          |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp_exact
          |FROM t GROUP BY fp_exact ORDER BY keep_id""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-         |                                   for i in range(1, len(toks) - 1)])) AS sh
-         |      FROM t),
-         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |      GROUP BY a.doc_id, b.doc_id)
-         |SELECT * FROM (
-         |  SELECT doc_a, doc_b,
-         |         CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
-         |  FROM p
-         |  JOIN sz na ON na.doc_id = doc_a
-         |  JOIN sz nb ON nb.doc_id = doc_b)
-         |WHERE jaccard >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> exactJaccardOracle,
+    // same oracle as dedup_ngram_jaccard: the LSH path's exact-jaccard
+    // verification makes its result exactPairs ∩ candidates, and banding
+    // recall is 1.0 on this corpus (DedupSpec) — so the exact pair set IS
+    // the expected value
+    "dedup_minhash_lsh" -> exactJaccardOracle,
     "dedup_cross_corpus" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |s AS (SELECT doc_id,
@@ -538,10 +530,11 @@ object SparkEntry {
          |  JOIN sz nb ON nb.doc_id = old_id)
          |WHERE jaccard >= 0.5
          |ORDER BY new_id, old_id""".stripMargin,
-    // dedup_minhash_lsh / dedup_simhash_* : xxhash64-based signatures are
-    // not DuckDB-expressible → rows-only checks; their correctness is
-    // anchored by DedupSpec comparing LSH candidates against the exact
-    // (oracle-checked) dedup_ngram_jaccard pairs.
+    // dedup_simhash_* : xxhash64-based signatures are not
+    // DuckDB-expressible → rows-only checks; their correctness is
+    // anchored by DedupSpec comparing candidates against the exact
+    // (oracle-checked) dedup_ngram_jaccard pairs. dedup_minhash_lsh IS
+    // oracle-checked (exact verification stage — see above).
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
@@ -986,6 +979,30 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
+
+  /** Exact word-shingle jaccard pairs (threshold 0.5) — the oracle for
+    * BOTH dedup_ngram_jaccard (computes exactly this) and
+    * dedup_minhash_lsh (LSH candidates + exact verification ≡ the same
+    * set at banding recall 1.0).
+    */
+  private def exactJaccardOracle: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                                   for i in range(1, len(toks) - 1)])) AS sh
+       |      FROM t),
+       |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |         CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+       |  FROM p
+       |  JOIN sz na ON na.doc_id = doc_a
+       |  JOIN sz nb ON nb.doc_id = doc_b)
+       |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB expression for TextAnalysis.normalize / tokens (kept adjacent to
     * the Spark definitions so the two dialects stay in lock-step).

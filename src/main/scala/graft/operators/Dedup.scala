@@ -258,6 +258,67 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash LSH with EXACT verification: band-bucket candidates (the same
+    * generator as [[minhashLshPairs]]) verified by the exact shingle-set
+    * jaccard instead of the signature estimate. The output is provably
+    * `exactPairs ∩ lshCandidates` — so wherever banding recall is 1.0 (the
+    * planted near-dup regime these parameters target; DedupSpec measures
+    * it), the result is value-identical to [[ngramJaccardPairs]] and the
+    * DuckDB oracle checks it EXACTLY, upgrading the LSH path from a
+    * rows-only to a hash-checked query.
+    *
+    * Scale shape: identical to the estimate form plus one equi-join per
+    * candidate against the materialized shingle sets (slim: two longs per
+    * posting) — candidates stay bounded by bucket size, never all-pairs.
+    */
+  def minhashLshVerifiedPairs(
+      docs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // one shingle-set materialization feeds signatures AND both verify sides
+    val base = OpCache.materialize(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(transform(shinglesOf(col("toks"), k),
+            s => xxhash64(s))).as("shs")))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sigs = base
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val bandStructs = array((0 until bands).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        xxhash64((0 until rows).map(r =>
+          element_at(col("sig"), bnd * rows + r + 1)): _*).as("bh"))
+    }: _*)
+    val banded = sigs
+      .select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash signatures: per-token xxhash64, each bit votes ±1
     * weighted by term frequency; the signature bit is the vote's sign.
     * Explode + 64 partial-agg sums — one pass, map-side combinable.

@@ -203,6 +203,16 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"capped simhash recall $recall too low")
   }
 
+  test("verified minhash LSH pairs are value-identical to exact jaccard") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same pair set AND same jaccard values (both sides compute the exact
+    // shingle jaccard; banding recall is 1.0 on the planted structure)
+    assert(rows(Dedup.minhashLshVerifiedPairs(docs)) ==
+      rows(Dedup.ngramJaccardPairs(docs)))
+  }
+
   test("shared cluster table equals the live computation and computes once") {
     val docs = Tables.documents(spark, sf)
     def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

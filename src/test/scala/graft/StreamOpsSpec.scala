@@ -158,6 +158,57 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream dedup state survives a checkpointed restart (RocksDB)") {
+    // the production continuous-ingestion contract: stop the curation
+    // stream, restart from the checkpoint, and (a) committed output is not
+    // re-emitted, (b) the dropDuplicatesWithinWatermark fingerprint state
+    // still suppresses an exact dup that arrives AFTER the restart
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val srcDir = tmp("graft-curate-src")
+    val outDir = tmp("graft-curate-out")
+    val ckpt = tmp("graft-curate-ckpt")
+    val good = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val other = "a completely different well formed english sentence with many unique words inside it"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mkDf = (rows: Seq[(Long, Timestamp, String)]) =>
+        rows.toDF("doc_id", "ts", "text")
+      val schema = mkDf(Seq.empty).schema
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).json(srcDir)
+        val q = StreamOps.curateStream(stream).writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      mkDf(Seq((1L, ts("2024-01-01 00:00:01"), good)))
+        .write.mode("overwrite").json(srcDir)
+      runOnce()
+      val ids1 = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids1 == Set(1L), s"first run should emit doc 1, got $ids1")
+      // restart input: an exact dup of doc 1 (within the 10 min watermark
+      // horizon) plus a genuinely new doc
+      mkDf(Seq(
+        (2L, ts("2024-01-01 00:00:05"), good),
+        (3L, ts("2024-01-01 00:00:06"), other)))
+        .write.mode("append").json(srcDir)
+      runOnce()
+      val ids2 = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids2 == Seq(1L, 3L),
+        s"restart must suppress the dup (2) and keep 1,3 exactly once: $ids2")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize closes a session after the idle gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -129,9 +129,18 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d)).orderBy("doc_id", "term")),
-    // corpus quality-distribution telemetry (equal-count deciles)
+    // corpus quality-distribution telemetry (equal-count deciles; exact
+    // distributed ntile via GlobalOrder — no global window)
     "text_quality_deciles" -> ((s, d) =>
       TextAnalysis.qualityDeciles(Tables.documents(s, d)).orderBy("decile")),
+    // per-source deciles: partitioned ntile, one reducer per shard
+    "text_deciles_by_source" -> ((s, d) =>
+      TextAnalysis.qualityDecilesBySource(Tables.documents(s, d))
+        .orderBy("source", "decile")),
+    // CCNet-style head/middle/tail perplexity split over the corpus-self
+    // unigram LM (exact distributed ntile)
+    "text_nll_buckets" -> ((s, d) =>
+      TextAnalysis.nllBuckets(Tables.documents(s, d)).orderBy("doc_id")),
     // corpus-self unigram LM scoring (perplexity-gate building block)
     "text_unigram_nll" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")),
@@ -178,6 +187,11 @@ object SparkEntry {
       Curation.releaseGate(docs, Dedup.sharedNearDupClusters(docs, cacheKey = d),
         docs.where(col("doc_id") % 50 === 0)).orderBy("doc_id")
     }),
+    // sliding-window passage chunking (RAG / training-window split);
+    // map-only explode, zero shuffle
+    "pipeline_chunk_docs" -> ((s, d) =>
+      Curation.chunkDocuments(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_idx")),
     "pipeline_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     // sharded form: partitioned window → one prefix-sum reducer per source
@@ -210,6 +224,12 @@ object SparkEntry {
     // ── similarity search (LLM-pipeline operators) ──────────────────────
     "sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+    // k-NN majority-label vote over the exact top-k (embedding eval)
+    "sim_knn_label" -> ((s, d) =>
+      Similarity.knnLabel(Tables.embeddings(s, d)).orderBy("query_id")),
+    // connected components over the exact blocked cosine pair graph
+    "dedup_embedding_clusters" -> ((s, d) =>
+      Dedup.embeddingNearDupClusters(Tables.embeddings(s, d)).orderBy("vec_id")),
     "sim_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     "sim_ivf_topk" -> ((s, d) =>
@@ -670,6 +690,39 @@ object SparkEntry {
          |       min(quality) AS min_quality, max(quality) AS max_quality
          |FROM d GROUP BY decile
          |ORDER BY decile""".stripMargin,
+    "text_deciles_by_source" ->
+      s"""WITH t AS (SELECT source, doc_id, text, $duckToks AS toks FROM documents),
+         |m AS (SELECT source, doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       floor(((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+         |       floor((len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS distinct_ratio
+         |FROM t),
+         |q AS (SELECT source, doc_id,
+         |       floor((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+         |             + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+         |             + distinct_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+         |FROM m),
+         |d AS (SELECT source, quality,
+         |             ntile(10) OVER (PARTITION BY source ORDER BY quality, doc_id) AS decile
+         |      FROM q)
+         |SELECT source, CAST(decile AS INTEGER) AS decile, count(*) AS n_docs,
+         |       min(quality) AS min_quality, max(quality) AS max_quality
+         |FROM d GROUP BY source, decile
+         |ORDER BY source, decile""".stripMargin,
+    "text_nll_buckets" ->
+      s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |m AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM f GROUP BY term),
+         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM m),
+         |nll AS (SELECT f.doc_id,
+         |       ${graft.functions.OracleRound.duck(
+               "-(sum(CAST(f.tf AS DOUBLE) * ln(CAST(m.cf AS DOUBLE) / CAST(tot.total AS DOUBLE))) " +
+                 "/ CAST(sum(f.tf) AS DOUBLE))", 4)} AS nll
+         |FROM f JOIN m USING (term) CROSS JOIN tot
+         |GROUP BY f.doc_id)
+         |SELECT doc_id, nll,
+         |       CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INTEGER) AS bucket
+         |FROM nll ORDER BY doc_id""".stripMargin,
     "text_unigram_nll" ->
       s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
@@ -798,6 +851,61 @@ object SparkEntry {
          |SELECT source, doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 3000
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |             unnest(range(0, CAST(floor((len(toks) - 1) / 48.0) AS INTEGER) + 1)) AS chunk_idx
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id,
+         |       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |       CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INTEGER) AS n_chunk_tokens,
+         |       array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "sim_knn_label" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id, n.label,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM n JOIN q ON n.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, label FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY cosine DESC, vec_id) AS rank
+        |        FROM s)
+        |      WHERE rank <= 5),
+        |v AS (SELECT query_id, label, count(*) AS votes
+        |      FROM r GROUP BY query_id, label)
+        |SELECT query_id, CAST(label AS INTEGER) AS pred_label, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY votes DESC, label) AS rn
+        |  FROM v)
+        |WHERE rn = 1
+        |ORDER BY query_id""".stripMargin,
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |p AS (SELECT * FROM (
+        |        SELECT a.vec_id AS va, b.vec_id AS vb,
+        |               list_reduce([a.v[i] * b.v[i] for i in range(1, 1 + len(a.v))],
+        |                           (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        |        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |      WHERE cosine >= 0.45),
+        |edges AS (SELECT va AS u, vb AS v FROM p
+        |          UNION ALL SELECT vb, va FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u)
+        |SELECT emb.vec_id, coalesce(min(r.v), emb.vec_id) AS cluster_id
+        |FROM embeddings emb LEFT JOIN reach r ON r.u = emb.vec_id
+        |GROUP BY emb.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
     "pipeline_mixture_weights" ->
       s"""WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
          |g AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,

@@ -78,4 +78,29 @@ object GlobalOrder {
     */
   def withGlobalRank(df: DataFrame, order: Seq[Column], out: String): DataFrame =
     withPrefixSum(df, order, lit(1L), out)
+
+  /** Exact distributed `ntile(n) OVER (ORDER BY order)` as an int column:
+    * the global rank from [[withGlobalRank]] plus ntile's closed-form
+    * bucket arithmetic — with N rows, the first N mod n buckets take
+    * ceil(N/n) rows, the rest floor(N/n). Bit-identical to the
+    * single-reducer window form at full parallelism; the row count
+    * arrives as a broadcast single-row aggregate (fully lazy).
+    */
+  def withNtile(df: DataFrame, order: Seq[Column], n: Int, out: String): DataFrame = {
+    require(n > 0, "ntile needs n > 0")
+    val ranked = withGlobalRank(df, order, "__grank")
+    val tot = ranked.agg(count(lit(1)).as("__gn"))
+    val q = floor(col("__gn") / n) // base bucket size
+    val r = col("__gn") % n        // buckets that take one extra row
+    val bigSpan = r * (q + 1)
+    // CaseWhen short-circuits, so the q = 0 division in the
+    // otherwise-branch is unreachable when N < n
+    ranked.crossJoin(broadcast(tot))
+      .withColumn(out,
+        when(col("__grank") <= bigSpan,
+          floor((col("__grank") - 1) / (q + 1)) + 1)
+          .otherwise(r + floor((col("__grank") - bigSpan - 1) / q) + 1)
+          .cast("int"))
+      .drop("__grank", "__gn")
+  }
 }

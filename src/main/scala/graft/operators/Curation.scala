@@ -258,6 +258,34 @@ object Curation {
       .select(col(groupCol), explode(col("ids")).as("doc_id"))
   }
 
+  /** Passage chunking for RAG / training-window construction: split each
+    * document's token stream into fixed-size windows of `chunkTokens`
+    * tokens advancing by `stride` (overlap = chunkTokens − stride), the
+    * standard sliding-window passage splitter. Chunk i covers token
+    * positions [i·stride + 1, i·stride + chunkTokens]; the final chunk is
+    * whatever remains (shorter), and a chunk starts wherever a token
+    * exists, so every token lands in ≥ 1 chunk. Zero-token docs emit no
+    * chunks. Map-only: tokenize → per-row explode — zero shuffle at any
+    * scale, and the chunk count per doc is n/stride (bounded fan-out).
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be > 0")
+    Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   /** Stratified sample over a key column with per-stratum fractions —
     * `df.stat.sampleBy` (seeded per-row Bernoulli, map-only, no shuffle):
     * the corpus re-balancing step (e.g. downsample a dominant language).

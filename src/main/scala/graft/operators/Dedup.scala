@@ -595,6 +595,24 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Embedding near-dup clusters: connected components over the exact
+    * grid-blocked cosine pair graph ([[embeddingCosinePairsBlocked]] →
+    * [[clustersFromPairs]]) — "which vectors are the same content",
+    * canonical member = smallest vec_id. The embedding-side twin of
+    * [[nearDupClusters]]; at the extreme-scale/near-dup regime swap the
+    * pair source for [[embeddingNearDupPairs]] (sign-LSH), same cluster
+    * machinery.
+    */
+  def embeddingNearDupClusters(
+      embeddings: DataFrame,
+      threshold: Double = 0.45,
+      blocks: Int = 16): DataFrame =
+    clustersFromPairs(
+      embeddings.select(col("vec_id").as("doc_id")),
+      embeddingCosinePairsBlocked(embeddings, threshold, blocks)
+        .select(col("vec_a"), col("vec_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   /** Embedding near-dup via sign-LSH: bucket candidates (vectors sharing a
     * (table, bucket) cell for ANY of `tables` hyperplane tables) verified
     * by exact cosine ≥ threshold. The bucket join is an equi-join on

@@ -51,6 +51,30 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** k-NN label vote — the consumer side of the ANN surface: each query's
+    * predicted label is the majority label among its exact top-k
+    * neighbors (vote ties broken by the smaller label; the neighbor set
+    * is [[bruteForceTopK]]'s, so the vote inherits its oracle check).
+    * The classic embedding-quality eval a pipeline runs after computing
+    * embeddings: label agreement of nearest neighbors. Scale shape: the
+    * vote is a k·numQueries-row aggregate over the top-k output plus one
+    * broadcast-sized label join — the corpus-side cost is bruteForceTopK's
+    * (or any ANN variant swapped in its place).
+    */
+  def knnLabel(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val topk = bruteForceTopK(embeddings, numQueries, k)
+    val votes = topk
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Deterministic random hyperplanes: `tables` × `bits` planes of `dim`
     * gaussian components, fixed seed.
     */

@@ -276,26 +276,47 @@ object TextAnalysis {
     val scored = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), qualityOf(col("text"), col("toks")).as("quality"))
-    val ranked = graft.engine.GlobalOrder.withGlobalRank(scored,
-      Seq(col("quality"), col("doc_id")), "rank")
-    val n = ranked.agg(count(lit(1)).as("n_total"))
-    // ntile(10) closed form over the exact rank: big buckets (size q+1)
-    // first, then small ones (size q). CaseWhen short-circuits, so the
-    // q = 0 division in the otherwise-branch is unreachable when N < 10.
-    val q = col("n_total").cast("long") / 10L
-    val r = col("n_total") % 10
-    val bigSpan = r * (floor(q) + 1)
-    ranked.crossJoin(broadcast(n))
-      .withColumn("decile",
-        when(col("rank") <= bigSpan,
-          floor((col("rank") - 1) / (floor(q) + 1)) + 1)
-          .otherwise(r + floor((col("rank") - bigSpan - 1) / floor(q)) + 1)
-          .cast("int"))
+    graft.engine.GlobalOrder.withNtile(scored,
+        Seq(col("quality"), col("doc_id")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("quality")).as("min_quality"),
         max(col("quality")).as("max_quality"))
   }
+
+  /** [[qualityDeciles]] sharded by a key column (e.g. `source`): deciles
+    * within each shard through a PARTITIONED ntile — one reducer per
+    * shard, the form for watching per-source distribution drift. At a
+    * corpus scale where even one source overwhelms a reducer, compose
+    * with [[graft.engine.GlobalOrder.withNtile]] per shard instead.
+    */
+  def qualityDecilesBySource(docs: DataFrame, shardCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("quality"), col("doc_id"))
+    graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col(shardCol), col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col(shardCol), col("doc_id"),
+        qualityOf(col("text"), col("toks")).as("quality"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col(shardCol), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
+  /** CCNet-style perplexity buckets: every document assigned to one of
+    * `buckets` equal-count NLL terciles (1 = head/most-fluent … 3 =
+    * tail/noisiest) by the corpus-self unigram LM score — the classic
+    * head/middle/tail split a CommonCrawl curation publishes, and the
+    * knob training mixes are cut with. Exact distributed ntile
+    * ([[graft.engine.GlobalOrder.withNtile]]) over [[unigramLogProb]];
+    * ties broken by doc_id. Zero-token docs carry no LM evidence and are
+    * absent, matching unigramLogProb's domain.
+    */
+  def nllBuckets(docs: DataFrame, buckets: Int = 3): DataFrame =
+    graft.engine.GlobalOrder.withNtile(unigramLogProb(docs),
+        Seq(col("nll"), col("doc_id")), buckets, "bucket")
+      .select(col("doc_id"), col("nll"), col("bucket"))
 
   /** Unigram language-model scoring (CCNet-style perplexity filtering):
     * train the corpus's own unigram model (term probability = collection

@@ -80,27 +80,44 @@ object GlobalOrder {
     withPrefixSum(df, order, lit(1L), out)
 
   /** Exact distributed `ntile(n) OVER (ORDER BY order)` as an int column:
-    * the global rank from [[withGlobalRank]] plus ntile's closed-form
-    * bucket arithmetic — with N rows, the first N mod n buckets take
-    * ceil(N/n) rows, the rest floor(N/n). Bit-identical to the
-    * single-reducer window form at full parallelism; the row count
-    * arrives as a broadcast single-row aggregate (fully lazy).
+    * the global rank (same topology as [[withPrefixSum]]) plus ntile's
+    * closed-form bucket arithmetic — with N rows, the first N mod n
+    * buckets take ceil(N/n) rows, the rest floor(N/n). Bit-identical to
+    * the single-reducer window form at full parallelism.
+    *
+    * Both the per-partition rank offsets AND the total row count ride the
+    * same bounded offset aggregate (one broadcast hash join, no extra
+    * pass over the ranked frame, no nested-loop single-row crossJoin).
     */
   def withNtile(df: DataFrame, order: Seq[Column], n: Int, out: String): DataFrame = {
     require(n > 0, "ntile needs n > 0")
-    val ranked = withGlobalRank(df, order, "__grank")
-    val tot = ranked.agg(count(lit(1)).as("__gn"))
+    val parts = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val parted = OpCache.materialize(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn(PidCol, spark_partition_id()))
+    val wOff = Window.orderBy(col(PidCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = parted
+      .groupBy(col(PidCol))
+      .agg(count(lit(1)).as("__pcnt"))
+      .select(col(PidCol),
+        coalesce(sum(col("__pcnt")).over(wOff), lit(0L)).as("__off"),
+        sum(col("__pcnt")).over(wAll).as("__gn"))
+    val wLocal = Window.partitionBy(col(PidCol)).orderBy(order: _*)
+    val rank = col("__off") + row_number().over(wLocal)
     val q = floor(col("__gn") / n) // base bucket size
     val r = col("__gn") % n        // buckets that take one extra row
     val bigSpan = r * (q + 1)
     // CaseWhen short-circuits, so the q = 0 division in the
     // otherwise-branch is unreachable when N < n
-    ranked.crossJoin(broadcast(tot))
+    parted
+      .join(broadcast(offsets), PidCol)
       .withColumn(out,
-        when(col("__grank") <= bigSpan,
-          floor((col("__grank") - 1) / (q + 1)) + 1)
-          .otherwise(r + floor((col("__grank") - bigSpan - 1) / q) + 1)
+        when(rank <= bigSpan, floor((rank - 1) / (q + 1)) + 1)
+          .otherwise(r + floor((rank - bigSpan - 1) / q) + 1)
           .cast("int"))
-      .drop("__grank", "__gn")
+      .drop(PidCol, "__off", "__gn")
   }
 }

@@ -33,9 +33,9 @@ class PlanSpec extends AnyFunSuite {
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "sql_graft_dot",
-    // single-row N aggregate broadcast into the exact-ntile arithmetic
-    // (plus, for knn/nll, the bounded query-set / corpus-total broadcasts)
-    "text_quality_deciles", "text_nll_buckets", "sim_knn_label")
+    // nll: the unigram LM's single-row corpus-total broadcast;
+    // knn: the bounded query-set theta join of bruteForceTopK
+    "text_nll_buckets", "sim_knn_label")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

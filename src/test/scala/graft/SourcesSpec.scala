@@ -57,6 +57,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("hive-partitioned layout prunes partitions at the scan") {
+    // the 100 TB table layout: partition by a low-cardinality column so a
+    // partition predicate never touches the other partitions' files. The
+    // filter must land in PartitionFilters (metadata pruning), NOT as a
+    // row-level PushedFilter over a full scan.
+    val dir = tmp("graft-part")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("source") === "src4")
+    val plan = pruned.queryExecution.executedPlan
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(plan.toString).isDefined,
+      s"source predicate did not become a partition filter:\n${plan.toString.take(1500)}")
+    // the scan's resolved partition list shrinks to the one directory
+    // (inputFiles would lie here: it lists the relation pre-pruning)
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val parts = scan.selectedPartitions
+    assert(parts.partitionCount == 1,
+      s"expected 1 partition read, got ${parts.partitionCount}")
+    assert(parts.toPartitionArray
+      .forall(_.toPath.toString.contains("source=src4")))
+    assert(pruned.count() == docs.where(col("source") === "src4").count())
+  }
+
   test("streaming file source -> checkpointed parquet sink is exactly-once") {
     val srcDir = tmp("graft-stream-src")
     val outDir = tmp("graft-stream-out")

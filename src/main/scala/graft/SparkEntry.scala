@@ -200,6 +200,10 @@ object SparkEntry {
     // temperature-weighted source mixing table (alpha=0.7 upsampling)
     "pipeline_mixture_weights" -> ((s, d) =>
       Curation.mixtureWeights(Tables.documents(s, d)).orderBy("source")),
+    // rebalance the corpus to the temperature mixture via deterministic
+    // hash-threshold sampling (reproducible across runs/engines)
+    "pipeline_mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(Tables.documents(s, d)).orderBy("doc_id")),
     // k-per-source deterministic sample through the custom bounded
     // TypedImperativeAggregate (map-side k-fold, not a full window sort)
     "pipeline_group_sample" -> ((s, d) =>
@@ -916,6 +920,25 @@ object SparkEntry {
          |       ${graft.functions.OracleRound.duck("g.pw / z.z", 4)} AS weight
          |FROM g CROSS JOIN z
          |ORDER BY source""".stripMargin,
+    "pipeline_mixture_sample" ->
+      s"""WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
+         |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |             pow(CAST(sum(n) AS DOUBLE), 0.7) AS pw
+         |      FROM t GROUP BY source),
+         |z AS (SELECT sum(pw) AS z FROM g),
+         |w AS (SELECT source, n_tokens,
+         |             ${graft.functions.OracleRound.duck("g.pw / z.z", 4)} AS weight
+         |      FROM g CROSS JOIN z),
+         |c AS (SELECT min(CAST(n_tokens AS DOUBLE) / weight) AS c FROM w),
+         |r AS (SELECT source,
+         |             c.c * weight / CAST(n_tokens AS DOUBLE) AS p
+         |      FROM w CROSS JOIN c)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN r USING (source)
+         |WHERE p >= 1.0
+         |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+         |      lower(lpad(hex(CAST(floor(p * 4294967296.0) AS BIGINT)), 8, '0'))
+         |ORDER BY d.doc_id""".stripMargin,
     "pipeline_group_sample" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

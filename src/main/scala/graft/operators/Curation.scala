@@ -240,6 +240,35 @@ object Curation {
         graft.functions.OracleRound.round4(col("pw") / col("z")).as("weight"))
   }
 
+  /** Deterministic mixture rebalancing: downsample each source so the
+    * KEPT token mass follows the temperature mixture of [[mixtureWeights]]
+    * — the step that turns a mixing table into an actual corpus. Keep
+    * probability per source is p_s = C·w_s/n_s with C = min_t(n_t/w_t),
+    * the largest corpus achievable at the exact target mixture (the
+    * scarcest source keeps everything, p = 1).
+    *
+    * The keep decision is HASH-THRESHOLD sampling, not RNG: doc kept iff
+    * its md5(doc_id) 8-hex prefix sorts below the per-source threshold
+    * string lpad(hex(⌊p·2³²⌋)) — reproducible across runs, engines and
+    * partitionings (the property that makes corpus builds auditable), and
+    * oracle-checkable since DuckDB computes the identical md5/hex
+    * strings. Map-only over the corpus after two broadcast-sized
+    * aggregates (the mixture table and its normalizing min).
+    */
+  def mixtureSample(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val wts = mixtureWeights(docs, alpha) // (source, n_docs, n_tokens, weight)
+    val c = wts.agg(min(col("n_tokens").cast("double") / col("weight")).as("c"))
+    val rates = wts.crossJoin(broadcast(c))
+      .select(col("source"),
+        (col("c") * col("weight") / col("n_tokens").cast("double")).as("p"))
+    val threshold = lower(lpad(hex(
+      floor(col("p") * lit(4294967296.0)).cast("long")), 8, "0"))
+    docs.join(broadcast(rates), "source")
+      .where(col("p") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 8) < threshold)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Deterministic k-per-group sample via the bounded
     * [[graft.functions.BottomKAgg]] aggregate: each group keeps the k
     * documents with the smallest `md5(doc_id)` — hash order is

@@ -32,7 +32,7 @@ class PlanSpec extends AnyFunSuite {
   private val boundedNestedLoop = Set(
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
-    "pipeline_mixture_weights", "sql_graft_dot",
+    "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;
     // knn: the bounded query-set theta join of bruteForceTopK
     "text_nll_buckets", "sim_knn_label")

@@ -101,6 +101,39 @@ object StreamOps {
       .select("doc_id", "ts", "lang_pred", "quality", "n_tokens", "fp_exact")
   }
 
+  /** Windowed curation telemetry over a documents stream (doc_id, ts,
+    * text): per tumbling window — documents seen, documents passing the
+    * language+quality gate, mean quality, and token mass. The monitoring
+    * stream a continuous ingestion publishes NEXT TO [[curateStream]]'s
+    * curated output, so gate-rate drift is visible while the corpus
+    * builds. Watermarked append-mode aggregation: state is one row per
+    * open window, bounded by the watermark; the enrichment columns are
+    * the same pure expressions as the batch operators, so the stream and
+    * batch tell the same numbers.
+    */
+  def curationTelemetryStream(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      windowLength: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langPredOf(col("toks")))
+      .withColumn("quality", TextAnalysis.qualityOf(col("text"), col("toks")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("lang_pred") === "en" &&
+          col("quality") >= minQuality, 1)).as("n_pass"),
+        graft.functions.OracleRound.round4(avg(col("quality"))).as("avg_quality"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("n_pass"), col("avg_quality"), col("n_tokens"))
+  }
+
   /** Per-user running aggregate emitted each micro-batch. */
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -158,6 +158,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation telemetry emits per-window gate rates (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val german = "der hund ist nicht ein kleines tier und das haus ist gross hier heute"
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamOps.curationTelemetryStream(df).writeStream
+      .format("memory").queryName("telemetry_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:01"), good),
+        (2L, ts("2024-01-01 00:00:02"), german),
+        (3L, ts("2024-01-01 00:00:03"), "short junk")))
+      query.processAllAvailable()
+      // close the 00:00 window
+      stream.addData(Seq((4L, ts("2024-01-01 00:03:00"), good)))
+      query.processAllAvailable()
+      val out = spark.table("telemetry_out").collect()
+      assert(out.length == 1, s"one closed window expected, got ${out.length}")
+      val r = out.head
+      assert(r.getAs[Long]("n_docs") == 3L)
+      assert(r.getAs[Long]("n_pass") == 1L) // german + junk gated
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    } finally query.stop()
+  }
+
   test("curateStream dedup state survives a checkpointed restart (RocksDB)") {
     // the production continuous-ingestion contract: stop the curation
     // stream, restart from the checkpoint, and (a) committed output is not

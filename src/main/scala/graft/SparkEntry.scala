@@ -67,6 +67,8 @@ object SparkEntry {
     "rollup_returnflag" -> ((s, d) => Relational.returnFlagRollup(s, d)),
     "scalar_buckets" -> ((s, d) => Relational.orderValueBuckets(s, d)),
     "join_above_cust_avg" -> ((s, d) => Relational.aboveCustomerAverage(s, d)),
+    "tpch_q18_big_orders" -> ((s, d) => Relational.bigQuantityOrders(s, d)),
+    "agg_distinct_brand_suppliers" -> ((s, d) => Relational.brandSupplierCounts(s, d)),
     // ── text analysis over documents (LLM-pipeline operators) ───────────
     "text_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")),
@@ -208,10 +210,11 @@ object SparkEntry {
     // TypedImperativeAggregate (map-side k-fold, not a full window sort)
     "pipeline_group_sample" -> ((s, d) =>
       Curation.groupSample(Tables.documents(s, d)).orderBy("source", "doc_id")),
-    // seeded Bernoulli sampling — not oracle-expressible → rows-only;
-    // per-stratum tolerance is spec-anchored (OperatorsSpec)
+    // deterministic hash-threshold stratified sampling — value-checked
+    // by the oracle (same md5/hex arithmetic both engines); the seeded
+    // sampleBy form stays spec-anchored in OperatorsSpec as API parity
     "pipeline_stratified_sample" -> ((s, d) =>
-      Curation.stratifiedSample(Tables.documents(s, d),
+      Curation.stratifiedSampleDeterministic(Tables.documents(s, d),
         Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
         .select("doc_id", "lang").orderBy("doc_id")),
     // batch form of StreamOps.windowedTypeCounts (same plan minus the
@@ -473,6 +476,21 @@ object SparkEntry {
         |  ON o.o_custkey = a.k
         |WHERE o.o_totalprice > a.avg_price
         |ORDER BY o_orderkey""".stripMargin,
+    "tpch_q18_big_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |                  floor(sum(l_quantity) * 100 + 0.5) / 100 AS total_qty
+        |           FROM lineitem GROUP BY l_orderkey
+        |           HAVING floor(sum(l_quantity) * 100 + 0.5) / 100 > 150)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, total_qty
+        |FROM orders JOIN q ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "agg_distinct_brand_suppliers" ->
+      """SELECT p_brand,
+        |       count(DISTINCT l_suppkey) AS n_suppliers,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "text_token_counts" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
          |SELECT doc_id,
@@ -1050,6 +1068,17 @@ object SparkEntry {
         |ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "pipeline_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |                  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+        |                            WHEN 'es' THEN 1.0 WHEN 'fr' THEN 1.0
+        |                            WHEN 'zh' THEN 1.0 ELSE 0.0 END AS p
+        |           FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE p >= 1.0
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      lower(lpad(hex(CAST(floor(p * 4294967296.0) AS BIGINT)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
     // approx_distinct_users: HLL sketch values are engine-specific →
     // rows-only; ApproxSpec bounds the relative error vs the exact count.
     "session_windows" ->

@@ -261,12 +261,39 @@ object Curation {
     val rates = wts.crossJoin(broadcast(c))
       .select(col("source"),
         (col("c") * col("weight") / col("n_tokens").cast("double")).as("p"))
-    val threshold = lower(lpad(hex(
-      floor(col("p") * lit(4294967296.0)).cast("long")), 8, "0"))
     docs.join(broadcast(rates), "source")
-      .where(col("p") >= 1.0 ||
-        substring(md5(col("doc_id").cast("string")), 1, 8) < threshold)
+      .where(hashKeep(col("doc_id"), col("p")))
       .select(col("doc_id"), col("source"))
+  }
+
+  /** Deterministic keep-decision for probability `p` ∈ [0, 1]: true iff
+    * the md5(id) 8-hex prefix sorts below lpad(hex(⌊p·2³²⌋)). A pure
+    * column predicate — reproducible across runs, engines and
+    * partitionings (both Spark and DuckDB produce identical md5/hex
+    * strings), unlike seeded per-partition RNG. The uniform-random bits
+    * are the hash's; p resolution is 2⁻³².
+    */
+  def hashKeep(id: Column, p: Column): Column = {
+    val threshold = lower(lpad(hex(
+      floor(p * lit(4294967296.0)).cast("long")), 8, "0"))
+    p >= 1.0 || substring(md5(id.cast("string")), 1, 8) < threshold
+  }
+
+  /** Stratified sampling with DETERMINISTIC per-stratum rates via
+    * [[hashKeep]] — the auditable form of [[stratifiedSample]]: the same
+    * document set comes back on every run, on every engine, under any
+    * partitioning, which is what a reproducible corpus release needs
+    * (seeded `sampleBy` is only stable within one Spark version's RNG).
+    * Map-only: the strata map inlines as a literal CASE.
+    */
+  def stratifiedSampleDeterministic(
+      docs: DataFrame,
+      strata: Map[String, Double],
+      keyCol: String = "lang"): DataFrame = {
+    val p = strata.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(keyCol) === k, lit(f)).otherwise(acc)
+    }
+    docs.where(hashKeep(col("doc_id"), p))
   }
 
   /** Deterministic k-per-group sample via the bounded

@@ -332,4 +332,40 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
   }
+
+  /** TPC-H Q18-style HAVING filter: orders whose total lineitem quantity
+    * exceeds a threshold, joined back to the order header. The aggregate
+    * runs FIRST (partial-agg shuffle on orderkey) and the having filter
+    * shrinks it to a sliver before the header join — at 100 TB the join
+    * input is the qualifying keys only, never the full fact table twice.
+    */
+  def bigQuantityOrders(
+      spark: SparkSession,
+      sfDir: String,
+      minQty: Double = 150.0): DataFrame = {
+    val qty = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(OracleRound.roundN(sum(col("l_quantity")), 2).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    Tables.orders(spark, sfDir)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Distinct-count aggregation (TPC-H Q16 shape): distinct suppliers and
+    * parts per brand. count(DISTINCT x) expands to a two-phase plan
+    * (dedup shuffle on (group, x), then count) — partial aggregation on
+    * both phases, no row ever carries more than the two keys.
+    */
+  def brandSupplierCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("p_brand")
 }

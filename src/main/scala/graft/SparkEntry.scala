@@ -181,6 +181,13 @@ object SparkEntry {
       Curation.curatedCorpusFromClusters(docs,
         Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("doc_id")
     }),
+    // quality-argmax canonicalization: keep each cluster's BEST copy
+    // (not its smallest id) — same shared cluster table
+    "pipeline_best_of_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curatedCorpusBestOfCluster(docs,
+        Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("doc_id")
+    }),
     // the pre-training release gate: dedup-canonical + language + quality
     // + decontamination + PII exposure, one composed plan over the same
     // shared cluster table
@@ -659,6 +666,17 @@ object SparkEntry {
          |JOIN qq ON qq.doc_id = c.doc_id
          |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en' AND qq.quality >= 0.5
          |ORDER BY c.doc_id""".stripMargin),
+    "pipeline_best_of_cluster" -> (curationCtePrefix +
+      s"""
+         |SELECT doc_id, cluster_id, lang_pred, quality, n_tokens FROM (
+         |  SELECT c.doc_id, c.cluster_id, lp.lang_pred, qq.quality, qq.n_tokens,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY qq.quality DESC, c.doc_id) AS rn
+         |  FROM clus c
+         |  JOIN lp ON lp.doc_id = c.doc_id
+         |  JOIN qq ON qq.doc_id = c.doc_id)
+         |WHERE rn = 1 AND lang_pred = 'en' AND quality >= 0.5
+         |ORDER BY doc_id""".stripMargin),
     "pipeline_release_gate" -> (curationCtePrefix +
       s""",
          |bsh AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0),

@@ -62,6 +62,37 @@ object Curation {
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
   }
 
+  /** [[curatedCorpusFromClusters]] with quality-argmax canonicalization:
+    * each near-dup cluster keeps its HIGHEST-quality member (doc_id
+    * tie-break) instead of the smallest doc_id — "keep the best copy,
+    * not the first", the usual production choice when near-dups differ
+    * in cleanliness (boilerplate, truncation). One partitioned window
+    * over the cluster table (reducers = clusters, rows = docs — scale
+    * shape identical to any per-key top-1).
+    */
+  def curatedCorpusBestOfCluster(
+      docs: DataFrame,
+      clusters: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val enriched = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
+        TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
+        size(col("toks")).as("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters
+      .join(enriched, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 &&
+        col("lang_pred") === "en" && col("quality") >= minQuality)
+      .select(col("doc_id"), col("cluster_id"), col("lang_pred"),
+        col("quality"), col("n_tokens"))
+  }
+
   /** The release gate: every check a corpus snapshot must pass before
     * training, composed as ONE declarative plan — near-dup canonical
     * selection + language + quality ([[curatedCorpusFromClusters]]),

@@ -69,6 +69,24 @@ object SparkEntry {
     "join_above_cust_avg" -> ((s, d) => Relational.aboveCustomerAverage(s, d)),
     "tpch_q18_big_orders" -> ((s, d) => Relational.bigQuantityOrders(s, d)),
     "agg_distinct_brand_suppliers" -> ((s, d) => Relational.brandSupplierCounts(s, d)),
+    // non-equi EXISTS (semi join with a shipdate inequality inside)
+    "tpch_q4_late_orders" -> ((s, d) => Relational.latePriorityCounts(s, d)),
+    // scan-only scalar aggregate: every predicate pushed to parquet
+    "tpch_q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
+    // conditional aggregation over a fact⋈fact join (Q12 shape)
+    "tpch_q12_priority_lines" -> ((s, d) => Relational.lineStatusPriorityCounts(s, d)),
+    // stacked aggregation + outer join (Q13 customer distribution)
+    "tpch_q13_order_distribution" -> ((s, d) => Relational.orderCountDistribution(s, d)),
+    // correlated per-part average threshold (Q17 shape)
+    "tpch_q17_small_qty_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    // disjunctive multi-attribute predicate across a join (Q19 shape)
+    "tpch_q19_disjunctive_revenue" -> ((s, d) => Relational.disjunctiveRevenue(s, d)),
+    // broadcast scalar subquery + anti join (Q22 shape)
+    "tpch_q22_dormant_customers" -> ((s, d) => Relational.dormantHighValueCustomers(s, d)),
+    // ROWS-frame moving aggregates + lag per user
+    "window_moving_avg" -> ((s, d) => Relational.movingAverages(s, d)),
+    // percent_rank / cume_dist / ntile per customer
+    "window_order_percentiles" -> ((s, d) => Relational.orderPercentiles(s, d)),
     // ── text analysis over documents (LLM-pipeline operators) ───────────
     "text_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")),
@@ -152,6 +170,10 @@ object SparkEntry {
     // Gopher-style repetition signals (non-distinct bigram concentration)
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d)).orderBy("doc_id")),
+    // Gopher-style heuristic filter ladder: word-stat gates + per-gate
+    // booleans (which gate rejected, not just that one did)
+    "text_gopher_filters" -> ((s, d) =>
+      TextAnalysis.gopherFilters(Tables.documents(s, d)).orderBy("doc_id")),
     // benchmark-leakage guard: every 50th doc stands in as the "benchmark"
     // suite; its distinct shingle set is broadcast, the corpus pass stays
     // map-side
@@ -241,6 +263,9 @@ object SparkEntry {
     // k-NN majority-label vote over the exact top-k (embedding eval)
     "sim_knn_label" -> ((s, d) =>
       Similarity.knnLabel(Tables.embeddings(s, d)).orderBy("query_id")),
+    // per-label class prototypes: one row per (label, dimension)
+    "sim_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "pos")),
     // connected components over the exact blocked cosine pair graph
     "dedup_embedding_clusters" -> ((s, d) =>
       Dedup.embeddingNearDupClusters(Tables.embeddings(s, d)).orderBy("vec_id")),
@@ -498,6 +523,85 @@ object SparkEntry {
         |       count(*) AS n_lineitems
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "tpch_q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q6_forecast_revenue" ->
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "tpch_q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q17_small_qty_revenue" ->
+      """WITH branded AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#5'),
+        |lim AS (SELECT l_partkey AS ak, avg(l_quantity) * 0.2 AS qty_limit
+        |        FROM branded GROUP BY l_partkey)
+        |SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+        |FROM branded JOIN lim ON l_partkey = ak
+        |WHERE l_quantity < qty_limit""".stripMargin,
+    "tpch_q19_disjunctive_revenue" ->
+      """SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "tpch_q22_dormant_customers" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_bal
+        |FROM customer CROSS JOIN ab
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "window_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        |       floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS mavg3,
+        |       floor((value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100 + 0.5) / 100 AS delta,
+        |       floor((max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_max
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "window_order_percentiles" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+        |       floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cume,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "text_token_counts" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
          |SELECT doc_id,
@@ -824,6 +928,39 @@ object SparkEntry {
                  "greatest(CAST(coalesce(a.n_bigrams, 0) AS DOUBLE), 1.0)", 4)} AS top_bigram_frac
          |FROM documents d LEFT JOIN a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_gopher_filters" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       floor((list_reduce([length(x) for x in toks], (a, b) -> a + b) /
+         |              greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS mean_word_len,
+         |       floor((len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$$'))) /
+         |              greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS numeric_frac
+         |FROM t),
+         |c AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |tt AS (SELECT doc_id,
+         |              floor((CAST(max(tf) AS DOUBLE) /
+         |                     greatest(CAST(sum(tf) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS top_token_frac
+         |       FROM f GROUP BY doc_id)
+         |SELECT m.doc_id, m.n_tokens, m.mean_word_len, m.numeric_frac,
+         |       coalesce(tt.top_token_frac, 0.0) AS top_token_frac,
+         |       m.n_tokens >= 20 AS len_ok,
+         |       m.mean_word_len >= 2.0 AND m.mean_word_len <= 10.0 AS word_len_ok,
+         |       m.numeric_frac <= 0.2 AS numeric_ok,
+         |       coalesce(tt.top_token_frac, 0.0) <= 0.2 AS repetition_ok,
+         |       m.n_tokens >= 20 AND m.mean_word_len >= 2.0 AND m.mean_word_len <= 10.0
+         |         AND m.numeric_frac <= 0.2 AND coalesce(tt.top_token_frac, 0.0) <= 0.2 AS gopher_pass
+         |FROM m LEFT JOIN tt USING (doc_id)
+         |ORDER BY m.doc_id""".stripMargin,
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM e)
+        |SELECT CAST(label AS INTEGER) AS label, CAST(pos AS INTEGER) AS pos,
+        |       count(*) AS n_vecs,
+        |       floor((avg(x)) * 10000 + 0.5) / 10000 AS dim_mean
+        |FROM x GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |s AS (SELECT doc_id,

@@ -368,4 +368,190 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("p_brand")
+
+  /** TPC-H Q4 shape (adapted — this schema has no commitdate, so "late" =
+    * shipped after the order date): order counts per priority where at
+    * least one lineitem shipped late. The EXISTS plans as a left-semi join
+    * carrying the non-equi shipdate condition; the probe side is pruned to
+    * two columns, and the semi join never duplicates order rows, so the
+    * downstream aggregate sees each order once regardless of lineitem
+    * fan-out — at 100 TB the shuffle carries (orderkey, shipdate) pairs
+    * only.
+    */
+  def latePriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 shape: forecasting-revenue-change — a single filtered scan
+    * with every predicate pushable to parquet (shipdate range + discount
+    * band + quantity cap all appear as PushedFilters) and a scalar
+    * aggregate on top. The canonical "is the scan doing the work" probe:
+    * no join, no window, one partial-agg exchange of exactly one row per
+    * partition.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(OracleRound.roundN(
+        sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q12 shape (adapted — l_linestatus stands in for the missing
+    * shipmode column): per line status over one ship year, how many lines
+    * belong to high-priority vs other orders. Conditional aggregation
+    * (sum of CASE) folds into the partial aggregate — one shuffle on the
+    * single grouping key after the fact⋈fact join on orderkey.
+    */
+  def lineStatusPriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q13 shape: distribution of customers by order count. Two
+    * stacked aggregations — the first shuffles on custkey (wide), the
+    * second on the tiny count domain — after a left outer join that keeps
+    * zero-order customers. At scale the second exchange is negligible:
+    * its input is one row per customer and its key domain is the handful
+    * of distinct order counts.
+    */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 shape: revenue from small-quantity lineitems of one brand,
+    * where "small" means under 20% of that part's average quantity. The
+    * brand filter shrinks part BEFORE both joins, the per-part average is
+    * computed over the already-filtered lineitems (one partial-agg
+    * shuffle on partkey), and the self-join is sliver ⋈ sliver — the
+    * full lineitem table is scanned once, never twice. l_quantity is
+    * integral in this data, so the per-part mean is an exact
+    * integer-sum / count in both engines (no accumulation-order drift at
+    * the 0.2×avg threshold compare).
+    */
+  def smallQuantityRevenue(
+      spark: SparkSession, sfDir: String, brand: String = "Brand#5"): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .where(col("p_brand") === brand).select("p_partkey")
+    val branded = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val qtyLimit = branded
+      .groupBy(col("l_partkey").as("ak"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+    branded.join(qtyLimit, col("l_partkey") === col("ak"))
+      .where(col("l_quantity") < col("qty_limit"))
+      .agg(OracleRound.roundN(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute predicate — three OR'd
+    * (brand, size-range, quantity-range) clauses across the part⋈lineitem
+    * join. Catalyst extracts the common `p_partkey` equi-condition so the
+    * join stays hash-based (PlanSpec forbids the cartesian fallback), and
+    * pushes the brand/size disjunction down to the part scan.
+    */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(OracleRound.roundN(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** TPC-H Q22 shape: high-balance customers with no RECENT orders
+    * (none since the cutoff date), summarized per market segment. The
+    * global "average positive balance" scalar is a one-row aggregate
+    * broadcast into the filter (never a driver-side collect), and the
+    * NOT EXISTS is a left-anti join against the date-filtered custkey
+    * column of orders — the filter prunes the anti-join build side at
+    * the scan.
+    */
+  def dormantHighValueCustomers(
+      spark: SparkSession, sfDir: String,
+      cutoff: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    val ordCust = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select("o_custkey")
+    cust.join(broadcast(avgBal))
+      .where(col("c_acctbal") > col("ab"))
+      .join(ordCust, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        OracleRound.roundN(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Window-frame surface: per-user running signals over the event stream —
+    * a ROWS-frame moving average, a lag delta, and a running maximum.
+    * Partitioned by user_id (many partitions at scale — never a global
+    * window); each frame is O(1) state per row.
+    */
+  def movingAverages(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val mw = w.rowsBetween(-2, Window.currentRow)
+    val rw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        OracleRound.roundN(avg(col("value")).over(mw), 2).as("mavg3"),
+        OracleRound.roundN(col("value") - lag(col("value"), 1).over(w), 2).as("delta"),
+        OracleRound.roundN(max(col("value")).over(rw), 2).as("running_max"))
+      .orderBy("event_id")
+  }
+
+  /** Rank-statistics windows: percent_rank / cume_dist / quartile of each
+    * order within its customer. The compound (price, orderkey) ordering
+    * makes every rank deterministic; partitioning by custkey keeps one
+    * small frame per customer at any scale.
+    */
+  def orderPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        OracleRound.roundN(percent_rank().over(w), 6).as("pct_rank"),
+        OracleRound.roundN(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -75,6 +75,22 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** Per-label embedding centroids, one row per (label, dimension): the
+    * class-prototype table an embedding-quality pass publishes (nearest-
+    * centroid classification, per-class drift monitoring). posexplode →
+    * (label, pos) partial-agg mean keeps every stage distributed: the
+    * exchange carries labels × dim rows regardless of corpus size, and
+    * the per-dimension sums combine map-side before the shuffle.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("label"),
+        posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.functions.OracleRound.round4(avg(col("x"))).as("dim_mean"))
+
   /** Deterministic random hyperplanes: `tables` × `bits` planes of `dim`
     * gaussian components, fixed seed.
     */

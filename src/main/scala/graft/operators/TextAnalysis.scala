@@ -215,6 +215,53 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Gopher-style heuristic filter ladder: the word-statistics gates a
+    * pre-training curation pass applies before any model-based scoring —
+    * mean word length in a sane band, no single token dominating the
+    * document, bounded numeric-token fraction, and a minimum length. Each
+    * signal is emitted alongside a per-gate boolean and the combined
+    * `gopher_pass`, so downstream telemetry can report *which* gate
+    * rejected a document, not just that one did.
+    *
+    * Shape: the length/numeric signals are pure column expressions
+    * (map-only); the top-token fraction reuses the (doc, term) posting
+    * fold — two partial-agg shuffles, same as [[repetitionStats]].
+    */
+  def gopherFilters(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val meanWordLen = OracleRound.round4(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        greatest(nTok, lit(1.0)))
+    val numericFrac = OracleRound.round4(
+      size(filter(toks, x => x.rlike("^[0-9]+$"))).cast("double") /
+        greatest(nTok, lit(1.0)))
+    val signals = docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      meanWordLen.as("mean_word_len"),
+      numericFrac.as("numeric_frac"))
+    val topTok = termFrequencies(docs)
+      .groupBy(col("doc_id"))
+      .agg(max(col("tf")).as("top_tf"), sum(col("tf")).as("sum_tf"))
+      .select(col("doc_id"),
+        OracleRound.round4(col("top_tf").cast("double") /
+          greatest(col("sum_tf").cast("double"), lit(1.0))).as("top_token_frac"))
+    signals.join(topTok, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("numeric_frac"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"))
+      .withColumn("len_ok", col("n_tokens") >= 20)
+      .withColumn("word_len_ok",
+        col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0)
+      .withColumn("numeric_ok", col("numeric_frac") <= 0.2)
+      .withColumn("repetition_ok", col("top_token_frac") <= 0.2)
+      .withColumn("gopher_pass",
+        col("len_ok") && col("word_len_ok") && col("numeric_ok") &&
+          col("repetition_ok"))
+  }
+
   /** Per-(doc, term) term frequencies — the shared base of [[termStats]]
     * and [[tfidf]]: one explode plus one (doc_id, term) partial-agg
     * shuffle.

@@ -34,8 +34,9 @@ class PlanSpec extends AnyFunSuite {
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;
-    // knn: the bounded query-set theta join of bruteForceTopK
-    "text_nll_buckets", "sim_knn_label")
+    // knn: the bounded query-set theta join of bruteForceTopK;
+    // q22: the single-row avg-balance scalar broadcast into the filter
+    "text_nll_buckets", "sim_knn_label", "tpch_q22_dormant_customers")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled
@@ -93,6 +94,21 @@ class PlanSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*(LessThan|GreaterThan)".r
       .findFirstIn(plan).isDefined,
       s"date predicates did not push down:\n${plan.take(2000)}")
+  }
+
+  test("q6 pushes every predicate to the parquet scan") {
+    // the canonical scan-only query: shipdate range + discount band +
+    // quantity cap must all appear as PushedFilters, and the scan schema
+    // must carry only the four referenced columns
+    val plan = SparkEntry.queries("tpch_q6_forecast_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(("PushedFilters: \\[[^\\]]*" + c).r.findFirstIn(plan).isDefined,
+        s"$c predicate did not push down:\n${plan.take(2000)}")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.exists(_.split(",").length <= 4),
+      s"q6 scan reads more than its 4 columns: $readSchema")
   }
 
   test("column pruning reaches the parquet scan") {

@@ -174,6 +174,9 @@ object SparkEntry {
     // booleans (which gate rejected, not just that one did)
     "text_gopher_filters" -> ((s, d) =>
       TextAnalysis.gopherFilters(Tables.documents(s, d)).orderBy("doc_id")),
+    // per-source unigram KL vs the corpus blend (mixture drift telemetry)
+    "text_source_divergence" -> ((s, d) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, d)).orderBy("source")),
     // benchmark-leakage guard: every 50th doc stands in as the "benchmark"
     // suite; its distinct shingle set is broadcast, the corpus pass stays
     // map-side
@@ -181,6 +184,12 @@ object SparkEntry {
       Curation.decontaminate(Tables.documents(s, d),
         Tables.documents(s, d).where(col("doc_id") % 50 === 0))
         .orderBy("doc_id")),
+    // attribution side of decontamination: per benchmark doc, how many
+    // corpus docs leak it and the worst overlap
+    "pipeline_contamination_report" -> ((s, d) =>
+      Curation.contaminationReport(Tables.documents(s, d),
+        Tables.documents(s, d).where(col("doc_id") % 50 === 0))
+        .orderBy("bench_id")),
     // C4-style PII redaction (map-only counts + scrub; synthetic-PII
     // redaction behavior is spec-anchored in OperatorsSpec)
     "pipeline_scrub_pii" -> ((s, d) =>
@@ -266,6 +275,9 @@ object SparkEntry {
     // per-label class prototypes: one row per (label, dimension)
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "pos")),
+    // nearest-centroid classification accuracy per label (embedding eval)
+    "sim_centroid_agreement" -> ((s, d) =>
+      Similarity.centroidAgreement(Tables.embeddings(s, d)).orderBy("label")),
     // connected components over the exact blocked cosine pair graph
     "dedup_embedding_clusters" -> ((s, d) =>
       Dedup.embeddingNearDupClusters(Tables.embeddings(s, d)).orderBy("vec_id")),
@@ -961,6 +973,34 @@ object SparkEntry {
         |       floor((avg(x)) * 10000 + 0.5) / 10000 AS dim_mean
         |FROM x GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    "sim_centroid_agreement" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM e),
+        |cd AS (SELECT label AS c_label, pos,
+        |              floor((avg(x)) * 10000 + 0.5) / 10000 AS m
+        |       FROM x GROUP BY label, pos),
+        |cv AS (SELECT c_label, list(m ORDER BY pos) AS cv FROM cd GROUP BY c_label),
+        |cn AS (SELECT c_label, cv,
+        |              sqrt(list_reduce([y * y for y in cv], (a, b) -> a + b)) AS cnrm
+        |       FROM cv),
+        |n AS (SELECT vec_id, label, v,
+        |             sqrt(list_reduce([y * y for y in v], (a, b) -> a + b)) AS nrm
+        |      FROM e),
+        |s AS (SELECT n.vec_id, n.label, c.c_label,
+        |             list_reduce([n.v[i] * c.cv[i] for i in range(1, 1 + len(n.v))],
+        |                         (a, b) -> a + b) / (n.nrm * c.cnrm) AS cos
+        |      FROM n CROSS JOIN cn c),
+        |p AS (SELECT vec_id, label, c_label FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                     ORDER BY cos DESC, c_label) AS rn
+        |        FROM s)
+        |      WHERE rn = 1)
+        |SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       floor((CAST(sum(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS DOUBLE) /
+        |              count(*)) * 10000 + 0.5) / 10000 AS accuracy
+        |FROM p GROUP BY label
+        |ORDER BY label""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |s AS (SELECT doc_id,
@@ -975,6 +1015,39 @@ object SparkEntry {
          |       coalesce(o.n_overlap, 0) >= 10 AS contaminated
          |FROM documents d LEFT JOIN o USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_source_divergence" ->
+      s"""WITH c AS (SELECT source, unnest($duckToks) AS term FROM documents),
+         |f AS (SELECT source, term, count(*) AS cs FROM c GROUP BY source, term),
+         |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM f GROUP BY source),
+         |ct AS (SELECT term, CAST(sum(cs) AS BIGINT) AS ct FROM f GROUP BY term),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct)
+         |SELECT f.source,
+         |       CAST(max(st.ns) AS BIGINT) AS n_tokens,
+         |       count(*) AS vocab,
+         |       floor((sum((CAST(f.cs AS DOUBLE) / CAST(st.ns AS DOUBLE)) *
+         |                  ln((CAST(f.cs AS DOUBLE) / CAST(st.ns AS DOUBLE)) /
+         |                     (CAST(ct.ct AS DOUBLE) / CAST(tot.nt AS DOUBLE))))) * 10000 + 0.5) / 10000 AS kl
+         |FROM f JOIN ct USING (term) JOIN st USING (source) CROSS JOIN tot
+         |GROUP BY f.source
+         |ORDER BY f.source""".stripMargin,
+    "pipeline_contamination_report" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |b AS (SELECT doc_id AS bench_id, sh FROM s WHERE doc_id % 50 = 0),
+         |p AS (SELECT s.doc_id, b.bench_id, count(*) AS n_overlap
+         |      FROM s JOIN b USING (sh) GROUP BY s.doc_id, b.bench_id),
+         |h AS (SELECT bench_id, count(*) AS n_hit_docs,
+         |             CAST(max(n_overlap) AS BIGINT) AS max_overlap
+         |      FROM p WHERE n_overlap >= 10 GROUP BY bench_id)
+         |SELECT d.doc_id AS bench_id,
+         |       coalesce(h.n_hit_docs, 0) AS n_hit_docs,
+         |       coalesce(h.max_overlap, 0) AS max_overlap
+         |FROM documents d LEFT JOIN h ON h.bench_id = d.doc_id
+         |WHERE d.doc_id % 50 = 0
+         |ORDER BY bench_id""".stripMargin,
     // counts taken on the progressively redacted text (URL → email →
     // phone), mirroring Curation.scrubPii: n_* = placeholders emitted
     "pipeline_scrub_pii" ->

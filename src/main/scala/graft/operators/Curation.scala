@@ -165,6 +165,49 @@ object Curation {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** The attribution side of [[decontaminate]]: per BENCHMARK document,
+    * how many corpus documents overlap it at/above the contamination
+    * threshold and the worst overlap seen — the report an eval owner
+    * reads ("which benchmark items leaked, how badly") next to the
+    * corpus-side flag table. Benchmark docs with no qualifying overlap
+    * report zeros via the left join.
+    *
+    * Same broadcast topology as decontaminate — the benchmark's
+    * (shingle, bench_id) postings broadcast, the corpus pass stays
+    * map-side, and the only exchanges are over MATCHED (doc, bench)
+    * pairs.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 3,
+      minOverlap: Int = 10): DataFrame = {
+    val corpusSh = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(transform(Dedup.shinglesOf(col("toks"), k),
+          s => xxhash64(s))).as("sh"))
+    val benchSh = benchmark
+      .select(col("doc_id").as("bench_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("bench_id"),
+        explode(transform(Dedup.shinglesOf(col("toks"), k),
+          s => xxhash64(s))).as("sh"))
+    // both posting sets are distinct per document (shinglesOf dedups), so
+    // count(*) per (doc, bench) IS the distinct shared-shingle count
+    val overlaps = corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+    val perBench = overlaps.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_hit_docs"), max(col("n_overlap")).as("max_overlap"))
+    benchmark.select(col("doc_id").as("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(
+        col("bench_id"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"))
+  }
+
   /** PII scrubbing: count and redact email addresses, URLs and
     * phone-shaped numbers — the C4-style cleanup pass before any text
     * reaches training. Map-only (counts and redaction are column

@@ -91,6 +91,45 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         graft.functions.OracleRound.round4(avg(col("x"))).as("dim_mean"))
 
+  /** Nearest-centroid label agreement — the embedding-quality eval over
+    * [[labelCentroids]]: every vector is classified by its most-cosine-
+    * similar class prototype and scored against its true label, yielding
+    * per-label prototype-classification accuracy. Centroid dimensions are
+    * the ROUNDED means (the oracle-checked values), and both dot products
+    * are sequential HOF folds, so the argmax is bit-deterministic across
+    * engines. Scale shape: the centroid table is labels × dim (constant),
+    * broadcast against a map-only corpus pass; the only corpus-keyed
+    * exchange is the final per-label aggregate.
+    */
+  def centroidAgreement(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("dim_mean")))),
+        s => s.getField("dim_mean")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("v"), col("cv")), col("nrm"), col("cn")).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_label"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("label") === col("c_label"), 1L).otherwise(0L)).as("n_correct"),
+        graft.functions.OracleRound.round4(
+          sum(when(col("label") === col("c_label"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("accuracy"))
+  }
+
   /** Deterministic random hyperplanes: `tables` × `bits` planes of `dim`
     * gaussian components, fixed seed.
     */

@@ -215,6 +215,38 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * KL(P_source ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the mixture
+    * diagnostic a corpus build publishes per snapshot: a source drifting
+    * away from the blend (or collapsing to boilerplate) moves its KL.
+    * Every p_c(t) > 0 wherever p_s(t) > 0 by construction (the corpus
+    * contains the source), so the sum is always finite.
+    *
+    * Scale shape: tokens fold to (source, term) counts map-side before
+    * the first exchange; the corpus marginals are vocab-sized; the single
+    * one-row total broadcasts. No corpus-sized shuffle anywhere.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val bySource = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cs"))
+    val srcTotals = bySource.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val corpus = bySource.groupBy(col("term")).agg(sum(col("cs")).as("ct"))
+    val total = corpus.agg(sum(col("ct")).as("nt"))
+    val ps = col("cs").cast("double") / col("ns").cast("double")
+    val pc = col("ct").cast("double") / col("nt").cast("double")
+    bySource
+      .join(corpus, "term")
+      .join(srcTotals, "source")
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        OracleRound.round4(sum(ps * log(ps / pc))).as("kl"))
+  }
+
   /** Gopher-style heuristic filter ladder: the word-statistics gates a
     * pre-training curation pass applies before any model-based scoring —
     * mean word length in a sane band, no single token dominating the

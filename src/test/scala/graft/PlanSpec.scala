@@ -35,8 +35,11 @@ class PlanSpec extends AnyFunSuite {
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;
     // knn: the bounded query-set theta join of bruteForceTopK;
-    // q22: the single-row avg-balance scalar broadcast into the filter
-    "text_nll_buckets", "sim_knn_label", "tpch_q22_dormant_customers")
+    // q22: the single-row avg-balance scalar broadcast into the filter;
+    // divergence: single-row corpus-total broadcast;
+    // centroid agreement: labels×1 centroid-table broadcast (constant)
+    "text_nll_buckets", "sim_knn_label", "tpch_q22_dormant_customers",
+    "text_source_divergence", "sim_centroid_agreement")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -62,6 +62,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("incremental corpus sink dedups within batch and against published corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docA = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    // near-dup of docA: one trailing word changed → high shingle jaccard
+    val docAish = "the quick brown fox jumps over the lazy dog and then runs far away tonight"
+    val docB = "completely different content about spark engines and distributed query planning at scale"
+    val docC = "yet another unrelated document mentioning streams watermarks state stores and sinks"
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-corpus").toString
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamOps.incrementalCorpusSink(
+      df, s"$dir/corpus", s"$dir/chk")
+    try {
+      // batch 0: exact dup pair (1,2) + an in-batch near-dup (3 ~ 1)
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:01"), docA),
+        (2L, ts("2024-01-01 00:00:02"), docA),
+        (3L, ts("2024-01-01 00:00:03"), docAish),
+        (4L, ts("2024-01-01 00:00:04"), docB)))
+      query.processAllAvailable()
+      val after0 = spark.read.parquet(s"$dir/corpus")
+      assert(after0.select("doc_id").as[Long].collect().toSet == Set(1L, 4L),
+        "batch 0: expected exact dup 2 and near-dup 3 dropped")
+      // batch 1: near-dup of the PUBLISHED doc 1 + a genuinely new doc
+      stream.addData(Seq(
+        (5L, ts("2024-01-01 00:01:01"), docAish),
+        (6L, ts("2024-01-01 00:01:02"), docC)))
+      query.processAllAvailable()
+      val after1 = spark.read.parquet(s"$dir/corpus")
+      assert(after1.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 6L),
+        "batch 1: expected cross-corpus near-dup 5 dropped, 6 kept")
+      // partitioned by batch_id → a replayed batch overwrites, not appends
+      assert(after1.where($"batch_id" === 1).select("doc_id")
+        .as[Long].collect().toSet == Set(6L))
+    } finally query.stop()
+  }
+
   test("windowed type counts emit closed windows only (append mode)") {
     val out = feed("wtc_out", Seq(
       Seq(

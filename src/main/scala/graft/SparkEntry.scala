@@ -83,6 +83,12 @@ object SparkEntry {
     "tpch_q19_disjunctive_revenue" -> ((s, d) => Relational.disjunctiveRevenue(s, d)),
     // broadcast scalar subquery + anti join (Q22 shape)
     "tpch_q22_dormant_customers" -> ((s, d) => Relational.dormantHighValueCustomers(s, d)),
+    // returned-item revenue top-k (Q10 shape)
+    "tpch_q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
+    // argmax against a broadcast one-row max (Q15 shape)
+    "tpch_q15_top_supplier" -> ((s, d) => Relational.topSupplierRevenue(s, d)),
+    // double-quantifier per-order aggregate (Q21 shape)
+    "tpch_q21_solo_late_suppliers" -> ((s, d) => Relational.soloLateSuppliers(s, d)),
     // ROWS-frame moving aggregates + lag per user
     "window_moving_avg" -> ((s, d) => Relational.movingAverages(s, d)),
     // percent_rank / cume_dist / ntile per customer
@@ -301,6 +307,9 @@ object SparkEntry {
     "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
     "join_asof_latest_order" -> ((s, d) =>
       AsOfJoin.eventsToLatestOrder(s, d).orderBy("event_id")),
+    // forward direction: earliest order AT/after each event
+    "join_asof_next_order" -> ((s, d) =>
+      AsOfJoin.eventsToNextOrder(s, d).orderBy("event_id")),
     "agg_order_stats" -> ((s, d) => Relational.orderStats(s, d)),
     "fn_array" -> ((s, d) => FunctionSurface.arrayFunctions(s, d).orderBy("vec_id")),
     "fn_datetime" -> ((s, d) => FunctionSurface.datetimeFunctions(s, d)),
@@ -597,6 +606,56 @@ object SparkEntry {
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "tpch_q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q21_solo_late_suppliers" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate > o_orderdate AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+        |         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM f GROUP BY l_orderkey
+        |  HAVING count(DISTINCT l_suppkey) > 1
+        |     AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 25""".stripMargin,
+    "join_asof_next_order" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP <= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "window_moving_avg" ->
       """SELECT event_id, user_id, value,
         |       floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

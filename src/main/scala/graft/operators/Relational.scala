@@ -520,6 +520,86 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer over one
+    * order quarter, top-k. The returnflag filter prunes lineitem at the
+    * scan, the date filter prunes orders; customer joins AFTER the
+    * aggregate would be ideal but the group key needs c_name/n_name —
+    * instead customer (SF-scaled, no hint) joins pre-agg and nation
+    * broadcasts. Top-k via TakeOrderedAndProject.
+    */
+  def returnedItemRevenue(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nation = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(OracleRound.roundN(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q15 shape: the supplier(s) with the maximum 3-month revenue —
+    * a per-supplier aggregate joined against its own one-row max (the
+    * broadcast-scalar pattern; never a driver-side collect). The equality
+    * compare is on the ROUNDED revenue, identical in both engines.
+    */
+  def topSupplierRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(OracleRound.roundN(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx))
+      .where(col("total_revenue") === col("mx"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21 shape (adapted — "late" = shipped after the order date):
+    * suppliers who were the ONLY late shipper on a multi-supplier order.
+    * One fact⋈fact join carries the late flag; the per-order aggregate
+    * reduces to three counters per orderkey (distinct suppliers, distinct
+    * late suppliers, and — valid exactly when the late set is a
+    * singleton — its max); the per-supplier count then runs over
+    * qualifying orders only. No EXISTS/NOT-EXISTS re-scan of lineitem:
+    * the single aggregate answers both quantifiers at once.
+    */
+  def soloLateSuppliers(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate")).as("late"))
+    val perOrder = flagged.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name"),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
   /** Window-frame surface: per-user running signals over the event stream —
     * a ROWS-frame moving average, a lag delta, and a running maximum.
     * Partitioned by user_id (many partitions at scale — never a global

@@ -284,6 +284,9 @@ object SparkEntry {
     // nearest-centroid classification accuracy per label (embedding eval)
     "sim_centroid_agreement" -> ((s, d) =>
       Similarity.centroidAgreement(Tables.embeddings(s, d)).orderBy("label")),
+    // per-label norm stats (collapsed/exploding-vector telemetry)
+    "sim_norm_stats" -> ((s, d) =>
+      Similarity.normStats(Tables.embeddings(s, d)).orderBy("label")),
     // connected components over the exact blocked cosine pair graph
     "dedup_embedding_clusters" -> ((s, d) =>
       Dedup.embeddingNearDupClusters(Tables.embeddings(s, d)).orderBy("vec_id")),
@@ -314,11 +317,21 @@ object SparkEntry {
     "fn_array" -> ((s, d) => FunctionSurface.arrayFunctions(s, d).orderBy("vec_id")),
     "fn_datetime" -> ((s, d) => FunctionSurface.datetimeFunctions(s, d)),
     "cube_status_priority" -> ((s, d) => FunctionSurface.statusPriorityCube(s, d)),
+    // explicit GROUPING SETS list + grouping_id
+    "agg_grouping_sets" -> ((s, d) => FunctionSurface.returnFlagGroupingSets(s, d)),
+    // string-function palette (reverse/pad/extract/position/editdist)
+    "fn_string" -> ((s, d) => FunctionSurface.stringFunctions(s, d)),
+    // generated calendar spine + gap fill (zero-order days kept)
+    "fn_date_spine" -> ((s, d) => FunctionSurface.orderDateSpine(s, d)),
     "set_intersect_hours" -> ((s, d) => FunctionSurface.clickAndPurchaseHours(s, d)),
     "pivot_event_types" -> ((s, d) => FunctionSurface.eventTypePivot(s, d)),
     "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
     "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
+    // modality accounting: (source, media_type) counts + byte mass
+    "multimodal_media_stats" -> ((s, d) =>
+      Multimodal.mediaStats(Tables.documents(s, d))
+        .orderBy("source", "media_type")),
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(s,
         Multimodal.attachMedia(Tables.documents(s, d))).toDF().orderBy("doc_id")),
@@ -1326,6 +1339,63 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "fn_date_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+        |pd AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n_orders, sum(o_totalprice) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY CAST(o_orderdate AS DATE))
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |       coalesce(pd.n_orders, 0) AS n_orders,
+        |       floor((coalesce(pd.rev, 0.0)) * 100 + 0.5) / 100 AS revenue
+        |FROM spine LEFT JOIN pd USING (day)
+        |ORDER BY day""".stripMargin,
+    "sim_norm_stats" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT label,
+        |             sqrt(list_reduce([y * y for y in v], (a, b) -> a + b)) AS nrm
+        |      FROM e)
+        |SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vecs,
+        |       floor((avg(nrm)) * 10000 + 0.5) / 10000 AS avg_norm,
+        |       floor((min(nrm)) * 10000 + 0.5) / 10000 AS min_norm,
+        |       floor((max(nrm)) * 10000 + 0.5) / 10000 AS max_norm
+        |FROM n GROUP BY label
+        |ORDER BY label""".stripMargin,
+    "multimodal_media_stats" ->
+      """SELECT source,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       count(*) AS n_docs,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |       CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+        |FROM documents
+        |GROUP BY source, media_type
+        |ORDER BY source, media_type""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n,
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "fn_string" ->
+      """SELECT c_custkey,
+        |       reverse(c_name) AS rev_name,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |       split_part(c_name, '#', 2) AS name_num,
+        |       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+        |       substr(c_name, 1, 8) AS prefix8,
+        |       substr(c_name, length(c_name) - 2, 3) AS suffix3,
+        |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist,
+        |       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "set_intersect_hours" ->
       """SELECT DISTINCT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour
         |FROM events WHERE event_type = 'click'

@@ -56,6 +56,73 @@ object FunctionSurface {
         col("n"))
       .orderBy("status", "priority")
 
+  /** Calendar-spine gap fill: every day of a quarter with its order count
+    * and revenue, INCLUDING zero-order days — the generate-days → left
+    * join → coalesce pattern behind any dense time series report. The
+    * spine is generated (sequence + explode, no table), the fact side
+    * aggregates BEFORE the join, so the join input is one row per active
+    * day.
+    */
+  def orderDateSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = spark.range(1)
+      .select(explode(sequence(
+        lit("1997-01-01").cast("date"),
+        lit("1997-03-31").cast("date"),
+        expr("interval 1 day"))).as("day"))
+    val perDay = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("rev"))
+    days.join(perDay, Seq("day"), "left")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        OracleRound.round2(coalesce(col("rev"), lit(0.0))).as("revenue"))
+      .orderBy("day")
+  }
+
+  /** Explicit GROUPING SETS (beyond the ROLLUP/CUBE hierarchies): a
+    * hand-picked set list — (flag, status), (flag), () — with
+    * `grouping_id()` exposed so consumers can tell which set produced a
+    * row. Same grouping-set expansion machinery as rollup, one shuffle.
+    */
+  def returnFlagGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        OracleRound.roundN(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("gid"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** String-function palette over customer (SURVEY.md §2.8 "absent" row
+    * widened): reverse, pad, key extraction after a delimiter, position,
+    * prefix/suffix slices, edit distance — all codegen built-ins with
+    * exact DuckDB counterparts.
+    */
+  def stringFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey"),
+        reverse(col("c_name")).as("rev_name"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        substring_index(col("c_name"), "#", -1).as("name_num"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        col("c_name").substr(length(col("c_name")) - 2, lit(3)).as("suffix3"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string"))
+          .as("seg_key"))
+      .orderBy("c_custkey")
+
   /** INTERSECT set op (EXCEPT is covered elsewhere): hour buckets where
     * both clicks and purchases occurred.
     */

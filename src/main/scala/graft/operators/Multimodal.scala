@@ -48,6 +48,19 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       col("text").cast("binary").as("payload"))
 
+  /** Modality accounting: per (source, media_type) document counts and
+    * byte mass — the storage/throughput telemetry a multimodal corpus
+    * publishes per snapshot. Map stage + one tiny-domain aggregate.
+    */
+  def mediaStats(docs: DataFrame): DataFrame =
+    attachMedia(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("media_type"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("payload"))).as("total_bytes"),
+        max(length(col("payload"))).cast("long").as("max_bytes"))
+
   /** STUB decode: deterministic integer arithmetic standing in for a codec.
     * A real implementation would replace `decodeOne` with e.g. a JNI image
     * decoder; everything around it (typed Dataset boundary, per-partition

@@ -91,6 +91,23 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         graft.functions.OracleRound.round4(avg(col("x"))).as("dim_mean"))
 
+  /** Per-label L2-norm statistics — the embedding QA telemetry that
+    * catches collapsed or exploding vectors per class before they poison
+    * similarity search. Norms are sequential HOF folds (bit-identical
+    * cross-engine); the mean is rounded at the edge. Map-only + one
+    * label-keyed partial aggregate.
+    */
+  def normStats(embeddings: DataFrame): DataFrame =
+    Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("label"),
+        VectorOps.l2Norm(VectorOps.asDouble(col("embedding"))).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.functions.OracleRound.round4(avg(col("nrm"))).as("avg_norm"),
+        graft.functions.OracleRound.round4(min(col("nrm"))).as("min_norm"),
+        graft.functions.OracleRound.round4(max(col("nrm"))).as("max_norm"))
+
   /** Nearest-centroid label agreement — the embedding-quality eval over
     * [[labelCentroids]]: every vector is classified by its most-cosine-
     * similar class prototype and scored against its true label, yielding

@@ -571,25 +571,25 @@ object Relational {
 
   /** TPC-H Q21 shape (adapted — "late" = shipped after the order date):
     * suppliers who were the ONLY late shipper on a multi-supplier order.
-    * One fact⋈fact join carries the late flag; the per-order aggregate
-    * reduces to three counters per orderkey (distinct suppliers, distinct
-    * late suppliers, and — valid exactly when the late set is a
-    * singleton — its max); the per-supplier count then runs over
-    * qualifying orders only. No EXISTS/NOT-EXISTS re-scan of lineitem:
-    * the single aggregate answers both quantifiers at once.
+    * One fact⋈fact join carries the late flag; then TWO stacked plain
+    * aggregates: (order, supplier) → any-late (the dedup level), and
+    * order → supplier count / late count / the lone late supplier. Both
+    * quantifiers come out of the second aggregate — no EXISTS re-scan of
+    * lineitem, and no countDistinct (which would plan an Expand and
+    * triple the shuffle volume; the stacked form benched 2× faster).
     */
   def soloLateSuppliers(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
     val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
-    val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_shipdate") > col("o_orderdate")).as("late"))
-    val perOrder = flagged.groupBy(col("l_orderkey"))
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate"), 1).otherwise(0)).as("late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
-        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late_supp"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
       .where(col("n_supp") > 1 && col("n_late_supp") === 1)
     perOrder.groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))

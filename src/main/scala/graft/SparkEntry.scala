@@ -183,6 +183,9 @@ object SparkEntry {
     // per-source unigram KL vs the corpus blend (mixture drift telemetry)
     "text_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d)).orderBy("source")),
+    // corpus-wide bigram novelty (memorization-risk signal)
+    "text_ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, d)).orderBy("doc_id")),
     // benchmark-leakage guard: every 50th doc stands in as the "benchmark"
     // suite; its distinct shingle set is broadcast, the corpus pass stays
     // map-side
@@ -190,6 +193,12 @@ object SparkEntry {
       Curation.decontaminate(Tables.documents(s, d),
         Tables.documents(s, d).where(col("doc_id") % 50 === 0))
         .orderBy("doc_id")),
+    // one-row dedup dashboard over the shared cluster table
+    "pipeline_dedup_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.dedupReport(docs,
+        Dedup.sharedNearDupClusters(docs, cacheKey = d))
+    }),
     // attribution side of decontamination: per benchmark doc, how many
     // corpus docs leak it and the worst overlap
     "pipeline_contamination_report" -> ((s, d) =>
@@ -1012,6 +1021,36 @@ object SparkEntry {
                  "greatest(CAST(coalesce(a.n_bigrams, 0) AS DOUBLE), 1.0)", 4)} AS top_bigram_frac
          |FROM documents d LEFT JOIN a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |             unnest([array_to_string(toks[i:i+1], ' ')
+         |                     for i in range(1, len(toks))]) AS bg
+         |      FROM t),
+         |f AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY doc_id, bg),
+         |fd AS (SELECT bg, min(doc_id) AS first_doc FROM f GROUP BY bg),
+         |a AS (SELECT f.doc_id,
+         |             CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |             CAST(sum(CASE WHEN fd.first_doc = f.doc_id THEN tf ELSE 0 END) AS BIGINT) AS n_novel
+         |      FROM f JOIN fd USING (bg) GROUP BY f.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(a.n_novel, 0) AS n_novel,
+         |       floor((CAST(coalesce(a.n_novel, 0) AS DOUBLE) /
+         |              greatest(CAST(coalesce(a.n_bigrams, 0) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS novelty
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_dedup_report" -> (curationCtePrefix +
+      s""",
+         |ex AS (SELECT count(*) AS n_exact_groups FROM (
+         |         SELECT md5($duckNorm) AS fp FROM documents GROUP BY fp)),
+         |nn AS (SELECT count(DISTINCT cluster_id) AS n_clusters FROM clus),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT nd.n_docs, ex.n_exact_groups,
+         |       nd.n_docs - ex.n_exact_groups AS n_exact_surplus,
+         |       nn.n_clusters,
+         |       nd.n_docs - nn.n_clusters AS n_near_surplus
+         |FROM nd CROSS JOIN ex CROSS JOIN nn""".stripMargin),
     "text_gopher_filters" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |m AS (SELECT doc_id,

@@ -165,6 +165,29 @@ object Curation {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** One-row dedup dashboard: corpus size, exact-duplicate groups and
+    * surplus copies, near-dup cluster count (the post-canonicalization
+    * corpus size) and surplus members — the release-note numbers a
+    * corpus snapshot publishes. Every input is an already-aggregated
+    * single-row frame (exact groups from [[Dedup.exactDedup]], clusters
+    * from the dedup-once shared table), combined by broadcast cross
+    * joins — never a driver-side collect.
+    */
+  def dedupReport(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val exact = Dedup.exactDedup(docs)
+      .agg(count(lit(1)).as("n_exact_groups"))
+    val near = clusters.select(col("cluster_id")).distinct()
+      .agg(count(lit(1)).as("n_clusters"))
+    n.crossJoin(broadcast(exact))
+      .crossJoin(broadcast(near))
+      .select(
+        col("n_docs"), col("n_exact_groups"),
+        (col("n_docs") - col("n_exact_groups")).as("n_exact_surplus"),
+        col("n_clusters"),
+        (col("n_docs") - col("n_clusters")).as("n_near_surplus"))
+  }
+
   /** The attribution side of [[decontaminate]]: per BENCHMARK document,
     * how many corpus documents overlap it at/above the contamination
     * threshold and the worst overlap seen — the report an eval owner

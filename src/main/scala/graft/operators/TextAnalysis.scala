@@ -215,6 +215,47 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Bigram novelty: per document, the fraction of its (non-distinct)
+    * bigram occurrences whose corpus-wide FIRST occurrence (min doc_id)
+    * is this document — low novelty marks text assembled from n-grams
+    * the corpus already contains (boilerplate, near-template), the
+    * memorization-risk signal next to [[repetitionStats]]' within-doc
+    * view. Bigrams travel as xxhash64 longs through both shuffles
+    * (fixed-width keys; collision odds ≈ bigrams²/2⁶⁴, and the oracle
+    * computes the string form so any effect surfaces as a mismatch).
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val perDocBg = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), xxhash64(col("bg")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val firstDoc = perDocBg.groupBy(col("bg"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = perDocBg.join(firstDoc, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), col("tf")).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        OracleRound.round4(
+          coalesce(col("n_novel"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_bigrams"), lit(0L)).cast("double"), lit(1.0)))
+          .as("novelty"))
+  }
+
   /** Per-source unigram KL divergence from the corpus distribution —
     * KL(P_source ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the mixture
     * diagnostic a corpus build publishes per snapshot: a source drifting

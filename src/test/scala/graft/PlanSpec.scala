@@ -41,7 +41,9 @@ class PlanSpec extends AnyFunSuite {
     "text_nll_buckets", "sim_knn_label", "tpch_q22_dormant_customers",
     "text_source_divergence", "sim_centroid_agreement",
     // q15: the single-row revenue-max scalar broadcast into the filter
-    "tpch_q15_top_supplier")
+    "tpch_q15_top_supplier",
+    // dedup report: three single-row aggregates cross-joined
+    "pipeline_dedup_report")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -183,6 +183,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out(3L)._2 && out(3L)._1 == 0, "disjoint doc must come back clean")
   }
 
+  test("ngramNovelty credits first occurrences and zero-fills short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // 3 bigrams, all first seen here
+      (2L, "alpha beta gamma epsilon"), // 2 of 3 bigrams first seen in doc 1
+      (3L, "single")                    // no bigram → zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 0.3333)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"got ${out(3L)}")
+  }
+
+  test("contaminationReport attributes leaks per benchmark doc, zeros when clean") {
+    import spark.implicits._
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    val clean = "nothing in common with any corpus document whatsoever " +
+      "truly fully disjoint text entirely separate corpus material here"
+    val docs = Seq(
+      (1L, leaked),
+      (2L, s"prefix words here $leaked suffix words"),
+      (3L, "totally different content about nothing shared with anything else at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leaked), (101L, clean)).toDF("doc_id", "text")
+    val out = Curation.contaminationReport(docs, bench, minOverlap = 10)
+      .orderBy("bench_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(100L)._1 == 2L, "both leaking docs attributed to bench doc 100")
+    assert(out(100L)._2 >= 16L, "worst overlap carries the full shingle count")
+    assert(out(101L) == ((0L, 0L)), "clean benchmark doc reports zeros")
+  }
+
+  test("dedupReport counts exact groups and near clusters consistently") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, a), (2L, a),                        // exact dup pair
+      (3L, a + " lambda"),                     // near-dup of 1 (high jaccard)
+      (4L, "completely different words about other things entirely here now")
+    ).toDF("doc_id", "text")
+    val clusters = graft.operators.Dedup.nearDupClusters(docs)
+    val r = Curation.dedupReport(docs, clusters).collect().head
+    assert(r.getLong(0) == 4L)                         // n_docs
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)   // exact groups / surplus
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L,   // {1,2,3} + {4}
+      s"near clusters ${r.getLong(3)}, surplus ${r.getLong(4)}")
+  }
+
   test("repetitionStats measures bigram concentration") {
     import spark.implicits._
     val docs = Seq(

@@ -332,6 +332,8 @@ object SparkEntry {
     "fn_string" -> ((s, d) => FunctionSurface.stringFunctions(s, d)),
     // generated calendar spine + gap fill (zero-order days kept)
     "fn_date_spine" -> ((s, d) => FunctionSurface.orderDateSpine(s, d)),
+    // MapType palette over schema-free JSON props
+    "fn_map" -> ((s, d) => FunctionSurface.mapFunctions(s, d)),
     "set_intersect_hours" -> ((s, d) => FunctionSurface.clickAndPurchaseHours(s, d)),
     "pivot_event_types" -> ((s, d) => FunctionSurface.eventTypePivot(s, d)),
     "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
@@ -1378,6 +1380,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |       array_to_string(list_sort(json_keys(props)::VARCHAR[]), ',') AS keys,
+        |       CAST(props->>'k' AS INTEGER) AS k_val,
+        |       json_extract(props, '$.missing') IS NOT NULL AS has_missing
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_date_spine" ->
       """WITH spine AS (
         |  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',

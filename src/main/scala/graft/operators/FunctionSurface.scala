@@ -56,6 +56,27 @@ object FunctionSurface {
         col("n"))
       .orderBy("status", "priority")
 
+  /** MapType surface: the events `props` JSON decoded as a
+    * map<string,int> (schema-free, unlike the fixed-struct extraction of
+    * ref_q4), then key/value/lookup map functions over it — the dynamic-
+    * payload path a pipeline takes when property sets vary per event.
+    * Map-only.
+    */
+  def mapFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        size(m).as("n_keys"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys"),
+        element_at(m, "k").as("k_val"),
+        map_contains_key(m, "missing").as("has_missing"))
+      .orderBy("event_id")
+  }
+
   /** Calendar-spine gap fill: every day of a quarter with its order count
     * and revenue, INCLUDING zero-order days — the generate-days → left
     * join → coalesce pattern behind any dense time series report. The

@@ -234,6 +234,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"near clusters ${r.getLong(3)}, surplus ${r.getLong(4)}")
   }
 
+  test("observe() gives single-pass gate accounting (no second scan)") {
+    // pipeline accounting the cheap way: observation metrics ride the
+    // SAME job as the gated action — pre-gate totals without a second
+    // pass over the corpus (at 100 TB a separate count() doubles the scan)
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{col, count, lit, size, sum}
+    val obs = Observation("gate")
+    val enriched = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
+        size(col("toks")).as("n"))
+      .observe(obs, count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val enCount = enriched.where(col("lang_pred") === "en").count()
+    val m = obs.get
+    assert(m("n_docs").asInstanceOf[Long] == 500L, s"got ${m("n_docs")}")
+    assert(m("n_tokens").asInstanceOf[Long] > 0L)
+    assert(enCount > 0L && enCount < 500L,
+      "the gate must actually filter, or the metric proves nothing")
+  }
+
   test("repetitionStats measures bigram concentration") {
     import spark.implicits._
     val docs = Seq(

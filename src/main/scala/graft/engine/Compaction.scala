@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the operational pass every continuously-fed
+  * parquet dataset needs: micro-batch sinks (e.g.
+  * [[graft.streaming.StreamOps.incrementalCorpusSink]]) land one-or-few-row
+  * files per trigger, and a 100 TB table made of millions of kilobyte
+  * files is slow to list, slow to open, and starves the scan of
+  * row-group-sized reads.
+  *
+  * [[compactTo]] rewrites a parquet directory into ~`targetBytes` files:
+  * the output file count comes from the directory's ACTUAL byte size
+  * (filesystem metadata — no data read), and the rewrite is one job with
+  * no shuffle wider than the coalesce. Writing to a NEW directory keeps
+  * the operation atomic-by-convention (readers switch when the writer
+  * publishes the new path); an in-place swap would need a transactional
+  * table format, which plain parquet does not offer.
+  */
+object Compaction {
+
+  /** Total bytes + file count of the parquet files under `dir`. */
+  def dirStats(spark: SparkSession, dir: String): (Long, Int) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    var files = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        bytes += f.getLen; files += 1
+      }
+    }
+    (bytes, files)
+  }
+
+  /** Rewrite the parquet dataset at `src` into `dst` with files of
+    * roughly `targetBytes` each (≥ 1 file). Row content is preserved
+    * exactly; file layout is the only thing that changes. `coalesce`
+    * (not `repartition`) keeps the rewrite shuffle-free — fine for
+    * compaction, where input partitions are small by definition.
+    */
+  def compactTo(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val (bytes, _) = dirStats(spark, src)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(src)
+    df.coalesce(nFiles).write.mode("overwrite").parquet(dst)
+    spark.read.parquet(dst).count()
+  }
+}

@@ -23,6 +23,26 @@ class SourcesSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("compaction collapses a many-small-files dataset without losing rows") {
+    val frag = tmp("graft-frag")
+    val compacted = tmp("graft-compact")
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val n = orders.count()
+    // simulate a micro-batch sink: 64 tiny files
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    val (bytes, filesBefore) = graft.engine.Compaction.dirStats(spark, frag)
+    assert(filesBefore >= 32, s"fragmentation setup produced $filesBefore files")
+    // target = half the dataset → expect exactly 2 output files
+    val rows = graft.engine.Compaction.compactTo(
+      spark, frag, compacted, targetBytes = bytes / 2 + 1)
+    val (_, filesAfter) = graft.engine.Compaction.dirStats(spark, compacted)
+    assert(rows == n, s"row count changed: $rows vs $n")
+    assert(filesAfter == 2, s"expected 2 compacted files, got $filesAfter")
+    // content identity, not just count
+    assert(spark.read.parquet(compacted).exceptAll(orders).isEmpty &&
+      orders.exceptAll(spark.read.parquet(compacted)).isEmpty)
+  }
+
   test("csv round-trip preserves rows and schema (header + inferSchema)") {
     val dir = tmp("graft-csv")
     val nation = Tables.nation(spark, "/root/testdata/sf0.001")

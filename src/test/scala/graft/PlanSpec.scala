@@ -118,6 +118,18 @@ class PlanSpec extends AnyFunSuite {
       s"q6 scan reads more than its 4 columns: $readSchema")
   }
 
+  test("q19 pushes per-side implications of the disjunction to both scans") {
+    // the OR of (brand, size, quantity) triples must not block pushdown:
+    // Catalyst derives the quantity-only disjunction for the lineitem scan
+    // and the brand/size disjunction for the part scan
+    val plan = SparkEntry.queries("tpch_q19_disjunctive_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val orPushed = plan.linesIterator
+      .count(l => l.contains("PushedFilters") && l.contains("Or("))
+    assert(orPushed >= 2,
+      s"expected Or(...) pushed to both scans, found $orPushed:\n${plan.take(2000)}")
+  }
+
   test("column pruning reaches the parquet scan") {
     // topk_orders projects 3 of orders' 9 columns — the scan schema must
     // shrink accordingly

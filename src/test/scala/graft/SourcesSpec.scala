@@ -23,6 +23,25 @@ class SourcesSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("text source round-trips line-oriented corpora (whole-line value column)") {
+    // the rawest ingestion format a text pipeline meets: one line = one
+    // row, single `value` string column (no schema, no parsing) — the
+    // entry point before from_json/regexp structure extraction
+    import org.apache.spark.sql.functions.{col, length => strlen}
+    val dir = tmp("graft-text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.select(col("text")).write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.count() == docs.count())
+    // char mass preserved (documents are single-line, so no line splits)
+    val a = back.agg(org.apache.spark.sql.functions.sum(strlen(col("value"))))
+      .head.getLong(0)
+    val b = docs.agg(org.apache.spark.sql.functions.sum(strlen(col("text"))))
+      .head.getLong(0)
+    assert(a == b, s"char mass changed: $a vs $b")
+  }
+
   test("compaction collapses a many-small-files dataset without losing rows") {
     val frag = tmp("graft-frag")
     val compacted = tmp("graft-compact")

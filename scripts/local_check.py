@@ -30,6 +30,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_key(dt) -> str:
+    """Dtype signature matching the driver's sensitivity: the driver hashes
+    the typed frame, so int64 vs float64 (e.g. DuckDB HUGEINT from
+    sum(integer) vs Spark BIGINT) must FAIL here too. Only timestamp unit
+    (ns/us) and tz-naive representation are collapsed — parquet readers
+    disagree on those while the driver's compare does not."""
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    return s
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -60,6 +72,14 @@ def main():
             continue
         if len(g) != len(x):
             print(f"FAIL {name}: rows {len(g)} vs {len(x)}")
+            failed.append(name)
+            continue
+        gd = [dtype_key(t) for t in g.dtypes]
+        xd = [dtype_key(t) for t in x.dtypes]
+        if gd != xd:
+            diff = [f"{c}: {a} vs {b}"
+                    for c, a, b in zip(g.columns, gd, xd) if a != b]
+            print(f"FAIL {name}: dtypes differ ({'; '.join(diff)})")
             failed.append(name)
             continue
         bad = None

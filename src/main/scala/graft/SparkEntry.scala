@@ -124,13 +124,15 @@ object SparkEntry {
         Tables.documents(s, d).where(col("doc_id") % 5 === 0),
         Tables.documents(s, d).where(col("doc_id") % 5 =!= 0))
         .orderBy("new_id", "old_id")),
+    // the md5-keyed SQL-expressible simhash: hash-checked against DuckDB
+    // (bit-for-bit signature parity). The xxhash64 production form —
+    // including the skew-capped salted buckets — stays the library
+    // default and is recall/cap-spec'd in DedupSpec; this driver row
+    // pins the vote arithmetic itself to an independent engine.
     "dedup_simhash_sigs" -> ((s, d) =>
-      Dedup.simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
-    // bucketCap opted in HERE (not a library default): bounds the hot-
-    // bucket self-join at template-flood scale, trading capped-bucket
-    // recall (1-(1-1/s)^4) for linear join size — see simhashBuckets doc
+      Dedup.simhashSqlSignatures(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), bucketCap = 10000)
+      Dedup.simhashSqlPairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")),
     // grid-blocked exact plan (equi-join per block-pair cell — no
     // nested-loop/cartesian); the naive all-pairs form is its spec-checked
@@ -247,6 +249,21 @@ object SparkEntry {
     "pipeline_chunk_docs" -> ((s, d) =>
       Curation.chunkDocuments(Tables.documents(s, d))
         .orderBy("doc_id", "chunk_idx")),
+    // the operational small-file loop, oracle-anchored end-to-end: the
+    // corpus is deliberately fragmented into 64 micro-batch-sized files,
+    // compacted (Compaction.compactTo — shuffle-free coalesce, row count
+    // observed on the write job), and the QUERY READS THE COMPACTED
+    // OUTPUT — so a compaction that lost, duplicated, or mangled rows
+    // fails the DuckDB compare against the original table
+    "pipeline_compacted_corpus" -> ((s, d) =>
+      s.read.parquet(compactedDocsDir(s, d))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("char_mass"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("source")),
     "pipeline_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     // sharded form: partitioned window → one prefix-sum reducer per source
@@ -584,10 +601,10 @@ object SparkEntry {
         |  AND l_quantity < 24""".stripMargin,
     "tpch_q12_priority_lines" ->
       """SELECT l_linestatus,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |                THEN 1 ELSE 0 END) AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |                THEN 0 ELSE 1 END) AS low_line_count
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -778,11 +795,51 @@ object SparkEntry {
          |  JOIN sz nb ON nb.doc_id = old_id)
          |WHERE jaccard >= 0.5
          |ORDER BY new_id, old_id""".stripMargin,
-    // dedup_simhash_* : xxhash64-based signatures are not
-    // DuckDB-expressible → rows-only checks; their correctness is
-    // anchored by DedupSpec comparing candidates against the exact
-    // (oracle-checked) dedup_ngram_jaccard pairs. dedup_minhash_lsh IS
-    // oracle-checked (exact verification stage — see above).
+    // dedup_simhash_* : the md5-keyed 48-bit variant is reproduced
+    // digit-for-digit in SQL — bit j of a token's hash is bit (j mod 4)
+    // of hex digit (j / 4) of md5(token), every occurrence votes ±1, the
+    // signature bit is the vote sum's sign. Spark's banded pair join is
+    // pigeonhole-complete for hamming <= 5, so the oracle's all-pairs
+    // filter is the same set. (The xxhash64 production form remains
+    // spec-anchored in DedupSpec — xxhash64 has no DuckDB counterpart.)
+    "dedup_simhash_sigs" ->
+      s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hex FROM c),
+         |v AS (SELECT doc_id, CAST(j AS INTEGER) AS j,
+         |             sum(CASE WHEN
+         |                   ((strpos('0123456789abcdef',
+         |                            substr(hex, CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+         |                    >> CAST(j % 4 AS INTEGER)) & 1 = 1
+         |                 THEN 1 ELSE -1 END) AS vote
+         |      FROM h CROSS JOIN (SELECT unnest(range(48)) AS j)
+         |      GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN vote > 0
+         |                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+         |         AS simhash
+         |FROM v GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hex FROM c),
+         |v AS (SELECT doc_id, CAST(j AS INTEGER) AS j,
+         |             sum(CASE WHEN
+         |                   ((strpos('0123456789abcdef',
+         |                            substr(hex, CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+         |                    >> CAST(j % 4 AS INTEGER)) & 1 = 1
+         |                 THEN 1 ELSE -1 END) AS vote
+         |      FROM h CROSS JOIN (SELECT unnest(range(48)) AS j)
+         |      GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |               CAST(sum(CASE WHEN vote > 0
+         |                             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+         |                 AS simhash
+         |        FROM v GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
@@ -1057,7 +1114,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |m AS (SELECT doc_id,
          |       CAST(len(toks) AS INTEGER) AS n_tokens,
-         |       floor((list_reduce([length(x) for x in toks], (a, b) -> a + b) /
+         |       floor((list_reduce(list_prepend(0, [length(x) for x in toks]), (a, b) -> a + b) /
          |              greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS mean_word_len,
          |       floor((len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$$'))) /
          |              greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000 AS numeric_frac
@@ -1224,6 +1281,18 @@ object SparkEntry {
          |       CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INTEGER) AS n_chunk_tokens,
          |       array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // oracle reads the ORIGINAL documents table; the Spark side reads the
+    // fragment→compact round-trip output — equality proves the compactor
+    // preserved every row and value
+    "pipeline_compacted_corpus" ->
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS char_mass,
+        |       min(doc_id) AS min_doc,
+        |       max(doc_id) AS max_doc
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "sim_knn_label" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label,
@@ -1437,7 +1506,9 @@ object SparkEntry {
       """SELECT c_custkey,
         |       reverse(c_name) AS rev_name,
         |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
-        |       split_part(c_name, '#', 2) AS name_num,
+        |       CASE WHEN contains(c_name, '#')
+        |            THEN regexp_extract(c_name, '#([^#]*)$', 1)
+        |            ELSE c_name END AS name_num,
         |       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
         |       substr(c_name, 1, 8) AS prefix8,
         |       substr(c_name, length(c_name) - 2, 3) AS suffix3,
@@ -1568,6 +1639,24 @@ object SparkEntry {
        |  JOIN sz nb ON nb.doc_id = doc_b)
        |WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Fragment → compact → publish, ONCE per data dir (same memo contract
+    * as Dedup.sharedNearDupClusters): documents are splintered into 64
+    * micro-batch-sized parquet files, then rewritten by
+    * [[graft.engine.Compaction.compactTo]]. pipeline_compacted_corpus
+    * reads the compacted table, closing the operational loop under the
+    * driver's oracle.
+    */
+  private val compactedDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactedDocsDir(s: SparkSession, d: String): String =
+    compactedDocsCache.computeIfAbsent(d, _ => {
+      val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
+      val dst = java.nio.file.Files.createTempDirectory("graft-compacted").toString
+      Tables.documents(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+      graft.engine.Compaction.compactTo(s, frag, dst)
+      dst
+    })
 
   /** DuckDB expression for TextAnalysis.normalize / tokens (kept adjacent to
     * the Spark definitions so the two dialects stay in lock-step).

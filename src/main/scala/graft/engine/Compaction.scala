@@ -1,7 +1,8 @@
 package graft.engine
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Small-file compaction — the operational pass every continuously-fed
   * parquet dataset needs: micro-batch sinks (e.g.
@@ -41,6 +42,12 @@ object Compaction {
     * exactly; file layout is the only thing that changes. `coalesce`
     * (not `repartition`) keeps the rewrite shuffle-free — fine for
     * compaction, where input partitions are small by definition.
+    *
+    * Returns the row count, measured by an [[Observation]] ON the write
+    * job itself — the compacted data is never re-read for verification
+    * (the round-4 form re-scanned the full output per invocation, a
+    * second 100 TB read at operational scale). CompactionSpec asserts
+    * the single-job property with a listener.
     */
   def compactTo(
       spark: SparkSession,
@@ -49,8 +56,10 @@ object Compaction {
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     val (bytes, _) = dirStats(spark, src)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(src)
-    df.coalesce(nFiles).write.mode("overwrite").parquet(dst)
-    spark.read.parquet(dst).count()
+    val obs = Observation()
+    spark.read.parquet(src)
+      .observe(obs, count(lit(1)).as("rows"))
+      .coalesce(nFiles).write.mode("overwrite").parquet(dst)
+    obs.get("rows").asInstanceOf[Long]
   }
 }

@@ -339,6 +339,70 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** 48-bit SimHash over an md5-derived token hash — the ORACLE-EXPRESSIBLE
+    * variant of [[simhashSignatures]]. Bit j (0..47) of a token's hash is
+    * bit (j mod 4) of hex digit (j / 4) of md5(token); every token
+    * OCCURRENCE votes ±1 per bit and the signature bit is the vote sum's
+    * sign — the same vote arithmetic as the xxhash64 production form, and
+    * the same plan shape (one explode, 48 map-side-combinable partial
+    * sums, one shuffle on doc_id). DuckDB reproduces it digit-for-digit
+    * (strpos on the hex alphabet + shift/mask), which upgrades
+    * `dedup_simhash_sigs` / `dedup_simhash_pairs` from rows-only to
+    * hash-checked driver rows. 48 bits (not 64) keeps the packed
+    * signature and every intermediate sum comfortably inside signed
+    * BIGINT on both engines — no HUGEINT drift in the oracle. The
+    * xxhash64 64-bit form remains the scale default: one integer hash per
+    * token vs an md5 over the string.
+    */
+  def simhashSqlSignatures(docs: DataFrame): DataFrame = {
+    val bits = 48
+    val exploded = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("hex"))
+    val votes = (0 until bits).map { j =>
+      val digit = conv(substring(col("hex"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(digit, j % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val sig = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs over [[simhashSqlSignatures]]: band-bucket candidates
+    * (six 8-bit bands) refined with bit_count(xor) ≤ `maxHamming`. For
+    * maxHamming ≤ 5 the banding is COMPLETE by pigeonhole — ≤ 5 differing
+    * bits touch at most 5 of the 6 bands, so every qualifying pair agrees
+    * exactly on ≥ 1 band — which makes the banded equi-join provably equal
+    * to the all-pairs filter the DuckDB oracle evaluates, while the plan
+    * shuffles on (band, bucket) and never goes quadratic in the corpus.
+    */
+  def simhashSqlPairs(docs: DataFrame, maxHamming: Int = 5): DataFrame = {
+    require(maxHamming <= 5, "6x8-bit banding is only complete for hamming <= 5")
+    val sigs = OpCache.materialize(simhashSqlSignatures(docs))
+    val bandStructs = array((0 until 6).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        shiftrightunsigned(col("simhash"), bnd * 8).bitwiseAND(lit(0xFFL)).as("bh"))
+    }: _*)
+    val banded = sigs
+      .select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** SimHash band buckets with skew-capped salting — the candidate
     * generator behind [[simhashPairs]], exposed so DedupSpec can measure
     * the candidate volume directly.
@@ -431,6 +495,13 @@ object Dedup {
   private val clusterTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook: drop the in-JVM publish memo, simulating a fresh session.
+    * Cross-session reuse must then come from the `_SUCCESS`-marked table on
+    * the shared `baseDir` — exactly what DedupSpec's fresh-session spec
+    * asserts.
+    */
+  private[graft] def clearClusterTableMemo(): Unit = clusterTableCache.clear()
+
   /** [[nearDupClusters]] computed ONCE per `(cacheKey, k, threshold)` and
     * PUBLISHED as a parquet cluster table that every downstream corpus
     * recipe reads — the production dedup-once shape: curated-corpus
@@ -442,27 +513,56 @@ object Dedup {
     * Same memo contract as [[Similarity.ivfCentroids]]: `cacheKey` must
     * encode the DATA VERSION, not just its location — the memo is never
     * invalidated, so pass a new key (or `""` to compute live) when the
-    * corpus changes. The spill directory is JVM-scoped temp space; at
-    * cluster scale this is exactly the "publish the cluster table to the
-    * warehouse, then fan recipes off it" topology.
+    * corpus changes.
+    *
+    * Publish location: `baseDir` (explicit argument, else the
+    * `spark.graft.warehouse.dir` session conf) names a SHARED filesystem
+    * (DFS/object store) directory — the production topology, where
+    * executors on other hosts and LATER SESSIONS read the published table.
+    * The table lands at a path derived from `(cacheKey, k, threshold)`,
+    * committed with parquet's `_SUCCESS` marker: a fresh JVM with the same
+    * key finds the marker and reads the table without recomputing (the
+    * in-JVM memo just skips the FS probe). With no baseDir configured the
+    * table falls back to driver-local temp — correct in local mode only,
+    * and exercised as such by the small-SF harness.
     */
   def sharedNearDupClusters(
       docs: DataFrame,
       cacheKey: String,
       k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      baseDir: String = ""): DataFrame = {
     if (cacheKey.isEmpty) nearDupClusters(docs, k, threshold)
     else {
-      val dir = clusterTableCache.computeIfAbsent(s"$cacheKey|$k|$threshold", _ => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-clusters").toString
-        nearDupClusters(docs, k, threshold)
-          .write.mode("overwrite").parquet(out)
-        // the write fully materialized the plan; the label/pair blocks it
-        // registered on OpCache are freed by the caller's usual release
-        out
+      val spark = docs.sparkSession
+      val base =
+        if (baseDir.nonEmpty) baseDir
+        else spark.conf.get("spark.graft.warehouse.dir", "")
+      val dir = clusterTableCache.computeIfAbsent(s"$base|$cacheKey|$k|$threshold", _ => {
+        if (base.nonEmpty) {
+          val slug = s"${cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")}_k${k}_t$threshold"
+          val out = s"$base/near_dup_clusters/$slug"
+          val outPath = new org.apache.hadoop.fs.Path(out)
+          val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // _SUCCESS is the commit marker: present ⇒ a prior session (or a
+          // concurrent writer that finished first) already published this
+          // exact (key, k, threshold) table — reuse, don't recompute
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))) {
+            nearDupClusters(docs, k, threshold)
+              .write.mode("overwrite").parquet(out)
+          }
+          out
+        } else {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-clusters").toString
+          nearDupClusters(docs, k, threshold)
+            .write.mode("overwrite").parquet(out)
+          // the write fully materialized the plan; the label/pair blocks it
+          // registered on OpCache are freed by the caller's usual release
+          out
+        }
       })
-      docs.sparkSession.read.parquet(dir)
+      spark.read.parquet(dir)
     }
   }
 

@@ -127,7 +127,10 @@ object FunctionSurface {
   /** String-function palette over customer (SURVEY.md §2.8 "absent" row
     * widened): reverse, pad, key extraction after a delimiter, position,
     * prefix/suffix slices, edit distance — all codegen built-ins with
-    * exact DuckDB counterparts.
+    * exact DuckDB counterparts. Note: substring_index(c, "#", -1) means
+    * "substring after the LAST '#', or the whole string if none"; the
+    * oracle mirrors that exactly via CASE + regexp_extract rather than
+    * split_part, so parity holds for any input, not just single-'#' names.
     */
   def stringFunctions(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)

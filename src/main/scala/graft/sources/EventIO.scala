@@ -111,6 +111,28 @@ final case class ParquetEventSink(path: String, checkpoint: String) extends Even
       .start()
 }
 
+/** Format-parameterized checkpointed file sink: orc, csv, json and text
+  * join parquet behind the same trait — the write-side mirror of Tables'
+  * batch readers (SourcesSpec round-trips those formats as reads; this
+  * closes the sink side of the symmetry). All five formats are native
+  * Structured Streaming file sinks, so the streaming path gets the same
+  * exactly-once checkpointed commit protocol as parquet. `text` carries
+  * Spark's own constraint: a single string column per row.
+  */
+final case class FileEventSink(
+    path: String,
+    checkpoint: String,
+    format: String = "parquet") extends EventSink {
+  def write(df: DataFrame): Unit =
+    df.write.mode("append").format(format).save(path)
+  def writeStream(df: DataFrame): StreamingQuery =
+    df.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}
+
 /** In-memory sink: streaming `format("memory")` table; batch registers a
   * temp view of the same name (both readable as `spark.table(name)`).
   */

@@ -57,11 +57,67 @@ object StreamOps {
       clicks: DataFrame,
       purchases: DataFrame,
       watermark: String = "10 minutes",
+      horizonMinutes: Int = 10): DataFrame =
+    attributionJoin(clicks, purchases, watermark, horizonMinutes, "inner")
+
+  /** Stream–stream FULL OUTER interval join: the attribution topology of
+    * [[clickToPurchase]], but every click and every purchase appears
+    * exactly once — matches emit as they meet; an unmatched row emits
+    * null-padded when the watermark passes the last instant a partner
+    * could still arrive (purchase_ts for a purchase; click_ts + horizon
+    * for a click). Spark supports outer stream-stream joins only with
+    * watermarks on BOTH sides and a time-bounded condition — exactly this
+    * shape — and state stays watermark-bounded as in the inner form.
+    */
+  def clickToPurchaseFullOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
+      horizonMinutes: Int = 10): DataFrame =
+    attributionJoin(clicks, purchases, watermark, horizonMinutes, "full_outer")
+
+  /** Watermarked delivery-dedup FEEDING the stream-stream attribution
+    * join (chained stateful operators, append mode): an at-least-once
+    * upstream that replays a click must not double-attribute a purchase,
+    * so clicks pass `dropDuplicatesWithinWatermark(event_id)` before the
+    * join. Two stateful stages, each watermark-bounded.
+    */
+  def dedupedClickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
       horizonMinutes: Int = 10): DataFrame = {
+    // the dedup stage's watermark PROPAGATES through the rename into the
+    // join (re-applying withWatermark downstream is a disallowed
+    // redefinition under multiple-stateful-operator propagation)
+    val deduped = clicks
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("c_user"))
+    joinShapedSides(deduped, purchases, watermark, horizonMinutes, "inner")
+  }
+
+  private def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String,
+      horizonMinutes: Int,
+      joinType: String): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
         col("user_id").as("c_user"))
       .withWatermark("click_ts", watermark)
+    joinShapedSides(c, purchases, watermark, horizonMinutes, joinType)
+  }
+
+  /** Core attribution join; `c` is already click-shaped AND watermarked. */
+  private def joinShapedSides(
+      c: DataFrame,
+      purchases: DataFrame,
+      watermark: String,
+      horizonMinutes: Int,
+      joinType: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
         col("user_id").as("p_user"), col("value"))
@@ -69,8 +125,10 @@ object StreamOps {
     p.join(c,
       col("c_user") === col("p_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
-      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
+      .select(col("purchase_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
         col("click_id"), col("value"))
   }
 
@@ -181,16 +239,23 @@ object StreamOps {
           .select(col("doc_b").as("doc_id")).distinct()
         val afterInBatch = graft.engine.OpCache.checkpoint(
           exactCanon.join(inBatchDups, Seq("doc_id"), "left_anti"))
+        // "corpus does not exist yet" must be decided by an explicit FS
+        // probe, not by swallowing AnalysisException: a corrupt footer or
+        // permission failure also surfaces as AnalysisException, and
+        // treating it as first-batch would silently skip cross-corpus
+        // dedup and republish duplicates. Other errors fail the batch.
+        val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+        val fs = corpusPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val existing =
-          try s.read.parquet(corpusDir).select("doc_id", "text")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
+          if (fs.exists(corpusPath))
+            s.read.parquet(corpusDir).select("doc_id", "text")
+          else
             s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("doc_id",
                   org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("text",
                   org.apache.spark.sql.types.StringType))))
-          }
         val corpusDups = Dedup.crossCorpusPairs(
             afterInBatch.select("doc_id", "text"), existing, threshold = threshold)
           .select(col("new_id").as("doc_id")).distinct()

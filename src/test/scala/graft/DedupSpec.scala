@@ -203,6 +203,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"capped simhash recall $recall too low")
   }
 
+  test("SQL-simhash banded pairs equal the all-pairs hamming filter") {
+    val docs = Tables.documents(spark, sf)
+    val sigs = Dedup.simhashSqlSignatures(docs)
+    // brute-force reference: every pair within hamming 5, no banding
+    val brute = sigs.as("a").join(sigs.as("b"),
+        org.apache.spark.sql.functions.col("a.doc_id") <
+          org.apache.spark.sql.functions.col("b.doc_id"))
+      .select(
+        org.apache.spark.sql.functions.col("a.doc_id").as("doc_a"),
+        org.apache.spark.sql.functions.col("b.doc_id").as("doc_b"),
+        org.apache.spark.sql.functions.bit_count(
+          org.apache.spark.sql.functions.col("a.simhash").bitwiseXOR(
+            org.apache.spark.sql.functions.col("b.simhash"))).cast("int").as("hamming"))
+      .where(org.apache.spark.sql.functions.col("hamming") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashSqlPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 6x8-bit banding is pigeonhole-complete for hamming <= 5: the banded
+    // equi-join must find EXACTLY the brute-force set
+    assert(banded == brute,
+      s"missing=${brute -- banded} extra=${banded -- brute}")
+    assert(brute.nonEmpty, "expected planted near-dups within hamming 5")
+  }
+
   test("verified minhash LSH pairs are value-identical to exact jaccard") {
     val docs = Tables.documents(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
@@ -225,6 +249,32 @@ class DedupSpec extends AnyFunSuite {
     val second = Dedup.sharedNearDupClusters(docs, cacheKey = key)
     assert(first.inputFiles.nonEmpty &&
       first.inputFiles.toSet == second.inputFiles.toSet)
+  }
+
+  test("warehouse-published cluster table survives a fresh session") {
+    val docs = Tables.documents(spark, sf)
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-warehouse").toString
+    val key = s"warehouse-${System.nanoTime()}"
+    val published = toMap(
+      Dedup.sharedNearDupClusters(docs, cacheKey = key, baseDir = base))
+    assert(published == toMap(Dedup.nearDupClusters(docs)))
+    // the table must be COMMITTED on the shared dir (the _SUCCESS marker is
+    // the cross-session contract), under a path derived from the key
+    val tableDirs = new java.io.File(s"$base/near_dup_clusters").listFiles()
+    assert(tableDirs != null && tableDirs.length == 1 &&
+      tableDirs.head.getName.startsWith(key) &&
+      new java.io.File(tableDirs.head, "_SUCCESS").isFile)
+    // fresh session: drop the in-JVM memo, then ask for the same key with a
+    // DIFFERENT docs frame — a recompute would yield that frame's clusters;
+    // reading the published table yields the original ones
+    Dedup.clearClusterTableMemo()
+    val decoy = docs.limit(0)
+    val reread = toMap(
+      Dedup.sharedNearDupClusters(decoy, cacheKey = key, baseDir = base))
+    assert(reread == published)
   }
 
   test("clusters from LSH pairs match clusters from exact pairs") {

@@ -62,6 +62,36 @@ class SourcesSpec extends AnyFunSuite {
       orders.exceptAll(spark.read.parquet(compacted)).isEmpty)
   }
 
+  test("compaction reads the data ONCE — verification comes from the write") {
+    val frag = tmp("graft-frag1job")
+    val compacted = tmp("graft-compact1job")
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val n = orders.count()
+    orders.repartition(16).write.mode("overwrite").parquet(frag)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = graft.engine.Compaction.compactTo(spark, frag, compacted)
+      // listener events post asynchronously; wait for the sum to settle
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var last = -1L
+      while (System.nanoTime() < deadline && recordsRead.get() != last) {
+        last = recordsRead.get(); Thread.sleep(300)
+      }
+      assert(rows == n, s"observed row count $rows vs $n")
+      // every input record is read exactly once, by the write job itself —
+      // the round-4 verify-by-re-read scanned them a second time (2n)
+      assert(recordsRead.get() == n,
+        s"expected one $n-record pass, saw ${recordsRead.get()} records read")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("csv round-trip preserves rows and schema (header + inferSchema)") {
     val dir = tmp("graft-csv")
     val nation = Tables.nation(spark, "/root/testdata/sf0.001")

@@ -196,6 +196,67 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL outer join emits unmatched rows after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchaseStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(s: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamOps.clickToPurchaseFullOuter(df(clickStream), df(purchaseStream))
+    val q = joined.writeStream
+      .format("memory").queryName("outer_attr_out").outputMode("append").start()
+    try {
+      clickStream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),   // matches purchase 10
+        (2L, ts("2024-01-01 00:20:00"), 1L, "click", 0.0)))  // no purchase follows
+      purchaseStream.addData(Seq(
+        (10L, ts("2024-01-01 00:05:00"), 1L, "purchase", 9.99),
+        (11L, ts("2024-01-01 00:06:00"), 3L, "purchase", 5.00))) // user never clicked
+      q.processAllAvailable()
+      // advance BOTH watermarks far past every possible match window so
+      // the unmatched rows are evicted and emitted null-padded
+      clickStream.addData(Seq((90L, ts("2024-01-01 01:00:00"), 9L, "click", 0.0)))
+      purchaseStream.addData(Seq((91L, ts("2024-01-01 01:00:00"), 9L, "purchase", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table("outer_attr_out").collect()
+        .map(r => (Option(r.get(0)), r.getLong(1), Option(r.get(2)))).toSet
+      // matched pair + null-padded unmatched click AND unmatched purchase
+      // (the two 01:00 flush rows match each other and emit as a pair)
+      assert(out == Set(
+        (Some(10L), 1L, Some(1L)),
+        (Some(11L), 3L, None),
+        (None, 1L, Some(2L)),
+        (Some(91L), 9L, Some(90L))),
+        s"unexpected outer-join output: $out")
+    } finally q.stop()
+  }
+
+  test("delivery-level dedup upstream of the join stops double attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchaseStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(s: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamOps.dedupedClickToPurchase(df(clickStream), df(purchaseStream))
+    val q = joined.writeStream
+      .format("memory").queryName("dedup_attr_out").outputMode("append").start()
+    try {
+      // the same click delivered twice (at-least-once replay)
+      clickStream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0)))
+      purchaseStream.addData(Seq(
+        (10L, ts("2024-01-01 00:05:00"), 1L, "purchase", 9.99)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_attr_out").collect()
+      assert(out.length == 1 &&
+        out.head.getLong(0) == 10L && out.head.getLong(2) == 1L,
+        s"expected ONE attribution despite the replayed click, got ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("curation telemetry emits per-window gate rates (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

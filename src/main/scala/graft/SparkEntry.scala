@@ -102,9 +102,11 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
     "text_fingerprints" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id")),
+    // the md5-keyed SQL-expressible winnow, hash-checked against DuckDB
+    // (the xxhash64 production form stays the scale default, spec-anchored
+    // in OperatorsSpec — same split as dedup_simhash_*)
     "text_winnow_fingerprints" -> ((s, d) =>
-      TextAnalysis.winnowedFingerprints(Tables.documents(s, d))
-        .withColumn("fingerprint_hashes", concat_ws(",", col("fingerprint_hashes")))
+      TextAnalysis.winnowedFingerprintsSql(Tables.documents(s, d))
         .orderBy("doc_id")),
     // ── deduplication (LLM-pipeline operators) ──────────────────────────
     "dedup_exact_docs" -> ((s, d) =>
@@ -316,8 +318,12 @@ object SparkEntry {
     // connected components over the exact blocked cosine pair graph
     "dedup_embedding_clusters" -> ((s, d) =>
       Dedup.embeddingNearDupClusters(Tables.embeddings(s, d)).orderBy("vec_id")),
+    // md5-keyed deterministic hyperplanes (no RNG) — the whole LSH
+    // pipeline (planes, buckets, candidates, exact-cosine rerank) is
+    // reproduced in DuckDB, so this is hash-checked; the seeded-gaussian
+    // family stays recall-spec'd in SimilaritySpec
     "sim_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+      Similarity.lshTopKSql(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), cacheKey = d)
         .orderBy("query_id", "rank")),
@@ -764,8 +770,32 @@ object SparkEntry {
          |       md5(norm) AS fp_exact,
          |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
          |FROM t ORDER BY doc_id""".stripMargin,
-    // text_winnow_fingerprints: xxhash64-based — not DuckDB-expressible,
-    // driver records the weaker rows-only check.
+    // text_winnow_fingerprints: the md5-keyed 60-bit variant is exact SQL —
+    // shingle hash = first 15 hex digits of md5(shingle) as base-16
+    // (folded digit-by-digit in BIGINT), then min-per-window / distinct /
+    // sort, serialized to CSV at the oracle edge. (The xxhash64 form has
+    // no DuckDB counterpart and stays spec-anchored.)
+    "text_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             [array_to_string(toks[i+1:i+3], ' ')
+         |              for i in range(0, greatest(len(toks) - 3, 0) + 1)] AS shs
+         |      FROM t),
+         |h AS (SELECT doc_id,
+         |             [list_reduce([CAST(strpos('0123456789abcdef',
+         |                                       substr(md5(sh), d, 1)) - 1 AS BIGINT)
+         |                           for d in range(1, 16)],
+         |                          (a, b) -> a * 16 + b)
+         |              for sh in shs] AS hashes
+         |      FROM s),
+         |wn AS (SELECT doc_id,
+         |              list_distinct([list_min(hashes[i+1:i+4])
+         |                             for i in range(0, greatest(len(hashes) - 4, 0) + 1)]) AS winnowed
+         |       FROM h)
+         |SELECT doc_id,
+         |       array_to_string(list_sort(winnowed), ',') AS fingerprints,
+         |       CAST(len(winnowed) AS INTEGER) AS n_fingerprints
+         |FROM wn ORDER BY doc_id""".stripMargin,
     "dedup_exact_docs" ->
       s"""WITH t AS (SELECT doc_id, md5($duckNorm) AS fp_exact FROM documents)
          |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp_exact
@@ -1407,9 +1437,49 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
-    // sim_lsh_topk: deterministic but its seeded hyperplane literals are
-    // not reasonably SQL-expressible → rows-only; SimilaritySpec measures
-    // its recall against the oracle-checked brute-force top-k.
+    // sim_lsh_topk: hyperplane component (t,b,i) = 2u−1, u = (first 13 hex
+    // digits of md5('hp:t:b:i') as base-16) / 2^52 — 52 bits is exactly
+    // double-representable, so both engines hold the same component, the
+    // same sign bits, the same buckets, and (sequential-fold dot, as in
+    // sim_bruteforce_topk) the same cosines bit-for-bit.
+    "sim_lsh_topk" ->
+      """WITH hp AS (
+        |  SELECT t.range AS t, b.range AS b, i.range AS i,
+        |         (CAST(list_reduce(
+        |            [CAST(strpos('0123456789abcdef',
+        |                         substr(md5('hp:' || t.range || ':' || b.range || ':' || i.range),
+        |                                d, 1)) - 1 AS BIGINT)
+        |             for d in range(1, 14)],
+        |            (a, c) -> a * 16 + c) AS DOUBLE) / 4503599627370496.0) * 2 - 1 AS comp
+        |  FROM range(8) t, range(4) b, range(64) i),
+        |pl AS (SELECT t, b, list(comp ORDER BY i) AS plane FROM hp GROUP BY t, b),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |bk AS (SELECT n.vec_id, pl.t,
+        |              CAST(sum(CASE WHEN list_reduce(
+        |                     [n.v[j] * pl.plane[j] for j in range(1, 1 + len(n.v))],
+        |                     (x, y) -> x + y) > 0
+        |                   THEN (1 << CAST(pl.b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM n CROSS JOIN pl
+        |       GROUP BY n.vec_id, pl.t),
+        |qb AS (SELECT vec_id AS query_id, t, bucket FROM bk WHERE vec_id < 10),
+        |cand AS (SELECT DISTINCT qb.query_id, bk.vec_id
+        |         FROM bk JOIN qb ON bk.t = qb.t AND bk.bucket = qb.bucket
+        |         WHERE bk.vec_id <> qb.query_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT cand.query_id, cand.vec_id,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM cand JOIN n ON n.vec_id = cand.vec_id
+        |      JOIN q ON q.query_id = cand.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "sql_revenue_by_status" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue

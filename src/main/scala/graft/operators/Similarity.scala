@@ -155,6 +155,27 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
+  /** Deterministic md5-keyed hyperplanes — the ORACLE-EXPRESSIBLE LSH
+    * family (same pattern as `Dedup.simhashSqlSignatures`): component
+    * (t, b, i) = 2·u − 1 with u = (first 13 hex digits of
+    * md5("hp:t:b:i") read base-16) / 2^52. 13 hex digits = 52 bits keeps
+    * the integer EXACTLY representable in a double, and division by a
+    * power of two is exact scaling, so DuckDB reproduces every component
+    * bit-for-bit from the same md5 — no RNG, no engine-specific seed.
+    * Uniform (not gaussian) directions are still a valid sign-LSH family
+    * (any origin-symmetric direction distribution works for sign buckets);
+    * SimilaritySpec measures the recall against brute force.
+    */
+  def mdHyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dim) { (t, b, i) =>
+      val hex = mdig.digest(s"hp:$t:$b:$i".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      val v = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      v.toDouble / 4503599627370496.0 * 2 - 1
+    }
+  }
+
   /** Sign-bit bucket id of vector column `v` for one table's planes. */
   private[operators] def bucketId(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
@@ -553,8 +574,9 @@ object Similarity {
       k: Int = 5,
       tables: Int = 8,
       bits: Int = 4,
-      dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim)
+      dim: Int = 64,
+      planesOverride: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val planes = planesOverride.getOrElse(hyperplanes(tables, bits, dim))
     // feeds bucketing, the query side, and the late vector rejoin
     val e = OpCache.materialize(
       Partitioning.ensureParallelism(embeddings, col("vec_id"))
@@ -596,4 +618,21 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
   }
+
+  /** [[lshTopK]] over the md5-keyed [[mdHyperplanes]] — identical plan
+    * (bucket explode, (table, bucket) equi-join, exact-cosine rerank),
+    * but every hyperplane component, bucket id, candidate set, and cosine
+    * is reproducible in DuckDB SQL, so `sim_lsh_topk` is hash-checked by
+    * the driver instead of rows-only. The seeded-gaussian form remains
+    * available for parity with standard LSH literature.
+    */
+  def lshTopKSql(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      tables: Int = 8,
+      bits: Int = 4,
+      dim: Int = 64): DataFrame =
+    lshTopK(embeddings, numQueries, k, tables, bits, dim,
+      Some(mdHyperplanes(tables, bits, dim)))
 }

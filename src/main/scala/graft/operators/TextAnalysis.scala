@@ -548,4 +548,33 @@ object TextAnalysis {
         sort_array(col("winnowed")).as("fingerprint_hashes"),
         size(col("winnowed")).as("n_fingerprints"))
   }
+
+  /** [[winnowedFingerprints]] keyed on an md5-derived 60-bit shingle hash —
+    * the ORACLE-EXPRESSIBLE variant (same pattern as
+    * `Dedup.simhashSqlSignatures`): hash = the first 15 hex digits of
+    * md5(shingle) read as a base-16 integer, which DuckDB reproduces with
+    * a per-digit fold; 60 bits keeps every value inside signed BIGINT on
+    * both engines. The winnow itself — min per w-window of consecutive
+    * shingle hashes, distinct, sorted — is identical arithmetic to the
+    * xxhash64 production form (which stays the scale default: one integer
+    * hash vs an md5 per shingle). Fingerprints serialize to a CSV string
+    * at the oracle edge (the driver's pandas compare cannot hash ndarray
+    * cells), with the count alongside.
+    */
+  def winnowedFingerprintsSql(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+        i => conv(substring(
+            md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15),
+          16, 10).cast("long")).as("hashes"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hashes")) - w, lit(0))),
+        i => array_min(slice(col("hashes"), i + 1, lit(w))))).as("winnowed"))
+      .select(
+        col("doc_id"),
+        concat_ws(",", transform(sort_array(col("winnowed")), h => h.cast("string")))
+          .as("fingerprints"),
+        size(col("winnowed")).as("n_fingerprints"))
 }

@@ -57,6 +57,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-winnow fingerprints match the production winnow's structure") {
+    // same corpus, same (k, w): the md5-keyed variant must select the SAME
+    // NUMBER of fingerprints per doc whenever the hash choice doesn't
+    // change which positions win ties — statistically both are uniform
+    // hashes, so the per-doc counts should be broadly similar; assert the
+    // hard invariants (non-empty, count == parsed CSV length, sorted)
+    val rows = TextAnalysis.winnowedFingerprintsSql(Tables.documents(spark, sf))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fps = r.getAs[String]("fingerprints").split(",").map(_.toLong).toSeq
+      assert(fps.nonEmpty && fps == fps.sorted,
+        s"doc ${r.getLong(0)}: fingerprints not sorted")
+      assert(fps.size == r.getAs[Int]("n_fingerprints"))
+      // 60-bit hashes: all values non-negative and under 2^60
+      assert(fps.forall(h => h >= 0L && h < (1L << 60)))
+    }
+  }
+
   test("pricing summary groups cover all (returnflag, linestatus) pairs") {
     val got = Relational.pricingSummary(spark, sf)
       .select("l_returnflag", "l_linestatus").collect()

@@ -81,4 +81,19 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"LSH recall@5 = $recall (${(exact & ann).size}/${exact.size})")
     assert(recall >= 0.5, s"LSH recall@5 $recall below floor")
   }
+
+  test("md5-keyed (oracle-expressible) LSH recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    def byPair(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = byPair(Similarity.bruteForceTopK(emb))
+    val ann = byPair(Similarity.lshTopKSql(emb))
+    val hit = exact.keySet & ann.keySet
+    val recall = hit.size.toDouble / exact.size
+    info(s"md5-LSH recall@5 = $recall (${hit.size}/${exact.size})")
+    assert(recall >= 0.5, s"md5-LSH recall@5 $recall below floor")
+    // the rerank is exact: shared pairs carry the identical cosine
+    hit.foreach(p => assert(ann(p) == exact(p), s"rerank score drifted at $p"))
+  }
 }

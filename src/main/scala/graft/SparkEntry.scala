@@ -315,6 +315,11 @@ object SparkEntry {
     // per-label norm stats (collapsed/exploding-vector telemetry)
     "sim_norm_stats" -> ((s, d) =>
       Similarity.normStats(Tables.embeddings(s, d)).orderBy("label")),
+    // int8 scalar quantization + reconstruction-error telemetry — map-only
+    // compression pass; codes AND mse are IEEE-deterministic so the
+    // oracle checks them bit-for-bit
+    "sim_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id")),
     // connected components over the exact blocked cosine pair graph
     "dedup_embedding_clusters" -> ((s, d) =>
       Dedup.embeddingNearDupClusters(Tables.embeddings(s, d)).orderBy("vec_id")),
@@ -359,6 +364,8 @@ object SparkEntry {
     "fn_map" -> ((s, d) => FunctionSurface.mapFunctions(s, d)),
     "set_intersect_hours" -> ((s, d) => FunctionSurface.clickAndPurchaseHours(s, d)),
     "pivot_event_types" -> ((s, d) => FunctionSurface.eventTypePivot(s, d)),
+    // wide→long melt (Dataset.unpivot → Expand, map-side) + per-metric fold
+    "fn_unpivot_metrics" -> ((s, d) => FunctionSurface.metricUnpivot(s, d)),
     "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
     "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
@@ -1480,6 +1487,23 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+        |s AS (SELECT *, (vmax - vmin) / 255.0 AS scale FROM m),
+        |q AS (SELECT vec_id, v, vmin, vmax, scale,
+        |             [CASE WHEN scale = 0 THEN 0
+        |                   ELSE CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) END
+        |              for x in v] AS codes
+        |      FROM s)
+        |SELECT vec_id,
+        |       array_to_string(codes, ',') AS codes,
+        |       vmin, vmax,
+        |       list_reduce([(v[i] - (vmin + codes[i] * scale)) *
+        |                    (v[i] - (vmin + codes[i] * scale))
+        |                    for i in range(1, 1 + len(v))],
+        |                   (a, b) -> a + b) / len(v) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sql_revenue_by_status" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
@@ -1526,6 +1550,13 @@ object SparkEntry {
         |       CAST(props->>'k' AS INTEGER) AS k_val,
         |       json_extract(props, '$.missing') IS NOT NULL AS has_missing
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_unpivot_metrics" ->
+      s"""SELECT metric, count(*) AS n,
+         |       ${graft.functions.OracleRound.duck("sum(value)", 2)} AS total
+         |FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+         |  UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+         |GROUP BY metric
+         |ORDER BY metric""".stripMargin,
     "fn_date_spine" ->
       """WITH spine AS (
         |  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',

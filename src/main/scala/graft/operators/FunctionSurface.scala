@@ -147,6 +147,25 @@ object FunctionSurface {
           .as("seg_key"))
       .orderBy("c_custkey")
 
+  /** Relational UNPIVOT (melt): the four lineitem measures stacked into
+    * (metric, value) rows, then folded per metric — the wide→long reshape
+    * every metrics pipeline needs. `Dataset.unpivot` plans as an Expand
+    * (map-side row replication ×4, no shuffle) feeding one partial-agg
+    * exchange — at scale the melt itself never reshuffles the fact table.
+    */
+  def metricUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.OracleRound.round2(sum(col("value"))).as("total"))
+      .orderBy("metric")
+
   /** INTERSECT set op (EXCEPT is covered elsewhere): hour buckets where
     * both clicks and purchases occurred.
     */

@@ -635,4 +635,36 @@ object Similarity {
       dim: Int = 64): DataFrame =
     lshTopK(embeddings, numQueries, k, tables, bits, dim,
       Some(mdHyperplanes(tables, bits, dim)))
+
+  /** Per-vector int8 scalar quantization — the storage/serving compression
+    * a 100 TB embedding store applies before ANN serving (4 bytes/dim →
+    * 1 byte/dim): affine (min, max) codes q_i = floor((x_i − min)/scale +
+    * 0.5) with scale = (max − min)/255, plus the reconstruction-error
+    * telemetry (per-vector MSE of the dequantized vector) that gates a
+    * quantized rollout. MAP-ONLY — one projection per row, no shuffle;
+    * every step (element-wise affine, floor, sequential-fold MSE) is
+    * IEEE-deterministic, so the DuckDB oracle checks codes AND error
+    * bit-for-bit. Constant vectors take scale = 0 and all-zero codes.
+    * Codes serialize to CSV at the oracle edge (array cells don't hash in
+    * the driver's pandas compare).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("codes", transform(col("v"), x =>
+        when(col("scale") === 0, lit(0L))
+          .otherwise(floor((x - col("vmin")) / col("scale") + lit(0.5)))))
+    e.select(
+      col("vec_id"),
+      concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("codes"),
+      col("vmin"), col("vmax"),
+      (aggregate(
+        zip_with(col("v"), col("codes"), (x, q) =>
+          (x - (col("vmin") + q * col("scale"))) *
+            (x - (col("vmin") + q * col("scale")))),
+        lit(0.0), (acc, d) => acc + d) / size(col("v"))).as("mse"))
+  }
 }

@@ -96,4 +96,19 @@ class SimilaritySpec extends AnyFunSuite {
     // the rerank is exact: shared pairs carry the identical cosine
     hit.foreach(p => assert(ann(p) == exact(p), s"rerank score drifted at $p"))
   }
+
+  test("int8 quantization codes are in range and reconstruction error is bounded") {
+    val rows = Similarity.quantizeInt8(Tables.embeddings(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getAs[String]("codes").split(",").map(_.toLong)
+      assert(codes.forall(c => c >= 0L && c <= 255L),
+        s"vec ${r.getLong(0)}: code outside int8 range")
+      val (vmin, vmax) = (r.getDouble(2), r.getDouble(3))
+      val step = (vmax - vmin) / 255.0
+      // affine quantization error is at most (step/2)^2 per component
+      assert(r.getDouble(4) <= step * step / 4.0 + 1e-12,
+        s"vec ${r.getLong(0)}: mse ${r.getDouble(4)} exceeds the step bound")
+    }
+  }
 }

@@ -218,13 +218,50 @@ object Dedup {
     * With 32 hashes as 8×4, P(candidate) ≈ 1-(1-j⁴)⁸: j=0.9 → ~1.0,
     * j=0.3 → ~6% — matching the planted structure of the testdata
     * (near-dup pairs ≥0.9, background <0.3).
+    *
+    * `bucketCap` (default uncapped) opts into the shared [[saltBanded]]
+    * skew cap: an exact-duplicate flood gives every copy the SAME
+    * signature, collapsing all bands into one bucket whose self-join goes
+    * m² — the cap bounds it to ~m·cap per band at the cost of hot-bucket
+    * recall 1−(1−1/s)^bands (DedupSpec measures both). Exact-dup floods
+    * should be removed by [[exactDedup]] upstream; the cap is the
+    * belt-and-braces for template floods that survive it.
     */
+  /** Skew-cap salting for any banded `(doc_id, band, bh, …)` frame —
+    * shared by the simhash AND minhash candidate generators. Buckets
+    * larger than `bucketCap` sub-split into s = ceil(m / cap) salt groups
+    * by a doc_id hash (per-band reseed), bounding every per-bucket
+    * self-join to ~m·cap rows; see [[simhashBuckets]] for the full
+    * cap-vs-recall analysis (hot-pair survival 1−(1−1/s)^bands). Buckets
+    * at or under the cap keep salt 0 and their exact guarantee. With the
+    * default `Int.MaxValue` cap this is a zero-cost constant column — no
+    * bucket-size aggregation runs at all.
+    */
+  private[operators] def saltBanded(banded: DataFrame, bucketCap: Int): DataFrame =
+    if (bucketCap == Int.MaxValue) banded.withColumn("salt", lit(0))
+    else {
+      // only HOT buckets (> cap) enter the size table, so it stays tiny
+      // (≤ bands·n/cap rows) and broadcasts; cool buckets keep salt 0 via
+      // the left join's null
+      val hot = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("m"))
+        .where(col("m") > bucketCap)
+      banded.join(broadcast(hot), Seq("band", "bh"), "left")
+        .withColumn("salt",
+          when(col("m").isNotNull,
+            pmod(xxhash64(col("doc_id"), col("band")),
+              ceil(col("m") / lit(bucketCap)).cast("long")).cast("int"))
+            .otherwise(lit(0)))
+        .drop("m")
+    }
+
   def minhashLshPairs(
       docs: DataFrame,
       numHashes: Int = 32,
       bands: Int = 8,
       k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // signatures feed banding AND both verify-join sides: materialize once
@@ -238,12 +275,20 @@ object Dedup {
         xxhash64((0 until rows).map(r =>
           element_at(col("sig"), bnd * rows + r + 1)): _*).as("bh"))
     }: _*)
-    val banded = sigs
+    // exact-dup floods collapse ALL bands to one bucket (identical
+    // signatures), so the minhash band join has the same hot-bucket m²
+    // failure mode as simhash — the shared salt bounds it; both sides of
+    // the self-join scan the (materialized, when capped) salted frame
+    val bandedRaw = sigs
       .select(col("doc_id"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded =
+      if (bucketCap == Int.MaxValue) saltBanded(bandedRaw, bucketCap)
+      else OpCache.materialize(saltBanded(bandedRaw, bucketCap))
 
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.salt") === col("y.salt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -276,7 +321,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // one shingle-set materialization feeds signatures AND both verify sides
@@ -300,11 +346,15 @@ object Dedup {
         xxhash64((0 until rows).map(r =>
           element_at(col("sig"), bnd * rows + r + 1)): _*).as("bh"))
     }: _*)
-    val banded = sigs
+    val bandedRaw = sigs
       .select(col("doc_id"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded =
+      if (bucketCap == Int.MaxValue) saltBanded(bandedRaw, bucketCap)
+      else OpCache.materialize(saltBanded(bandedRaw, bucketCap))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.salt") === col("y.salt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -444,21 +494,9 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.bh").as("bh"))
-    // only HOT buckets (> cap) appear in the size table, so it stays tiny
-    // (≤ 4n/cap rows) and broadcasts; every cool bucket keeps salt 0 via
-    // the left join's null
-    val hot = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("m"))
-      .where(col("m") > bucketCap)
-    val salted = banded.join(broadcast(hot), Seq("band", "bh"), "left")
-      .withColumn("salt",
-        when(col("m").isNotNull,
-          pmod(xxhash64(col("doc_id"), col("band")),
-            ceil(col("m") / lit(bucketCap)).cast("long")).cast("int"))
-          .otherwise(lit(0)))
-      .drop("m")
-    // both sides of the candidate self-join scan this frame
-    OpCache.materialize(salted)
+    // both sides of the candidate self-join scan this frame; the salting
+    // itself is the shared [[saltBanded]] skew cap
+    OpCache.materialize(saltBanded(banded, bucketCap))
   }
 
   /** SimHash near-dup candidate pairs from the salted band buckets of

@@ -203,6 +203,36 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"capped simhash recall $recall too low")
   }
 
+  test("minhash bucket cap bounds an exact-dup flood's band join") {
+    import spark.implicits._
+    // m identical docs → identical signatures → every band lands in ONE
+    // bucket: the minhash analog of the simhash template flood
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val m = 400
+    val docs = (1 to m).map(i => (i.toLong, s"$text")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs).count()
+    // flood sanity: uncapped really is all-pairs quadratic
+    assert(uncapped == m.toLong * (m - 1) / 2, s"flood not quadratic: $uncapped")
+    val cap = 25
+    val capped = Dedup.minhashLshPairs(docs, bucketCap = cap).count()
+    // s = ceil(m/cap) = 16 salt groups; a pair survives a band with
+    // probability 1/s and gets 8 independent band chances:
+    // E[recall] = 1-(1-1/16)^8 ≈ 0.40. The salt is a deterministic hash,
+    // so bound loosely rather than pin the value.
+    val recall = capped.toDouble / uncapped
+    assert(recall > 0.2 && recall < 0.7,
+      s"capped flood recall $recall outside the 1-(1-1/s)^bands envelope")
+  }
+
+  test("minhash recall survives an aggressive bucket cap on the real corpus") {
+    val exact = truePairs
+    val mh = Dedup.minhashLshPairs(Tables.documents(spark, sf), bucketCap = 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"capped minhash recall $recall too low")
+  }
+
   test("SQL-simhash banded pairs equal the all-pairs hamming filter") {
     val docs = Tables.documents(spark, sf)
     val sigs = Dedup.simhashSqlSignatures(docs)

@@ -116,6 +116,30 @@ class StreamOpsSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("windowed type counts in UPDATE mode re-emit growing open windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // same operator, update output mode: every micro-batch emits the
+    // CURRENT value of each changed (window, type) row — the running-total
+    // semantics append mode withholds until the window closes
+    val q = StreamOps.windowedTypeCounts(df).writeStream
+      .format("memory").queryName("wtc_update_out").outputMode("update").start()
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 00:00:10"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, ts("2024-01-01 00:00:20"), 2L, "click", 2.0)))
+      q.processAllAvailable()
+      val emissions = spark.table("wtc_update_out").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toList
+      // two emissions for the SAME open window: count 1, then count 2 —
+      // the second is the update, not a duplicate closed row
+      assert(emissions.sortBy(_._2) == List(("click", 1L, 1.0), ("click", 2L, 3.0)),
+        s"unexpected update-mode emissions: $emissions")
+    } finally q.stop()
+  }
+
   test("windowed agg runs on the RocksDB state store (large-state backend)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

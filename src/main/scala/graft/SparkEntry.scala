@@ -130,7 +130,11 @@ object SparkEntry {
     // (bit-for-bit signature parity). The xxhash64 production form —
     // including the skew-capped salted buckets — stays the library
     // default and is recall/cap-spec'd in DedupSpec; this driver row
-    // pins the vote arithmetic itself to an independent engine.
+    // pins the vote arithmetic itself to an independent engine. It runs
+    // UNCAPPED because oracle equality requires the pigeonhole-complete
+    // join (the salt is a Spark-side hash DuckDB can't mirror) — a
+    // flood-prone production deployment passes bucketCap (spec'd) or
+    // runs exactDedup upstream.
     "dedup_simhash_sigs" -> ((s, d) =>
       Dedup.simhashSqlSignatures(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) =>

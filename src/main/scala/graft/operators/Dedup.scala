@@ -425,13 +425,25 @@ object Dedup {
 
   /** Near-dup pairs over [[simhashSqlSignatures]]: band-bucket candidates
     * (six 8-bit bands) refined with bit_count(xor) ≤ `maxHamming`. For
-    * maxHamming ≤ 5 the banding is COMPLETE by pigeonhole — ≤ 5 differing
-    * bits touch at most 5 of the 6 bands, so every qualifying pair agrees
-    * exactly on ≥ 1 band — which makes the banded equi-join provably equal
-    * to the all-pairs filter the DuckDB oracle evaluates, while the plan
-    * shuffles on (band, bucket) and never goes quadratic in the corpus.
+    * maxHamming ≤ 5 the UNCAPPED banding is COMPLETE by pigeonhole — ≤ 5
+    * differing bits touch at most 5 of the 6 bands, so every qualifying
+    * pair agrees exactly on ≥ 1 band — which makes the banded equi-join
+    * provably equal to the all-pairs filter the DuckDB oracle evaluates.
+    *
+    * The equi-join shape does NOT bound bucket size: an
+    * identical-signature template flood still concentrates m copies into
+    * one bucket per band (~m² candidates there). `bucketCap` opts into
+    * the shared [[saltBanded]] skew cap exactly as in [[simhashBuckets]]
+    * — at the cost of hot-bucket recall AND of oracle equality (the salt
+    * is a Spark-side hash), which is why the driver's oracle query runs
+    * uncapped while flood-prone production call sites should pass a cap
+    * (or run [[exactDedup]] upstream, which removes identical-signature
+    * floods at the source).
     */
-  def simhashSqlPairs(docs: DataFrame, maxHamming: Int = 5): DataFrame = {
+  def simhashSqlPairs(
+      docs: DataFrame,
+      maxHamming: Int = 5,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 5, "6x8-bit banding is only complete for hamming <= 5")
     val sigs = OpCache.materialize(simhashSqlSignatures(docs))
     val bandStructs = array((0 until 6).map { bnd =>
@@ -439,12 +451,16 @@ object Dedup {
         lit(bnd).as("band"),
         shiftrightunsigned(col("simhash"), bnd * 8).bitwiseAND(lit(0xFFL)).as("bh"))
     }: _*)
-    val banded = sigs
+    val bandedRaw = sigs
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded =
+      if (bucketCap == Int.MaxValue) saltBanded(bandedRaw, bucketCap)
+      else OpCache.materialize(saltBanded(bandedRaw, bucketCap))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.salt") === col("y.salt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -578,7 +594,16 @@ object Dedup {
         else spark.conf.get("spark.graft.warehouse.dir", "")
       val dir = clusterTableCache.computeIfAbsent(s"$base|$cacheKey|$k|$threshold", _ => {
         if (base.nonEmpty) {
-          val slug = s"${cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")}_k${k}_t$threshold"
+          // sanitization alone could collide distinct keys ('/data/v1' vs
+          // '/data_v1' both → 'data_v1'), and a collision would serve a
+          // cluster table computed from DIFFERENT data via the _SUCCESS
+          // reuse check — suffix a hash of the raw key to make the path
+          // injective in cacheKey
+          val keyHash = java.security.MessageDigest.getInstance("MD5")
+            .digest(cacheKey.getBytes("UTF-8"))
+            .take(6).map(x => f"${x & 0xff}%02x").mkString
+          val slug =
+            s"${cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")}_${keyHash}_k${k}_t$threshold"
           val out = s"$base/near_dup_clusters/$slug"
           val outPath = new org.apache.hadoop.fs.Path(out)
           val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -98,17 +98,14 @@ final case class KafkaEventSource(
 }
 
 /** Checkpointed parquet sink — exactly-once file output (the T5 machinery;
-  * reference checkpoint dirs at srapk:184, 191).
+  * reference checkpoint dirs at srapk:184, 191). The parquet
+  * specialization of [[FileEventSink]], kept as a named type for the S4
+  * reference-parity row; all behavior delegates so the two can't diverge.
   */
 final case class ParquetEventSink(path: String, checkpoint: String) extends EventSink {
-  def write(df: DataFrame): Unit =
-    df.write.mode("append").parquet(path)
-  def writeStream(df: DataFrame): StreamingQuery =
-    df.writeStream.format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .start()
+  private val delegate = FileEventSink(path, checkpoint, "parquet")
+  def write(df: DataFrame): Unit = delegate.write(df)
+  def writeStream(df: DataFrame): StreamingQuery = delegate.writeStream(df)
 }
 
 /** Format-parameterized checkpointed file sink: orc, csv, json and text

@@ -244,10 +244,24 @@ object StreamOps {
         // permission failure also surfaces as AnalysisException, and
         // treating it as first-batch would silently skip cross-corpus
         // dedup and republish duplicates. Other errors fail the batch.
+        // The probe looks for COMMITTED parquet data, not bare directory
+        // existence — a crashed first write leaves the dir with only
+        // _temporary/ inside, and treating that as readable would turn
+        // the replay into a permanent schema-inference crash loop.
         val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
         val fs = corpusPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def hasCommittedData: Boolean = {
+          if (!fs.exists(corpusPath)) return false
+          val it = fs.listFiles(corpusPath, true)
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet") &&
+              !f.toString.contains("_temporary")) return true
+          }
+          false
+        }
         val existing =
-          if (fs.exists(corpusPath))
+          if (hasCommittedData)
             s.read.parquet(corpusDir).select("doc_id", "text")
           else
             s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],

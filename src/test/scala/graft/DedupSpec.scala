@@ -257,6 +257,21 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "expected planted near-dups within hamming 5")
   }
 
+  test("SQL-simhash bucket cap bounds an identical-signature flood") {
+    import spark.implicits._
+    // m identical docs → identical 48-bit signatures → one bucket per band
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val m = 300
+    val docs = (1 to m).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashSqlPairs(docs).count()
+    assert(uncapped == m.toLong * (m - 1) / 2, s"flood not quadratic: $uncapped")
+    val capped = Dedup.simhashSqlPairs(docs, bucketCap = 20).count()
+    // s = 15 salt groups, 6 band chances: E[recall] = 1-(1-1/15)^6 ≈ 0.34
+    val recall = capped.toDouble / uncapped
+    assert(recall > 0.15 && recall < 0.6,
+      s"capped SQL-simhash flood recall $recall outside the envelope")
+  }
+
   test("verified minhash LSH pairs are value-identical to exact jaccard") {
     val docs = Tables.documents(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

@@ -78,15 +78,18 @@ class EventIOSpec extends AnyFunSuite {
           .writeStream(source.readStream(spark))
         try q.processAllAvailable() finally q.stop()
       }
-      runOnce()
-      val back = fmt match {
+      // the reader must be REBUILT after each run — a DataFrame resolves
+      // its file listing at creation, so a stale one could not observe
+      // files a duplicating restart writes
+      def back() = fmt match {
         case "csv" => spark.read.csv(out)
         case f => spark.read.format(f).load(out)
       }
-      assert(back.count() == rows.size, s"$fmt sink lost rows")
+      runOnce()
+      assert(back().count() == rows.size, s"$fmt sink lost rows")
       // restart from checkpoint with no new input: exactly-once, no dupes
       runOnce()
-      assert(back.count() == rows.size, s"$fmt sink duplicated rows on restart")
+      assert(back().count() == rows.size, s"$fmt sink duplicated rows on restart")
     }
   }
 

@@ -100,6 +100,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("incremental corpus sink recovers from a crashed, uncommitted first write") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-crash").toString
+    // simulate a first write that died mid-commit: the corpus dir exists
+    // but holds only the committer's _temporary scratch — no parquet. A
+    // bare exists() probe would treat this as a readable corpus and turn
+    // every replay into a schema-inference failure (permanent crash loop)
+    val temp = new java.io.File(s"$dir/corpus/_temporary/0")
+    assert(temp.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/corpus/_temporary/0/part-stub"), "junk")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamOps.incrementalCorpusSink(df, s"$dir/corpus", s"$dir/chk")
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 00:00:01"),
+        "a perfectly ordinary document about streams and state stores")))
+      query.processAllAvailable() // must not throw: uncommitted ⇒ empty corpus
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet == Set(1L))
+    } finally query.stop()
+  }
+
   test("windowed type counts emit closed windows only (append mode)") {
     val out = feed("wtc_out", Seq(
       Seq(

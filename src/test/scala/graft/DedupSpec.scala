@@ -322,6 +322,21 @@ class DedupSpec extends AnyFunSuite {
     assert(reread == published)
   }
 
+  test("warehouse dir can come from the session conf instead of the argument") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-warehouse-conf").toString
+    spark.conf.set("spark.graft.warehouse.dir", base)
+    try {
+      val key = s"confwh-${System.nanoTime()}"
+      Dedup.sharedNearDupClusters(docs, cacheKey = key).count()
+      val tableDirs = new java.io.File(s"$base/near_dup_clusters").listFiles()
+      assert(tableDirs != null && tableDirs.exists(d =>
+        d.getName.startsWith(key) && new java.io.File(d, "_SUCCESS").isFile),
+        "conf-provided warehouse dir was not used for the publish")
+    } finally spark.conf.unset("spark.graft.warehouse.dir")
+  }
+
   test("clusters from LSH pairs match clusters from exact pairs") {
     val docs = Tables.documents(spark, sf)
     def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =

@@ -66,9 +66,12 @@ object GlobalOrder {
         coalesce(sum(col("__psum")).over(wOff), lit(0L)).as("__off"))
     val wLocal = Window.partitionBy(col(PidCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NO cast on the result: `out` carries sum(value)'s natural type
+    // (long for integral inputs, double for doubles) — a blanket long
+    // cast would silently truncate fractional running sums
     parted
       .join(broadcast(offsets), PidCol)
-      .withColumn(out, (col("__off") + sum(value).over(wLocal)).cast("long"))
+      .withColumn(out, col("__off") + sum(value).over(wLocal))
       .drop(PidCol, "__off")
   }
 

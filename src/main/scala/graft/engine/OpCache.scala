@@ -37,8 +37,20 @@ object OpCache {
     new ConcurrentHashMap[SparkSession, mutable.Buffer[() => Unit]]()
 
   private def register(spark: SparkSession, free: () => Unit): Unit = {
-    val buf = registry.computeIfAbsent(spark, _ => mutable.Buffer.empty)
-    buf.synchronized { buf += free }
+    // a thread inside a scoped() block registers into its private scope
+    val scope = activeScope.get()
+    if (scope != null) { scope += free; return }
+    var done = false
+    while (!done) {
+      val buf = registry.computeIfAbsent(spark, _ => mutable.Buffer.empty)
+      buf.synchronized {
+        // a concurrent release() may have removed (and drained) this buffer
+        // between computeIfAbsent and taking the lock — appending to the
+        // orphaned buffer would leak the free forever, so re-check
+        // membership under the lock and retry on a fresh buffer
+        if (registry.get(spark) eq buf) { buf += free; done = true }
+      }
+    }
   }
 
   /** Persist + eagerly materialize `df`. The cache is freed by [[release]]
@@ -90,9 +102,36 @@ object OpCache {
 
   /** Free every operator-internal cache registered for `spark`. Call after
     * fully materializing the results you asked the operators for.
+    *
+    * SESSION-GLOBAL: frees caches registered by every thread on this
+    * session. A caller that shares its session with concurrent operator
+    * users (a query service, a multi-stream driver) must use [[scoped]]
+    * instead — releasing globally there would unpersist blocks another
+    * in-flight computation still needs.
     */
   def release(spark: SparkSession): Unit = {
     val buf = registry.remove(spark)
     if (buf != null) buf.synchronized { buf.foreach(_.apply()) }
+  }
+
+  private val activeScope = new ThreadLocal[mutable.Buffer[() => Unit]]()
+
+  /** Run `body` with a PRIVATE registration scope: every materialize /
+    * checkpoint an operator registers from this thread during `body` is
+    * freed when the block exits (normally or not), and nothing else is —
+    * safe on a session shared with concurrent operator users, unlike the
+    * session-global [[release]]. Registrations are thread-local, which
+    * matches how operators register (eagerly, on the calling thread);
+    * scopes nest (the inner scope frees only its own).
+    */
+  def scoped[T](spark: SparkSession)(body: => T): T = {
+    val outer = activeScope.get()
+    val buf = mutable.Buffer.empty[() => Unit]
+    activeScope.set(buf)
+    try body
+    finally {
+      if (outer == null) activeScope.remove() else activeScope.set(outer)
+      buf.foreach(_.apply())
+    }
   }
 }

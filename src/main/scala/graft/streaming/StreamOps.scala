@@ -225,6 +225,10 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // scoped, not session-global release: a shared session may have
+        // concurrent operator users (another stream, a batch job) whose
+        // caches a global release would free from under them
+        graft.engine.OpCache.scoped(s) {
         val withFp = batch
           .withColumn("fp_exact", md5(TextAnalysis.normalize(col("text"))))
         val keepIds = withFp.groupBy(col("fp_exact"))
@@ -260,9 +264,16 @@ object StreamOps {
           }
           false
         }
+        // exclude THIS batch's partition (and any later one) from the
+        // dedup reference: a replay after a partial job-commit would
+        // otherwise see the batch's own half-published rows, flag them as
+        // duplicates of themselves, and the dynamic overwrite would then
+        // rewrite batch_id=N WITHOUT them — deleting committed data
         val existing =
           if (hasCommittedData)
-            s.read.parquet(corpusDir).select("doc_id", "text")
+            s.read.parquet(corpusDir)
+              .where(col("batch_id") < lit(batchId))
+              .select("doc_id", "text")
           else
             s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
@@ -279,9 +290,9 @@ object StreamOps {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(corpusDir)
-        // the jaccard operators materialize intermediates through OpCache —
-        // release per batch, per the documented contract
-        graft.engine.OpCache.release(s)
+        // the jaccard operators' internal materializations registered into
+        // this thread's scope — freed as the scoped block exits
+        }
       }
       .start()
   }
@@ -388,9 +399,22 @@ object StreamOps {
             sorted.foreach { case (_, ts, v) =>
               val t = ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
+                // merge when t falls inside the session's gap-extended
+                // interval [start−gap, end+gap] — an in-watermark straggler
+                // just before the session start must LOWER start, not
+                // inflate the counts under an unchanged one
+                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
                   cur = Some(s.copy(
+                    start = math.min(s.start, t),
                     end = math.max(s.end, t), n = s.n + 1, total = s.total + v))
+                case Some(s) if t < s.start - gapMs =>
+                  // a cross-batch straggler OLDER than the open session by
+                  // more than the gap can never merge with it (and newer
+                  // peers of its own era were already closed) — emit it as
+                  // its own session rather than corrupting the open one.
+                  // Within one batch this branch is unreachable (events
+                  // are processed in time order).
+                  closed ::= SessionUpdate(userId, ts, ts, 1, v)
                 case Some(s) =>
                   closed ::= SessionUpdate(
                     userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)

@@ -411,4 +411,37 @@ class StreamOpsSpec extends AnyFunSuite {
       }, s"expected user 1 session, got ${out.mkString(",")}")
     } finally query.stop()
   }
+
+  test("sessionize handles in-watermark stragglers: start lowers, far-late splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sessions = StreamOps.sessionize(spark, df,
+      gapMs = 5 * 60 * 1000L, watermark = "2 hours")
+    val query = sessions.toDF().writeStream
+      .format("memory").queryName("sess_straggler_out").outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0)))
+      query.processAllAvailable()
+      // both events are LATE but inside the 2h watermark: 11:58 is within
+      // the gap of the open session's start (must merge and LOWER start);
+      // 11:20 is older than start by far more than the gap (can never
+      // merge — emitted as its own session, not folded into the counts)
+      stream.addData(Seq(
+        (2L, ts("2024-01-01 11:58:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 11:20:00"), 1L, "click", 4.0)))
+      query.processAllAvailable()
+      // a much later event closes the merged session (gap exceeded)
+      stream.addData(Seq((4L, ts("2024-01-01 14:00:00"), 1L, "click", 8.0)))
+      query.processAllAvailable()
+      val out = spark.table("sess_straggler_out").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(out == Set(
+        ("2024-01-01 11:20:00.0", "2024-01-01 11:20:00.0", 1L, 4.0),
+        ("2024-01-01 11:58:00.0", "2024-01-01 12:00:00.0", 2L, 3.0)),
+        s"unexpected sessions: $out")
+    } finally query.stop()
+  }
 }

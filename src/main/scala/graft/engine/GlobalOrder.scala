@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   *
   * The only unpartitioned window left runs over that bounded offset table
   * — rows = shuffle partitions, never corpus-sized (PlanSpec asserts
-  * exactly this shape). Results are EXACT and identical to the
-  * single-reducer form: range partitioning totally orders rows across
-  * partitions, and the per-partition layout cancels out of the final sum.
+  * exactly this shape). For INTEGRAL values the results are EXACT and
+  * identical to the single-reducer form: range partitioning totally orders
+  * rows across partitions, long addition is associative, and the
+  * per-partition layout cancels out of the final sum. For FRACTIONAL
+  * values the result is tolerance-equal only: adding the partition offset
+  * to each local prefix associates double additions differently from the
+  * window's strict left-to-right fold, so ULP-level drift is expected
+  * (double addition is not associative). All production callers sum
+  * integral values (token counts, lit(1L)).
   */
 object GlobalOrder {
 

@@ -7,10 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.GlobalOrder
 
-/** The distributed prefix-sum/rank/ntile primitives must be value-identical
-  * to their single-reducer window equivalents — including for FRACTIONAL
-  * running sums (the round-5 review found a blanket long cast silently
-  * truncating doubles).
+/** The distributed prefix-sum/rank/ntile primitives must match their
+  * single-reducer window equivalents — bit-exactly for integral values
+  * (long addition is associative), and to ULP-level tolerance for
+  * FRACTIONAL running sums: the distributed topology adds the partition
+  * offset to each local prefix, which associates double additions
+  * differently from the window's strict left-to-right fold, so exact
+  * Double equality is impossible by construction. (The round-5 review
+  * also found a blanket long cast silently truncating doubles — the
+  * dtype assertions below pin that fix.)
   */
 class GlobalOrderSpec extends AnyFunSuite {
 
@@ -22,7 +27,7 @@ class GlobalOrderSpec extends AnyFunSuite {
   private def releaseAfter[T](body: => T): T =
     try body finally graft.engine.OpCache.release(spark)
 
-  test("fractional running sum matches the single-reducer window exactly") {
+  test("fractional running sum matches the single-reducer window within ULP tolerance") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, i * 0.25 + 0.99)).toDF("k", "v")
     releaseAfter {
@@ -32,8 +37,17 @@ class GlobalOrderSpec extends AnyFunSuite {
           sum(col("v")).over(Window.orderBy(col("k"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("k", "cum").as[(Long, Double)].collect().toMap
-      assert(dist == single,
-        "distributed fractional prefix sum diverged from the window form")
+      assert(dist.keySet == single.keySet, "key sets diverged")
+      // Exact Double equality is impossible: the offset-table topology
+      // re-associates the additions. Bound the drift at a few hundred ULPs
+      // of the running magnitude — far below any semantic difference,
+      // far above accumulation-order noise.
+      dist.foreach { case (k, d) =>
+        val s = single(k)
+        val tol = math.max(math.ulp(math.max(math.abs(d), math.abs(s))) * 512, 1e-12)
+        assert(math.abs(d - s) <= tol,
+          s"key $k: distributed $d vs window $s exceeds tolerance $tol")
+      }
       // and the dtype is the sum's natural double, not a truncated long
       assert(GlobalOrder.withPrefixSum(df, Seq(col("k")), col("v"), "cum")
         .schema("cum").dataType.typeName == "double")

@@ -37,19 +37,28 @@ object OpCache {
     new ConcurrentHashMap[SparkSession, mutable.Buffer[() => Unit]]()
 
   private def register(spark: SparkSession, free: () => Unit): Unit = {
-    // a thread inside a scoped() block registers into its private scope
-    val scope = activeScope.get()
-    if (scope != null) { scope += free; return }
-    var done = false
-    while (!done) {
-      val buf = registry.computeIfAbsent(spark, _ => mutable.Buffer.empty)
-      buf.synchronized {
-        // a concurrent release() may have removed (and drained) this buffer
-        // between computeIfAbsent and taking the lock — appending to the
-        // orphaned buffer would leak the free forever, so re-check
-        // membership under the lock and retry on a fresh buffer
-        if (registry.get(spark) eq buf) { buf += free; done = true }
-      }
+    // a thread inside a scoped() block registers into the innermost
+    // enclosing scope OPENED FOR THIS SESSION — a registration against a
+    // different session falls through (to an outer scope for that session,
+    // else the global registry) instead of being captured and freed by an
+    // unrelated scope
+    val scopes = activeScope.get()
+    val scope = if (scopes == null) None else scopes.find(_._1 eq spark)
+    scope match {
+      case Some((_, buf)) => buf += free
+      case None =>
+        var done = false
+        while (!done) {
+          val buf = registry.computeIfAbsent(spark, _ => mutable.Buffer.empty)
+          buf.synchronized {
+            // a concurrent release() may have removed (and drained) this
+            // buffer between computeIfAbsent and taking the lock —
+            // appending to the orphaned buffer would leak the free forever,
+            // so re-check membership under the lock and retry on a fresh
+            // buffer
+            if (registry.get(spark) eq buf) { buf += free; done = true }
+          }
+        }
     }
   }
 
@@ -114,20 +123,25 @@ object OpCache {
     if (buf != null) buf.synchronized { buf.foreach(_.apply()) }
   }
 
-  private val activeScope = new ThreadLocal[mutable.Buffer[() => Unit]]()
+  // innermost-first chain of (session, buffer) scopes open on this thread
+  private val activeScope =
+    new ThreadLocal[List[(SparkSession, mutable.Buffer[() => Unit])]]()
 
-  /** Run `body` with a PRIVATE registration scope: every materialize /
-    * checkpoint an operator registers from this thread during `body` is
-    * freed when the block exits (normally or not), and nothing else is —
-    * safe on a session shared with concurrent operator users, unlike the
-    * session-global [[release]]. Registrations are thread-local, which
-    * matches how operators register (eagerly, on the calling thread);
-    * scopes nest (the inner scope frees only its own).
+  /** Run `body` with a PRIVATE registration scope FOR `spark`: every
+    * materialize / checkpoint an operator registers from this thread
+    * against `spark` during `body` is freed when the block exits (normally
+    * or not), and nothing else is — safe on a session shared with
+    * concurrent operator users, unlike the session-global [[release]].
+    * Registrations against a DIFFERENT session are not captured (they go
+    * to an enclosing scope for that session, else the global registry).
+    * Registrations are thread-local, which matches how operators register
+    * (eagerly, on the calling thread); scopes nest (the inner scope frees
+    * only its own).
     */
   def scoped[T](spark: SparkSession)(body: => T): T = {
     val outer = activeScope.get()
     val buf = mutable.Buffer.empty[() => Unit]
-    activeScope.set(buf)
+    activeScope.set((spark, buf) :: (if (outer == null) Nil else outer))
     try body
     finally {
       if (outer == null) activeScope.remove() else activeScope.set(outer)

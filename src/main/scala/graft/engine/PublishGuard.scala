@@ -1,0 +1,137 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Guards for publish-once / reuse-many artifacts (shared cluster tables,
+  * memoized centroids/codebooks).
+  *
+  * Two operational hazards of compute-once caches at scale, both flagged by
+  * the round-5 review:
+  *
+  *  1. STALE KEY — the memo contract says "the cache key must encode the
+  *     data version", but nothing *detects* a violation: a key reused after
+  *     the input changed silently serves results computed from different
+  *     data. [[fingerprint]] + the sidecar turn that silent wrong answer
+  *     into a loud error: publishers record (row count, order-independent
+  *     xxhash64 fold) of their input beside the artifact; every reuse
+  *     recomputes the fingerprint of the CURRENT input (one map-side
+  *     aggregate — no shuffle beyond a single-row combine) and
+  *     [[verifySidecar]] fails on mismatch.
+  *
+  *  2. CONCURRENT PUBLISH — probe-then-`overwrite` to the final path means
+  *     two fresh sessions that both miss the `_SUCCESS` marker write
+  *     concurrently to the same directory; overwrite's delete phase can
+  *     clobber the other writer's in-flight output and stamp a mixed table.
+  *     [[publishAtomic]] writes to a session-unique staging sibling and
+  *     renames into place — `FileSystem.rename` is atomic on HDFS-like
+  *     stores, the first rename wins, and losers delete their staging dir
+  *     and read the winner's table.
+  */
+object PublishGuard {
+
+  /** Order-independent input fingerprint: row count + bit-XOR fold of the
+    * per-row xxhash64 over `cols`. XOR commutes, so the value is stable
+    * under repartitioning — only the DATA determines it.
+    */
+  final case class Fingerprint(rows: Long, hash: Long)
+
+  /** Sidecar filename inside a published table directory. The leading `_`
+    * keeps it out of Spark/DuckDB parquet file listings (same convention
+    * as `_SUCCESS`).
+    */
+  val SidecarFile = "_GRAFT_FINGERPRINT"
+
+  /** One map-side pass over `df`: partial (count, xor) per partition, one
+    * combine row. Never shuffles data-sized frames.
+    */
+  def fingerprint(df: DataFrame, cols: Seq[Column]): Fingerprint = {
+    val r = df.select(xxhash64(cols: _*).as("__fph"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(__fph)"), lit(0L)).as("h"))
+      .head()
+    Fingerprint(r.getLong(0), r.getLong(1))
+  }
+
+  def writeSidecar(fs: FileSystem, dir: Path, fp: Fingerprint): Unit = {
+    val out = fs.create(new Path(dir, SidecarFile), true)
+    try out.write(s"rows=${fp.rows}\nhash=${fp.hash}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readSidecar(fs: FileSystem, dir: Path): Option[Fingerprint] = {
+    val p = new Path(dir, SidecarFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = txt.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v.trim }.toMap
+      for (n <- kv.get("rows"); h <- kv.get("hash"))
+        yield Fingerprint(n.toLong, h.toLong)
+    }
+  }
+
+  /** Fail loudly if the artifact at `dir` was not built from input with
+    * fingerprint `current` — a stale cache key must be an error, never a
+    * silently wrong answer.
+    */
+  def verifySidecar(
+      fs: FileSystem, dir: Path, current: Fingerprint, what: String): Unit =
+    readSidecar(fs, dir) match {
+      case None =>
+        throw new IllegalStateException(
+          s"$what at $dir has no $SidecarFile sidecar — cannot verify it " +
+            "matches the current input; delete the table or publish under " +
+            "a new cache key")
+      case Some(stored) if stored != current =>
+        throw new IllegalStateException(
+          s"$what at $dir was built from DIFFERENT input (published " +
+            s"rows=${stored.rows} hash=${stored.hash}; current " +
+            s"rows=${current.rows} hash=${current.hash}) — the cache key " +
+            "is stale; pass a key that encodes the data version")
+      case _ => ()
+    }
+
+  /** In-JVM memo variant of [[verifySidecar]] for driver-memory caches
+    * (centroids, codebooks) that have no backing directory.
+    */
+  def verifyMemo(
+      stored: Fingerprint, current: Fingerprint, what: String): Unit =
+    if (stored != current)
+      throw new IllegalStateException(
+        s"$what was trained on DIFFERENT input (memoized " +
+          s"rows=${stored.rows} hash=${stored.hash}; current " +
+          s"rows=${current.rows} hash=${current.hash}) — the cache key " +
+          "is stale; pass a key that encodes the data version")
+
+  /** Publish `out` atomically: `write` materializes the artifact into a
+    * session-unique hidden staging sibling, then one `rename` moves it
+    * into place. First rename wins; a loser deletes its staging dir (the
+    * caller then reads the winner's identical table — identical because
+    * the fingerprint sidecar pins both to the same input). The staging
+    * name starts with `.` so that even the local-FS rename fallback, which
+    * can merge into an existing destination instead of failing, leaves
+    * only a hidden directory that parquet file listings ignore.
+    * Returns true if this caller's table is the one published.
+    */
+  def publishAtomic(spark: SparkSession, out: String)(
+      write: String => Unit): Boolean = {
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(outPath.getParent)
+    val staging = new Path(outPath.getParent,
+      s".${outPath.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    var won = false
+    try {
+      write(staging.toString)
+      won = !fs.exists(outPath) && fs.rename(staging, outPath)
+      won
+    } finally {
+      if (!won) fs.delete(staging, true)
+    }
+  }
+}

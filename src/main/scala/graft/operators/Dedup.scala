@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{OpCache, Partitioning}
+import graft.engine.{OpCache, Partitioning, PublishGuard}
 import graft.functions.VectorOps
 
 /** Deduplication operators for a training-data pipeline, over `documents`
@@ -565,9 +565,13 @@ object Dedup {
     * ~4-5 s subplan).
     *
     * Same memo contract as [[Similarity.ivfCentroids]]: `cacheKey` must
-    * encode the DATA VERSION, not just its location — the memo is never
-    * invalidated, so pass a new key (or `""` to compute live) when the
-    * corpus changes.
+    * encode the DATA VERSION, not just its location — pass a new key (or
+    * `""` to compute live) when the corpus changes. Unlike a bare memo,
+    * violations are DETECTED: every call re-fingerprints the input
+    * (count + order-independent xxhash64 fold — one map-side pass) and
+    * checks it against the `_GRAFT_FINGERPRINT` sidecar published beside
+    * the table; a stale key raises instead of serving clusters computed
+    * from different data.
     *
     * Publish location: `baseDir` (explicit argument, else the
     * `spark.graft.warehouse.dir` session conf) names a SHARED filesystem
@@ -592,6 +596,12 @@ object Dedup {
       val base =
         if (baseDir.nonEmpty) baseDir
         else spark.conf.get("spark.graft.warehouse.dir", "")
+      // fingerprint of the clustering INPUT (one map-side pass): written
+      // beside the table at publish time, re-checked on EVERY reuse —
+      // in-JVM memo hits included — so a cache key that went stale after
+      // the corpus changed fails loudly instead of silently serving
+      // clusters computed from different data
+      val fp = PublishGuard.fingerprint(docs, Seq(col("doc_id"), col("text")))
       val dir = clusterTableCache.computeIfAbsent(s"$base|$cacheKey|$k|$threshold", _ => {
         if (base.nonEmpty) {
           // sanitization alone could collide distinct keys ('/data/v1' vs
@@ -607,12 +617,20 @@ object Dedup {
           val out = s"$base/near_dup_clusters/$slug"
           val outPath = new org.apache.hadoop.fs.Path(out)
           val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // _SUCCESS is the commit marker: present ⇒ a prior session (or a
-          // concurrent writer that finished first) already published this
-          // exact (key, k, threshold) table — reuse, don't recompute
+          // _SUCCESS is the commit marker: present ⇒ a prior session already
+          // published this exact (key, k, threshold) table — reuse, don't
+          // recompute. Absent ⇒ compute into a staging sibling and rename
+          // into place (PublishGuard): two sessions racing the same
+          // unpublished key can no longer interleave overwrite's
+          // delete-then-write on the final path — the loser's rename fails
+          // and it reads the winner's committed table.
           if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))) {
-            nearDupClusters(docs, k, threshold)
-              .write.mode("overwrite").parquet(out)
+            PublishGuard.publishAtomic(spark, out) { staging =>
+              nearDupClusters(docs, k, threshold)
+                .write.mode("overwrite").parquet(staging)
+              PublishGuard.writeSidecar(
+                fs, new org.apache.hadoop.fs.Path(staging), fp)
+            }
           }
           out
         } else {
@@ -620,11 +638,19 @@ object Dedup {
             .createTempDirectory("graft-clusters").toString
           nearDupClusters(docs, k, threshold)
             .write.mode("overwrite").parquet(out)
+          val outPath = new org.apache.hadoop.fs.Path(out)
+          PublishGuard.writeSidecar(
+            outPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+            outPath, fp)
           // the write fully materialized the plan; the label/pair blocks it
           // registered on OpCache are freed by the caller's usual release
           out
         }
       })
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      PublishGuard.verifySidecar(
+        dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        dirPath, fp, "near-dup cluster table")
       spark.read.parquet(dir)
     }
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{OpCache, Partitioning}
+import graft.engine.{OpCache, Partitioning, PublishGuard}
 import graft.functions.VectorOps
 
 /** Similarity search over an embedding column (`array<float>`, dim 64).
@@ -243,18 +243,25 @@ object Similarity {
     * repeated searches — the bench's median-of-N runs, or a query service —
     * never retrain. The cached value is nlist×dim doubles (bounded, tiny).
     */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PublishGuard.Fingerprint, Array[Array[Double]])]()
+
+  /** Input fingerprint for the training memos: one map-side pass over
+    * (vec_id, embedding) — stale-key violations of the memo contract must
+    * fail loudly, never silently serve centroids trained on other data.
+    */
+  private def embeddingFingerprint(embeddings: DataFrame): PublishGuard.Fingerprint =
+    PublishGuard.fingerprint(embeddings, Seq(col("vec_id"), col("embedding")))
 
   /** Centroids for `cacheKey`, training at most once per (key, params).
     *
     * CONTRACT: `cacheKey` must encode the DATA VERSION, not just its
-    * location — the memo is never invalidated, so keying a path whose
-    * contents later change (appends, re-generation) would silently bucket
-    * with stale centroids. For mutable datasets, fold a version/snapshot id
-    * or a file-listing fingerprint (paths + mtimes) into the key, or pass
-    * `cacheKey = ""` to retrain per call. Stale centroids degrade IVF
-    * recall, never correctness of the exact rerank.
+    * location — for mutable datasets, fold a version/snapshot id or a
+    * file-listing fingerprint (paths + mtimes) into the key, or pass
+    * `cacheKey = ""` to retrain per call. Violations are DETECTED: the
+    * memo records the training input's fingerprint and every reuse
+    * re-fingerprints the current input (map-side pass, no shuffle) —
+    * a stale key raises instead of bucketing with stale centroids.
     */
   def ivfCentroids(
       embeddings: DataFrame,
@@ -262,8 +269,14 @@ object Similarity {
       iters: Int = 3,
       cacheKey: String = ""): Array[Array[Double]] =
     if (cacheKey.isEmpty) trainIvfCentroids(embeddings, nlist, iters)
-    else centroidCache.computeIfAbsent(s"$cacheKey|$nlist|$iters",
-      _ => trainIvfCentroids(embeddings, nlist, iters))
+    else {
+      val fp = embeddingFingerprint(embeddings)
+      val (storedFp, cents) = centroidCache.computeIfAbsent(
+        s"$cacheKey|$nlist|$iters",
+        _ => (fp, trainIvfCentroids(embeddings, nlist, iters)))
+      PublishGuard.verifyMemo(storedFp, fp, s"IVF centroids for key '$cacheKey'")
+      cents
+    }
 
   /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid
     * (map-only once trained); each query probes its `nprobe` closest
@@ -317,8 +330,8 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PublishGuard.Fingerprint, Array[Array[Array[Double]]])]()
 
   /** Product-quantization codebooks: the L2-normalized vectors are cut
     * into `m` subspaces of dim/m components and each subspace gets its own
@@ -328,7 +341,8 @@ object Similarity {
     * arrays; the collect per round is bounded at ksub × dim/m doubles.
     *
     * Same memo contract as [[ivfCentroids]]: `cacheKey` must encode the
-    * data version; empty key retrains per call.
+    * data version; empty key retrains per call; a stale key is detected
+    * via the recorded input fingerprint and raises.
     */
   def pqCodebooks(
       embeddings: DataFrame,
@@ -337,14 +351,15 @@ object Similarity {
       iters: Int = 3,
       dim: Int = 64,
       cacheKey: String = ""): Array[Array[Array[Double]]] = {
-    val key = s"$cacheKey|pq|$m|$ksub|$iters|$dim"
-    if (cacheKey.nonEmpty) {
-      val hit = pqCache.get(key)
-      if (hit != null) return hit
+    if (cacheKey.isEmpty) trainPqCodebooks(embeddings, m, ksub, iters, dim)
+    else {
+      val fp = embeddingFingerprint(embeddings)
+      val (storedFp, books) = pqCache.computeIfAbsent(
+        s"$cacheKey|pq|$m|$ksub|$iters|$dim",
+        _ => (fp, trainPqCodebooks(embeddings, m, ksub, iters, dim)))
+      PublishGuard.verifyMemo(storedFp, fp, s"PQ codebooks for key '$cacheKey'")
+      books
     }
-    val trained = trainPqCodebooks(embeddings, m, ksub, iters, dim)
-    if (cacheKey.nonEmpty) pqCache.put(key, trained)
-    trained
   }
 
   /** Nearest codebook entry for a subvector: argmin ‖x−c‖² computed as

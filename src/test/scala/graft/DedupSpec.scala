@@ -312,14 +312,23 @@ class DedupSpec extends AnyFunSuite {
     assert(tableDirs != null && tableDirs.length == 1 &&
       tableDirs.head.getName.startsWith(key) &&
       new java.io.File(tableDirs.head, "_SUCCESS").isFile)
-    // fresh session: drop the in-JVM memo, then ask for the same key with a
-    // DIFFERENT docs frame — a recompute would yield that frame's clusters;
-    // reading the published table yields the original ones
+    // fresh session: drop the in-JVM memo, ask for the same key with the
+    // same docs — the result must come from the PUBLISHED table (its
+    // input files live under the warehouse dir), not a recompute
     Dedup.clearClusterTableMemo()
-    val decoy = docs.limit(0)
-    val reread = toMap(
-      Dedup.sharedNearDupClusters(decoy, cacheKey = key, baseDir = base))
-    assert(reread == published)
+    val rereadDf = Dedup.sharedNearDupClusters(docs, cacheKey = key, baseDir = base)
+    assert(rereadDf.inputFiles.nonEmpty &&
+      rereadDf.inputFiles.forall(_.contains("near_dup_clusters")),
+      "fresh-session reuse did not read the published warehouse table")
+    assert(toMap(rereadDf) == published)
+    // stale key: same key, DIFFERENT data ⇒ the fingerprint sidecar makes
+    // this a loud error, never a silently-served stale cluster table
+    Dedup.clearClusterTableMemo()
+    val decoy = docs.limit(10)
+    val err = intercept[IllegalStateException] {
+      Dedup.sharedNearDupClusters(decoy, cacheKey = key, baseDir = base).count()
+    }
+    assert(err.getMessage.contains("DIFFERENT input"))
   }
 
   test("warehouse dir can come from the session conf instead of the argument") {

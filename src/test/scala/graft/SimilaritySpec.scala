@@ -41,6 +41,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 $recall below floor")
   }
 
+  test("stale centroid/codebook memo keys fail loudly instead of serving") {
+    val emb = Tables.embeddings(spark, sf)
+    val key = s"stale-memo-${System.nanoTime()}"
+    Similarity.ivfCentroids(emb, cacheKey = key)
+    Similarity.pqCodebooks(emb, cacheKey = key)
+    // same key, same data: memo hit, no error
+    Similarity.ivfCentroids(emb, cacheKey = key)
+    // same key, DIFFERENT data: the recorded input fingerprint mismatches
+    val mutated = emb.limit(50)
+    val e1 = intercept[IllegalStateException] {
+      Similarity.ivfCentroids(mutated, cacheKey = key)
+    }
+    assert(e1.getMessage.contains("DIFFERENT input"))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.pqCodebooks(mutated, cacheKey = key)
+    }
+    assert(e2.getMessage.contains("DIFFERENT input"))
+  }
+
   test("PQ ANN recall@5 vs brute force, scores exact after rerank") {
     val emb = Tables.embeddings(spark, sf)
     def byPair(df: org.apache.spark.sql.DataFrame) =

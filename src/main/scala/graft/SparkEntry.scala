@@ -370,7 +370,7 @@ object SparkEntry {
     "pivot_event_types" -> ((s, d) => FunctionSurface.eventTypePivot(s, d)),
     // wide→long melt (Dataset.unpivot → Expand, map-side) + per-metric fold
     "fn_unpivot_metrics" -> ((s, d) => FunctionSurface.metricUnpivot(s, d)),
-    "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCounts(s, d)),
+    "approx_distinct_users" -> ((s, d) => SqlSurface.approxUserCountsChecked(s, d)),
     "session_windows" -> ((s, d) => SqlSurface.sessionWindows(s, d)),
     // ── multimodal binary-column plumbing (stubbed decode) ──────────────
     // modality accounting: (source, media_type) counts + byte mass
@@ -1660,8 +1660,17 @@ object SparkEntry {
         |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         |      lower(lpad(hex(CAST(floor(p * 4294967296.0) AS BIGINT)), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
-    // approx_distinct_users: HLL sketch values are engine-specific →
-    // rows-only; ApproxSpec bounds the relative error vs the exact count.
+    // HLL sketch VALUES are engine-specific, so the raw approximation is
+    // not oracle-comparable — instead the exact count hash-matches and the
+    // ≤5% contract rides a boolean the oracle pins to TRUE (a sketch
+    // drifting out of tolerance flips it and fails the hash compare)
+    "approx_distinct_users" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_5pct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "session_windows" ->
       """WITH o AS (SELECT user_id, ts::TIMESTAMP AS t FROM events),
         |m AS (SELECT user_id, t,

@@ -64,6 +64,23 @@ object SqlSurface {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** [[approxUserCounts]] in oracle-checkable form: HLL sketch values are
+    * engine-specific, so the raw approximation can never hash-match a
+    * DuckDB oracle — but the exact count can, and the approximation's
+    * CONTRACT (≤5% relative error) folds into a boolean the oracle pins to
+    * TRUE. If the sketch ever drifts out of tolerance the boolean flips
+    * and the driver's hash compare fails — the approx is bounded
+    * in-query, not just in a local spec.
+    */
+  def approxUserCountsChecked(spark: SparkSession, sfDir: String): DataFrame =
+    approxUserCounts(spark, sfDir)
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("approx_within_5pct"))
+      .orderBy("event_type")
+
   /** Batch session-window aggregation (session_window: gap-merged windows
     * — the built-in cousin of StreamOps.sessionize): sessions per user with
     * a 30-minute gap, event counts per session.

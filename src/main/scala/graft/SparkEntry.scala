@@ -333,17 +333,32 @@ object SparkEntry {
     // family stays recall-spec'd in SimilaritySpec
     "sim_lsh_topk" -> ((s, d) =>
       Similarity.lshTopKSql(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+    // training/serving split: centroids PUBLISHED as parquet, serving
+    // (assignment + probe + exact rerank) reproduced by the oracle from
+    // the same published table — k-means means aren't SQL-reproducible,
+    // but serving against fixed centroids is
     "sim_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(Tables.embeddings(s, d), cacheKey = d)
+      Similarity.ivfTopKPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}",
+        cacheKey = d)
         .orderBy("query_id", "rank")),
-    // PQ/ADC compressed-index scan with exact rerank — rows-only
-    // (k-means codebooks not SQL-expressible); recall spec'd vs brute force
+    // PQ/ADC compressed-index scan with exact rerank — same split: the
+    // trained codebooks are published and the oracle replays code
+    // assignment + the ADC sum + rerank from the published table
     "sim_pq_topk" -> ((s, d) =>
-      Similarity.pqTopK(Tables.embeddings(s, d), cacheKey = d)
+      Similarity.pqTopKPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"pq_codebooks_${d.split('/').last}",
+        cacheKey = d)
         .orderBy("query_id", "rank")),
-    // IVF coarse pruning × PQ compressed scan — the production ANN pairing
+    // IVF coarse pruning × PQ compressed scan — the production ANN
+    // pairing; publishes both artifacts, oracle replays the full chain
     "sim_ivfpq_topk" -> ((s, d) =>
-      Similarity.ivfPqTopK(Tables.embeddings(s, d), cacheKey = d)
+      Similarity.ivfPqTopKPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivfpq_${d.split('/').last}",
+        cacheKey = d)
         .orderBy("query_id", "rank")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
@@ -1489,6 +1504,179 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cosine DESC, vec_id) AS rank
         |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_ivf_topk: the Spark query PUBLISHES its trained centroids as a
+    // parquet table and serves against exactly those values; the oracle
+    // reads the same table (fixed path — Verify runs before the oracle,
+    // and the driver's oracle pass is sf0.01) and replays the serving
+    // math: normalize, sequential-fold centroid dots, argmax assignment
+    // (ties → larger list_id, mirroring array_max's struct compare),
+    // top-nprobe probe lists, exact-cosine rerank.
+    "sim_ivf_topk" ->
+      """WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |d AS (SELECT nn.vec_id, c.list_id,
+        |             list_reduce([nn.nv[i] * c.centroid[i]
+        |                          for i in range(1, 1 + len(nn.nv))],
+        |                         (x, y) -> x + y) AS dt
+        |      FROM nn CROSS JOIN c),
+        |a AS (SELECT vec_id, list_id AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |p AS (SELECT query_id, list_id FROM (
+        |        SELECT vec_id AS query_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d WHERE vec_id < 10)
+        |      WHERE rn <= 4),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM a JOIN p ON a.cluster = p.list_id
+        |         WHERE a.vec_id <> p.query_id),
+        |s AS (SELECT cand.query_id, cand.vec_id,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM cand JOIN n ON n.vec_id = cand.vec_id
+        |      JOIN q ON q.query_id = cand.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_pq_topk: same training/serving split as sim_ivf_topk — the
+    // Spark query publishes its trained PQ codebooks (s, j, centroid) and
+    // the oracle replays serving: code assignment per subspace
+    // (argmax x·c − ‖c‖²/2; ties → larger code, mirroring array_max),
+    // per-query ADC lookup tables, the m-term ADC sum folded in subspace
+    // order (list(... ORDER BY s) = Spark's reduce over s), approx
+    // shortlist of 50, exact-cosine rerank.
+    "sim_pq_topk" ->
+      """WITH b AS (SELECT s, j, centroid,
+        |                  list_reduce([x * x for x in centroid],
+        |                              (x, y) -> x + y) / 2 AS bias
+        |           FROM read_parquet('/tmp/graft_warehouse/pq_codebooks_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |sd AS (SELECT nn.vec_id, b.s, b.j, b.bias,
+        |              list_reduce([nn.nv[b.s * 8 + i] * b.centroid[i]
+        |                           for i in range(1, 9)],
+        |                          (x, y) -> x + y) AS dt
+        |       FROM nn CROSS JOIN b),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |            SELECT vec_id, s, j,
+        |                   row_number() OVER (PARTITION BY vec_id, s
+        |                                      ORDER BY dt - bias DESC, j DESC) AS rn
+        |            FROM sd)
+        |          WHERE rn = 1),
+        |qt AS (SELECT vec_id AS query_id, s, j, dt FROM sd WHERE vec_id < 10),
+        |appr AS (SELECT qt.query_id, codes.vec_id,
+        |                list_reduce(list(qt.dt ORDER BY qt.s), (x, y) -> x + y) AS approx
+        |         FROM codes JOIN qt ON qt.s = codes.s AND qt.j = codes.code
+        |         WHERE codes.vec_id <> qt.query_id
+        |         GROUP BY qt.query_id, codes.vec_id),
+        |short AS (SELECT query_id, vec_id FROM (
+        |            SELECT query_id, vec_id,
+        |                   row_number() OVER (PARTITION BY query_id
+        |                                      ORDER BY approx DESC, vec_id) AS rn
+        |            FROM appr)
+        |          WHERE rn <= 50),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |sc AS (SELECT short.query_id, short.vec_id,
+        |              list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                          (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |       FROM short JOIN n ON n.vec_id = short.vec_id
+        |       JOIN q ON q.query_id = short.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_ivfpq_topk: both published artifacts — centroids for the IVF
+    // prune (assignment ties → larger list_id via array_max; probe-list
+    // ties → SMALLER list_id: the driver-side stable sortBy keeps
+    // ascending index order on equal dots) and codebooks for the ADC
+    // scan; candidates = probed clusters only, then ADC shortlist and
+    // exact rerank exactly as sim_pq_topk.
+    "sim_ivfpq_topk" ->
+      """WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivfpq_sf0.01_centroids/*.parquet')),
+        |b AS (SELECT s, j, centroid,
+        |             list_reduce([x * x for x in centroid],
+        |                         (x, y) -> x + y) / 2 AS bias
+        |      FROM read_parquet('/tmp/graft_warehouse/ivfpq_sf0.01_codebooks/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |cd AS (SELECT nn.vec_id, c.list_id,
+        |              list_reduce([nn.nv[i] * c.centroid[i]
+        |                           for i in range(1, 1 + len(nn.nv))],
+        |                          (x, y) -> x + y) AS dt
+        |       FROM nn CROSS JOIN c),
+        |a AS (SELECT vec_id, list_id AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM cd)
+        |      WHERE rn = 1),
+        |p AS (SELECT query_id, list_id FROM (
+        |        SELECT vec_id AS query_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id ASC) AS rn
+        |        FROM cd WHERE vec_id < 10)
+        |      WHERE rn <= 4),
+        |sd AS (SELECT nn.vec_id, b.s, b.j, b.bias,
+        |              list_reduce([nn.nv[b.s * 8 + i] * b.centroid[i]
+        |                           for i in range(1, 9)],
+        |                          (x, y) -> x + y) AS dt
+        |       FROM nn CROSS JOIN b),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |            SELECT vec_id, s, j,
+        |                   row_number() OVER (PARTITION BY vec_id, s
+        |                                      ORDER BY dt - bias DESC, j DESC) AS rn
+        |            FROM sd)
+        |          WHERE rn = 1),
+        |qt AS (SELECT vec_id AS query_id, s, j, dt FROM sd WHERE vec_id < 10),
+        |appr AS (SELECT qt.query_id, codes.vec_id,
+        |                list_reduce(list(qt.dt ORDER BY qt.s), (x, y) -> x + y) AS approx
+        |         FROM codes
+        |         JOIN a ON a.vec_id = codes.vec_id
+        |         JOIN p ON p.list_id = a.cluster
+        |         JOIN qt ON qt.query_id = p.query_id
+        |                AND qt.s = codes.s AND qt.j = codes.code
+        |         WHERE codes.vec_id <> p.query_id
+        |         GROUP BY qt.query_id, codes.vec_id),
+        |short AS (SELECT query_id, vec_id FROM (
+        |            SELECT query_id, vec_id,
+        |                   row_number() OVER (PARTITION BY query_id
+        |                                      ORDER BY approx DESC, vec_id) AS rn
+        |            FROM appr)
+        |          WHERE rn <= 50),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |sc AS (SELECT short.query_id, short.vec_id,
+        |              list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                          (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |       FROM short JOIN n ON n.vec_id = short.vec_id
+        |       JOIN q ON q.query_id = short.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "sim_quantize_int8" ->

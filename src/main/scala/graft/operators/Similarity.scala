@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -414,6 +414,115 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** [[ivfTopK]] with the TRAINING/SERVING split made physical: the
+    * trained centroids are PUBLISHED as a parquet table
+    * (`baseDir/slug`: list_id, centroid) and the serving path —
+    * nearest-centroid assignment, per-query nprobe probe lists, exact
+    * cosine rerank — runs against exactly those published values. Every
+    * serving step is a sequential IEEE fold with explicit tie-breaks, so
+    * an external engine reading the same table reproduces assignment,
+    * candidates and top-k bit-for-bit (the driver's DuckDB oracle does).
+    * K-means TRAINING is what is not bit-reproducible across engines
+    * (float means depend on partitioning/association) — which is exactly
+    * why the split point is a published table: train once, serve
+    * deterministically everywhere. The production deployment shape for a
+    * 100 TB corpus is the same: training samples the corpus, serving is
+    * map-only against the published nlist×dim table.
+    */
+  def ivfTopKPublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3,
+      cacheKey: String = ""): DataFrame = {
+    val cents = ivfCentroids(embeddings, nlist, iters, cacheKey)
+    publishCentroids(embeddings.sparkSession, cents, s"$baseDir/$slug")
+    ivfTopK(embeddings, numQueries, k, nlist, nprobe, iters, Some(cents))
+  }
+
+  /** Publish trained IVF centroids as a (list_id, centroid) parquet table.
+    * nlist rows × dim doubles — driver-bounded; one file is the right
+    * physical shape for a table this small.
+    */
+  private def publishCentroids(
+      spark: SparkSession, cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Publish trained PQ codebooks as an (s, j, centroid) parquet table:
+    * one row per (subspace, code) pair, m × ksub rows of dim/m doubles.
+    */
+  private def publishCodebooks(
+      spark: SparkSession, books: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("s", "j", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[pqTopK]] with the training/serving split made physical — the same
+    * contract as [[ivfTopKPublished]]: trained codebooks are PUBLISHED
+    * (`baseDir/slug`: s, j, centroid) and serving — code assignment
+    * (argmax x·c − ‖c‖²/2, ties → larger code), per-query ADC lookup
+    * tables, the m-term ADC sum in subspace order, and the exact-cosine
+    * rerank — is a chain of sequential IEEE folds over exactly those
+    * published values, reproducible bit-for-bit by an external engine
+    * reading the same table (the driver's DuckDB oracle does).
+    */
+  def pqTopKPublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 50,
+      dim: Int = 64,
+      cacheKey: String = ""): DataFrame = {
+    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
+    publishCodebooks(embeddings.sparkSession, books, s"$baseDir/$slug")
+    pqTopK(embeddings, numQueries, k, m, ksub, rerank, dim, cacheKey, Some(books))
+  }
+
+  /** [[ivfPqTopK]] with BOTH trained artifacts published —
+    * `baseDir/${slug}_centroids` (list_id, centroid) and
+    * `baseDir/${slug}_codebooks` (s, j, centroid) — so the full
+    * IVF-pruned ADC scan plus exact rerank is externally reproducible
+    * from the published tables alone, like [[ivfTopKPublished]] and
+    * [[pqTopKPublished]].
+    */
+  def ivfPqTopKPublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 50,
+      dim: Int = 64,
+      cacheKey: String = ""): DataFrame = {
+    val cents = ivfCentroids(embeddings, nlist, 3, cacheKey)
+    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
+    publishCentroids(embeddings.sparkSession, cents, s"$baseDir/${slug}_centroids")
+    publishCodebooks(embeddings.sparkSession, books, s"$baseDir/${slug}_codebooks")
+    ivfPqTopK(embeddings, numQueries, k, nlist, nprobe, m, ksub, rerank, dim,
+      cacheKey, Some(cents), Some(books))
+  }
+
   /** ANN top-k via product quantization with asymmetric distance (ADC):
     * the corpus is compressed to `m` small codes per vector (here m ints;
     * a byte each in storage terms — n·m bytes scanned instead of
@@ -436,8 +545,9 @@ object Similarity {
       ksub: Int = 16,
       rerank: Int = 50,
       dim: Int = 64,
-      cacheKey: String = ""): DataFrame = {
-    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
+      cacheKey: String = "",
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val books = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey))
     val dsub = dim / m
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -516,9 +626,11 @@ object Similarity {
       ksub: Int = 16,
       rerank: Int = 50,
       dim: Int = 64,
-      cacheKey: String = ""): DataFrame = {
-    val cents = ivfCentroids(embeddings, nlist, 3, cacheKey)
-    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
+      cacheKey: String = "",
+      centroids: Option[Array[Array[Double]]] = None,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(embeddings, nlist, 3, cacheKey))
+    val books = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey))
     val dsub = dim / m
     val spark = embeddings.sparkSession
     import spark.implicits._

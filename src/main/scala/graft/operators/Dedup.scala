@@ -678,15 +678,10 @@ object Dedup {
     // branches would otherwise each evaluate the (expensive) pair plan
     val (p, freeP) = OpCache.checkpointWithHandle(pairs.toDF("doc_a", "doc_b"))
     // size the loop's parallelism to the (materialized, cheap-to-count)
-    // edge set, ~64k edges per partition: near-dup graphs are tiny relative
-    // to the corpus, and running O(diameter) rounds of 32-way shuffles over
-    // a few hundred edges costs more in task overhead than the work itself.
-    // Grows with the graph, capped at the session default — AQE for the
-    // iterative loop it cannot re-plan across actions.
+    // edge set — see ccLoopPartitions; AQE cannot re-plan across the
+    // loop's actions, so this is sized explicitly
     val spark = pairs.sparkSession
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      p.count() / 65536 + 1)).toInt
+    val parts = ccLoopPartitions(p.count(), spark.sparkContext.defaultParallelism)
     val (edges, freeEdges) = OpCache.checkpointWithHandle(
       p.union(p.select(col("doc_b"), col("doc_a")))
         .toDF("u", "v")
@@ -720,6 +715,16 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
+
+  /** The CC loop's shuffle width: ~64k edges per partition, growing with
+    * the graph and capped at the session default. Near-dup graphs are tiny
+    * relative to the corpus, and running O(diameter) rounds of full-width
+    * shuffles over a few hundred edges costs more in task overhead than
+    * the work itself — the loop's parallelism must stay TIED TO EDGE
+    * COUNT, never a constant (the invariant PlanSpec guards).
+    */
+  private[graft] def ccLoopPartitions(edgeCount: Long, maxParts: Int): Int =
+    math.max(1L, math.min(maxParts.toLong, edgeCount / 65536 + 1)).toInt
 
   /** Dedup telemetry: the cluster-size histogram — how many clusters of
     * each size the near-dup pass found. The table a corpus build publishes

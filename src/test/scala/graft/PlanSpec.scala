@@ -130,6 +130,38 @@ class PlanSpec extends AnyFunSuite {
       s"expected Or(...) pushed to both scans, found $orPushed:\n${plan.take(2000)}")
   }
 
+  test("no countDistinct Expand on fact-table queries") {
+    // count(DISTINCT x) plans an Expand that multiplies the fact-table
+    // scan by the number of distinct aggregates — the round-4 audit
+    // rewrote tpch_q21 to stacked plain aggregates to avoid it. Guard the
+    // whole TPC-H family: none of these queries uses rollup/cube, so ANY
+    // Expand in their plans is a countDistinct (or grouping-set) regression
+    // over lineitem/orders-scale input.
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if name.startsWith("tpch_")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"),
+        s"$name plans an Expand over fact-table input")
+      OpCache.release(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("CC loop parallelism is tied to edge count, capped at the session default") {
+    // the connected-components loop must never run full-width shuffles
+    // over a few hundred edges (task overhead dominates) nor collapse a
+    // billion-edge graph into one partition — the width grows with the
+    // edge count at ~64k edges/partition and caps at defaultParallelism
+    import graft.operators.Dedup
+    assert(Dedup.ccLoopPartitions(0, 32) === 1)
+    assert(Dedup.ccLoopPartitions(500, 32) === 1)
+    assert(Dedup.ccLoopPartitions(65536, 32) === 2)
+    assert(Dedup.ccLoopPartitions(20L * 65536, 32) === 21)
+    assert(Dedup.ccLoopPartitions(1L << 40, 32) === 32,
+      "a huge edge set must cap at the session default, not explode")
+    assert(Dedup.ccLoopPartitions(1L << 40, 1000) === 1000)
+  }
+
   test("column pruning reaches the parquet scan") {
     // topk_orders projects 3 of orders' 9 columns — the scan schema must
     // shrink accordingly

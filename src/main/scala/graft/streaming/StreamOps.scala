@@ -396,6 +396,16 @@ object StreamOps {
             val sorted = rows.toSeq.sortBy(_._2.getTime)
             var closed = List.empty[SessionUpdate]
             var cur = state.getOption
+            // cross-batch stragglers (older than the open session's reach)
+            // accumulate into their own provisional session — consecutive
+            // stragglers within gapMs of each other merge instead of
+            // fragmenting into single-event sessions
+            var strag: Option[SessionState] = None
+            def closeStrag(): Unit = strag.foreach { st =>
+              closed ::= SessionUpdate(
+                userId, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total)
+              strag = None
+            }
             sorted.foreach { case (_, ts, v) =>
               val t = ts.getTime
               cur match {
@@ -404,17 +414,36 @@ object StreamOps {
                 // just before the session start must LOWER start, not
                 // inflate the counts under an unchanged one
                 case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
-                  cur = Some(s.copy(
-                    start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1, total = s.total + v))
+                  strag match {
+                    case Some(st) if t - st.end <= gapMs =>
+                      // t bridges the straggler session into the open one:
+                      // a single gap-free chain is ONE session
+                      cur = Some(s.copy(
+                        start = math.min(math.min(s.start, st.start), t),
+                        end = math.max(s.end, t),
+                        n = s.n + st.n + 1, total = s.total + st.total + v))
+                      strag = None
+                    case _ =>
+                      cur = Some(s.copy(
+                        start = math.min(s.start, t),
+                        end = math.max(s.end, t), n = s.n + 1, total = s.total + v))
+                  }
                 case Some(s) if t < s.start - gapMs =>
                   // a cross-batch straggler OLDER than the open session by
                   // more than the gap can never merge with it (and newer
-                  // peers of its own era were already closed) — emit it as
-                  // its own session rather than corrupting the open one.
+                  // peers of its own era were already closed) — grow the
+                  // provisional straggler session, or start a fresh one if
+                  // this straggler is itself past the previous one's gap.
                   // Within one batch this branch is unreachable (events
                   // are processed in time order).
-                  closed ::= SessionUpdate(userId, ts, ts, 1, v)
+                  strag match {
+                    case Some(st) if t - st.end <= gapMs =>
+                      strag = Some(st.copy(
+                        end = math.max(st.end, t), n = st.n + 1, total = st.total + v))
+                    case _ =>
+                      closeStrag()
+                      strag = Some(SessionState(t, t, 1, v))
+                  }
                 case Some(s) =>
                   closed ::= SessionUpdate(
                     userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
@@ -423,6 +452,11 @@ object StreamOps {
                   cur = Some(SessionState(t, t, 1, v))
               }
             }
+            // any straggler session left open is closed with the batch: all
+            // later events (this batch was sorted; later batches only grow
+            // the watermark past it) are newer than the OPEN session's
+            // reach, which starts more than a gap after the stragglers
+            closeStrag()
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMs)

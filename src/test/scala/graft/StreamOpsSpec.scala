@@ -444,4 +444,39 @@ class StreamOpsSpec extends AnyFunSuite {
         s"unexpected sessions: $out")
     } finally query.stop()
   }
+
+  test("sessionize merges consecutive cross-batch stragglers into one session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sessions = StreamOps.sessionize(spark, df,
+      gapMs = 5 * 60 * 1000L, watermark = "2 hours")
+    val query = sessions.toDF().writeStream
+      .format("memory").queryName("sess_strag_merge_out").outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0)))
+      query.processAllAvailable()
+      // three in-watermark stragglers, all older than the open session's
+      // start by far more than the gap: 11:20 and 11:23 are within the gap
+      // of each other (ONE session, not two single-event fragments); 11:40
+      // is past 11:23's gap (its own session)
+      stream.addData(Seq(
+        (2L, ts("2024-01-01 11:20:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 11:23:00"), 1L, "click", 4.0),
+        (4L, ts("2024-01-01 11:40:00"), 1L, "click", 8.0)))
+      query.processAllAvailable()
+      // close the open session (gap exceeded) so the output is complete
+      stream.addData(Seq((5L, ts("2024-01-01 14:00:00"), 1L, "click", 16.0)))
+      query.processAllAvailable()
+      val out = spark.table("sess_strag_merge_out").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(out == Set(
+        ("2024-01-01 11:20:00.0", "2024-01-01 11:23:00.0", 2L, 6.0),
+        ("2024-01-01 11:40:00.0", "2024-01-01 11:40:00.0", 1L, 8.0),
+        ("2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L, 1.0)),
+        s"unexpected sessions: $out")
+    } finally query.stop()
+  }
 }

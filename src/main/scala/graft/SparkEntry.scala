@@ -364,6 +364,9 @@ object SparkEntry {
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),
     "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
+    // deliberately-skewed shuffle join, salted: results must be identical
+    // to the plain join (the salt is a physical-plan rewrite only)
+    "join_salted_event_orders" -> ((s, d) => Relational.saltedEventOrderJoin(s, d)),
     "join_asof_latest_order" -> ((s, d) =>
       AsOfJoin.eventsToLatestOrder(s, d).orderBy("event_id")),
     // forward direction: earliest order AT/after each event
@@ -1711,6 +1714,16 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |       floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the salt must be invisible: the oracle is the PLAIN join + rollup
+    "join_salted_event_orders" ->
+      """WITH dim AS (SELECT o_custkey AS user_id, count(*) AS ord_cnt
+        |             FROM orders GROUP BY 1)
+        |SELECT e.user_id, e.event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(d.ord_cnt) AS BIGINT) AS ord_weight
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
     "fn_array" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS INTEGER) AS dim,

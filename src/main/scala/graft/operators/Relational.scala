@@ -233,6 +233,55 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Salted equi-join — the skew-mitigation pattern for a shuffle join
+    * whose key distribution has heavy hitters (AQE's skew-join split
+    * handles this at runtime; salting is the explicit, planner-visible
+    * form for when AQE cannot, e.g. an iterative loop or a join feeding a
+    * co-partitioned consumer). The fact side gets `salt =
+    * pmod(xxhash64(saltSrc), salts)` from a per-row unique column, so one
+    * hot key spreads evenly over `salts` (key, salt) shuffle groups; the
+    * dim side is replicated `salts`× with an explode — dim cost is
+    * |dim|·salts rows, which is the knob: salts covers the hottest key's
+    * row count / target-task-size. Both sides carry a merge hint so the
+    * demonstration stays a SortMergeJoin even when the dim would
+    * broadcast at test SF (broadcast would make salting moot — at 100 TB
+    * the dim side of a salted join is big by assumption). Results are
+    * identical to the plain join: every fact row meets exactly the one
+    * dim replica bearing its salt.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltSrc: org.apache.spark.sql.Column,
+      salts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts)))
+    val replicated = dim.withColumn(
+      "__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    salted.hint("merge")
+      .join(replicated.hint("merge"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Deliberately-skewed join demonstrated salted: events (fact; user_id
+    * is the skewed key in a real event stream) ⋈ per-user order counts
+    * (dim), then a per-(user, type) rollup. Integral aggregates only, so
+    * the oracle compare is exact — the salt must be invisible in the
+    * result.
+    */
+  def saltedEventOrderJoin(
+      spark: SparkSession, sfDir: String, salts: Int = 16): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("ord_cnt"))
+    saltedJoin(events, dim, "user_id", col("event_id"), salts)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("ord_cnt")).as("ord_weight"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Statistical aggregates: exact interpolated median (percentile),
     * sample stddev, Pearson correlation — rounded at the edge since
     * variance/corr accumulation order differs across engines.

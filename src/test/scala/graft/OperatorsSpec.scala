@@ -18,6 +18,41 @@ class OperatorsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .getOrCreate()
 
+  test("saltedJoin stays a sort-merge join on (key, salt) and bounds the hot key's groups") {
+    import spark.implicits._
+    // a deliberately-skewed fact: one hot key with 20k rows, 100 cold keys
+    val salts = 16
+    val hot = 20000
+    val fact = ((0 until hot).map(i => (i.toLong, 7L)) ++
+      (0 until 100).map(i => (hot + i.toLong, 1000L + i)))
+      .toDF("row_id", "key")
+    val dim = (7L +: (0 until 100).map(1000L + _.toLong)).map(k => (k, k * 10))
+      .toDF("key", "payload")
+    val joined = Relational.saltedJoin(fact, dim, "key", col("row_id"), salts)
+
+    // plan shape: the salt must reach the shuffle — a SortMergeJoin whose
+    // join keys include __salt (broadcast would make the demo moot)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+    assert("SortMergeJoin \\[[^\\]]*__salt".r.findFirstIn(plan).isDefined,
+      s"__salt is not a join key:\n$plan")
+
+    // correctness: identical to the plain join
+    assert(joined.count() === hot + 100)
+
+    // task-size bound: the hot key's rows must spread ~evenly over the
+    // `salts` shuffle groups — no group above 2× the even share (xxhash64
+    // over a unique row id; 2× is a generous i.i.d. bound at 20k rows)
+    val groups = fact
+      .withColumn("salt", pmod(xxhash64(col("row_id")), lit(salts)))
+      .where(col("key") === 7L)
+      .groupBy("salt").count().collect()
+    assert(groups.length === salts, s"hot key missing salt groups: ${groups.length}")
+    val maxGroup = groups.map(_.getLong(1)).max
+    assert(maxGroup <= 2L * hot / salts,
+      s"hot key not spread: max salt group $maxGroup of $hot rows")
+  }
+
   test("approx_count_distinct within 5% of exact per event_type") {
     val rows = SqlSurface.approxUserCounts(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -275,6 +275,27 @@ object SparkEntry {
     // sharded form: partitioned window → one prefix-sum reducer per source
     "pipeline_pack_by_source" -> ((s, d) =>
       Curation.packSequencesBy(Tables.documents(s, d)).orderBy("doc_id")),
+    // deterministic global training order: md5 shuffle key + exact
+    // distributed global rank (GlobalOrder — no single-reducer window)
+    "pipeline_train_order" -> ((s, d) =>
+      Curation.trainOrder(Tables.documents(s, d)).orderBy("doc_id")),
+    // corpus-learned boilerplate strip: top-20 corpus-frequent tokens
+    // removed from every doc, remaining order preserved
+    "pipeline_strip_boilerplate" -> ((s, d) =>
+      Curation.stripBoilerplate(Tables.documents(s, d)).orderBy("doc_id")),
+    // snapshot diff: prev = docs minus (id%17==3) with (id%13==5) texts
+    // mutated; cur = docs minus (id%23==11) — added/removed/changed/
+    // unchanged per id, both sides derived deterministically so the
+    // oracle rebuilds the identical snapshots
+    "pipeline_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.where(col("doc_id") % 17 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")))
+      val cur = docs.where(col("doc_id") % 23 =!= 11)
+      Curation.corpusDiff(prev, cur).orderBy("doc_id")
+    }),
     // temperature-weighted source mixing table (alpha=0.7 upsampling)
     "pipeline_mixture_weights" -> ((s, d) =>
       Curation.mixtureWeights(Tables.documents(s, d)).orderBy("source")),
@@ -538,6 +559,45 @@ object SparkEntry {
          |       CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "pipeline_train_order" ->
+      """WITH k AS (SELECT doc_id, md5(doc_id || '|shuffle') AS shuffle_key
+        |           FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+        |         AS train_rank
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "pipeline_strip_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(string_split(text, ' ')) AS tok,
+        |                     unnest(range(1, 1 + len(string_split(text, ' ')))) AS pos
+        |              FROM documents),
+        |top AS (SELECT tok FROM (
+        |          SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |          ORDER BY cnt DESC, tok LIMIT 20)),
+        |kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |                count(*) AS n_kept
+        |         FROM toks WHERE tok NOT IN (SELECT tok FROM top)
+        |         GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(k.clean_text, '') AS clean_text,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT)
+        |         AS n_removed
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_corpus_diff" ->
+      """WITH prev AS (SELECT doc_id,
+        |                     md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v1'
+        |                              ELSE text END) AS prev_digest
+        |              FROM documents WHERE doc_id % 17 <> 3),
+        |cur AS (SELECT doc_id, md5(text) AS cur_digest
+        |        FROM documents WHERE doc_id % 23 <> 11)
+        |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+        |       CASE WHEN prev.doc_id IS NULL THEN 'added'
+        |            WHEN cur.doc_id IS NULL THEN 'removed'
+        |            WHEN prev_digest <> cur_digest THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "join_semi_open_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')

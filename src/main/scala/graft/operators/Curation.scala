@@ -499,4 +499,75 @@ object Curation {
         floor((col("cum_tokens") - col("n_tokens")) / tokenBudget)
           .cast("long").as("bin_id"))
   }
+
+  /** Deterministic global training order: every doc gets a pseudo-random
+    * but reproducible shuffle key (md5 of the doc id + a salt literal —
+    * ~uniform, engine-independent) and an exact global rank over it. The
+    * rank IS the epoch read order: a training job reads shards in rank
+    * ranges and every re-run, resume, or other engine re-derives the identical
+    * order. The rank comes from [[graft.engine.GlobalOrder.withGlobalRank]]
+    * (range exchange + per-partition windows + broadcast offsets) — a full
+    * corpus shuffle-sort, the honest cost of a global shuffle, with NO
+    * single-reducer window.
+    */
+  def trainOrder(docs: DataFrame, salt: String = "shuffle"): DataFrame =
+    graft.engine.GlobalOrder.withGlobalRank(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"),
+          md5(concat_ws("|", col("doc_id").cast("string"), lit(salt)))
+            .as("shuffle_key")),
+      Seq(col("shuffle_key"), col("doc_id")), "train_rank")
+
+  /** Boilerplate stripping by corpus frequency: the `topN` most frequent
+    * tokens corpus-wide (ties broken lexically) are removed from every
+    * document, preserving the order of the remaining tokens — the
+    * stopword/boilerplate filter of a web-corpus pipeline, with the list
+    * LEARNED from the corpus instead of hard-coded.
+    *
+    * Scale shape: the frequency pass is a map-side-combined count + a
+    * TakeOrdered topN (never a full sort); the strip side explodes tokens
+    * once, anti-joins the BROADCAST topN list, and reassembles per doc
+    * with an order-restoring sort_array — one token-count-sized shuffle
+    * (the reassembly), which is the operator's inherent cost.
+    */
+  def stripBoilerplate(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val toks = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topN).select("tok")
+    val kept = toks
+      .join(broadcast(top), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
+  /** Corpus snapshot diff — the data-versioning primitive of an
+    * incremental corpus build: one full outer join of two snapshots on
+    * doc_id comparing content digests, classifying every id as
+    * added / removed / changed / unchanged. At 100 TB both sides shuffle
+    * once on doc_id (or co-located free if both snapshots are bucketed by
+    * id, the deployment shape); digests are md5 columns, so the compare
+    * never carries full text through the join.
+    */
+  def corpusDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), md5(col("text")).as("prev_digest"))
+    val c = cur.select(col("doc_id"), md5(col("text")).as("cur_digest"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("prev_digest").isNull, lit("added"))
+          .when(col("cur_digest").isNull, lit("removed"))
+          .when(col("prev_digest") =!= col("cur_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -53,6 +53,67 @@ class OperatorsSpec extends AnyFunSuite {
       s"hot key not spread: max salt group $maxGroup of $hot rows")
   }
 
+  test("trainOrder ranks are an exact permutation and reproducible") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val ranks = Curation.trainOrder(docs).select("train_rank")
+      .collect().map(_.getLong(0)).sorted
+    graft.engine.OpCache.release(spark)
+    assert(ranks.toSeq == (1L to n).toSeq, "ranks must be a 1..N permutation")
+    // same salt → identical order; different salt → different order
+    val o1 = Curation.trainOrder(docs).orderBy("doc_id").collect().map(_.getLong(2))
+    graft.engine.OpCache.release(spark)
+    val o2 = Curation.trainOrder(docs).orderBy("doc_id").collect().map(_.getLong(2))
+    graft.engine.OpCache.release(spark)
+    val o3 = Curation.trainOrder(docs, salt = "epoch2")
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    graft.engine.OpCache.release(spark)
+    assert(o1.toSeq == o2.toSeq, "same salt must reproduce the same order")
+    assert(o1.toSeq != o3.toSeq, "a different salt must shuffle differently")
+  }
+
+  test("stripBoilerplate conserves tokens and strips only the learned list") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.stripBoilerplate(docs, topN = 5)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .collect()
+    assert(out.length == docs.count())
+    val removedTokens = scala.collection.mutable.Set.empty[String]
+    out.foreach { r =>
+      val orig = r.getAs[String]("text").split(" ").toSeq
+      val clean = r.getAs[String]("clean_text") match {
+        case "" => Seq.empty; case s => s.split(" ").toSeq
+      }
+      assert(clean.size + r.getAs[Long]("n_removed") == orig.size,
+        s"doc ${r.getAs[Long]("doc_id")}: token count not conserved")
+      // order-preservation: clean must be a subsequence of orig
+      var i = 0
+      clean.foreach { t =>
+        i = orig.indexOf(t, i)
+        assert(i >= 0, s"doc ${r.getAs[Long]("doc_id")}: order not preserved")
+        i += 1
+      }
+      removedTokens ++= orig.diff(clean)
+    }
+    assert(removedTokens.size <= 5,
+      s"more distinct tokens removed than the top-5 list: $removedTokens")
+  }
+
+  test("corpusDiff classifies added/removed/changed and is all-unchanged on identity") {
+    val docs = Tables.documents(spark, sf)
+    val ident = Curation.corpusDiff(docs, docs).select("status").distinct().collect()
+    assert(ident.map(_.getString(0)).toSeq == Seq("unchanged"))
+    val prev = docs.where(col("doc_id") =!= 1)
+    val cur = docs.where(col("doc_id") =!= 2)
+      .withColumn("text",
+        when(col("doc_id") === 3, concat(col("text"), lit(" x")))
+          .otherwise(col("text")))
+    val byId = Curation.corpusDiff(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == "added" && byId(2L) == "removed" && byId(3L) == "changed")
+    assert(byId(4L) == "unchanged")
+  }
+
   test("approx_count_distinct within 5% of exact per event_type") {
     val rows = SqlSurface.approxUserCounts(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -444,31 +444,51 @@ object Similarity {
     ivfTopK(embeddings, numQueries, k, nlist, nprobe, iters, Some(cents))
   }
 
+  /** Once-per-JVM publish memo: path → deep hash of the content last
+    * written there by this JVM. Training is memoized (train-once,
+    * search-many), so without this every search call would re-write an
+    * identical artifact table; `compute` serializes concurrent publishes
+    * to one path, and changed content (a different cacheKey publishing to
+    * the same path) still re-writes.
+    */
+  private val publishMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def publishOnce(path: String, contentHash: Int)(write: => Unit): Unit =
+    publishMemo.compute(path, (_, prev) => {
+      if (prev == null || prev.intValue != contentHash) write
+      Integer.valueOf(contentHash)
+    })
+
   /** Publish trained IVF centroids as a (list_id, centroid) parquet table.
     * nlist rows × dim doubles — driver-bounded; one file is the right
     * physical shape for a table this small.
     */
   private def publishCentroids(
-      spark: SparkSession, cents: Array[Array[Double]], path: String): Unit = {
-    import spark.implicits._
-    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("list_id", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
-  }
+      spark: SparkSession, cents: Array[Array[Double]], path: String): Unit =
+    publishOnce(path, java.util.Arrays.deepHashCode(
+        cents.asInstanceOf[Array[AnyRef]])) {
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("list_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
 
   /** Publish trained PQ codebooks as an (s, j, centroid) parquet table:
     * one row per (subspace, code) pair, m × ksub rows of dim/m doubles.
     */
   private def publishCodebooks(
-      spark: SparkSession, books: Array[Array[Array[Double]]], path: String): Unit = {
-    import spark.implicits._
-    books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
-    }.toSeq.toDF("s", "j", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(path)
-  }
+      spark: SparkSession, books: Array[Array[Array[Double]]], path: String): Unit =
+    publishOnce(path, java.util.Arrays.deepHashCode(
+        books.asInstanceOf[Array[AnyRef]])) {
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+      }.toSeq.toDF("s", "j", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
 
   /** [[pqTopK]] with the training/serving split made physical — the same
     * contract as [[ivfTopKPublished]]: trained codebooks are PUBLISHED

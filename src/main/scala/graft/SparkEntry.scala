@@ -388,6 +388,11 @@ object SparkEntry {
     // deliberately-skewed shuffle join, salted: results must be identical
     // to the plain join (the salt is a physical-plan rewrite only)
     "join_salted_event_orders" -> ((s, d) => Relational.saltedEventOrderJoin(s, d)),
+    // banded event-time range join: hour-bucket equi-join + exact range
+    // filter instead of a nested-loop over the cross space
+    "join_range_click_context" -> ((s, d) => Relational.purchaseClickContext(s, d)),
+    // GK quantile sketch bounded in-query (the HLL pattern for quantiles)
+    "agg_percentile_sketch" -> ((s, d) => Relational.approxPercentilesChecked(s, d)),
     "join_asof_latest_order" -> ((s, d) =>
       AsOfJoin.eventsToLatestOrder(s, d).orderBy("event_id")),
     // forward direction: earliest order AT/after each event
@@ -1784,6 +1789,25 @@ object SparkEntry {
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY user_id, event_type""".stripMargin,
+    // the banding is a physical rewrite — the oracle is the PLAIN range join
+    "join_range_click_context" ->
+      """WITH p AS (SELECT event_id, ts::TIMESTAMP AS pt FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT ts::TIMESTAMP AS ct FROM events WHERE event_type = 'click')
+        |SELECT p.event_id,
+        |       strftime(p.pt, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       CAST(count(c.ct) AS BIGINT) AS n_clicks_prior_hour
+        |FROM p LEFT JOIN c ON c.ct > p.pt - INTERVAL 1 HOUR AND c.ct <= p.pt
+        |GROUP BY p.event_id, p.pt
+        |ORDER BY p.event_id""".stripMargin,
+    "agg_percentile_sketch" ->
+      s"""SELECT event_type,
+         |       ${graft.functions.OracleRound.duck("quantile_cont(value, 0.5)", 4)} AS exact_p50,
+         |       ${graft.functions.OracleRound.duck("quantile_cont(value, 0.9)", 4)} AS exact_p90,
+         |       TRUE AS sketch_within_5pct
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     "fn_array" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS INTEGER) AS dim,

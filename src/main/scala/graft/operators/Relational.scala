@@ -282,6 +282,73 @@ object Relational {
       .orderBy("user_id", "event_type")
   }
 
+  /** Banded event-time RANGE join — the operator family Spark has no
+    * native physical plan for (a bare range predicate plans a
+    * nested-loop over the full cross space). The classic distributed
+    * rewrite: band both sides into fixed-width time buckets sized to the
+    * range width, equi-join on the bucket (each probe row explodes to
+    * exactly 2 buckets since the window spans at most 2), then apply the
+    * exact range predicate to the bucket-colocated candidates. Cost is
+    * |candidates sharing a bucket| — event-rate × window, the join's
+    * inherent output scale — instead of |purchases| × |clicks|.
+    *
+    * Query: for each purchase, the count of platform-wide clicks in the
+    * preceding hour (attribution/context feature).
+    */
+  def purchaseClickContext(spark: SparkSession, sfDir: String): DataFrame = {
+    val usPerHour = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("cus"))
+      .withColumn("bucket", floor(col("cus") / usPerHour).cast("long"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pus"))
+    // window (pus − 1h, pus] spans at most 2 hour-buckets — the explode
+    // is the whole "index probe"
+    val probed = purchases.withColumn("bucket",
+      explode(array(floor(col("pus") / usPerHour).cast("long"),
+        floor(col("pus") / usPerHour).cast("long") - 1)))
+    val counts = probed.join(clicks, Seq("bucket"))
+      .where(col("cus") > col("pus") - usPerHour && col("cus") <= col("pus"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks_prior_hour"))
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("purchase_ts"),
+        coalesce(col("n_clicks_prior_hour"), lit(0L)).as("n_clicks_prior_hour"))
+      .orderBy("event_id")
+  }
+
+  /** Approx-percentile sketch with its contract bounded in-query — the
+    * [[SqlSurface.approxUserCounts]] pattern for quantiles: the
+    * Greenwald-Khanna sketch value is engine-/merge-order-specific and
+    * can never hash-match an external oracle, so the query emits the
+    * EXACT interpolated percentiles (rounded at the edge) plus a boolean
+    * pinning the sketch within 5% of each group's value range. Sketch
+    * drift flips the boolean and fails the driver's hash compare.
+    */
+  def approxPercentilesChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val tol = (col("vmax") - col("vmin")) * 0.05
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9))").as("ap"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .select(
+        col("event_type"),
+        OracleRound.roundN(col("p50"), 4).as("exact_p50"),
+        OracleRound.roundN(col("p90"), 4).as("exact_p90"),
+        (abs(element_at(col("ap"), 1) - col("p50")) <= tol &&
+          abs(element_at(col("ap"), 2) - col("p90")) <= tol)
+          .as("sketch_within_5pct"))
+      .orderBy("event_type")
+  }
+
   /** Statistical aggregates: exact interpolated median (percentile),
     * sample stddev, Pearson correlation — rounded at the edge since
     * variance/corr accumulation order differs across engines.

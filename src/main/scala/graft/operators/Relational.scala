@@ -298,16 +298,19 @@ object Relational {
   def purchaseClickContext(spark: SparkSession, sfDir: String): DataFrame = {
     val usPerHour = 3600L * 1000000L
     val ev = Tables.events(spark, sfDir)
+    // `div` is exact long floor-division (timestamps are non-negative) —
+    // a double `floor(x / width)` could misbucket values within an ulp of
+    // an hour boundary and silently drop a candidate pair
     val clicks = ev.where(col("event_type") === "click")
       .select(unix_micros(col("ts")).as("cus"))
-      .withColumn("bucket", floor(col("cus") / usPerHour).cast("long"))
+      .withColumn("bucket", expr(s"cus div ${usPerHour}L"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id"), unix_micros(col("ts")).as("pus"))
     // window (pus − 1h, pus] spans at most 2 hour-buckets — the explode
     // is the whole "index probe"
     val probed = purchases.withColumn("bucket",
-      explode(array(floor(col("pus") / usPerHour).cast("long"),
-        floor(col("pus") / usPerHour).cast("long") - 1)))
+      explode(array(expr(s"pus div ${usPerHour}L"),
+        expr(s"pus div ${usPerHour}L") - 1)))
     val counts = probed.join(clicks, Seq("bucket"))
       .where(col("cus") > col("pus") - usPerHour && col("cus") <= col("pus"))
       .groupBy(col("event_id"))

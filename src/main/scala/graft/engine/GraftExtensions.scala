@@ -21,6 +21,9 @@ import graft.functions.{BottomKAgg, DotProductExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // §2.10 rung (c): whole-plan rewrite no expression can do — bare
+    // range-band joins (nested-loop by default) become banded equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Auto-rewrite of bare range-predicate joins into banded equi-joins.
+  *
+  * A join whose only cross-side predicates are a range band —
+  * `l BETWEEN r + lo AND r + hi` in any conjunct order/orientation, on
+  * long columns (event-time micros, sequence numbers) — has no equi key,
+  * so Spark plans BroadcastNestedLoopJoin: every left row against every
+  * right row, the plan that dies first at scale. But a fixed-width band
+  * admits the classic distributed rewrite (the same one
+  * `Relational.purchaseClickContext` hand-writes): bucket the bounded
+  * side by the band width, explode the probe side to its two covering
+  * buckets, equi-join on the bucket, and keep the original predicate as
+  * a residual filter. This rule applies that rewrite automatically to
+  * any eligible logical Join, so a SQL user writing the naive range join
+  * gets the scalable plan — SURVEY.md §2.10 ladder rung (c): a
+  * `Rule[LogicalPlan]` where no built-in operator or expression can fix
+  * the plan shape.
+  *
+  * Eligibility (deliberately narrow — miss, never mis-rewrite):
+  *  - Inner join with a conjunctive condition, NO cross-side equality
+  *    conjunct (an equi key means hash/merge join already works — and the
+  *    rewritten join's own bucket equality makes the rule a no-op on its
+  *    output, which is also the termination proof);
+  *  - among the conjuncts, a lower and an upper bound on the SAME pair of
+  *    long `AttributeReference`s from opposite sides, each of the form
+  *    `attr cmp attr' + literal` (Add/Subtract/bare), any orientation;
+  *  - band width = hi − lo > 0 (width 0 is an equality in disguise).
+  *
+  * Correctness: buckets partition ℤ into width-B cells via sign-correct
+  * floor division, and an interval of length ≤ B intersects at most two
+  * consecutive cells — the two the probe side explodes to. The original
+  * condition is re-checked on every bucket-colocated candidate, so the
+  * rewrite can only ever equal the naive join's result (BandedJoinSpec
+  * asserts equality against the nested-loop plan, and that the rewritten
+  * plan contains no BroadcastNestedLoopJoin).
+  *
+  * Nulls: a null band attr fails both the original range predicate (null
+  * ⇒ filtered by the inner join) and the bucket equality, so rewritten
+  * and naive plans drop exactly the same rows.
+  */
+object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** `attr cmp other + offset`, oriented so `attr` is on the left. */
+  private case class Bound(attr: AttributeReference,
+      other: AttributeReference, offset: Long, isLower: Boolean)
+
+  /** Decompose `e` as (long attribute, additive long constant). */
+  private def term(e: Expression): Option[(AttributeReference, Long)] = e match {
+    case a: AttributeReference if a.dataType == LongType => Some((a, 0L))
+    case Add(a: AttributeReference, Literal(v: Long, LongType), _)
+        if a.dataType == LongType => Some((a, v))
+    case Add(Literal(v: Long, LongType), a: AttributeReference, _)
+        if a.dataType == LongType => Some((a, v))
+    case Subtract(a: AttributeReference, Literal(v: Long, LongType), _)
+        if a.dataType == LongType => Some((a, -v))
+    case _ => None
+  }
+
+  /** Normalize one comparison conjunct to bounds on an attribute pair:
+    * `a + ca ≥ b + cb` becomes lower bound `a ≥ b + (cb − ca)` AND the
+    * mirrored upper bound `b ≤ a + (ca − cb)` — both orientations are
+    * recorded so the pair-matching below is orientation-free. Strict
+    * bounds shrink the interval, which only helps coverage, so < and ≤
+    * normalize alike.
+    */
+  private def bounds(e: Expression): Seq[Bound] = {
+    def of(ge: Expression, le: Expression): Seq[Bound] =
+      (term(ge), term(le)) match {
+        case (Some((ga, gc)), Some((la, lc))) if ga.exprId != la.exprId =>
+          Seq(Bound(ga, la, lc - gc, isLower = true),
+            Bound(la, ga, gc - lc, isLower = false))
+        case _ => Nil
+      }
+    e match {
+      case GreaterThanOrEqual(a, b) => of(a, b)
+      case GreaterThan(a, b) => of(a, b)
+      case LessThanOrEqual(a, b) => of(b, a)
+      case LessThan(a, b) => of(b, a)
+      case _ => Nil
+    }
+  }
+
+  /** Sign-correct floor division by a positive literal width: pmod gives
+    * the non-negative remainder, the subtraction is exactly divisible, so
+    * integral division equals mathematical floor for any sign of `x`.
+    */
+  private def floorDiv(x: Expression, width: Long): Expression = {
+    val w = Literal(width, LongType)
+    IntegralDivide(Subtract(x, Pmod(x, w)), w)
+  }
+
+  private def crossSide(l: LogicalPlan, r: LogicalPlan,
+      a: AttributeReference, b: AttributeReference): Boolean =
+    (l.outputSet.contains(a) && r.outputSet.contains(b)) ||
+      (l.outputSet.contains(b) && r.outputSet.contains(a))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      // ExtractEquiJoinKeys accepts ANY single-side expression pair as an
+      // equi key (x = y + 5 included) — mirror that, not just attr = attr
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          val (ra, rb) = (a.references, b.references)
+          ra.nonEmpty && rb.nonEmpty &&
+            ((ra.subsetOf(left.outputSet) && rb.subsetOf(right.outputSet)) ||
+              (ra.subsetOf(right.outputSet) && rb.subsetOf(left.outputSet)))
+        case _ => false
+      }
+      if (hasEqui) j
+      else {
+        val all = conjuncts.flatMap(bounds)
+          .filter(b => crossSide(left, right, b.attr, b.other))
+        // first (lower, upper) pair over the same oriented attr pair
+        val band = all.collectFirst(Function.unlift { (lo: Bound) =>
+          if (!lo.isLower) None
+          else all.collectFirst {
+            case hi if !hi.isLower && hi.attr.exprId == lo.attr.exprId &&
+              hi.other.exprId == lo.other.exprId &&
+              hi.offset > lo.offset &&
+              // width must not overflow (user literals are unbounded)
+              (try { Math.subtractExact(hi.offset, lo.offset); true }
+               catch { case _: ArithmeticException => false }) => (lo, hi)
+          }
+        })
+        band match {
+          case Some((lo, hi)) =>
+            val width = hi.offset - lo.offset
+            // orient: bounded attr on the LEFT child buckets directly;
+            // the probe attr explodes to its two covering buckets
+            val (bounded, probe) = (lo.attr, lo.other)
+            val (boundedSide, probeSide, swapped) =
+              if (left.outputSet.contains(bounded)) (left, right, false)
+              else (right, left, true)
+            val bAlias = Alias(floorDiv(bounded, width), "__graft_band_b")()
+            val newBounded = Project(boundedSide.output :+ bAlias, boundedSide)
+            val b0 = floorDiv(Add(probe, Literal(lo.offset, LongType)), width)
+            val probeOut = AttributeReference(
+              "__graft_band_p", LongType, nullable = true)()
+            val gen = Generate(
+              Explode(CreateArray(Seq(b0, Add(b0, Literal(1L, LongType))))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(probeOut), child = probeSide)
+            val newCond = And(EqualTo(bAlias.toAttribute, probeOut), cond)
+            val newJoin =
+              if (swapped) Join(gen, newBounded, Inner, Some(newCond), hint)
+              else Join(newBounded, gen, Inner, Some(newCond), hint)
+            Project(j.output, newJoin)
+          case None => j
+        }
+      }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.BandedRangeJoinRule
+
+/** BandedRangeJoinRule: a bare range-band join (no equi key — Spark plans
+  * BroadcastNestedLoopJoin) is rewritten to a banded equi-join with the
+  * original predicate as residual. The spec pins the two contracts:
+  * result identity with the naive plan, and the plan-shape upgrade.
+  */
+class BandedJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations = Seq(BandedRangeJoinRule)
+    try body
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
+  // deterministic pseudo-random longs, including negatives and values
+  // straddling bucket boundaries
+  private def mkSides() = {
+    import spark.implicits._
+    val l = (0 until 500).map(i => (i.toLong, (i * 7919L % 1000L) - 300L))
+      .toDF("lid", "lv")
+    val r = (0 until 300).map(i => (i.toLong, (i * 104729L % 1000L) - 300L))
+      .toDF("rid", "rv")
+    (l, r)
+  }
+
+  test("range-band join rewrites to an equi plan with identical results") {
+    val (l, r) = mkSides()
+    val cond = col("lv") >= col("rv") - 100L && col("lv") <= col("rv")
+    val naive = l.join(r, cond)
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"precondition: the naive range join should nested-loop:\n$naivePlan")
+    val expected = naive.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+
+    withRule {
+      val banded = l.join(r, cond)
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule did not upgrade the plan:\n$plan")
+      assert(plan.contains("__graft_band"), s"band keys missing:\n$plan")
+      val got = banded.collect()
+        .map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+      assert(got == expected, "banded join changed the join result")
+      assert(got.nonEmpty, "degenerate fixture: no matching pairs")
+    }
+  }
+
+  test("orientation and Add/Subtract spellings all rewrite") {
+    val (l, r) = mkSides()
+    val spellings = Seq(
+      // r - 100 <= l <= r, bounds written flipped
+      col("rv") - 100L <= col("lv") && col("rv") >= col("lv"),
+      // symmetric band via Add on both bounds
+      col("lv") >= col("rv") + lit(-50L) && col("lv") <= col("rv") + lit(50L),
+      // strict bounds
+      col("lv") > col("rv") - 100L && col("lv") < col("rv"))
+    spellings.zipWithIndex.foreach { case (cond, i) =>
+      val expected = l.join(r, cond).collect()
+        .map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+      withRule {
+        val banded = l.join(r, cond)
+        val plan = banded.queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_band"), s"spelling $i not rewritten:\n$plan")
+        val got = banded.collect()
+          .map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+        assert(got == expected, s"spelling $i changed the join result")
+      }
+    }
+  }
+
+  test("joins with an equi key or width-0 bands are left alone") {
+    val (l, r) = mkSides()
+    withRule {
+      // equi + range: hash/merge join already works — must not rewrite
+      val equi = l.join(r, col("lid") === col("rid") &&
+        col("lv") >= col("rv") - 100L && col("lv") <= col("rv"))
+      assert(!equi.queryExecution.executedPlan.toString.contains("__graft_band"),
+        "equi join must not be rewritten")
+      // width 0 (l between r and r) is an equality in disguise — skip
+      val zero = l.join(r, col("lv") >= col("rv") && col("lv") <= col("rv"))
+      assert(!zero.queryExecution.executedPlan.toString.contains("__graft_band"),
+        "width-0 band must not be rewritten")
+    }
+  }
+
+  test("the rule is wired into GraftExtensions for conf-based deployment") {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "src/main/scala/graft/engine/GraftExtensions.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(src.contains("BandedRangeJoinRule"),
+      "GraftExtensions must inject the optimizer rule")
+  }
+}

@@ -391,6 +391,9 @@ object SparkEntry {
     // banded event-time range join: hour-bucket equi-join + exact range
     // filter instead of a nested-loop over the cross space
     "join_range_click_context" -> ((s, d) => Relational.purchaseClickContext(s, d)),
+    // variable-width interval overlap join: points bucket once, intervals
+    // explode to covering buckets — never a nested loop
+    "join_interval_overlap" -> ((s, d) => Relational.userDayPurchaseOverlap(s, d)),
     // GK quantile sketch bounded in-query (the HLL pattern for quantiles)
     "agg_percentile_sketch" -> ((s, d) => Relational.approxPercentilesChecked(s, d)),
     "join_asof_latest_order" -> ((s, d) =>
@@ -1800,6 +1803,18 @@ object SparkEntry {
         |FROM p LEFT JOIN c ON c.ct > p.pt - INTERVAL 1 HOUR AND c.ct <= p.pt
         |GROUP BY p.event_id, p.pt
         |ORDER BY p.event_id""".stripMargin,
+    // the bucketing is a physical rewrite — the oracle is the PLAIN
+    // overlap join
+    "join_interval_overlap" ->
+      """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |                      min(ts::TIMESTAMP) AS lo, max(ts::TIMESTAMP) AS hi
+        |               FROM events GROUP BY 1, 2),
+        |p AS (SELECT ts::TIMESTAMP AS pt FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+        |       CAST(count(p.pt) AS BIGINT) AS n_overlap_purchases
+        |FROM spans s LEFT JOIN p ON p.pt >= s.lo AND p.pt <= s.hi
+        |GROUP BY s.user_id, s.d
+        |ORDER BY s.user_id, s.d""".stripMargin,
     "agg_percentile_sketch" ->
       s"""SELECT event_type,
          |       ${graft.functions.OracleRound.duck("quantile_cont(value, 0.5)", 4)} AS exact_p50,

@@ -324,6 +324,83 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Variable-width interval overlap join — the general form of the banded
+    * range join above (and of `plans.BandedRangeJoinRule`, which only
+    * handles FIXED-width bands statically). `points` rows match every
+    * `intervals` row whose `[loCol, hiCol]` (inclusive, long) contains
+    * `ptCol`. A bare overlap predicate has no equi key, so Spark would
+    * nested-loop the cross space; instead each point buckets ONCE
+    * (`pt div width`) and each interval explodes to its covering bucket
+    * range (`sequence(lo div width, hi div width)`), turning the overlap
+    * into an equi-join on the bucket with the exact predicate as residual.
+    * A matched pair meets in exactly one bucket (the point's), so no
+    * dedup step is needed. `div` truncates toward zero rather than
+    * flooring, but any monotone bucketing works here — the interval side
+    * covers a RANGE of cells, so unlike the fixed-band rewrite no
+    * equal-width cell identity is required, only lo ≤ pt ≤ hi ⇒
+    * bucket(lo) ≤ bucket(pt) ≤ bucket(hi).
+    *
+    * Cost model: intervals replicate ⌈len/width⌉+1 times and candidates
+    * per bucket are |points in bucket| × |intervals covering it| — width
+    * should sit near the typical interval length (smaller → more interval
+    * replicas; larger → fatter buckets). Callers with unknown data can
+    * take `maxIntervalWidth` (one column-pruned agg pass) as a safe
+    * upper bound: every interval then covers ≤ 2 buckets, at the price of
+    * outlier-sized buckets if lengths are skewed.
+    *
+    * Column names must be distinct across the two frames; rows with
+    * `lo > hi` (empty intervals) match nothing and are pruned before the
+    * explode (Spark's `sequence` would otherwise DESCEND and fabricate
+    * buckets).
+    */
+  def intervalJoin(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val p = points.withColumn("__g_bucket", expr(s"`$ptCol` div ${width}L"))
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__g_bucket",
+        explode(expr(s"sequence(`$loCol` div ${width}L, `$hiCol` div ${width}L)")))
+    p.join(iv, Seq("__g_bucket"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__g_bucket")
+  }
+
+  /** Largest interval length + 1: the safe (≤ 2 buckets per interval)
+    * width for [[intervalJoin]] when the length distribution is unknown.
+    */
+  def maxIntervalWidth(intervals: DataFrame, loCol: String, hiCol: String): Long =
+    intervals.agg(max(col(hiCol) - col(loCol)))
+      .head().getLong(0) + 1L
+
+  /** Concrete [[intervalJoin]] query: per-user daily activity spans
+    * (variable-width intervals — first to last event of each user-day)
+    * scored by how many platform-wide purchases fell inside the span.
+    * Keyless overlap (the purchases are NOT the user's own), the shape a
+    * co-activity / contention feature takes. Width = 1 day bounds each
+    * span to ≤ 2 covering buckets since spans never cross midnight.
+    */
+  def userDayPurchaseOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+    val spans = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(unix_micros(min(col("ts"))).as("span_lo"),
+        unix_micros(max(col("ts"))).as("span_hi"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("pus"))
+    intervalJoin(purchases, "pus", spans, "span_lo", "span_hi", usPerDay)
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_overlap_purchases"))
+      // left-join back so zero-overlap spans survive with an explicit 0
+      .join(spans.select(col("user_id"), col("day")), Seq("user_id", "day"), "right")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_overlap_purchases"), lit(0L)).as("n_overlap_purchases"))
+      .orderBy("user_id", "day")
+  }
+
   /** Approx-percentile sketch with its contract bounded in-query — the
     * [[SqlSurface.approxUserCounts]] pattern for quantiles: the
     * Greenwald-Khanna sketch value is engine-/merge-order-specific and

@@ -399,4 +399,31 @@ class OperatorsSpec extends AnyFunSuite {
       prevCum = cum; prevBin = bin
     }
   }
+
+  test("intervalJoin matches the naive overlap join on adversarial data") {
+    import spark.implicits._
+    // negatives, zero-length, multi-bucket-spanning and EMPTY (lo > hi)
+    // intervals; points straddling bucket boundaries and zero
+    val points = (-40L to 40L by 3L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "pt")
+    val intervals = Seq(
+      (0L, -35L, -20L), (1L, -5L, 5L), (2L, 0L, 0L), (3L, -1L, 30L),
+      (4L, 10L, 9L) /* empty */, (5L, 7L, 7L), (6L, -40L, 40L))
+      .toDF("iid", "lo", "hi")
+    val expected = points.join(intervals,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    for (width <- Seq(1L, 7L, 100L)) {
+      val got = Relational.intervalJoin(points, "pt", intervals, "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == expected, s"width=$width diverged from the naive join")
+    }
+    assert(expected.nonEmpty, "degenerate fixture: no overlapping pairs")
+    // the safe-width helper bounds every interval to <= 2 buckets
+    val w = Relational.maxIntervalWidth(
+      intervals.where(col("lo") <= col("hi")), "lo", "hi")
+    assert(w == 81L, s"max length + 1 expected, got $w")
+  }
 }

@@ -394,6 +394,9 @@ object SparkEntry {
     // variable-width interval overlap join: points bucket once, intervals
     // explode to covering buckets — never a nested loop
     "join_interval_overlap" -> ((s, d) => Relational.userDayPurchaseOverlap(s, d)),
+    // Bloom semi-join reduction: fact rows that cannot match a selective
+    // dim are dropped at the scan, before the join's exchange
+    "join_bloom_pruned_revenue" -> ((s, d) => Relational.bloomPrunedUrgentRevenue(s, d)),
     // GK quantile sketch bounded in-query (the HLL pattern for quantiles)
     "agg_percentile_sketch" -> ((s, d) => Relational.approxPercentilesChecked(s, d)),
     "join_asof_latest_order" -> ((s, d) =>
@@ -1815,6 +1818,14 @@ object SparkEntry {
         |FROM spans s LEFT JOIN p ON p.pt >= s.lo AND p.pt <= s.hi
         |GROUP BY s.user_id, s.d
         |ORDER BY s.user_id, s.d""".stripMargin,
+    // the Bloom pass is a physical reduction — the oracle is the PLAIN join
+    "join_bloom_pruned_revenue" ->
+      s"""SELECT l.l_linestatus,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${graft.functions.OracleRound.duck("sum(l.l_extendedprice * (1.0 - l.l_discount))", 2)} AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_percentile_sketch" ->
       s"""SELECT event_type,
          |       ${graft.functions.OracleRound.duck("quantile_cont(value, 0.5)", 4)} AS exact_p50,

@@ -426,4 +426,32 @@ class OperatorsSpec extends AnyFunSuite {
       intervals.where(col("lo") <= col("hi")), "lo", "hi")
     assert(w == 81L, s"max length + 1 expected, got $w")
   }
+
+  test("bloomPrunedJoin prunes the fact scan and matches the plain join") {
+    import spark.implicits._
+    // spark.range, not toDF: a LocalRelation fixture would have the
+    // might_contain filter constant-folded away by ConvertToLocalRelation
+    // and the plan assertion below could not see it
+    val fact = spark.range(5000).select(col("id").as("fid"),
+      (col("id") % 1000L).as("fk"), (col("id") * 3L).as("payload"))
+    // selective dim: 50 of the 1000 fact key values
+    val dim = (0 until 50).map(i => (i * 20L, s"d$i")).toDF("dk", "dname")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fid", "dname").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq
+    val bloomed = Relational.bloomPrunedJoin(fact, "fk", dim, "dk", 1000L)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom filter missing from the plan:\n$plan")
+    val got = bloomed.select("fid", "dname").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == plain, "bloom pruning changed the join result")
+    assert(got.nonEmpty, "degenerate fixture: no matches")
+    // the pre-filter must actually reduce the fact side: 250 true
+    // matches out of 5000 rows, plus only bloom false positives
+    val survivors =
+      Relational.bloomPruneFact(fact, "fk", dim, "dk", 1000L).count()
+    assert(survivors < 1000L,
+      s"bloom filter barely pruned: $survivors of 5000 fact rows survive")
+  }
 }

@@ -158,6 +158,10 @@ object SparkEntry {
         .orderBy("cluster_size")),
     "text_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d)).orderBy("doc_id", "rank")),
+    // corpus heavy hitters: approx_top_k sketch bounded in-query against
+    // the exact deterministic top-10 (the HLL/GK pattern for frequent items)
+    "text_topk_sketch" -> ((s, d) =>
+      TextAnalysis.topKSketchChecked(Tables.documents(s, d))),
     // corpus-level document/collection frequency + per-(doc,term) TF-IDF
     "text_term_stats" -> ((s, d) =>
       TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
@@ -1099,6 +1103,16 @@ object SparkEntry {
          |  FROM f)
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    // the sketch is engine-internal — the oracle checks the exact top-10
+    // and expects both in-query sketch bounds to hold
+    "text_topk_sketch" ->
+      s"""WITH c AS (SELECT unnest($duckToks) AS term FROM documents),
+         |e AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM c
+         |      WHERE term <> '' GROUP BY 1)
+         |SELECT term, cnt,
+         |       TRUE AS sketch_counts_exact,
+         |       TRUE AS sketch_topk_counts_match
+         |FROM e ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
     "text_quality_deciles" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
          |m AS (SELECT doc_id,

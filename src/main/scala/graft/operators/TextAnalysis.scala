@@ -182,6 +182,51 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf")
   }
 
+  /** Corpus heavy hitters with the approx sketch bounded in-query — the
+    * [[SqlSurface.approxUserCounts]] (HLL) / GK-percentile pattern for
+    * frequent items, completing the sketch family: `approx_top_k`'s raw
+    * result depends on tracking/merge internals and tie order, so it can
+    * never hash-match an external oracle. The query therefore emits the
+    * EXACT deterministic top-k (count desc, term asc) plus two booleans
+    * pinning the sketch: every sketch item's estimate equals its exact
+    * corpus count, and the sketch's count MULTISET equals the exact
+    * top-k count multiset (counts, unlike items, are tie-order free).
+    * Sketch drift flips a boolean and fails the driver's hash gate.
+    *
+    * Scale: token counts fold map-side to vocab-sized partials; the
+    * sketch is one `approx_top_k` aggregate (O(maxTracked) state); the
+    * check joins are vocab- or k-bounded. The two single-row check
+    * frames broadcast onto the k output rows.
+    */
+  def topKSketchChecked(
+      docs: DataFrame, k: Int = 10, maxTracked: Int = 1000): DataFrame = {
+    require(maxTracked >= k,
+      s"approx_top_k requires maxItemsTracked ($maxTracked) >= k ($k)")
+    val toks = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val topk = exact.orderBy(col("cnt").desc, col("term")).limit(k)
+    val skItems = toks
+      .agg(expr(s"approx_top_k(term, $k, $maxTracked)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("s_term"), col("e.count").as("s_cnt"))
+    val itemsOk = skItems
+      .join(exact, col("s_term") === col("term"), "left")
+      .agg(coalesce(min(col("s_cnt") === col("cnt")), lit(false))
+        .as("sketch_counts_exact"))
+    val multisetOk = skItems
+      .agg(sort_array(collect_list(col("s_cnt"))).as("s_counts"))
+      .crossJoin(topk.agg(sort_array(collect_list(col("cnt"))).as("e_counts")))
+      .select((col("s_counts") === col("e_counts")).as("sketch_topk_counts_match"))
+    topk
+      .crossJoin(broadcast(itemsOk))
+      .crossJoin(broadcast(multisetOk))
+      .select(col("term"), col("cnt"),
+        col("sketch_counts_exact"), col("sketch_topk_counts_match"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Repetition signals (Gopher-rule style): per document, the total
     * bigram count, the most frequent bigram's count, and their ratio — a
     * high top-bigram fraction marks boilerplate/template text that the

@@ -454,4 +454,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors < 1000L,
       s"bloom filter barely pruned: $survivors of 5000 fact rows survive")
   }
+
+  test("topKSketchChecked pins the sketch to exact counts in-query") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.topKSketchChecked(docs).collect()
+    assert(out.length == 10, s"expected exact top-10, got ${out.length}")
+    // default maxTracked covers the synthetic vocab → both bounds hold
+    assert(out.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "sketch bounds must hold when every item is tracked")
+    // counts are sorted desc with the term tiebreak
+    val counts = out.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, "rows must be ordered by count desc")
+    // degraded sketch (fewer tracked items than vocab) must still produce
+    // the exact top-10 rows and HONEST booleans, not an error or a lie:
+    // if it reports exact counts, they must actually be exact
+    // smallest legal tracking budget (= k), still below the 31-term vocab
+    val tight = TextAnalysis.topKSketchChecked(docs, k = 10, maxTracked = 10)
+      .collect()
+    assert(tight.length == 10, "exact rows are independent of sketch quality")
+    assert(tight.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      out.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "exact top-10 must not depend on the sketch parameters")
+  }
 }

@@ -274,6 +274,19 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy("source")),
+    // range-clustered layout rewrite + a filtered read of the clustered
+    // output: parquet min/max footers make the month scan file-prunable
+    // (LayoutSpec asserts numFiles read ≪ files written)
+    "pipeline_clustered_scan" -> ((s, d) =>
+      s.read.parquet(clusteredLineitemDir(s, d))
+        .where(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.functions.OracleRound.round2(
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("l_linestatus")),
     "pipeline_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     // sharded form: partitioned window → one prefix-sum reducer per source
@@ -1437,6 +1450,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // the clustering is a layout rewrite — the oracle reads the ORIGINAL
+    // table, so a lossy rewrite cannot hash-match
+    "pipeline_clustered_scan" ->
+      s"""SELECT l_linestatus,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${graft.functions.OracleRound.duck("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+         |  AND l_shipdate < TIMESTAMP '1995-04-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_knn_label" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label,
@@ -2094,6 +2117,22 @@ object SparkEntry {
       val dst = java.nio.file.Files.createTempDirectory("graft-compacted").toString
       Tables.documents(s, d).repartition(64).write.mode("overwrite").parquet(frag)
       graft.engine.Compaction.compactTo(s, frag, dst)
+      dst
+    })
+
+  /** Range-clustered lineitem rewrite (graft.engine.Layout), memoized per
+    * sf dir like [[compactedDocsDir]]: 16 files tiling l_shipdate, so the
+    * one-month scan in pipeline_clustered_scan is file-prunable. The query
+    * READS THE CLUSTERED OUTPUT — a rewrite that lost or mangled rows
+    * fails the DuckDB compare against the original table.
+    */
+  private val clusteredLineitemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def clusteredLineitemDir(s: SparkSession, d: String): String =
+    clusteredLineitemCache.computeIfAbsent(d, _ => {
+      val dst = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+      graft.engine.Layout.clusteredWrite(
+        Tables.lineitem(s, d), "l_shipdate", dst, nFiles = 16)
       dst
     })
 

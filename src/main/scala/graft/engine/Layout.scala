@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout management: range-clustered rewrites for scan pruning.
+  *
+  * At 100 TB the cheapest scan is the one that never happens: parquet
+  * footers carry per-file (and per-row-group) min/max statistics, and a
+  * filtered read skips every file whose range cannot match. But the stats
+  * only help if the writer CLUSTERED the data — a table written in arrival
+  * order has every file spanning the whole value range of the filter
+  * column, so no file is ever skippable. [[clusteredWrite]] is the layout
+  * rewrite that makes time-/key-filtered scans file-prunable: one range
+  * shuffle, files that tile the cluster column's value range.
+  *
+  * Complements [[Compaction]] (which fixes file COUNT shuffle-free but
+  * keeps arrival order): compaction for sink hygiene, clustering when the
+  * read pattern filters on a known column and is worth one shuffle.
+  */
+object Layout {
+
+  /** Rewrite `df` into `dst` as `nFiles` parquet files tiling the value
+    * range of `clusterCol`: `repartitionByRange` (one range shuffle;
+    * Spark samples partition bounds) puts disjoint value ranges in
+    * disjoint files, `sortWithinPartitions` additionally orders rows
+    * inside each file so row-group-level min/max prune within a file
+    * too. Returns the row count measured by an [[Observation]] on the
+    * write job itself — the output is never re-read for verification
+    * (same single-read contract as [[Compaction.compactTo]]).
+    */
+  def clusteredWrite(
+      df: DataFrame, clusterCol: String, dst: String, nFiles: Int): Long = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val obs = Observation()
+    // observe ABOVE the range exchange: repartitionByRange runs an extra
+    // sampling job over the subtree below it to pick partition bounds,
+    // and an observe placed below the exchange would count rows twice
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dst)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Number of files holding any row matching `filter` — the layout
+    * observable that clustering optimizes. The planner still LISTS every
+    * file (footer min/max pruning is a reader-side decision, invisible in
+    * the numFiles metric); what clustering changes is locality: matching
+    * rows concentrate in the few files whose range covers the filter, and
+    * the pushed-down predicate lets the parquet reader skip every row
+    * group (i.e. all actual IO) of the rest. On an arrival-order table
+    * every file holds matches and nothing is skippable.
+    */
+  def filesHoldingMatches(
+      spark: SparkSession, dir: String, filter: String): Long =
+    spark.read.parquet(dir).where(filter)
+      .select(input_file_name()).distinct().count()
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Layout, Tables}
+
+/** Layout.clusteredWrite: a range-clustered rewrite must (a) preserve rows
+  * exactly and (b) make filtered scans file-prunable — the parquet footer
+  * min/max on the cluster column lets the planner skip files whose range
+  * cannot match. (b) is the whole point of the operator, so the spec
+  * asserts the numFiles scan metric, not just correctness.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  test("clustered rewrite preserves rows and prunes the month scan to few files") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val li = Tables.lineitem(spark, sf)
+    val expected = li.count()
+    val written = Layout.clusteredWrite(li, "l_shipdate", dst, nFiles = 16)
+    assert(written == expected, "Observation row count must match the input")
+    assert(spark.read.parquet(dst).count() == expected,
+      "clustered table lost or duplicated rows")
+
+    // ~82 months of shipdates tiled over 16 files: a one-month filter's
+    // rows live in 1, at most 2, of them — everything else is reader-skippable
+    val month =
+      "l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-04-01'"
+    val clustered = Layout.filesHoldingMatches(spark, dst, month)
+    assert(clustered <= 2, s"expected <= 2 of 16 files with matches, got $clustered")
+
+    // control: the same filter over an arrival-order (unclustered) copy
+    // has matches in EVERY file — no locality, nothing skippable
+    val flat = java.nio.file.Files.createTempDirectory("graft-flat").toString
+    li.repartition(16).write.mode("overwrite").parquet(flat)
+    val unclustered = Layout.filesHoldingMatches(spark, flat, month)
+    assert(unclustered == 16, s"control should hit all 16 files, got $unclustered")
+  }
+}

@@ -296,6 +296,10 @@ object SparkEntry {
     // distributed global rank (GlobalOrder — no single-reducer window)
     "pipeline_train_order" -> ((s, d) =>
       Curation.trainOrder(Tables.documents(s, d)).orderBy("doc_id")),
+    // systematic PPS sample: exact integer point placement along the
+    // token prefix-sum axis — sum(n_draws) = 100 by construction
+    "pipeline_systematic_sample" -> ((s, d) =>
+      Curation.systematicSample(Tables.documents(s, d))),
     // corpus-learned boilerplate strip: top-20 corpus-frequent tokens
     // removed from every doc, remaining order preserved
     "pipeline_strip_boilerplate" -> ((s, d) =>
@@ -594,6 +598,25 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
         |         AS train_rank
         |FROM k ORDER BY doc_id""".stripMargin,
+    // pure integer arithmetic on both sides — DuckDB's // floors where
+    // Spark's div truncates, but the only negative operand (x = 0) gives
+    // 0 on both paths
+    "pipeline_systematic_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+         |                  CAST(len($duckToks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             sum(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens,
+         |             (SELECT sum(n_tokens) FROM t) AS total
+         |      FROM t)
+         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST(((200 * cum_tokens - 1) // total + 1) // 2
+         |          - ((200 * (cum_tokens - n_tokens) - 1) // total + 1) // 2
+         |         AS BIGINT) AS n_draws
+         |FROM c
+         |WHERE ((200 * cum_tokens - 1) // total + 1) // 2
+         |    - ((200 * (cum_tokens - n_tokens) - 1) // total + 1) // 2 >= 1
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_strip_boilerplate" ->
       """WITH toks AS (SELECT doc_id,
         |                     unnest(string_split(text, ' ')) AS tok,

@@ -510,6 +510,44 @@ object Curation {
     * corpus shuffle-sort, the honest cost of a global shuffle, with NO
     * single-reducer window.
     */
+  /** Deterministic systematic weighted sampling (probability proportional
+    * to size): `n` sample points sit at the odd multiples of
+    * `total/(2n)` along the token-count prefix-sum axis, and a document
+    * is drawn once per point falling in its `[cum−w, cum)` range — the
+    * classic PPS design for corpus mixing, where big documents are
+    * proportionally more likely to be drawn and `sum(n_draws) = n`
+    * exactly. Unlike an exponential-keys reservoir (whose `ln`/`pow`
+    * ULPs drift across engines), every step here is integer arithmetic:
+    * the point-count below x is f(x) = |{odd m : m·total < 2nx}| =
+    * ((2nx − 1) div total + 1) div 2, so the draw is bit-reproducible in
+    * any engine. The only negative operand is x = 0, where trunc- and
+    * floor-division agree on 0.
+    *
+    * One GlobalOrder prefix sum (range exchange, doc_id order) + a
+    * broadcast single-row total; map-only after. Overflow bound:
+    * 2n·total must fit a long (n=100 leaves room to ~4.6e16 corpus
+    * tokens).
+    */
+  def systematicSample(docs: DataFrame, n: Int = 100): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val counted = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val withCum = graft.engine.GlobalOrder.withPrefixSum(
+      counted, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+    val total = counted.agg(sum(col("n_tokens")).as("total"))
+    val twoN = 2L * n
+    withCum.crossJoin(broadcast(total))
+      .withColumn("f_hi",
+        expr(s"(($twoN * cum_tokens - 1) div total + 1) div 2"))
+      .withColumn("f_lo",
+        expr(s"(($twoN * (cum_tokens - n_tokens) - 1) div total + 1) div 2"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        (col("f_hi") - col("f_lo")).as("n_draws"))
+      .where(col("n_draws") >= 1)
+      .orderBy("doc_id")
+  }
+
   def trainOrder(docs: DataFrame, salt: String = "shuffle"): DataFrame =
     graft.engine.GlobalOrder.withGlobalRank(
       Partitioning.ensureParallelism(docs, col("doc_id"))

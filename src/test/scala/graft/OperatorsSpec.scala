@@ -455,6 +455,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"bloom filter barely pruned: $survivors of 5000 fact rows survive")
   }
 
+  test("systematicSample places exactly n PPS points, matching brute force") {
+    val docs = Tables.documents(spark, sf)
+    // ground truth: materialize (doc_id, w, cum) in doc_id order and
+    // count the odd multiples of total/(2n) falling in each range
+    val weights = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = weights.map(_._2).sum
+    for (n <- Seq(1, 37, 100)) {
+      val expected = {
+        var cum = 0L
+        weights.flatMap { case (id, w) =>
+          val lo = cum; cum += w
+          // point i falls in [lo, lo+w) ⇔ 2n·lo ≤ (2i+1)·total < 2n·cum
+          val draws = (0 until n).count(i =>
+            2L * n * lo <= (2L * i + 1) * total &&
+              (2L * i + 1) * total < 2L * n * cum)
+          if (draws > 0) Some(id -> draws.toLong) else None
+        }.toMap
+      }
+      val got = Curation.systematicSample(docs, n).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(got == expected, s"n=$n diverged from brute-force placement")
+      assert(got.values.sum == n.toLong, s"n=$n: total draws must be exactly n")
+    }
+  }
+
   test("topKSketchChecked pins the sketch to exact counts in-query") {
     val docs = Tables.documents(spark, sf)
     val out = TextAnalysis.topKSketchChecked(docs).collect()

@@ -274,6 +274,18 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy("source")),
+    // source-partitioned layout rewrite + a partition-filtered read: the
+    // planner prunes non-matching directories before listing (LayoutSpec
+    // asserts the numFiles metric); the oracle reads the ORIGINAL table
+    "pipeline_partitioned_scan" -> ((s, d) =>
+      s.read.parquet(partitionedDocsDir(s, d))
+        .where(col("source").isin("src0", "src7", "src13"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("char_mass"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("source")),
     // range-clustered layout rewrite + a filtered read of the clustered
     // output: parquet min/max footers make the month scan file-prunable
     // (LayoutSpec asserts numFiles read ≪ files written)
@@ -1473,6 +1485,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "pipeline_partitioned_scan" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS char_mass,
+        |       min(doc_id) AS min_doc,
+        |       max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE source IN ('src0', 'src7', 'src13')
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // the clustering is a layout rewrite — the oracle reads the ORIGINAL
     // table, so a lossy rewrite cannot hash-match
     "pipeline_clustered_scan" ->
@@ -2156,6 +2178,19 @@ object SparkEntry {
       val dst = java.nio.file.Files.createTempDirectory("graft-clustered").toString
       graft.engine.Layout.clusteredWrite(
         Tables.lineitem(s, d), "l_shipdate", dst, nFiles = 16)
+      dst
+    })
+
+  /** Source-partitioned documents rewrite (Layout.partitionedWrite),
+    * memoized per sf dir: pipeline_partitioned_scan's source filter prunes
+    * at planning to one directory (LayoutSpec asserts the listing metric).
+    */
+  private val partitionedDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedDocsDir(s: SparkSession, d: String): String =
+    partitionedDocsCache.computeIfAbsent(d, _ => {
+      val dst = java.nio.file.Files.createTempDirectory("graft-partitioned").toString
+      graft.engine.Layout.partitionedWrite(Tables.documents(s, d), "source", dst)
       dst
     })
 

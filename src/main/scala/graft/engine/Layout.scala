@@ -43,6 +43,49 @@ object Layout {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Hive-style directory-partitioned rewrite (`partitionBy`): the other
+    * standard layout lever. Where [[clusteredWrite]] tiles a continuous
+    * column so the READER skips row groups, partitioning a categorical /
+    * date column prunes at PLANNING — the catalog listing itself skips
+    * non-matching directories, visible as a smaller `numFiles` in the
+    * scan (asserted by [[filesListedByScan]] in LayoutSpec). Partition
+    * by low-cardinality columns only (a 100 TB table partitioned by a
+    * high-cardinality key degenerates into the small-file problem
+    * [[Compaction]] exists to fix). Returns the row count from an
+    * [[Observation]] on the write job (single read, no re-scan).
+    */
+  def partitionedWrite(
+      df: DataFrame, partitionCol: String, dst: String): Long = {
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dst)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Number of files the planner LISTS for a filtered scan — the
+    * partition-pruning observable ([[partitionedWrite]]): directory
+    * pruning happens before execution, so a partition-filtered scan of a
+    * partitioned table shows numFiles = matching partitions' files only.
+    * (Footer min/max skipping is reader-side and does NOT show here —
+    * that is [[filesHoldingMatches]]'s job.)
+    */
+  def filesListedByScan(
+      spark: SparkSession, dir: String, filter: String): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = spark.read.parquet(dir).where(filter).select(lit(1).as("one"))
+    // execute THIS df's own QueryExecution so the metrics land on the
+    // plan instance we then inspect
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    require(scans.nonEmpty, "no FileSourceScan in the plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
   /** Number of files holding any row matching `filter` — the layout
     * observable that clustering optimizes. The planner still LISTS every
     * file (footer min/max pruning is a reader-side decision, invisible in

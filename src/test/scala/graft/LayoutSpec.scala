@@ -43,4 +43,23 @@ class LayoutSpec extends AnyFunSuite {
     val unclustered = Layout.filesHoldingMatches(spark, flat, month)
     assert(unclustered == 16, s"control should hit all 16 files, got $unclustered")
   }
+
+  test("partitioned rewrite prunes directories at planning time") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = Tables.documents(spark, sf)
+    val expected = docs.count()
+    val written = Layout.partitionedWrite(docs, "source", dst)
+    assert(written == expected, "Observation row count must match the input")
+    assert(spark.read.parquet(dst).count() == expected,
+      "partitioned table lost or duplicated rows")
+
+    val total = Layout.filesListedByScan(spark, dst, "1 = 1")
+    val sources = docs.select("source").distinct().count()
+    // one source's partition filter must list ~1/sources of the files —
+    // the planner never even lists the other directories
+    val one = Layout.filesListedByScan(spark, dst, "source = 'src0'")
+    assert(one < total, s"partition pruning did not reduce listing: $one/$total")
+    assert(one <= total / sources + 1,
+      s"expected ~1/$sources of $total files, got $one")
+  }
 }

@@ -43,7 +43,13 @@ class PlanSpec extends AnyFunSuite {
     // q15: the single-row revenue-max scalar broadcast into the filter
     "tpch_q15_top_supplier",
     // dedup report: three single-row aggregates cross-joined
-    "pipeline_dedup_report")
+    "pipeline_dedup_report",
+    // PPS sample: the single-row corpus-total broadcast into the
+    // draw-count formula
+    "pipeline_systematic_sample",
+    // top-k sketch: two single-row check aggregates broadcast onto the
+    // 10 output rows
+    "text_topk_sketch")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -179,4 +179,58 @@ class PropertySpec extends AnyFunSuite {
     assert(parsed.count() == 3) // permissive mode: rows survive, fields null
     assert(parsed.where(col("rsvp_id").isNotNull).count() == 0)
   }
+
+  test("intervalJoin equals the naive overlap join on generated intervals") {
+    import spark.implicits._
+    val ptsGen = Gen.listOfN(60, Gen.chooseNum(-500L, 500L))
+    val ivGen = Gen.listOfN(25, for {
+      lo <- Gen.chooseNum(-500L, 500L)
+      len <- Gen.chooseNum(-20L, 300L) // negative → empty interval
+    } yield (lo, lo + len))
+    (0 until 5).foreach { round =>
+      val pts = samples(ptsGen, 1).head.zipWithIndex
+        .map { case (v, i) => (i.toLong + round * 1000L, v) }.toDF("pid", "pt")
+      val ivs = samples(ivGen, 1).head.zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("iid", "lo", "hi")
+      val naive = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      for (width <- Seq(3L, 64L, 1000L)) {
+        val got = graft.operators.Relational
+          .intervalJoin(pts, "pt", ivs, "lo", "hi", width)
+          .select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == naive, s"round $round width $width diverged")
+      }
+    }
+  }
+
+  test("BandedRangeJoinRule preserves results on generated bands") {
+    import spark.implicits._
+    val valsGen = Gen.listOfN(80, Gen.chooseNum(-300L, 300L))
+    val bandGen = for {
+      lo <- Gen.chooseNum(-50L, 50L)
+      w <- Gen.chooseNum(1L, 120L)
+    } yield (lo, lo + w)
+    (0 until 5).foreach { round =>
+      val l = samples(valsGen, 1).head.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+      val r = samples(valsGen, 1).head.reverse.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+      val (lo, hi) = samples(bandGen, 1)(0)
+      val cond = col("lv") >= col("rv") + lit(lo) && col("lv") <= col("rv") + lit(hi)
+      val naive = l.join(r, cond).select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      spark.experimental.extraOptimizations =
+        Seq(graft.plans.BandedRangeJoinRule)
+      try {
+        val banded = l.join(r, cond)
+        assert(banded.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+          s"round $round band [$lo,$hi] not rewritten")
+        val got = banded.select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        assert(got == naive, s"round $round band [$lo,$hi] diverged")
+      } finally spark.experimental.extraOptimizations = Nil
+    }
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Auto-rewrite of bare range-predicate joins into banded equi-joins.
   *
@@ -29,8 +29,9 @@ import org.apache.spark.sql.types.LongType
   *    rewritten join's own bucket equality makes the rule a no-op on its
   *    output, which is also the termination proof);
   *  - among the conjuncts, a lower and an upper bound on the SAME pair of
-  *    long `AttributeReference`s from opposite sides, each of the form
-  *    `attr cmp attr' + literal` (Add/Subtract/bare), any orientation;
+  *    int/long `AttributeReference`s from opposite sides, each of the form
+  *    `attr cmp attr' + literal` (Add/Subtract/bare), any orientation
+  *    (a mixed int/long pair arrives cast-wrapped and safely misses);
   *  - band width = hi − lo > 0 (width 0 is an equality in disguise).
   *
   * Correctness: buckets partition ℤ into width-B cells via sign-correct
@@ -51,17 +52,35 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private case class Bound(attr: AttributeReference,
       other: AttributeReference, offset: Long, isLower: Boolean)
 
-  /** Decompose `e` as (long attribute, additive long constant). */
-  private def term(e: Expression): Option[(AttributeReference, Long)] = e match {
-    case a: AttributeReference if a.dataType == LongType => Some((a, 0L))
-    case Add(a: AttributeReference, Literal(v: Long, LongType), _)
-        if a.dataType == LongType => Some((a, v))
-    case Add(Literal(v: Long, LongType), a: AttributeReference, _)
-        if a.dataType == LongType => Some((a, v))
-    case Subtract(a: AttributeReference, Literal(v: Long, LongType), _)
-        if a.dataType == LongType => Some((a, -v))
-    case _ => None
+  /** Decompose `e` as (integral attribute, additive long constant).
+    * Int and long columns both qualify — the bucket arithmetic below
+    * runs in long either way (int attrs are cast at bucket time), so an
+    * int band (event-time seconds, sequence ids) gets the same rewrite.
+    */
+  private def term(e: Expression): Option[(AttributeReference, Long)] = {
+    def intType(a: AttributeReference): Boolean =
+      a.dataType == LongType || a.dataType == IntegerType
+    e match {
+      case a: AttributeReference if intType(a) => Some((a, 0L))
+      case Add(a: AttributeReference, Literal(v: Long, LongType), _)
+          if intType(a) => Some((a, v))
+      case Add(Literal(v: Long, LongType), a: AttributeReference, _)
+          if intType(a) => Some((a, v))
+      case Subtract(a: AttributeReference, Literal(v: Long, LongType), _)
+          if intType(a) => Some((a, -v))
+      case Add(a: AttributeReference, Literal(v: Int, IntegerType), _)
+          if intType(a) => Some((a, v.toLong))
+      case Add(Literal(v: Int, IntegerType), a: AttributeReference, _)
+          if intType(a) => Some((a, v.toLong))
+      case Subtract(a: AttributeReference, Literal(v: Int, IntegerType), _)
+          if intType(a) => Some((a, -v.toLong))
+      case _ => None
+    }
   }
+
+  /** `attr` as a long expression (no-op for long attrs). */
+  private def asLong(a: AttributeReference): Expression =
+    if (a.dataType == LongType) a else Cast(a, LongType)
 
   /** Normalize one comparison conjunct to bounds on an attribute pair:
     * `a + ca ≥ b + cb` becomes lower bound `a ≥ b + (cb − ca)` AND the
@@ -139,9 +158,9 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             val (boundedSide, probeSide, swapped) =
               if (left.outputSet.contains(bounded)) (left, right, false)
               else (right, left, true)
-            val bAlias = Alias(floorDiv(bounded, width), "__graft_band_b")()
+            val bAlias = Alias(floorDiv(asLong(bounded), width), "__graft_band_b")()
             val newBounded = Project(boundedSide.output :+ bAlias, boundedSide)
-            val b0 = floorDiv(Add(probe, Literal(lo.offset, LongType)), width)
+            val b0 = floorDiv(Add(asLong(probe), Literal(lo.offset, LongType)), width)
             val probeOut = AttributeReference(
               "__graft_band_p", LongType, nullable = true)()
             val gen = Generate(

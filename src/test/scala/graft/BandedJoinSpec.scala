@@ -82,6 +82,24 @@ class BandedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("int-typed band columns rewrite too (event-time seconds shape)") {
+    import spark.implicits._
+    val l = (0 until 400).map(i => (i, (i * 37) % 500 - 100)).toDF("lid", "lv")
+    val r = (0 until 250).map(i => (i, (i * 91) % 500 - 100)).toDF("rid", "rv")
+    val cond = col("lv") >= col("rv") - 60 && col("lv") <= col("rv")
+    val expected = l.join(r, cond).select("lid", "rid").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+    withRule {
+      val banded = l.join(r, cond)
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_band"), s"int band not rewritten:\n$plan")
+      val got = banded.select("lid", "rid").collect()
+        .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+      assert(got == expected, "int banded join changed the result")
+      assert(got.nonEmpty, "degenerate fixture: no matching pairs")
+    }
+  }
+
   test("joins with an equi key or width-0 bands are left alone") {
     val (l, r) = mkSides()
     withRule {

@@ -115,12 +115,42 @@ class BandedJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("the rule is wired into GraftExtensions for conf-based deployment") {
-    val src = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-        "src/main/scala/graft/engine/GraftExtensions.scala")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    assert(src.contains("BandedRangeJoinRule"),
-      "GraftExtensions must inject the optimizer rule")
+  test("GraftExtensions injects the rule: a SQL range join plans banded") {
+    spark.sparkContext // ensure the shared context exists first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // same programmatic hook as the spark.sql.extensions static conf
+      // (VectorOpsSpec documents why the shared test context can't
+      // exercise the conf path directly)
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.engine.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      (0L until 200L).map(i => (i, (i * 7919L) % 400L)).toDF("lid", "lv")
+        .createOrReplaceTempView("gl")
+      (0L until 100L).map(i => (i, (i * 104729L) % 400L)).toDF("rid", "rv")
+        .createOrReplaceTempView("gr")
+      val q = s2.sql(
+        "SELECT lid, rid FROM gl JOIN gr ON lv BETWEEN rv - 50 AND rv")
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+        "the conf-deployed rule must rewrite a plain SQL range join")
+      val viaRule = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // expected result from the shared session, which has NO rule
+      val expected = {
+        import spark.implicits._
+        val l = (0L until 200L).map(i => (i, (i * 7919L) % 400L)).toDF("lid", "lv")
+        val r = (0L until 100L).map(i => (i, (i * 104729L) % 400L)).toDF("rid", "rv")
+        l.join(r, col("lv") >= col("rv") - 50L && col("lv") <= col("rv"))
+          .collect().map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+      }
+      assert(viaRule == expected && viaRule.nonEmpty,
+        "rule-session results must equal the naive join")
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }

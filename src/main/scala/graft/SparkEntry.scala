@@ -312,6 +312,11 @@ object SparkEntry {
     // token prefix-sum axis — sum(n_draws) = 100 by construction
     "pipeline_systematic_sample" -> ((s, d) =>
       Curation.systematicSample(Tables.documents(s, d))),
+    // per-column ingest profile: one pruned agg branch per column,
+    // unioned — never a multi-distinct Expand over the fact table
+    "pipeline_profile_docs" -> ((s, d) =>
+      Curation.profileTable(Tables.documents(s, d),
+        Seq("doc_id", "source", "lang", "n_chars"))),
     // corpus-learned boilerplate strip: top-20 corpus-frequent tokens
     // removed from every doc, remaining order preserved
     "pipeline_strip_boilerplate" -> ((s, d) =>
@@ -610,6 +615,29 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
         |         AS train_rank
         |FROM k ORDER BY doc_id""".stripMargin,
+    "pipeline_profile_docs" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+        |         CAST(count(DISTINCT source) AS BIGINT),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+        |         CAST(count(DISTINCT lang) AS BIGINT),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+        |         CAST(count(DISTINCT n_chars) AS BIGINT),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
     // pure integer arithmetic on both sides — DuckDB's // floors where
     // Spark's div truncates, but the only negative operand (x = 0) gives
     // 0 on both paths

@@ -510,6 +510,32 @@ object Curation {
     * corpus shuffle-sort, the honest cost of a global shuffle, with NO
     * single-reducer window.
     */
+  /** Per-column table profile — the data-quality dashboard of an ingest
+    * pipeline: rows, non-nulls, exact distinct count, min and max (cast
+    * to string so heterogeneous columns share one schema). One aggregate
+    * BRANCH per column, unioned: a single multi-column
+    * `count(distinct …)` aggregate would plan an Expand that replicates
+    * every fact row once per profiled column — the exact shape
+    * PlanSpec's fact-table guard forbids — while per-column branches each
+    * prune to ONE column at the scan (columnar formats read just that
+    * column) and plan plain two-phase aggregates. Profiled columns are
+    * caller-chosen and few, so the union width is bounded.
+    */
+  def profileTable(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    columns.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_.unionByName(_)).orderBy("column")
+  }
+
   /** Deterministic systematic weighted sampling (probability proportional
     * to size): `n` sample points sit at the odd multiples of
     * `total/(2n)` along the token-count prefix-sum axis, and a document

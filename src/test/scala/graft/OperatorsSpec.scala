@@ -483,6 +483,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("profileTable profiles per column without an Expand over the table") {
+    val docs = Tables.documents(spark, sf)
+    val prof = Curation.profileTable(docs, Seq("doc_id", "source"))
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"profile must not multi-distinct-Expand the fact table:\n$plan")
+    val rows = prof.collect().map(r => r.getString(0) -> r).toMap
+    val n = docs.count()
+    assert(rows("doc_id").getLong(1) == n && rows("source").getLong(1) == n)
+    assert(rows("doc_id").getLong(3) == n, "doc_id must be unique")
+    assert(rows("doc_id").getLong(2) == n, "doc_id must be non-null")
+    val nSources = docs.select("source").distinct().count()
+    assert(rows("source").getLong(3) == nSources)
+  }
+
   test("topKSketchChecked pins the sketch to exact counts in-query") {
     val docs = Tables.documents(spark, sf)
     val out = TextAnalysis.topKSketchChecked(docs).collect()

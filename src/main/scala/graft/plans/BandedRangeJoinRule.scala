@@ -45,6 +45,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Nulls: a null band attr fails both the original range predicate (null
   * ⇒ filtered by the inner join) and the bucket equality, so rewritten
   * and naive plans drop exactly the same rows.
+  *
+  * Numeric edge: the bucket arithmetic (`x − pmod(x, w)`, `probe + lo`)
+  * can overflow for values within a band width of Long.MinValue/MaxValue.
+  * Under ANSI mode (the Spark 4 default) that is a LOUD runtime error,
+  * never a silently misbucketed pair — the same contract as the naive
+  * plan's own `attr + literal` arithmetic at those extremes. Timestamps
+  * and sequence numbers never approach the edge.
   */
 object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 

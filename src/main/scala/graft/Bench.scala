@@ -25,6 +25,33 @@ object Bench {
   final case class QueryStats(name: String, min: Double, median: Double,
       max: Double, runs: Int)
 
+  /** Box-calibration probe: a pinned, I/O-free synthetic workload whose
+    * cost depends only on CPU/shuffle speed, never on the query set or the
+    * data under test. 10 M generated rows → hash projection → global sort
+    * on the hash (one range exchange + external sort) → bit_xor fold.
+    * Recording this alongside every bench run makes "the box was slow"
+    * falsifiable: two recordings are comparable after dividing each
+    * query median by its run's probe median (round-6 verdict item 1 —
+    * the 4.6× r6 wall jump was only explainable by manual forensics).
+    * bit_xor, not sum: summing xxhash64 outputs overflows under ANSI.
+    */
+  def probeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 10000000L, 1L, 32)
+      .selectExpr("xxhash64(id) AS h")
+      .orderBy("h")
+      .selectExpr("bit_xor(h)")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Runs the probe `runs` times and returns (samples, median). */
+  def probe(spark: SparkSession, runs: Int): (Seq[Double], Double) = {
+    val ts = (1 to runs).map(_ => probeOnce(spark))
+    val sorted = ts.sorted
+    (ts, sorted(sorted.size / 2))
+  }
+
   /** One bench pass: interleaved rounds (q1..qN, q1..qN, ...) rather than
     * back-to-back repeats of each query — a transient box stall then hits
     * one sample of many queries instead of all samples of one, so the
@@ -79,7 +106,8 @@ object Bench {
     * SUCCESSFUL queries only; failing queries appear under "errors" and
     * never contribute a (near-zero) failure time to the total.
     */
-  def render(stats: Seq[QueryStats], errors: Map[String, String], sfDir: String): String = {
+  def render(stats: Seq[QueryStats], errors: Map[String, String], sfDir: String,
+      probeStats: Option[(Double, Double, Double)] = None): String = {
     val qs = stats.map(s => s"""\"${s.name}\":${s.median}""").mkString("{", ",", "}")
     val spread = stats.map { s =>
       s""""${s.name}":{"min":${s.min},"median":${s.median},"max":${s.max},"runs":${s.runs}}"""
@@ -88,7 +116,13 @@ object Bench {
       s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
     }.mkString("{", ",", "}")
     val total = stats.map(_.median).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // probe: {before, after, median} — before/after bracket the query sweep
+    // so in-run drift is visible too; `median` (over all probe samples) is
+    // the per-recording box factor the gate should normalize by.
+    val probeJson = probeStats.map { case (before, after, med) =>
+      s""","probe":{"before":$before,"after":$after,"median":$med,"unit":"sec","workload":"range(10M)>xxhash64>orderBy>bit_xor"}"""
+    }.getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$probeJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -117,11 +151,19 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // probe brackets the sweep: `before` also serves as JIT/codegen warmup
+    // for the probe plan itself (first sample of 3 is the cold one and the
+    // median absorbs it)
+    val (beforeSamples, beforeMed) = probe(spark, runs)
     val (stats, errors) = measure(spark, sfDir, queries, runs)
+    val (afterSamples, afterMed) = probe(spark, runs)
+    val allProbe = (beforeSamples ++ afterSamples).sorted
+    val probeMed = allProbe(allProbe.size / 2)
     // per-query {min, median, max, runs}: this box swings up to 10×
     // between windows (BASELINE.md), so a bare median is unfalsifiable —
-    // the spread lets the gate tell noise from regression
-    println(render(stats, errors, sfDir))
+    // the spread lets the gate tell noise from regression, and the probe
+    // turns cross-recording comparisons into normalized numbers
+    println(render(stats, errors, sfDir, Some((beforeMed, afterMed, probeMed))))
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, TimestampType}
 
 /** Auto-rewrite of bare range-predicate joins into banded equi-joins.
   *
@@ -29,10 +29,31 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    rewritten join's own bucket equality makes the rule a no-op on its
   *    output, which is also the termination proof);
   *  - among the conjuncts, a lower and an upper bound on the SAME pair of
-  *    int/long `AttributeReference`s from opposite sides, each of the form
-  *    `attr cmp attr' + literal` (Add/Subtract/bare), any orientation
-  *    (a mixed int/long pair arrives cast-wrapped and safely misses);
+  *    int/long/timestamp `AttributeReference`s from opposite sides, each
+  *    of the form `attr cmp attr' + literal` (Add/Subtract/bare for the
+  *    integral types; `TimestampAddInterval` with a day-time-interval
+  *    literal for timestamps — the optimizer rewrites
+  *    `t - INTERVAL '1' HOUR` to `t + INTERVAL '-1' HOUR` before this
+  *    batch, so one shape covers both spellings), any orientation (a
+  *    mixed-type pair arrives cast-wrapped and safely misses; both attrs
+  *    must share a domain — integral with integral, timestamp with
+  *    timestamp — so the offset arithmetic is meaningful);
   *  - band width = hi − lo > 0 (width 0 is an equality in disguise).
+  *
+  * Timestamps are micros-typed longs underneath: a day-time-interval
+  * literal IS a micros count, `unix_micros` exposes the attr's exact
+  * micros (never the truncating seconds cast), and the bucket arithmetic
+  * is the identical long math. This covers the reference's own event-time
+  * domain (srapk_structure_streaming.py:148-153) written as
+  * `ts BETWEEN t - INTERVAL x AND t`, which previously fell through to
+  * the nested-loop plan this rule exists to kill. Year-month intervals
+  * (variable length) and TIMESTAMP_NTZ safely miss.
+  *
+  * The rule only fires under ANSI mode (the Spark 4 default): with ANSI
+  * off, long overflow in the bucket arithmetic near Long.MinValue/
+  * MaxValue would silently wrap and misbucket instead of erroring — a
+  * config-dependent divergence from the naive plan. Non-ANSI sessions
+  * keep the naive nested-loop semantics.
   *
   * Correctness: buckets partition ℤ into width-B cells via sign-correct
   * floor division, and an interval of length ≤ B intersects at most two
@@ -59,16 +80,20 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private case class Bound(attr: AttributeReference,
       other: AttributeReference, offset: Long, isLower: Boolean)
 
-  /** Decompose `e` as (integral attribute, additive long constant).
-    * Int and long columns both qualify — the bucket arithmetic below
-    * runs in long either way (int attrs are cast at bucket time), so an
-    * int band (event-time seconds, sequence ids) gets the same rewrite.
+  /** Decompose `e` as (attribute, additive long constant in the attr's
+    * native long domain). Int and long columns both qualify — the bucket
+    * arithmetic below runs in long either way (int attrs are cast at
+    * bucket time), so an int band (event-time seconds, sequence ids) gets
+    * the same rewrite. Timestamp columns qualify with day-time-interval
+    * literal offsets, whose value IS a micros long — the same domain
+    * `unix_micros` exposes at bucket time.
     */
   private def term(e: Expression): Option[(AttributeReference, Long)] = {
     def intType(a: AttributeReference): Boolean =
       a.dataType == LongType || a.dataType == IntegerType
     e match {
-      case a: AttributeReference if intType(a) => Some((a, 0L))
+      case a: AttributeReference if intType(a) || a.dataType == TimestampType =>
+        Some((a, 0L))
       case Add(a: AttributeReference, Literal(v: Long, LongType), _)
           if intType(a) => Some((a, v))
       case Add(Literal(v: Long, LongType), a: AttributeReference, _)
@@ -81,13 +106,31 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           if intType(a) => Some((a, v.toLong))
       case Subtract(a: AttributeReference, Literal(v: Int, IntegerType), _)
           if intType(a) => Some((a, -v.toLong))
+      // `t ± INTERVAL x` — the optimizer folds subtraction into a negated
+      // interval literal before this batch, so Add-shape alone suffices
+      case TimestampAddInterval(a: AttributeReference,
+          Literal(v: Long, _: DayTimeIntervalType), _)
+          if a.dataType == TimestampType => Some((a, v))
       case _ => None
     }
   }
 
-  /** `attr` as a long expression (no-op for long attrs). */
-  private def asLong(a: AttributeReference): Expression =
-    if (a.dataType == LongType) a else Cast(a, LongType)
+  /** Domain compatibility for an offset band: micros arithmetic on a
+    * timestamp pairs only with a timestamp; int/long pair freely (both
+    * run in long).
+    */
+  private def sameDomain(a: AttributeReference, b: AttributeReference): Boolean =
+    (a.dataType == TimestampType) == (b.dataType == TimestampType)
+
+  /** `attr` in its native long domain (no-op for long attrs; exact
+    * epoch-micros for timestamps — `Cast(ts, long)` would TRUNCATE to
+    * seconds and misbucket sub-second bands).
+    */
+  private def asLong(a: AttributeReference): Expression = a.dataType match {
+    case LongType => a
+    case TimestampType => UnixMicros(a)
+    case _ => Cast(a, LongType)
+  }
 
   /** Normalize one comparison conjunct to bounds on an attribute pair:
     * `a + ca ≥ b + cb` becomes lower bound `a ≥ b + (cb − ca)` AND the
@@ -99,7 +142,8 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bounds(e: Expression): Seq[Bound] = {
     def of(ge: Expression, le: Expression): Seq[Bound] =
       (term(ge), term(le)) match {
-        case (Some((ga, gc)), Some((la, lc))) if ga.exprId != la.exprId =>
+        case (Some((ga, gc)), Some((la, lc)))
+            if ga.exprId != la.exprId && sameDomain(ga, la) =>
           Seq(Bound(ga, la, lc - gc, isLower = true),
             Bound(la, ga, gc - lc, isLower = false))
         case _ => Nil
@@ -127,7 +171,12 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     (l.outputSet.contains(a) && r.outputSet.contains(b)) ||
       (l.outputSet.contains(b) && r.outputSet.contains(a))
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // ANSI-only: the docstring's "overflow is a LOUD error" contract holds
+    // only under ANSI arithmetic; with ANSI off the bucket math would wrap
+    // silently near Long.MinValue/MaxValue and drop pairs the naive plan
+    // returns. Non-ANSI sessions keep the naive plan (round-6 advice).
+    if (!conf.ansiEnabled) plan else plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       // ExtractEquiJoinKeys accepts ANY single-side expression pair as an

@@ -100,6 +100,73 @@ class BandedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp band columns rewrite (ts BETWEEN t - INTERVAL x AND t)") {
+    import spark.implicits._
+    // sub-second spacing so a seconds-truncating cast would misbucket:
+    // events every 7.3 s + i*137 ms, probes every 11.9 s + i*911 ms
+    val l = (0 until 400)
+      .map(i => (i.toLong, 1609459200000000L + i * 7300000L + i * 137000L))
+      .toDF("lid", "lus").select(col("lid"), timestamp_micros(col("lus")).as("lts"))
+    val r = (0 until 250)
+      .map(i => (i.toLong, 1609459200000000L + i * 11900000L + i * 911000L))
+      .toDF("rid", "rus").select(col("rid"), timestamp_micros(col("rus")).as("rts"))
+    val cond = expr("lts BETWEEN rts - INTERVAL '30' MINUTE AND rts")
+    val naive = l.join(r, cond)
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "precondition: the naive timestamp range join should nested-loop")
+    val expected = naive.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    withRule {
+      val banded = l.join(r, cond)
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule did not upgrade the timestamp range join:\n$plan")
+      assert(plan.contains("__graft_band"), s"band keys missing:\n$plan")
+      val got = banded.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got == expected, "timestamp banded join changed the join result")
+      assert(got.nonEmpty && got.size < 400L * 250L,
+        "degenerate fixture: band neither selective nor populated")
+    }
+  }
+
+  test("timestamp band via the Column API with interval subtraction") {
+    import spark.implicits._
+    val l = (0 until 300)
+      .map(i => (i.toLong, 1609459200000000L + i * 9700000L))
+      .toDF("lid", "lus").select(col("lid"), timestamp_micros(col("lus")).as("lts"))
+    val r = (0 until 200)
+      .map(i => (i.toLong, 1609459200000000L + i * 14300000L))
+      .toDF("rid", "rus").select(col("rid"), timestamp_micros(col("rus")).as("rts"))
+    // asymmetric band: t - 10 min ≤ ts ≤ t + 90 s
+    val cond = col("lts") >= col("rts") - expr("INTERVAL '10' MINUTE") &&
+      col("lts") <= col("rts") + expr("INTERVAL '90' SECOND")
+    val expected = l.join(r, cond).select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    withRule {
+      val banded = l.join(r, cond)
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_band"),
+        s"asymmetric timestamp band not rewritten:\n$plan")
+      val got = banded.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got == expected, "asymmetric timestamp band changed the result")
+      assert(got.nonEmpty, "degenerate fixture: no matching pairs")
+    }
+  }
+
+  test("rule stands down when ANSI mode is off (overflow contract)") {
+    val (l, r) = mkSides()
+    val cond = col("lv") >= col("rv") - 100L && col("lv") <= col("rv")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try withRule {
+      val plan = l.join(r, cond).queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_band"),
+        s"non-ANSI session must keep the naive plan (silent-wrap hazard):\n$plan")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("joins with an equi key or width-0 bands are left alone") {
     val (l, r) = mkSides()
     withRule {

@@ -108,6 +108,11 @@ object PublishGuard {
           s"rows=${current.rows} hash=${current.hash}) — the cache key " +
           "is stale; pass a key that encodes the data version")
 
+  /** Publisher-token marker inside a staging (then published) table
+    * directory. Leading `_` keeps it out of parquet file listings.
+    */
+  val MarkerFile = "_GRAFT_PUBLISHER"
+
   /** Publish `out` atomically: `write` materializes the artifact into a
     * session-unique hidden staging sibling, then one `rename` moves it
     * into place. First rename wins; a loser deletes its staging dir (the
@@ -117,18 +122,44 @@ object PublishGuard {
     * can merge into an existing destination instead of failing, leaves
     * only a hidden directory that parquet file listings ignore.
     * Returns true if this caller's table is the one published.
+    *
+    * The win is verified by CONTENT, not by the rename's return value: on
+    * stores where `rename(src, existingDir)` moves src UNDER the
+    * destination, a racing loser's rename also "succeeds". Each publisher
+    * stamps its staging dir with a unique token ([[MarkerFile]]) before
+    * renaming and trusts `won=true` only if the published table's top-level
+    * marker carries its own token; a loser whose staging leaked under the
+    * winner's table deletes the leaked copy.
     */
   def publishAtomic(spark: SparkSession, out: String)(
       write: String => Unit): Boolean = {
     val outPath = new Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(outPath.getParent)
+    val token = java.util.UUID.randomUUID().toString
     val staging = new Path(outPath.getParent,
-      s".${outPath.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      s".${outPath.getName}.staging-${token.take(8)}")
     var won = false
     try {
       write(staging.toString)
-      won = !fs.exists(outPath) && fs.rename(staging, outPath)
+      val m = fs.create(new Path(staging, MarkerFile), true)
+      try m.write(token.getBytes("UTF-8")) finally m.close()
+      if (!fs.exists(outPath) && fs.rename(staging, outPath)) {
+        val published = new Path(outPath, MarkerFile)
+        won = fs.exists(published) && {
+          val in = fs.open(published)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt == token
+        }
+        if (!won) {
+          // rename "succeeded" but merged us under the winner: remove the
+          // leaked nested staging copy so the published table stays clean
+          val leaked = new Path(outPath, staging.getName)
+          if (fs.exists(leaked)) fs.delete(leaked, true)
+        }
+      }
       won
     } finally {
       if (!won) fs.delete(staging, true)

@@ -333,6 +333,14 @@ object Similarity {
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     String, (PublishGuard.Fingerprint, Array[Array[Array[Double]]])]()
 
+  /** Test hook: drop the in-JVM read-through caches so a spec can simulate
+    * a FRESH session against an already-published artifact table.
+    */
+  private[graft] def clearTrainingCaches(): Unit = {
+    centroidCache.clear()
+    pqCache.clear()
+  }
+
   /** Product-quantization codebooks: the L2-normalized vectors are cut
     * into `m` subspaces of dim/m components and each subspace gets its own
     * `ksub`-centroid k-means codebook (plain Lloyd, deterministic init
@@ -437,58 +445,147 @@ object Similarity {
       k: Int = 5,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 3,
-      cacheKey: String = ""): DataFrame = {
-    val cents = ivfCentroids(embeddings, nlist, iters, cacheKey)
-    publishCentroids(embeddings.sparkSession, cents, s"$baseDir/$slug")
+      iters: Int = 3): DataFrame = {
+    val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
     ivfTopK(embeddings, numQueries, k, nlist, nprobe, iters, Some(cents))
   }
 
-  /** Once-per-JVM publish memo: path → deep hash of the content last
-    * written there by this JVM. Training is memoized (train-once,
-    * search-many), so without this every search call would re-write an
-    * identical artifact table; `compute` serializes concurrent publishes
-    * to one path, and changed content (a different cacheKey publishing to
-    * the same path) still re-writes.
-    */
-  private val publishMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
-  private def publishOnce(path: String, contentHash: Int)(write: => Unit): Unit =
-    publishMemo.compute(path, (_, prev) => {
-      if (prev == null || prev.intValue != contentHash) write
-      Integer.valueOf(contentHash)
-    })
-
-  /** Publish trained IVF centroids as a (list_id, centroid) parquet table.
+  /** Write trained IVF centroids as a (list_id, centroid) parquet table.
     * nlist rows × dim doubles — driver-bounded; one file is the right
     * physical shape for a table this small.
     */
-  private def publishCentroids(
-      spark: SparkSession, cents: Array[Array[Double]], path: String): Unit =
-    publishOnce(path, java.util.Arrays.deepHashCode(
-        cents.asInstanceOf[Array[AnyRef]])) {
-      import spark.implicits._
-      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-        .toDF("list_id", "centroid")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(path)
-    }
+  private def writeCentroidTable(
+      spark: SparkSession, cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.parquet(path)
+  }
 
-  /** Publish trained PQ codebooks as an (s, j, centroid) parquet table:
+  /** Write trained PQ codebooks as an (s, j, centroid) parquet table:
     * one row per (subspace, code) pair, m × ksub rows of dim/m doubles.
     */
-  private def publishCodebooks(
-      spark: SparkSession, books: Array[Array[Array[Double]]], path: String): Unit =
-    publishOnce(path, java.util.Arrays.deepHashCode(
-        books.asInstanceOf[Array[AnyRef]])) {
-      import spark.implicits._
-      books.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
-      }.toSeq.toDF("s", "j", "centroid")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(path)
+  private def writeCodebookTable(
+      spark: SparkSession, books: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("s", "j", "centroid")
+      .coalesce(1)
+      .write.parquet(path)
+  }
+
+  /** One code path for every published training artifact — the
+    * PUBLISHED TABLE is the single source of truth (round-6 verdict
+    * item 7; previously the in-JVM memo and the published table were two
+    * independent paths with separate fingerprint checks, and publication
+    * bypassed PublishGuard). Semantics are those of a materialized view
+    * keyed by the input fingerprint:
+    *
+    *  - table exists with a matching `_GRAFT_FINGERPRINT` sidecar → load
+    *    and serve its values (any session, any JVM);
+    *  - table missing → train, publish via [[PublishGuard.publishAtomic]]
+    *    (sidecar written INTO staging, so table + fingerprint appear
+    *    atomically), then read BACK from the published table — under a
+    *    publish race every JVM serves the winner's bits;
+    *  - table exists but the sidecar mismatches the CURRENT input →
+    *    the artifact is out of date: retrain and atomically republish
+    *    (never silently serve stale values, never hard-error on a mere
+    *    refresh — the loud-error contract of `verifyMemo`/`cacheKey` is
+    *    for user-claimed version tokens; a path-keyed table can always
+    *    be rebuilt from the data in front of us). One retry: if the
+    *    republished sidecar STILL mismatches, a concurrent publisher is
+    *    training on different data under the same path — that is the
+    *    unresolvable conflict, and it throws.
+    *
+    * The in-JVM `cache` is a READ-THROUGH cache over the table only: it
+    * can skip the filesystem read for repeated plan builds (bench's
+    * median-of-N), but its hit is honored only when the memoized
+    * fingerprint matches the current input — otherwise it falls through
+    * to the table logic above.
+    */
+  private def publishedArtifact[A](
+      spark: SparkSession,
+      path: String,
+      paramsKey: String,
+      fp: PublishGuard.Fingerprint,
+      cache: java.util.concurrent.ConcurrentHashMap[String, (PublishGuard.Fingerprint, A)],
+      train: () => A,
+      write: (A, String) => Unit,
+      load: () => A,
+      what: String): A = {
+    val key = s"published|$path|$paramsKey"
+    val hit = cache.get(key)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val outPath = new org.apache.hadoop.fs.Path(path)
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def publish(): Unit = PublishGuard.publishAtomic(spark, path) { staging =>
+        write(train(), staging)
+        PublishGuard.writeSidecar(fs, new org.apache.hadoop.fs.Path(staging), fp)
+      }
+      if (!fs.exists(outPath)) publish()
+      else if (PublishGuard.readSidecar(fs, outPath) != Some(fp)) {
+        // out-of-date (or sidecar-less pre-refactor) artifact: rebuild
+        fs.delete(outPath, true)
+        publish()
+      }
+      PublishGuard.verifySidecar(fs, outPath, fp, what)
+      val value = load()
+      cache.put(key, (fp, value))
+      value
     }
+  }
+
+  /** Read-through accessor for published IVF centroids — see
+    * [[publishedArtifact]] for the reuse/rebuild contract.
+    */
+  def publishedIvfCentroids(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      nlist: Int = 16,
+      iters: Int = 3): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    val path = s"$baseDir/$slug"
+    publishedArtifact[Array[Array[Double]]](
+      spark, path, s"$nlist|$iters",
+      embeddingFingerprint(embeddings), centroidCache,
+      train = () => trainIvfCentroids(embeddings, nlist, iters),
+      write = (cents, p) => writeCentroidTable(spark, cents, p),
+      load = () => spark.read.parquet(path).orderBy("list_id").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray),
+      what = s"published IVF centroids '$slug'")
+  }
+
+  /** Read-through accessor for published PQ codebooks — see
+    * [[publishedArtifact]] for the reuse/rebuild contract.
+    */
+  def publishedPqCodebooks(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 3,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    val path = s"$baseDir/$slug"
+    publishedArtifact[Array[Array[Array[Double]]]](
+      spark, path, s"pq|$m|$ksub|$iters|$dim",
+      embeddingFingerprint(embeddings), pqCache,
+      train = () => trainPqCodebooks(embeddings, m, ksub, iters, dim),
+      write = (books, p) => writeCodebookTable(spark, books, p),
+      load = () => {
+        val rows = spark.read.parquet(path).orderBy("s", "j").collect()
+        rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.sortBy(_.getInt(1))
+            .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+        }.toArray
+      },
+      what = s"published PQ codebooks '$slug'")
+  }
 
   /** [[pqTopK]] with the training/serving split made physical — the same
     * contract as [[ivfTopKPublished]]: trained codebooks are PUBLISHED
@@ -508,11 +605,9 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       rerank: Int = 50,
-      dim: Int = 64,
-      cacheKey: String = ""): DataFrame = {
-    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
-    publishCodebooks(embeddings.sparkSession, books, s"$baseDir/$slug")
-    pqTopK(embeddings, numQueries, k, m, ksub, rerank, dim, cacheKey, Some(books))
+      dim: Int = 64): DataFrame = {
+    val books = publishedPqCodebooks(embeddings, baseDir, slug, m, ksub, 3, dim)
+    pqTopK(embeddings, numQueries, k, m, ksub, rerank, dim, "", Some(books))
   }
 
   /** [[ivfPqTopK]] with BOTH trained artifacts published —
@@ -533,14 +628,11 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       rerank: Int = 50,
-      dim: Int = 64,
-      cacheKey: String = ""): DataFrame = {
-    val cents = ivfCentroids(embeddings, nlist, 3, cacheKey)
-    val books = pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey)
-    publishCentroids(embeddings.sparkSession, cents, s"$baseDir/${slug}_centroids")
-    publishCodebooks(embeddings.sparkSession, books, s"$baseDir/${slug}_codebooks")
+      dim: Int = 64): DataFrame = {
+    val cents = publishedIvfCentroids(embeddings, baseDir, s"${slug}_centroids", nlist, 3)
+    val books = publishedPqCodebooks(embeddings, baseDir, s"${slug}_codebooks", m, ksub, 3, dim)
     ivfPqTopK(embeddings, numQueries, k, nlist, nprobe, m, ksub, rerank, dim,
-      cacheKey, Some(cents), Some(books))
+      "", Some(cents), Some(books))
   }
 
   /** ANN top-k via product quantization with asymmetric distance (ADC):

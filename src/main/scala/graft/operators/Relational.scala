@@ -370,10 +370,17 @@ object Relational {
 
   /** Largest interval length + 1: the safe (≤ 2 buckets per interval)
     * width for [[intervalJoin]] when the length distribution is unknown.
+    * An empty (or all-null) intervals frame has no width — that is a
+    * usable error here, not an NPE on the null aggregate (round-6 advice).
     */
-  def maxIntervalWidth(intervals: DataFrame, loCol: String, hiCol: String): Long =
-    intervals.agg(max(col(hiCol) - col(loCol)))
-      .head().getLong(0) + 1L
+  def maxIntervalWidth(intervals: DataFrame, loCol: String, hiCol: String): Long = {
+    val r = intervals.agg(max(col(hiCol) - col(loCol))).head()
+    if (r.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"maxIntervalWidth: no intervals (empty frame or all-null `$loCol`/`$hiCol`) — " +
+          "pass an explicit width to intervalJoin instead")
+    r.getLong(0) + 1L
+  }
 
   /** Bloom-filter semi-join reduction: prune the fact side BEFORE its
     * shuffle with a Bloom filter built from the (filtered) dim keys, then
@@ -475,11 +482,15 @@ object Relational {
     * Greenwald-Khanna sketch value is engine-/merge-order-specific and
     * can never hash-match an external oracle, so the query emits the
     * EXACT interpolated percentiles (rounded at the edge) plus a boolean
-    * pinning the sketch within 5% of each group's value range. Sketch
-    * drift flips the boolean and fails the driver's hash compare.
+    * pinning the sketch within 15% of each group's value range. The GK
+    * accuracy parameter bounds RANK error, not value error, so the value
+    * bound is heuristic — 15% (3× the original 5%) keeps the gate a
+    * breakage detector rather than a sampling-luck coin flip on
+    * regenerated data (round-6 advice). Sketch drift beyond that flips
+    * the boolean and fails the driver's hash compare.
     */
   def approxPercentilesChecked(spark: SparkSession, sfDir: String): DataFrame = {
-    val tol = (col("vmax") - col("vmin")) * 0.05
+    val tol = (col("vmax") - col("vmin")) * 0.15
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
@@ -494,7 +505,7 @@ object Relational {
         OracleRound.roundN(col("p90"), 4).as("exact_p90"),
         (abs(element_at(col("ap"), 1) - col("p50")) <= tol &&
           abs(element_at(col("ap"), 2) - col("p90")) <= tol)
-          .as("sketch_within_5pct"))
+          .as("sketch_within_tol"))
       .orderBy("event_type")
   }
 

@@ -188,10 +188,17 @@ object TextAnalysis {
     * result depends on tracking/merge internals and tie order, so it can
     * never hash-match an external oracle. The query therefore emits the
     * EXACT deterministic top-k (count desc, term asc) plus two booleans
-    * pinning the sketch: every sketch item's estimate equals its exact
-    * corpus count, and the sketch's count MULTISET equals the exact
-    * top-k count multiset (counts, unlike items, are tie-order free).
-    * Sketch drift flips a boolean and fails the driver's hash gate.
+    * pinning the sketch to its PUBLISHED guarantee, not to exactness:
+    * frequent-items sketches bound per-item count error by O(N /
+    * maxTracked) (N = token total), so each boolean asserts the sketch
+    * estimates within `4·N/maxTracked` of exact — per tracked item, and
+    * element-wise between the sorted sketch/exact top-k count arrays.
+    * On data whose vocabulary fits the tracker (the test fixtures) the
+    * error is exactly 0 and the bound is trivially tight; on regenerated
+    * or scaled corpora the gate stays a breakage detector instead of
+    * failing on legitimate sketch error (round-6 advice — the old
+    * booleans pinned exact equality). Real drift still flips a boolean
+    * and fails the driver's hash gate.
     *
     * Scale: token counts fold map-side to vocab-sized partials; the
     * sketch is one `approx_top_k` aggregate (O(maxTracked) state); the
@@ -207,23 +214,32 @@ object TextAnalysis {
       .where(col("term") =!= "")
     val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val topk = exact.orderBy(col("cnt").desc, col("term")).limit(k)
+    // single-row sketch-error budget: 4·N/maxTracked (conservative over
+    // the space-saving/frequent-items ≤ ~3.5·N/maxMapSize guarantee)
+    val bound = toks.agg(
+      (count(lit(1)) * 4.0 / maxTracked).as("err_bound"))
     val skItems = toks
       .agg(expr(s"approx_top_k(term, $k, $maxTracked)").as("sk"))
       .select(explode(col("sk")).as("e"))
       .select(col("e.item").as("s_term"), col("e.count").as("s_cnt"))
     val itemsOk = skItems
       .join(exact, col("s_term") === col("term"), "left")
-      .agg(coalesce(min(col("s_cnt") === col("cnt")), lit(false))
-        .as("sketch_counts_exact"))
+      .crossJoin(broadcast(bound))
+      .agg(coalesce(min(abs(col("s_cnt") - col("cnt")) <= col("err_bound")),
+        lit(false)).as("sketch_counts_within_bound"))
     val multisetOk = skItems
       .agg(sort_array(collect_list(col("s_cnt"))).as("s_counts"))
       .crossJoin(topk.agg(sort_array(collect_list(col("cnt"))).as("e_counts")))
-      .select((col("s_counts") === col("e_counts")).as("sketch_topk_counts_match"))
+      .crossJoin(broadcast(bound))
+      .select((size(col("s_counts")) === size(col("e_counts")) &&
+        forall(zip_with(col("s_counts"), col("e_counts"),
+          (a, b) => abs(a - b) <= col("err_bound")), x => x))
+        .as("sketch_topk_within_bound"))
     topk
       .crossJoin(broadcast(itemsOk))
       .crossJoin(broadcast(multisetOk))
       .select(col("term"), col("cnt"),
-        col("sketch_counts_exact"), col("sketch_topk_counts_match"))
+        col("sketch_counts_within_bound"), col("sketch_topk_within_bound"))
       .orderBy(col("cnt").desc, col("term"))
   }
 

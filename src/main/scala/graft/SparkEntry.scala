@@ -317,6 +317,12 @@ object SparkEntry {
     "pipeline_profile_docs" -> ((s, d) =>
       Curation.profileTable(Tables.documents(s, d),
         Seq("doc_id", "source", "lang", "n_chars"))),
+    // wide-table profile: ONE aggregate pass for all columns (HLL
+    // distinct, no per-column scans, no Expand); exact columns hash-match
+    // the oracle and the HLL contract rides a 3×rsd boolean pinned TRUE
+    "pipeline_profile_docs_approx" -> ((s, d) =>
+      Curation.approxProfileTableChecked(Tables.documents(s, d),
+        Seq("doc_id", "source", "lang", "n_chars"))),
     // corpus-learned boilerplate strip: top-20 corpus-frequent tokens
     // removed from every doc, remaining order preserved
     "pipeline_strip_boilerplate" -> ((s, d) =>
@@ -399,8 +405,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopKPublished(Tables.embeddings(s, d),
         baseDir = "/tmp/graft_warehouse",
-        slug = s"ivf_centroids_${d.split('/').last}",
-        cacheKey = d)
+        slug = s"ivf_centroids_${d.split('/').last}")
         .orderBy("query_id", "rank")),
     // PQ/ADC compressed-index scan with exact rerank — same split: the
     // trained codebooks are published and the oracle replays code
@@ -408,16 +413,14 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) =>
       Similarity.pqTopKPublished(Tables.embeddings(s, d),
         baseDir = "/tmp/graft_warehouse",
-        slug = s"pq_codebooks_${d.split('/').last}",
-        cacheKey = d)
+        slug = s"pq_codebooks_${d.split('/').last}")
         .orderBy("query_id", "rank")),
     // IVF coarse pruning × PQ compressed scan — the production ANN
     // pairing; publishes both artifacts, oracle replays the full chain
     "sim_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfPqTopKPublished(Tables.embeddings(s, d),
         baseDir = "/tmp/graft_warehouse",
-        slug = s"ivfpq_${d.split('/').last}",
-        cacheKey = d)
+        slug = s"ivfpq_${d.split('/').last}")
         .orderBy("query_id", "rank")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
@@ -636,6 +639,33 @@ object SparkEntry {
         |  SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
         |         CAST(count(DISTINCT n_chars) AS BIGINT),
         |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
+    // exact profile columns hash-match; the HLL estimate is
+    // engine-specific so its ≤3×rsd contract rides a boolean the oracle
+    // pins TRUE (drift flips it and fails the hash compare)
+    "pipeline_profile_docs_approx" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_value,
+        |         TRUE AS approx_distinct_within_tol FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+        |         CAST(count(DISTINCT source) AS BIGINT),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR), TRUE
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+        |         CAST(count(DISTINCT lang) AS BIGINT),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR), TRUE
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+        |         CAST(count(DISTINCT n_chars) AS BIGINT),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR), TRUE
         |  FROM documents)
         |ORDER BY "column"""".stripMargin,
     // pure integer arithmetic on both sides — DuckDB's // floors where
@@ -1186,8 +1216,8 @@ object SparkEntry {
          |e AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM c
          |      WHERE term <> '' GROUP BY 1)
          |SELECT term, cnt,
-         |       TRUE AS sketch_counts_exact,
-         |       TRUE AS sketch_topk_counts_match
+         |       TRUE AS sketch_counts_within_bound,
+         |       TRUE AS sketch_topk_within_bound
          |FROM e ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
     "text_quality_deciles" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
@@ -1940,7 +1970,7 @@ object SparkEntry {
       s"""SELECT event_type,
          |       ${graft.functions.OracleRound.duck("quantile_cont(value, 0.5)", 4)} AS exact_p50,
          |       ${graft.functions.OracleRound.duck("quantile_cont(value, 0.9)", 4)} AS exact_p90,
-         |       TRUE AS sketch_within_5pct
+         |       TRUE AS sketch_within_tol
          |FROM events
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
@@ -2083,12 +2113,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // HLL sketch VALUES are engine-specific, so the raw approximation is
     // not oracle-comparable — instead the exact count hash-matches and the
-    // ≤5% contract rides a boolean the oracle pins to TRUE (a sketch
-    // drifting out of tolerance flips it and fails the hash compare)
+    // ≤3×rsd (15%) contract rides a boolean the oracle pins to TRUE (a
+    // sketch drifting out of tolerance flips it and fails the hash compare)
     "approx_distinct_users" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS exact_users,
-        |       TRUE AS approx_within_5pct
+        |       TRUE AS approx_within_tol
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

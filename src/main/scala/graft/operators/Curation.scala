@@ -536,6 +536,69 @@ object Curation {
     }.reduce(_.unionByName(_)).orderBy("column")
   }
 
+  /** [[profileTable]] for WIDE tables: ONE aggregate pass over all
+    * profiled columns instead of one scan + exact-distinct shuffle per
+    * column. `approx_count_distinct` is a plain HLL aggregate — no
+    * DISTINCT semantics, so N of them in one `agg` plan a single
+    * two-phase hash aggregate with NO Expand (the multi-`count(distinct)`
+    * shape PlanSpec forbids replicates every fact row once per column;
+    * this replicates nothing). The single result row then explodes into
+    * the per-column layout client code shares with [[profileTable]].
+    *
+    * At a 100-column 100 TB table this is the only viable profile shape:
+    * one scan (columnar formats still read only the profiled columns),
+    * map-side partials of O(columns × HLL-sketch) bytes, a single-row
+    * final merge. The price is `n_distinct` becoming an estimate with
+    * the configured `rsd` (default 5% relative standard deviation);
+    * rows/non-null/min/max stay exact.
+    */
+  def approxProfileTable(
+      df: DataFrame, columns: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__ad_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    df.select(columns.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(columns.map { c =>
+        struct(
+          lit(c).as("column"), col("n_rows"),
+          col(s"__nn_$c").as("n_nonnull"),
+          col(s"__ad_$c").as("approx_distinct"),
+          col(s"__min_$c").as("min_value"),
+          col(s"__max_$c").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("column")
+  }
+
+  /** [[approxProfileTable]] in oracle-checkable form: HLL estimates are
+    * engine-specific and can never hash-match an external oracle, so the
+    * query emits the EXACT profile columns (which do hash-match) plus a
+    * boolean folding the sketch's contract in-query — estimate within
+    * 3× the configured rsd of the exact distinct count, the same 3σ
+    * framing as `approxUserCountsChecked` (rsd is a standard deviation,
+    * not a bound; 1σ would fail on legitimate sketch luck). The exact
+    * side reuses [[profileTable]] — this CHECKED form exists for the
+    * correctness gate and small column sets; production wide-table
+    * profiling calls [[approxProfileTable]] alone, whose one-pass plan
+    * is what the spec asserts.
+    */
+  def approxProfileTableChecked(
+      df: DataFrame, columns: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileTable(df, columns).alias("e")
+      .join(approxProfileTable(df, columns, rsd).alias("a"), "column")
+      .select(col("column"), col("e.n_rows"), col("e.n_nonnull"),
+        col("e.n_distinct"), col("e.min_value"), col("e.max_value"),
+        (abs(col("a.approx_distinct") - col("e.n_distinct")) <=
+          greatest(col("e.n_distinct") * (3.0 * rsd), lit(3.0)))
+          .as("approx_distinct_within_tol"))
+      .orderBy("column")
+
   /** Deterministic systematic weighted sampling (probability proportional
     * to size): `n` sample points sit at the odd multiples of
     * `total/(2n)` along the token-count prefix-sum axis, and a document

@@ -498,11 +498,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows("source").getLong(3) == nSources)
   }
 
-  test("topKSketchChecked pins the sketch to exact counts in-query") {
+  test("approxProfileTable profiles every column in ONE pass") {
+    val docs = Tables.documents(spark, sf)
+    val cols = Seq("doc_id", "source", "lang", "n_chars")
+    val prof = Curation.approxProfileTable(docs, cols)
+    val plan = prof.queryExecution.executedPlan.toString
+    // the wide-table contract: one scan of the source, one aggregate, no
+    // Expand — vs profileTable's one scan per column
+    assert(!plan.contains("Expand"),
+      s"approx profile must not Expand the fact table:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE source scan for 4 columns, got $scans:\n$plan")
+    val rows = prof.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == cols.toSet)
+    val n = docs.count()
+    val exactSources = docs.select("source").distinct().count()
+    assert(cols.forall(c => rows(c).getLong(1) == n), "n_rows exact")
+    assert(rows("doc_id").getLong(2) == n, "doc_id non-null")
+    // HLL at these cardinalities: within 3×rsd of exact
+    assert(math.abs(rows("source").getLong(3) - exactSources) <=
+      math.max(3, (exactSources * 0.15).toLong), "source distinct within 3×rsd")
+    assert(math.abs(rows("doc_id").getLong(3) - n) <= (n * 0.15).toLong,
+      "doc_id distinct within 3×rsd")
+    // the checked form agrees with the exact profiler and its booleans hold
+    val checked = Curation.approxProfileTableChecked(docs, cols).collect()
+    assert(checked.forall(_.getBoolean(6)), "3×rsd booleans must hold")
+    val exact = Curation.profileTable(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(checked.forall(r => r.getLong(3) == exact(r.getString(0))),
+      "checked form must carry the EXACT distinct counts")
+  }
+
+  test("topKSketchChecked pins the sketch within its error bound in-query") {
     val docs = Tables.documents(spark, sf)
     val out = TextAnalysis.topKSketchChecked(docs).collect()
     assert(out.length == 10, s"expected exact top-10, got ${out.length}")
-    // default maxTracked covers the synthetic vocab → both bounds hold
+    // default maxTracked covers the synthetic vocab → sketch error is 0
+    // and the 4·N/maxTracked bound holds trivially
     assert(out.forall(r => r.getBoolean(2) && r.getBoolean(3)),
       "sketch bounds must hold when every item is tracked")
     // counts are sorted desc with the term tiebreak

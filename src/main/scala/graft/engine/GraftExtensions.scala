@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // §2.10 rung (c): whole-plan rewrite no expression can do — bare
     // range-band joins (nested-loop by default) become banded equi-joins
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+    // variable-width sibling: `pt BETWEEN iv.lo AND iv.hi` (different
+    // columns — no static width) buckets via a max-width scalar subquery
+    ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapJoinRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),

@@ -326,7 +326,13 @@ object Relational {
 
   /** Variable-width interval overlap join — the general form of the banded
     * range join above (and of `plans.BandedRangeJoinRule`, which only
-    * handles FIXED-width bands statically). `points` rows match every
+    * handles FIXED-width bands statically). SQL sessions deployed with
+    * `GraftExtensions` get this rewrite AUTOMATICALLY for the naive
+    * `pt BETWEEN lo AND hi` spelling via
+    * `plans.IntervalOverlapJoinRule` (width lifted from a max-width
+    * scalar subquery); call this operator directly to pick a tighter
+    * width than the max when the length distribution is skewed.
+    * `points` rows match every
     * `intervals` row whose `[loCol, hiCol]` (inclusive, long) contains
     * `ptCol`. A bare overlap predicate has no equi key, so Spark would
     * nested-loop the cross space; instead each point buckets ONCE

@@ -53,6 +53,49 @@ class OperatorsSpec extends AnyFunSuite {
       s"hot key not spread: max salt group $maxGroup of $hot rows")
   }
 
+  test("AQE skew-join splits the same hot key at runtime (the no-salt lever)") {
+    import spark.implicits._
+    // same deliberately-skewed shape as the salted demo above: the engine
+    // documents BOTH skew levers — manual salting (static, works on any
+    // Spark) and AQE's OptimizeSkewedJoin (runtime, zero code) — and this
+    // spec pins that the AQE lever actually fires and agrees with the
+    // salted result. Thresholds are scaled to test-SF partition sizes;
+    // at 100 TB the defaults (256 MB) play the same role.
+    val hot = 20000
+    val fact = ((0 until hot).map(i => (i.toLong, 7L)) ++
+      (0 until 100).map(i => (hot + i.toLong, 1000L + i)))
+      .toDF("row_id", "key")
+    val dim = (7L +: (0 until 100).map(1000L + _.toLong)).map(k => (k, k * 10))
+      .toDF("key", "payload")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // AQE finalizes the plan during execution — collect THIS frame's
+      // queryExecution, then read its final plan
+      val joined = fact.join(dim, "key").select("row_id", "payload")
+      val got = joined.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on the hot partition:\n$plan")
+      val viaSalt = Relational.saltedJoin(fact, dim, "key", col("row_id"), 16)
+        .select("row_id", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == viaSalt && got.size == hot + 100,
+        "AQE skew split and manual salting must produce the identical join")
+    } finally {
+      saved.foreach { case (k, vOpt) =>
+        vOpt.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+    }
+  }
+
   test("trainOrder ranks are an exact permutation and reproducible") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()

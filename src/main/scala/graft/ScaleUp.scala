@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scale-up for scale smokes: replicate
+  * `documents` and `embeddings` `factor`× so the heavy-profile
+  * operators can be timed at 10× data and their scaling exponents
+  * recorded (BASELINE.md round-7 table; the 100× claims are otherwise
+  * plan-audited but empirically unverified beyond sf0.1).
+  *
+  * Replication is built so COST scales the way a real 10× corpus would:
+  *  - replica k of a document gets every token prefixed with a
+  *    replica-unique salt, so replicas share no shingles ACROSS replica
+  *    groups (near-dup pairs replicate linearly with the corpus — naive
+  *    duplication would instead put every doc in a factor-sized dup
+  *    cluster and grow candidate pairs quadratically, an adversarial
+  *    rather than representative scale-up) while each group keeps
+  *    sf-identical internal structure; replica 0 is the original corpus
+  *    byte-for-byte;
+  *  - embeddings get a deterministic per-replica component perturbation
+  *    (cosine-spread, then served through the operators' own
+  *    normalization), so vector density grows 10× without creating
+  *    factor-sized exact-dup stacks at every point.
+  *
+  * Usage: ScaleUp <sfDir> <outDir> [factor=10]. Timing-only fixture —
+  * CORRECTNESS stays anchored to the driver's own testdata + DuckDB
+  * oracle; nothing here feeds an oracle query.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <sfDir> <outDir> [factor]")
+    val (sfDir, outDir) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.engine.Sessions.get("graft-scaleup")
+    val k = col("__k")
+
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("__k"))
+      .select(
+        (col("doc_id") * factor + k).as("doc_id"),
+        when(k === 0, col("text")).otherwise(concat_ws(" ",
+          transform(split(col("text"), " "),
+            t => concat(lit("r"), k, lit("q"), t)))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("__k"))
+      .select(
+        (col("vec_id") * factor + k).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => (x + k.cast("double") * cos(j.cast("double") * 1.7) * 0.003)
+            .cast("float")).as("embedding"),
+        col("label"))
+    emb.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    println(s"[scaleup] wrote ${factor}x documents+embeddings to $outDir")
+    spark.stop()
+  }
+}

@@ -286,6 +286,19 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy("source")),
+    // bucketed-table co-located join: orders ⋈ lineitem both bucketed
+    // 8-ways on the order key, sort-merge join with NO Exchange on
+    // either side (the write pre-paid the shuffle — LayoutSpec asserts
+    // the plan); reading the BUCKETED tables against the original-table
+    // oracle catches any rewrite loss
+    "pipeline_bucketed_join" -> ((s, d) =>
+      bucketedJoinFrame(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.functions.OracleRound.round2(
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("o_orderstatus")),
     // range-clustered layout rewrite + a filtered read of the clustered
     // output: parquet min/max footers make the month scan file-prunable
     // (LayoutSpec asserts numFiles read ≪ files written)
@@ -1553,6 +1566,14 @@ object SparkEntry {
         |WHERE source IN ('src0', 'src7', 'src13')
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // bucketing is a layout rewrite — the oracle joins the ORIGINAL
+    // tables, so a lossy bucketed write cannot hash-match
+    "pipeline_bucketed_join" ->
+      s"""SELECT o_orderstatus,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${graft.functions.OracleRound.duck("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the clustering is a layout rewrite — the oracle reads the ORIGINAL
     // table, so a lossy rewrite cannot hash-match
     "pipeline_clustered_scan" ->
@@ -2238,6 +2259,38 @@ object SparkEntry {
         Tables.lineitem(s, d), "l_shipdate", dst, nFiles = 16)
       dst
     })
+
+  /** Bucketed orders+lineitem catalog tables (Layout.bucketedWrite),
+    * memoized per sf dir: both bucketed 8-ways on the order key, so
+    * pipeline_bucketed_join's sort-merge join plans with NO Exchange on
+    * either side (LayoutSpec asserts the plan; the DuckDB compare
+    * against the ORIGINAL parquet catches a rewrite that lost rows).
+    * Returns the two table names.
+    */
+  private val bucketedTablesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedOrderTables(s: SparkSession, d: String): (String, String) =
+    bucketedTablesCache.computeIfAbsent(d, _ => {
+      val slug = d.split('/').last.replace('.', '_').replace('-', '_')
+      val (to, tl) = (s"graft_b_orders_$slug", s"graft_b_lineitem_$slug")
+      graft.engine.Layout.bucketedWrite(
+        Tables.orders(s, d), to, "o_orderkey", buckets = 8)
+      graft.engine.Layout.bucketedWrite(
+        Tables.lineitem(s, d), tl, "l_orderkey", buckets = 8)
+      (to, tl)
+    })
+
+  /** The join pipeline_bucketed_join runs — exposed so LayoutSpec can
+    * assert the exchange-free plan on the identical frame. The merge
+    * hints keep the demonstration a SortMergeJoin even at test SF
+    * (broadcast would bypass the bucket co-location being shown).
+    */
+  private[graft] def bucketedJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val (to, tl) = bucketedOrderTables(s, d)
+    s.table(to).hint("merge")
+      .join(s.table(tl).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+  }
 
   /** Source-partitioned documents rewrite (Layout.partitionedWrite),
     * memoized per sf dir: pipeline_partitioned_scan's source filter prunes

@@ -62,6 +62,40 @@ object Layout {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Bucketed-table rewrite (`bucketBy` + `sortBy` into the session
+    * catalog) — the CO-LOCATION layout lever, completing the trio:
+    * [[clusteredWrite]] prunes row groups for filtered SCANS,
+    * [[partitionedWrite]] prunes directories at planning, and bucketing
+    * pre-pays the JOIN shuffle at write time. Two tables bucketed on
+    * their join key with the same bucket count satisfy the join's
+    * hash-partitioning requirement straight off disk: the sort-merge
+    * join plans with NO Exchange on either side (LayoutSpec asserts it),
+    * so every subsequent join on that key moves zero rows over the
+    * network. At 100 TB this is the amortization lever for fact-fact
+    * joins that recur (the shuffle is the dominant cost, and bucketing
+    * pays it once per WRITE instead of once per QUERY); the bucket
+    * count is the write-time choice of join parallelism — size it to
+    * rows-per-bucket that fit an executor, and keep it EQUAL across
+    * tables that join (mismatched counts fall back to a shuffle on one
+    * side).
+    *
+    * Returns the row count from an [[Observation]] on the write job
+    * (single read, no verification re-scan — the contract shared with
+    * the other two rewrites).
+    */
+  def bucketedWrite(
+      df: DataFrame, table: String, key: String, buckets: Int): Long = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** Number of files the planner LISTS for a filtered scan — the
     * partition-pruning observable ([[partitionedWrite]]): directory
     * pruning happens before execution, so a partition-filtered scan of a

@@ -62,4 +62,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(one <= total / sources + 1,
       s"expected ~1/$sources of $total files, got $one")
   }
+
+  test("bucketed tables join with NO exchange on either side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val wrote = Layout.bucketedWrite(orders, "graft_spec_b_orders",
+      "o_orderkey", buckets = 8)
+    assert(wrote == orders.count(), "Observation row count must match the input")
+    Layout.bucketedWrite(li, "graft_spec_b_lineitem", "l_orderkey", buckets = 8)
+    try {
+      val joined = spark.table("graft_spec_b_orders").hint("merge")
+        .join(spark.table("graft_spec_b_lineitem").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+      // the co-location contract: a sort-merge join whose BOTH subtrees
+      // read bucketed output partitioning straight off disk — zero
+      // Exchange below the join (the write pre-paid the shuffle)
+      val n = joined.count()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a SortMergeJoin:\n$plan")
+      val exchangesBelow = smjs.flatMap(_.children).flatMap(
+        _.collect { case e: ShuffleExchangeExec => e })
+      assert(exchangesBelow.isEmpty,
+        s"bucketed join must not shuffle either side:\n$plan")
+      // identity with the plain-parquet join
+      val expected = orders.join(li,
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(n == expected, "bucketed join changed the result row count")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_spec_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_b_lineitem")
+    }
+  }
 }

@@ -299,6 +299,20 @@ object SparkEntry {
             sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue"))
         .orderBy("o_orderstatus")),
+    // z-order layout rewrite + a 2-D filtered read: BOTH the month and
+    // the part-key predicate prune files on the Morton-clustered table
+    // (LayoutSpec measures each dimension against a single-column
+    // control); reading the REWRITTEN table against the original-table
+    // oracle catches any loss
+    "pipeline_zorder_scan" -> ((s, d) =>
+      s.read.parquet(zorderedLineitemDir(s, d))
+        .where(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp") &&
+          col("l_partkey") <= lit(250L))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy("l_linestatus")),
     // range-clustered layout rewrite + a filtered read of the clustered
     // output: parquet min/max footers make the month scan file-prunable
     // (LayoutSpec asserts numFiles read ≪ files written)
@@ -1574,6 +1588,17 @@ object SparkEntry {
          |       ${graft.functions.OracleRound.duck("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // z-ordering is a layout rewrite — the oracle reads the ORIGINAL
+    // table, so a lossy Morton rewrite cannot hash-match
+    "pipeline_zorder_scan" ->
+      """SELECT l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  AND l_partkey <= 250
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the clustering is a layout rewrite — the oracle reads the ORIGINAL
     // table, so a lossy rewrite cannot hash-match
     "pipeline_clustered_scan" ->
@@ -2257,6 +2282,21 @@ object SparkEntry {
       val dst = java.nio.file.Files.createTempDirectory("graft-clustered").toString
       graft.engine.Layout.clusteredWrite(
         Tables.lineitem(s, d), "l_shipdate", dst, nFiles = 16)
+      dst
+    })
+
+  /** Z-ordered lineitem rewrite (Layout.zorderWrite on l_shipdate ×
+    * l_partkey), memoized per sf dir like the sibling layouts:
+    * pipeline_zorder_scan's 2-D filter box prunes files in BOTH
+    * dimensions on the Morton-clustered table.
+    */
+  private val zorderedLineitemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderedLineitemDir(s: SparkSession, d: String): String =
+    zorderedLineitemCache.computeIfAbsent(d, _ => {
+      val dst = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      graft.engine.Layout.zorderWrite(
+        Tables.lineitem(s, d), Seq("l_shipdate", "l_partkey"), dst, nFiles = 16)
       dst
     })
 

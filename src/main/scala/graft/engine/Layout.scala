@@ -62,6 +62,71 @@ object Layout {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Z-order (Morton-curve) multi-column clustering — the
+    * multi-dimensional generalization of [[clusteredWrite]]. Range
+    * clustering on ONE column makes that column's filters file-prunable
+    * but leaves every other column scattered across all files; when the
+    * read pattern filters on TWO (or more) columns, the right layout
+    * interleaves them: each column is affinely mapped onto a 16-bit
+    * grid (driver-pulled min/max — one column-pruned aggregate, two
+    * doubles per column), the grid coordinates' bits are interleaved
+    * into a single Morton code, and the table is range-partitioned and
+    * sorted by that code. Nearby z-values are nearby in EVERY clustered
+    * dimension, so a predicate box on any subset of the columns touches
+    * the few files whose z-range intersects it — a single-column filter
+    * prunes to ~(selectivity^(1/k)) of the files instead of none, and a
+    * combined filter prunes multiplicatively (LayoutSpec measures both
+    * against a single-column-clustered control).
+    *
+    * The z computation is pure codegen'd long arithmetic (shift/mask
+    * folds, no UDF); ties beyond the 16-bit grid resolution simply
+    * share a cell, which costs locality, never correctness — the code
+    * orders the WRITE, queries never see it. Same single-read
+    * Observation contract as the sibling rewrites.
+    */
+  def zorderWrite(
+      df: DataFrame, cols: Seq[String], dst: String, nFiles: Int): Long = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val k = cols.size
+    require(k * 16 <= 63, s"too many z-order columns (${k} × 16 bits)")
+    // numeric view of a column for the grid map: timestamps (either
+    // flavor) via exact micros, dates via days — a bare double cast is
+    // rejected for those types
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def numeric(c: String): org.apache.spark.sql.Column = byName(c) match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val mmAggs = cols.flatMap(c => Seq(min(numeric(c)), max(numeric(c))))
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val grid = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      if (mx == mn) lit(0L)
+      else least(greatest(
+        ((numeric(c) - lit(mn)) / lit(mx - mn)) * lit(65535.0),
+        lit(0.0)), lit(65535.0)).cast("long")
+    }
+    // bit b of column i lands at position b*k + i
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      grid.zipWithIndex.foldLeft(acc) { case (a, (g, i)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(g, b).bitwiseAND(lit(1L)), b * k + i))
+      }
+    }
+    val obs = Observation()
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dst)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** Bucketed-table rewrite (`bucketBy` + `sortBy` into the session
     * catalog) — the CO-LOCATION layout lever, completing the trio:
     * [[clusteredWrite]] prunes row groups for filtered SCANS,
@@ -86,6 +151,17 @@ object Layout {
   def bucketedWrite(
       df: DataFrame, table: String, key: String, buckets: Int): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    // self-heal orphaned warehouse dirs: with the in-memory catalog a new
+    // JVM starts with an EMPTY catalog but the previous JVM's managed
+    // table directory survives on disk, and saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS — drop the catalog entry if present and
+    // remove the orphan so the rewrite is idempotent across sessions
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     val obs = Observation()
     df.observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite")

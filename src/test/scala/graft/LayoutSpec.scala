@@ -63,6 +63,40 @@ class LayoutSpec extends AnyFunSuite {
       s"expected ~1/$sources of $total files, got $one")
   }
 
+  test("z-order clusters two dimensions; single-column control prunes one") {
+    val li = Tables.lineitem(spark, sf)
+    val expected = li.count()
+    val zdst = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val written = Layout.zorderWrite(li, Seq("l_shipdate", "l_partkey"),
+      zdst, nFiles = 16)
+    assert(written == expected, "Observation row count must match the input")
+    assert(spark.read.parquet(zdst).count() == expected,
+      "z-ordered table lost or duplicated rows")
+
+    val parts = li.agg(max(col("l_partkey"))).head().getLong(0)
+    val keyOct = s"l_partkey <= ${parts / 8}"
+    val month =
+      "l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-04-01'"
+
+    // single-column date clustering (the control): the month filter
+    // prunes hard, but a key-only filter finds matches in EVERY file
+    val cdst = java.nio.file.Files.createTempDirectory("graft-zctl").toString
+    Layout.clusteredWrite(li, "l_shipdate", cdst, nFiles = 16)
+    assert(Layout.filesHoldingMatches(spark, cdst, keyOct) >= 15,
+      "control: key filter should hit ~all date-clustered files")
+
+    // z-order: EACH single-dimension filter prunes (≈ sqrt selectivity —
+    // a 1/8-key slice on a 16-file 2-D curve touches a strip, not all),
+    // and the combined box prunes multiplicatively
+    val zKey = Layout.filesHoldingMatches(spark, zdst, keyOct)
+    val zMonth = Layout.filesHoldingMatches(spark, zdst, month)
+    val zBoth = Layout.filesHoldingMatches(spark, zdst, s"$month AND $keyOct")
+    assert(zKey <= 8, s"z-order: key-octile filter should prune, got $zKey/16")
+    assert(zMonth <= 12, s"z-order: month filter should prune, got $zMonth/16")
+    assert(zBoth <= 4 && zBoth <= zKey && zBoth <= zMonth,
+      s"z-order: combined box should prune multiplicatively, got $zBoth/16")
+  }
+
   test("bucketed tables join with NO exchange on either side") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

@@ -89,6 +89,16 @@ object SparkEntry {
     "tpch_q15_top_supplier" -> ((s, d) => Relational.topSupplierRevenue(s, d)),
     // double-quantifier per-order aggregate (Q21 shape)
     "tpch_q21_solo_late_suppliers" -> ((s, d) => Relational.soloLateSuppliers(s, d)),
+    // decorrelated MIN subquery + equality join-back (Q2 shape)
+    "tpch_q2_min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    // two-sided star + conditional-sum ratio per year (Q8 shape)
+    "tpch_q8_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    // HAVING vs a broadcast global-total scalar (Q11 shape)
+    "tpch_q11_important_parts" -> ((s, d) => Relational.importantParts(s, d)),
+    // NOT IN anti-join + Expand-free distinct counts (Q16 shape)
+    "tpch_q16_supplier_counts" -> ((s, d) => Relational.supplierCountsByPartAttrs(s, d)),
+    // nested correlated threshold chain, exact arithmetic (Q20 shape)
+    "tpch_q20_dominant_shippers" -> ((s, d) => Relational.dominantShippers(s, d)),
     // ROWS-frame moving aggregates + lag per user
     "window_moving_avg" -> ((s, d) => Relational.movingAverages(s, d)),
     // percent_rank / cume_dist / ntile per customer
@@ -932,6 +942,83 @@ object SparkEntry {
         |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 25""".stripMargin,
+    // unit cost is rounded PER ROW (identical IEEE op sequence in both
+    // engines) so min + the equality join-back compare stable values
+    "tpch_q2_min_cost_supplier" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         floor((l_extendedprice / l_quantity) * 100 + 0.5) / 100 AS cost
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_regionkey = 3)
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'LARGE' AND p_size <= 15)),
+        |pc AS (SELECT l_partkey, l_suppkey, min(cost) AS cost
+        |       FROM supply GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey AS mk, min(cost) AS min_cost FROM pc GROUP BY 1),
+        |win AS (SELECT pc.l_partkey AS p_partkey, min_cost,
+        |               min(pc.l_suppkey) AS s_suppkey
+        |        FROM pc JOIN mn ON pc.l_partkey = mk AND pc.cost = min_cost
+        |        GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, s_name, min_cost
+        |FROM win JOIN supplier USING (s_suppkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "tpch_q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       ${graft.functions.OracleRound.duck(
+              "100.0 * sum(CASE WHEN sn.n_name = 'NATION_7' " +
+                "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) " +
+                "/ sum(l_extendedprice * (1 - l_discount))", 4)} AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey AND cn.n_regionkey = 2
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // l_quantity is integral: the sums and the per-mille threshold are
+    // exact integer arithmetic in both engines
+    "tpch_q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_regionkey = 1)
+        |  GROUP BY 1),
+        |t AS (SELECT sum(qty) AS tot FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(qty AS BIGINT) AS qty
+        |FROM v, t WHERE qty * 1000 > tot
+        |ORDER BY qty DESC, p_partkey""".stripMargin,
+    "tpch_q16_supplier_counts" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_name LIKE '%3')),
+        |d AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        |      FROM pairs JOIN part ON l_partkey = p_partkey
+        |      WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |        AND p_size IN (1, 5, 9, 13, 17, 21))
+        |SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+        |FROM d GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q20_dominant_shippers" ->
+      """WITH ship AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'red%')
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS tk, sum(qty) AS tot FROM ship GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated
+        |FROM ship JOIN tot ON l_partkey = tk AND qty * 2 > tot
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY s_suppkey""".stripMargin,
     "join_asof_next_order" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
         |           FROM orders GROUP BY o_custkey, o_orderdate)

@@ -882,6 +882,185 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q2 shape (adapted — this schema has no partsupp, so lineitem
+    * is the part⋈supplier supply relation): for each qualifying part, the
+    * REGIONAL supplier offering the minimum unit cost. The classic
+    * correlated MIN subquery (`cost = (SELECT min(cost) ... WHERE
+    * partkey = outer.partkey)`) is decorrelated into an aggregate +
+    * equality join-back — the Spark-first spelling that runs as two
+    * partial-agg shuffles on the part key instead of a per-row re-scan.
+    * Unit cost is rounded PER ROW (OracleRound — a fixed IEEE op
+    * sequence, bit-identical cross-engine) so the min and the
+    * equality join-back compare stable values; ties on the minimum
+    * break to the lowest supplier key. Both semi-join reducers prune
+    * the fact scan: nation (fixed-size) broadcasts; the supplier and
+    * part reducers are SF-scaled so AQE picks their join strategy.
+    */
+  def minCostSupplier(
+      spark: SparkSession, sfDir: String, regionKey: Int = 3,
+      pType: String = "LARGE", maxSize: Int = 15): DataFrame = {
+    val regionalSupp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .where(col("n_regionkey") === regionKey).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("rsk"))
+    val qualParts = Tables.part(spark, sfDir)
+      .where(col("p_type") === pType && col("p_size") <= maxSize)
+      .select("p_partkey")
+    val supply = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        OracleRound.round2(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      .join(regionalSupp, col("l_suppkey") === col("rsk"), "left_semi")
+      .join(qualParts, col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPair = supply.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("cost")).as("cost"))
+    val perPart = perPair.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost")).as("min_cost"))
+    perPair
+      .join(perPart, col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .groupBy(col("l_partkey").as("p_partkey"), col("min_cost"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").as("sk"), col("s_name")),
+        col("s_suppkey") === col("sk"))
+      .select("p_partkey", "s_suppkey", "s_name", "min_cost")
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q8 shape: one nation's share of a regional market, per order
+    * year — the full customer-side star (lineitem ⋈ orders ⋈ customer ⋈
+    * nation) times the supplier-side star (⋈ supplier ⋈ nation) with a
+    * part-type filter. The region/type reducers are SEMI-joins applied
+    * before the fact⋈fact join so lineitem shrinks at the earliest
+    * exchange; fixed-size nation broadcasts, SF-scaled supplier/part get
+    * no hint. The share is a conditional-sum ratio rounded once at the
+    * output edge (round4 — double-sum drift is ~1e-12 relative, far
+    * below the printed precision).
+    */
+  def marketShare(
+      spark: SparkSession, sfDir: String, supplierNation: String = "NATION_7",
+      custRegionKey: Int = 2, pType: String = "STANDARD"): DataFrame = {
+    val regionNations = broadcast(Tables.nation(spark, sfDir)
+      .where(col("n_regionkey") === custRegionKey).select("n_nationkey"))
+    val regionCust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+      .join(regionNations, col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val typedParts = Tables.part(spark, sfDir)
+      .where(col("p_type") === pType).select("p_partkey")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(typedParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(OracleRound.round4(
+        lit(100.0) * sum(when(col("supp_nation") === supplierNation, rev)
+          .otherwise(0.0)) / sum(rev)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE GLOBAL
+    * TOTAL — the scalar subquery in the HAVING clause, decorrelated into
+    * a one-row aggregate broadcast into the filter (never a driver-side
+    * collect). Adapted to shipped quantity through one region's
+    * suppliers; l_quantity is integral, so both the per-part sums and
+    * the `qty * 1000 > total` threshold are exact integer arithmetic in
+    * any engine — no rounding epsilon at the cut boundary.
+    */
+  def importantParts(
+      spark: SparkSession, sfDir: String, regionKey: Int = 1,
+      perMille: Int = 1): DataFrame = {
+    val regionSupp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .where(col("n_regionkey") === regionKey).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val tot = v.agg(sum(col("qty")).as("tot"))
+    v.join(broadcast(tot))
+      .where(col("qty") * lit(1000) > col("tot") * lit(perMille))
+      .select(col("l_partkey").as("p_partkey"), col("qty").cast("long").as("qty"))
+      .orderBy(col("qty").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    * with a NOT IN supplier exclusion list. The NOT IN is a left-anti
+    * join; the distinct count is a pre-aggregation DISTINCT on
+    * (brand, type, size, suppkey) followed by a plain count — never
+    * `countDistinct`, whose Expand would multiply the shuffle volume
+    * (PlanSpec forbids it on fact-table plans). The supplier⋈part pair
+    * relation is deduplicated FIRST so every downstream stage works on
+    * the collapsed pair set, not raw lineitems.
+    */
+  def supplierCountsByPartAttrs(
+      spark: SparkSession, sfDir: String,
+      excludePattern: String = "%3",
+      sizes: Seq[Int] = Seq(1, 5, 9, 13, 17, 21)): DataFrame = {
+    val excluded = Tables.supplier(spark, sfDir)
+      .where(col("s_name").like(excludePattern)).select("s_suppkey")
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+    val parts = Tables.part(spark, sfDir)
+      .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs.join(parts, col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape: suppliers who shipped MORE THAN HALF of a
+    * qualifying part's annual volume — the nested correlated-subquery
+    * chain (`IN (parts) ... > (SELECT half the part's total)`)
+    * decorrelated into a per-part total joined back against the
+    * per-(part, supplier) sum. Quantities are integral, so `qty * 2 >
+    * total` is exact; the name-pattern part reducer semi-joins before
+    * the aggregate so only qualifying lineitems reach the exchange.
+    */
+  def dominantShippers(
+      spark: SparkSession, sfDir: String, namePattern: String = "red%",
+      year: String = "1997"): DataFrame = {
+    val qualParts = Tables.part(spark, sfDir)
+      .where(col("p_name").like(namePattern)).select("p_partkey")
+    val ship = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(qualParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val tot = ship.groupBy(col("l_partkey").as("tk"))
+      .agg(sum(col("qty")).as("tot"))
+    ship
+      .join(tot, col("l_partkey") === col("tk") && col("qty") * 2 > col("tot"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_dominated")
+      .orderBy("s_suppkey")
+  }
+
   /** Window-frame surface: per-user running signals over the event stream —
     * a ROWS-frame moving average, a lag delta, and a running maximum.
     * Partitioned by user_id (many partitions at scale — never a global

@@ -49,7 +49,10 @@ class PlanSpec extends AnyFunSuite {
     "pipeline_systematic_sample",
     // top-k sketch: two single-row check aggregates broadcast onto the
     // 10 output rows
-    "text_topk_sketch")
+    "text_topk_sketch",
+    // q11: the single-row global-total scalar broadcast into the
+    // per-mille HAVING filter
+    "tpch_q11_important_parts")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

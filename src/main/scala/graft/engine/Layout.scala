@@ -103,6 +103,12 @@ object Layout {
     }
     val mmAggs = cols.flatMap(c => Seq(min(numeric(c)), max(numeric(c))))
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    // empty input / all-null column → null aggregate; fail with a usable
+    // error instead of an NPE out of getDouble
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!mm.isNullAt(2 * i) && !mm.isNullAt(2 * i + 1),
+        s"zorderWrite: column '$c' has no non-null values (empty input?)")
+    }
     val grid = cols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
       if (mx == mn) lit(0L)

@@ -97,6 +97,15 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order: combined box should prune multiplicatively, got $zBoth/16")
   }
 
+  test("z-order on an empty input fails with a usable error, not an NPE") {
+    val li = Tables.lineitem(spark, sf).where(lit(false))
+    val dst = java.nio.file.Files.createTempDirectory("graft-zempty").toString
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(li, Seq("l_shipdate", "l_partkey"), dst, nFiles = 4)
+    }
+    assert(e.getMessage.contains("no non-null values"))
+  }
+
   test("bucketed tables join with NO exchange on either side") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, EventPipelines, FunctionSurface, Multimodal, Relational, Similarity, SqlSurface, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, EventPipelines, FunctionSurface, Incremental, Multimodal, Quality, Relational, Similarity, SqlSurface, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -395,6 +395,53 @@ object SparkEntry {
       Curation.stratifiedSampleDeterministic(Tables.documents(s, d),
         Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
         .select("doc_id", "lang").orderBy("doc_id")),
+    // declarative DQ constraint suite: row-level checks share ONE
+    // aggregate pass; unique gets a pruned distinct branch; the FK
+    // anti-joins the broadcast customer key set (single-row aggregate
+    // cross-joins are constant-size)
+    "pipeline_constraint_checks" -> ((s, d) =>
+      Quality.checkConstraints(Tables.orders(s, d), Seq(
+        Quality.NotNull("o_custkey"),
+        Quality.InRange("o_totalprice", 0.0, 300000.0),
+        Quality.AcceptedValues("o_orderstatus", Seq("O", "F")),
+        Quality.Unique(Seq("o_orderkey")),
+        Quality.ReferencedIn("o_custkey", Tables.customer(s, d),
+          "c_custkey", "customer")))),
+    // mergeable per-source stats: three doc_id%3 batches fold to
+    // algebraic states, merge pairwise, finalize — the oracle computes
+    // the whole-table state directly, proving merge == direct
+    "pipeline_incremental_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val states = (0 to 2).map(i =>
+        Incremental.statsPartial(docs.where(col("doc_id") % 3 === i)))
+      Incremental.finalizeStats(states.reduce(Incremental.mergeStats))
+    }),
+    // CDC changeset apply on orders: U(+1000 price, seq2) on key%5,
+    // D(seq3) on key%7, I(new key, seq1) on key%11 — latest seq wins
+    // per key (key%35 gets U then D → deleted), derived from orders
+    // itself so the oracle rebuilds the identical changeset
+    "pipeline_cdc_apply" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val updates = base.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val deletes = base.where(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val inserts = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("O"))
+        .withColumn("o_totalprice", lit(42.0))
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      Incremental.applyChangeset(
+        base, updates.unionByName(deletes).unionByName(inserts),
+        "o_orderkey")
+        .withColumn("o_totalprice",
+          graft.functions.OracleRound.round2(col("o_totalprice")))
+        .orderBy("o_orderkey")
+    }),
     // batch form of StreamOps.windowedTypeCounts (same plan minus the
     // watermark, which only bounds state in streaming mode)
     "stream_window_type_counts" -> ((s, d) =>
@@ -756,6 +803,83 @@ object SparkEntry {
         |            ELSE 'unchanged' END AS status
         |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_constraint_checks" ->
+      """WITH r AS (
+        |  SELECT 'not_null(o_custkey)' AS "constraint",
+        |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS violations,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'range(o_totalprice)',
+        |         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |                        AND NOT (o_totalprice BETWEEN 0 AND 300000)
+        |                   THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(count(*) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_values(o_orderstatus)',
+        |         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |                        AND o_orderstatus NOT IN ('O', 'F')
+        |                   THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(count(*) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |         CAST(count(*) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'fk(o_custkey->customer.c_custkey)',
+        |         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(count(*) AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_custkey IS NOT NULL)
+        |SELECT "constraint", violations, n_rows, violations = 0 AS passed
+        |FROM r ORDER BY "constraint"""".stripMargin,
+    "pipeline_incremental_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS val_sum,
+        |       CAST(min(n_chars) AS BIGINT) AS val_min,
+        |       CAST(max(n_chars) AS BIGINT) AS val_max,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS val_mean,
+        |       round(sqrt(greatest(
+        |         CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*)
+        |           - (CAST(sum(n_chars) AS DOUBLE) / count(*))
+        |             * (CAST(sum(n_chars) AS DOUBLE) / count(*)), 0.0)), 6)
+        |         AS val_std
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                     o_totalprice, o_orderpriority FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 1000 AS o_totalprice, o_orderpriority,
+        |         'U' AS op, 2 AS seq
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderpriority, 'D', 3
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'O', 42.0, '1-URGENT', 'I', 1
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1)
+        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |       CASE WHEN c.op IS NOT NULL THEN c.o_custkey
+        |            ELSE b.o_custkey END AS o_custkey,
+        |       CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+        |            ELSE b.o_orderstatus END AS o_orderstatus,
+        |       round(CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+        |                  ELSE b.o_totalprice END, 2) AS o_totalprice,
+        |       CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority
+        |            ELSE b.o_orderpriority END AS o_orderpriority
+        |FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "join_semi_open_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')

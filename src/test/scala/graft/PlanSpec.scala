@@ -52,7 +52,10 @@ class PlanSpec extends AnyFunSuite {
     "text_topk_sketch",
     // q11: the single-row global-total scalar broadcast into the
     // per-mille HAVING filter
-    "tpch_q11_important_parts")
+    "tpch_q11_important_parts",
+    // constraint suite: the FK report's two single-row aggregates
+    // (violations, evaluated) cross-joined — constant-size
+    "pipeline_constraint_checks")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -129,6 +129,21 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshVerifiedPairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")),
+    // exact Levenshtein ≤ 2 join via PassJoin segment blocking (never
+    // all-pairs): originals' 24-char prefixes plus a first-char-mutated
+    // copy of every 5th doc — distance-1 pairs by construction, exact
+    // prefix dupes at distance 0; the naive quadratic form lives only in
+    // the DuckDB oracle (documented small-SF verifier)
+    "dedup_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val orig = docs.select(col("doc_id").as("id"),
+        substring(col("text"), 1, 24).as("s"))
+      val mut = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(lit("z"), substring(col("text"), 2, 23)).as("s"))
+      Dedup.editDistanceJoin(orig.unionByName(mut), k = 2)
+        .orderBy("id_a", "id_b")
+    }),
     // incremental shape: dedup a "new crawl" (every 5th doc) against the
     // rest of the corpus without re-clustering it
     "dedup_cross_corpus" -> ((s, d) =>
@@ -1248,6 +1263,18 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, md5($duckNorm) AS fp_exact FROM documents)
          |SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp_exact
          |FROM t GROUP BY fp_exact ORDER BY keep_id""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH strs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 24) AS s FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'z' || substr(text, 2, 23)
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM strs a JOIN strs b ON a.id < b.id
+        |WHERE abs(length(a.s) - length(b.s)) <= 2
+        |  AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardOracle,
     // same oracle as dedup_ngram_jaccard: the LSH path's exact-jaccard
     // verification makes its result exactPairs ∩ candidates, and banding

@@ -869,4 +869,92 @@ object Dedup {
           VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Exact edit-distance similarity join: all pairs of strings within
+    * Levenshtein distance ≤ k — the typo/near-variant dedup modality the
+    * token-set joins above can't express (Jaccard is blind to character
+    * order; MinHash/SimHash are blind to single-character edits in short
+    * keys).
+    *
+    * Candidate generation is the segment-blocking scheme of the PassJoin
+    * family: split every string of length L into k+1 contiguous segments
+    * (even integer partition). k edits cannot touch all k+1 segments, so
+    * if ed(a,b) ≤ k then b contains SOME segment of a verbatim, shifted
+    * by at most k positions. The index side emits its k+1 segments; the
+    * probe side emits, for every partner length in [L−k, L+k] and every
+    * segment slot, the ≤2k+1 substrings at the admissible positions —
+    * O((2k+1)²(k+1)) rows per string, LINEAR in the corpus, never
+    * all-pairs. Candidates meet on the (partner_len, slot, substring)
+    * equi-key — one hash-shuffle join — then exact `levenshtein`
+    * (codegen'd built-in) keeps true pairs. Segment completeness needs
+    * every segment non-empty: strings shorter than k+1 characters are
+    * rejected loudly (they'd silently vanish from the join otherwise).
+    *
+    * Input: (`idCol`, `strCol`). Output: (id_a, id_b, dist), id_a < id_b.
+    */
+  def editDistanceJoin(
+      strings: DataFrame,
+      k: Int = 2,
+      idCol: String = "id",
+      strCol: String = "s"): DataFrame = {
+    require(k >= 1, s"edit-distance bound must be >= 1, got $k")
+    val base = strings.select(
+      col(idCol).cast("long").as("id"), col(strCol).as("s"),
+      length(col(strCol)).as("len"))
+    if (base.where(col("len") < k + 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"editDistanceJoin(k=$k) requires every string to have >= ${k + 1} " +
+          "characters (segment blocking needs k+1 non-empty segments)")
+    editDistanceJoinImpl(base, k)
+  }
+
+  private def editDistanceJoinImpl(base: DataFrame, k: Int): DataFrame = {
+    val parts = lit(k + 1)
+    // index side: (partner_len = own len, slot, segment text)
+    val idx = base
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("len").as("len_a"),
+        explode(sequence(lit(0), lit(k))).as("slot"))
+      .withColumn("p0",
+        floor(col("slot") * col("len_a") / parts).cast("int") + 1)
+      .withColumn("seg_len",
+        floor((col("slot") + 1) * col("len_a") / parts).cast("int") + 1 - col("p0"))
+      .where(col("seg_len") >= 1)
+      .select(col("id_a"), col("s_a"), col("len_a"), col("slot"),
+        expr("substring(s_a, p0, seg_len)").as("sub"))
+
+    // probe side: for every admissible partner length and slot, the
+    // substrings at positions within ±k of the partner's segment start
+    val probe = base
+      .select(col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b"),
+        explode(sequence(
+          greatest(col("len") - k, lit(k + 1)), col("len") + k)).as("len_a"))
+      .select(col("id_b"), col("s_b"), col("len_b"), col("len_a"),
+        explode(sequence(lit(0), lit(k))).as("slot"))
+      .withColumn("p0",
+        floor(col("slot") * col("len_a") / parts).cast("int") + 1)
+      .withColumn("seg_len",
+        floor((col("slot") + 1) * col("len_a") / parts).cast("int") + 1 - col("p0"))
+      .where(col("seg_len") >= 1)
+      .withColumn("positions",
+        when(
+          greatest(col("p0") - k, lit(1)) <=
+            least(col("p0") + lit(k), col("len_b") - col("seg_len") + 1),
+          sequence(
+            greatest(col("p0") - k, lit(1)),
+            least(col("p0") + lit(k), col("len_b") - col("seg_len") + 1)))
+          .otherwise(array().cast("array<int>")))
+      .select(col("id_b"), col("s_b"), col("len_b"), col("len_a"), col("slot"),
+        col("seg_len"), explode(col("positions")).as("p"))
+      .select(col("id_b"), col("s_b"), col("len_b"), col("len_a"), col("slot"),
+        expr("substring(s_b, p, seg_len)").as("sub"))
+
+    idx.join(probe,
+      Seq("len_a", "slot", "sub"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

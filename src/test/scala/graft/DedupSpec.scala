@@ -356,4 +356,44 @@ class DedupSpec extends AnyFunSuite {
     // cluster ids are canonical (min doc_id), so equal maps ⇔ equal clustering
     assert(viaLsh == exact)
   }
+
+  test("editDistanceJoin equals the brute-force pair set on an adversarial alphabet") {
+    import spark.implicits._
+    // 2-letter alphabet, lengths 4-9: distances 0..k+1 all occur densely,
+    // segment blocking gets maximal collision pressure, and the length
+    // band is exercised from both sides
+    val rnd = new scala.util.Random(42)
+    val strs = (0 until 120).map { i =>
+      val len = 4 + rnd.nextInt(6)
+      (i.toLong, (0 until len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(1, 2, 3)) {
+      val expected = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib && math.abs(sa.length - sb.length) <= k && lev(sa, sb) <= k
+      } yield (ia, ib, lev(sa, sb))).toSet
+      val got = Dedup.editDistanceJoin(strs.toDF("id", "s"), k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === expected,
+        s"k=$k: missing=${expected -- got} spurious=${got -- expected}")
+    }
+  }
+
+  test("editDistanceJoin rejects strings shorter than k+1 loudly") {
+    import spark.implicits._
+    val strs = Seq((1L, "ab"), (2L, "abcd")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistanceJoin(strs, k = 2)
+    }
+    assert(e.getMessage.contains("segment blocking"))
+  }
 }

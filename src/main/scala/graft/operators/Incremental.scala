@@ -41,9 +41,16 @@ object Incremental {
     * asserts and the oracle exploits (it computes the whole-table state
     * directly).
     */
-  def mergeStats(a: DataFrame, b: DataFrame): DataFrame = {
-    val groupCol = a.columns.head
-    a.unionByName(b).groupBy(col(groupCol)).agg(
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    mergeAllStats(a.unionByName(b))
+
+  /** Merge a whole pile of state rows (any number of batches' partials
+    * stacked in one frame — e.g. a `batch_id`-partitioned state table
+    * read back) into one state row per group.
+    */
+  def mergeAllStats(states: DataFrame): DataFrame = {
+    val groupCol = states.columns.head
+    states.groupBy(col(groupCol)).agg(
       sum(col("n_rows")).as("n_rows"),
       sum(col("val_sum")).as("val_sum"),
       sum(col("val_sumsq")).as("val_sumsq"),

@@ -297,6 +297,56 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming side of [[graft.operators.Incremental]]'s mergeable
+    * statistics: each micro-batch folds to its tiny per-group algebraic
+    * state ([[graft.operators.Incremental.statsPartial]] — count/sum/
+    * sumsq/min/max) and lands as a `batch_id=N` parquet partition via
+    * dynamic partition overwrite, so a replayed micro-batch (foreachBatch
+    * is at-least-once) overwrites its own partition instead of
+    * double-counting — the same idempotence design as
+    * [[incrementalCorpusSink]]. Per-batch work is O(batch); the corpus is
+    * never rescanned; there is no unbounded streaming state (the state IS
+    * the published table). Readers merge-on-read via [[readRunningStats]];
+    * a compaction job can fold old partitions into one at any time
+    * because the merge is associative.
+    */
+  def incrementalStatsSink(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      groupCol: String = "source",
+      valueCol: String = "n_chars"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Incremental.statsPartial(batch, groupCol, valueCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** Merge-on-read view of an [[incrementalStatsSink]] state table: fold
+    * every batch partition's partials and derive the moments. The result
+    * is identical to running the whole history through one batch
+    * aggregate — IncrementalSpec asserts the algebra, the streaming
+    * golden asserts it across micro-batches and a checkpoint restart.
+    */
+  def readRunningStats(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val state = spark.read.parquet(stateDir).drop("batch_id")
+    graft.operators.Incremental.finalizeStats(
+      graft.operators.Incremental.mergeAllStats(
+        // column order after the parquet round-trip is not guaranteed to
+        // keep the group column first; restore the state layout
+        state.select(state.columns.filterNot(Set("n_rows", "val_sum",
+          "val_sumsq", "val_min", "val_max")).map(col) ++
+          Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max").map(col): _*)))
+  }
+
   /** Per-user running aggregate emitted each micro-batch. */
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -100,6 +100,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("incremental stats sink: merge-on-read equals direct stats, across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-stats").toString
+    def directOver(rows: Seq[(String, Long)]) =
+      graft.operators.Incremental.finalizeStats(
+        graft.operators.Incremental.statsPartial(
+          rows.toDF("source", "n_chars"))).collect().toSeq
+
+    // one file source + ONE checkpoint across all query instances (the
+    // curateStream restart pattern): restarts continue the batch-id
+    // sequence, so the dynamic partition overwrite can never clobber a
+    // historical batch's partition
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-stats-src").toString
+    val b0 = Seq(("web", 10L), ("web", 30L), ("books", 100L))
+    val b1 = Seq(("web", 20L), ("code", 7L))
+    val b2 = Seq(("books", 50L), ("web", 40L))
+    val schema = b0.toDF("source", "n_chars").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.incrementalStatsSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    b0.toDF("source", "n_chars").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("source", "n_chars").write.mode("append").json(srcDir)
+    runOnce()
+    assert(StreamOps.readRunningStats(spark, s"$dir/state").collect().toSeq
+      === directOver(b0 ++ b1),
+      "two micro-batches must merge to the direct whole-history stats")
+    // a third restart folds new data onto the surviving state — history
+    // is not re-read, not double-counted
+    b2.toDF("source", "n_chars").write.mode("append").json(srcDir)
+    runOnce()
+    assert(StreamOps.readRunningStats(spark, s"$dir/state").collect().toSeq
+      === directOver(b0 ++ b1 ++ b2),
+      "post-restart stats must fold new batches onto the surviving state")
+  }
+
   test("incremental corpus sink recovers from a crashed, uncommitted first write") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

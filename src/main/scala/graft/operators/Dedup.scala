@@ -887,8 +887,12 @@ object Dedup {
     * all-pairs. Candidates meet on the (partner_len, slot, substring)
     * equi-key — one hash-shuffle join — then exact `levenshtein`
     * (codegen'd built-in) keeps true pairs. Segment completeness needs
-    * every segment non-empty: strings shorter than k+1 characters are
-    * rejected loudly (they'd silently vanish from the join otherwise).
+    * every segment non-empty: strings shorter than k+1 characters fail
+    * the job loudly via an IN-PLAN `raise_error` (they'd silently vanish
+    * from the join otherwise) — in-plan rather than an eager driver-side
+    * probe, because a validation `count()` would cost a full extra corpus
+    * scan (the `length(s) < k+1` predicate cannot push down past the
+    * computed length) before the join even starts.
     *
     * Input: (`idCol`, `strCol`). Output: (id_a, id_b, dist), id_a < id_b.
     */
@@ -900,11 +904,12 @@ object Dedup {
     require(k >= 1, s"edit-distance bound must be >= 1, got $k")
     val base = strings.select(
       col(idCol).cast("long").as("id"), col(strCol).as("s"),
-      length(col(strCol)).as("len"))
-    if (base.where(col("len") < k + 1).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"editDistanceJoin(k=$k) requires every string to have >= ${k + 1} " +
-          "characters (segment blocking needs k+1 non-empty segments)")
+      when(length(col(strCol)) >= k + 1, length(col(strCol)))
+        .otherwise(raise_error(concat(
+          lit(s"editDistanceJoin(k=$k) requires every string to have >= " +
+            s"${k + 1} characters (segment blocking needs k+1 non-empty " +
+            "segments); got: "), col(strCol))))
+        .as("len"))
     editDistanceJoinImpl(base, k)
   }
 

@@ -81,6 +81,15 @@ object Incremental {
     * is D disappear; I/U rows replace (or insert) the full payload;
     * untouched base rows pass through.
     *
+    * Contract: (key, seq) pairs must be unique — the winner is picked by
+    * `row_number` over seq descending, so a tied seq would make the
+    * result depend on partition order. Any non-D op is treated as an
+    * upsert (I and U are synonyms here, kept distinct for changelog
+    * readability); there is no op validation pass — a misspelled op
+    * upserts rather than failing, which is the standard CDC-merge
+    * posture (validation belongs to [[Quality.checkConstraints]] on the
+    * changelog).
+    *
     * Scale shape: the changeset first reduces to one winner per key
     * through a key-PARTITIONED window (parallel in the key count, never
     * a global sort), then full-outer-joins the base on the key — one

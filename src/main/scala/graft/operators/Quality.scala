@@ -46,7 +46,10 @@ object Quality {
   }
 
   /** The column tuple must be unique across the table. Violations =
-    * rows beyond the first of each duplicate key.
+    * rows beyond the first of each duplicate key. Null keys form a
+    * duplicate group like any other value (`struct` of the columns, not
+    * SQL DISTINCT-on-column semantics where nulls vanish) — two null-key
+    * rows are one violation.
     */
   final case class Unique(columns: Seq[String]) extends Constraint {
     val name = s"unique(${columns.mkString(",")})"

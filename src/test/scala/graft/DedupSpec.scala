@@ -391,9 +391,14 @@ class DedupSpec extends AnyFunSuite {
   test("editDistanceJoin rejects strings shorter than k+1 loudly") {
     import spark.implicits._
     val strs = Seq((1L, "ab"), (2L, "abcd")).toDF("id", "s")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.editDistanceJoin(strs, k = 2)
+    // the guard is IN-PLAN (raise_error), not an eager driver probe — a
+    // probe would cost a full corpus scan — so it fires at action time
+    val e = intercept[Exception] {
+      Dedup.editDistanceJoin(strs, k = 2).collect()
     }
-    assert(e.getMessage.contains("segment blocking"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("segment blocking")),
+      s"expected the in-plan guard message, got: ${messages(e)}")
   }
 }

@@ -144,6 +144,12 @@ object SparkEntry {
       Dedup.editDistanceJoin(orig.unionByName(mut), k = 2)
         .orderBy("id_a", "id_b")
     }),
+    // asymmetric containment |A∩B|/|A| ≥ 0.8 (excerpt/quote detection —
+    // high containment where jaccard stays low); A-side rarest-first
+    // prefix prunes, B-side posts all shingles (no sound B pruning)
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
     // incremental shape: dedup a "new crawl" (every 5th doc) against the
     // rest of the corpus without re-clustering it
     "dedup_cross_corpus" -> ((s, d) =>
@@ -1275,6 +1281,22 @@ object SparkEntry {
         |WHERE abs(length(a.s) - length(b.s)) <= 2
         |  AND levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |         CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS containment
+         |  FROM p JOIN sz na ON na.doc_id = doc_a)
+         |WHERE containment >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" -> exactJaccardOracle,
     // same oracle as dedup_ngram_jaccard: the LSH path's exact-jaccard
     // verification makes its result exactPairs ∩ candidates, and banding

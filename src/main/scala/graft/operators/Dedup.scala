@@ -130,6 +130,60 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact shingle-CONTAINMENT pairs: c(A→B) = |A∩B| / |A| ≥ threshold,
+    * A ≠ B — the asymmetric near-dup modality: a short document whose
+    * shingles mostly appear inside a longer one (an excerpt, a quote, a
+    * template instantiation) scores high containment while its Jaccard
+    * stays low (the union is dominated by the long side), so
+    * [[ngramJaccardPairs]] never sees it.
+    *
+    * Prefix filter, asymmetric form: only the CONTAINED side can prune —
+    * if |A∩B| ≥ ceil(t·|A|), then A's rarest-first prefix of length
+    * |A| − ceil(t·|A|) + 1 must hit B (pigeonhole: missing all prefix
+    * shingles leaves at most ceil(t·|A|) − 1 matches). The containing
+    * side posts ALL its shingles — at any threshold B could contain A
+    * anywhere, so no B-side pruning is sound. That full B-side posting
+    * list is the operator's inherent cost and its skew surface: a
+    * corpus-hot shingle fans out on the B side (the A side drops it via
+    * the rarest-first order), which is the documented price of
+    * containment vs jaccard at 100 TB.
+    */
+  def containmentPairs(
+      docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val base = OpCache.materialize(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(transform(shinglesOf(col("toks"), k),
+            s => xxhash64(s))).as("shs")))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ord"))
+      .select(col("doc_id"),
+        transform(array_sort(col("ord")), s => s.getField("sh")).as("ord"))
+    // ceil with the same epsilon rationale as ngramJaccardPairs
+    val plen = (size(col("ord")) -
+      ceil(size(col("ord")) * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val prefixA = ordered
+      .select(col("doc_id").as("doc_a"),
+        explode(slice(col("ord"), lit(1), plen)).as("sh"))
+    val cands = prefixA
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Exact cross-corpus near-dup pairs: jaccard ≥ threshold between a NEW
     * corpus and an EXISTING one — dedup the fresh crawl against what the
     * training set already holds, the production shape where re-clustering

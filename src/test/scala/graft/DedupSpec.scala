@@ -357,6 +357,50 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLsh == exact)
   }
 
+  test("containmentPairs equals the all-pairs verifier (prefix filter is complete)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup.shinglesOf
+    import graft.operators.TextAnalysis.tokens
+    val docs = Tables.documents(spark, sf)
+    // quadratic verifier (test-only): every ordered pair, same shingle +
+    // containment math, no candidate pruning — any pair the prefix
+    // filter drops incorrectly shows up here
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("toks"), 3),
+          s => xxhash64(s))).as("shs"))
+    val a = base.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+    val b = base.select(col("doc_id").as("doc_b"), col("shs").as("sb"))
+    val expected = a.join(b, col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double")).as("c"))
+      .where(col("c") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "testdata should contain containment pairs")
+    assert(got === expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+    // asymmetry sanity (synthetic, dataset-independent): a short excerpt
+    // of a long document scores containment 1.0 while its jaccard stays
+    // far below the 0.5 near-dup threshold — the pair class this
+    // operator exists for and ngramJaccardPairs structurally misses
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    val long = (9000L, words.mkString(" "))
+    val excerpt = (9001L, words.take(15).mkString(" "))
+    val tiny = Seq(long, excerpt).toDF("doc_id", "text")
+    val cPair = Dedup.containmentPairs(tiny)
+      .where(col("doc_a") === 9001L && col("doc_b") === 9000L)
+      .collect()
+    assert(cPair.length === 1 && cPair.head.getDouble(2) === 1.0,
+      "excerpt must be fully contained in its source")
+    assert(Dedup.ngramJaccardPairs(tiny).count() === 0,
+      "the same pair must stay below the jaccard near-dup threshold")
+  }
+
   test("editDistanceJoin equals the brute-force pair set on an adversarial alphabet") {
     import spark.implicits._
     // 2-letter alphabet, lengths 4-9: distances 0..k+1 all occur densely,

@@ -347,6 +347,28 @@ object StreamOps {
           Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max").map(col): _*)))
   }
 
+  /** Fold an [[incrementalStatsSink]] state table's accumulated batch
+    * partitions into one state row per group, published to a NEW
+    * directory — the compaction the merge's associativity licenses.
+    * Readers move to `outDir` when they choose; the live sink keeps
+    * appending to `stateDir` untouched, so compaction never races the
+    * stream (the alternative — rewriting `stateDir` in place — has an
+    * unfixable window where a crash leaves both the folded partitions
+    * and their compacted sum double-counting). A compacted table is
+    * itself a valid state table: [[readRunningStats]] reads either.
+    */
+  def compactStats(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      outDir: String): Unit = {
+    val state = spark.read.parquet(stateDir).drop("batch_id")
+    graft.operators.Incremental.mergeAllStats(
+      state.select(state.columns.filterNot(Set("n_rows", "val_sum",
+        "val_sumsq", "val_min", "val_max")).map(col) ++
+        Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max").map(col): _*))
+      .write.mode("errorifexists").parquet(outDir)
+  }
+
   /** Per-user running aggregate emitted each micro-batch. */
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -137,6 +137,13 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(StreamOps.readRunningStats(spark, s"$dir/state").collect().toSeq
       === directOver(b0 ++ b1 ++ b2),
       "post-restart stats must fold new batches onto the surviving state")
+
+    // compaction to a NEW dir reads back identically (associativity),
+    // and the compacted table is itself a valid state table
+    StreamOps.compactStats(spark, s"$dir/state", s"$dir/state_c")
+    assert(StreamOps.readRunningStats(spark, s"$dir/state_c").collect().toSeq
+      === directOver(b0 ++ b1 ++ b2),
+      "compacted state must read back identical to the partitioned state")
   }
 
   test("incremental corpus sink recovers from a crashed, uncommitted first write") {

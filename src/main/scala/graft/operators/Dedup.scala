@@ -967,8 +967,18 @@ object Dedup {
     editDistanceJoinImpl(base, k)
   }
 
-  private def editDistanceJoinImpl(base: DataFrame, k: Int): DataFrame = {
+  private def editDistanceJoinImpl(rawBase: DataFrame, k: Int): DataFrame = {
     val parts = lit(k + 1)
+    // scanned four times (index postings, probe postings, two string
+    // lookups) — materialize once; this also fires the in-plan
+    // short-string guard before any shuffle
+    val base = OpCache.materialize(rawBase)
+    // Postings carry ONLY (id, join key): the strings are needed to
+    // COMPUTE the substrings but must not travel through the exploded
+    // candidate join — the probe side multiplies every row ~(2k+1)²(k+1)
+    // times, so carrying the full string would multiply the shuffle
+    // bytes with it. Pairs re-join the slim base for the levenshtein
+    // residual AFTER the distinct (the ngramJaccardPairs shape).
     // index side: (partner_len = own len, slot, segment text)
     val idx = base
       .select(col("id").as("id_a"), col("s").as("s_a"), col("len").as("len_a"),
@@ -978,7 +988,7 @@ object Dedup {
       .withColumn("seg_len",
         floor((col("slot") + 1) * col("len_a") / parts).cast("int") + 1 - col("p0"))
       .where(col("seg_len") >= 1)
-      .select(col("id_a"), col("s_a"), col("len_a"), col("slot"),
+      .select(col("id_a"), col("len_a"), col("slot"),
         expr("substring(s_a, p0, seg_len)").as("sub"))
 
     // probe side: for every admissible partner length and slot, the
@@ -1002,16 +1012,18 @@ object Dedup {
             greatest(col("p0") - k, lit(1)),
             least(col("p0") + lit(k), col("len_b") - col("seg_len") + 1)))
           .otherwise(array().cast("array<int>")))
-      .select(col("id_b"), col("s_b"), col("len_b"), col("len_a"), col("slot"),
+      .select(col("id_b"), col("s_b"), col("len_a"), col("slot"),
         col("seg_len"), explode(col("positions")).as("p"))
-      .select(col("id_b"), col("s_b"), col("len_b"), col("len_a"), col("slot"),
+      .select(col("id_b"), col("len_a"), col("slot"),
         expr("substring(s_b, p, seg_len)").as("sub"))
 
-    idx.join(probe,
-      Seq("len_a", "slot", "sub"))
+    val cands = idx.join(probe, Seq("len_a", "slot", "sub"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .where(col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))

@@ -233,4 +233,58 @@ class PropertySpec extends AnyFunSuite {
       } finally spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("applyChangeset equals a sequential map-model fold on generated changesets") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    // model: fold changes in seq order into a Map — the reference
+    // semantics (latest seq wins because later folds overwrite)
+    val keyGen = Gen.chooseNum(0L, 15L)   // small key space → dense collisions
+    val changeGen = for {
+      key <- keyGen
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.chooseNum(0, 999)
+    } yield (key, op, v.toDouble)
+    for (round <- 0 until 8) {
+      val baseRows = samples(keyGen, 12).zipWithIndex
+        .map { case (k, i) => (k, i.toDouble) }
+        .distinctBy(_._1)
+      val changes = samples(changeGen, 20).zipWithIndex
+        .map { case ((k, op, v), i) => (k, v, op, i.toLong + 1) }
+      val model = changes.sortBy(_._4).foldLeft(baseRows.toMap) {
+        case (m, (k, v, op, _)) =>
+          if (op == "D") m - k else m.updated(k, v)
+      }
+      val got = Incremental.applyChangeset(
+        baseRows.toDF("k", "v"),
+        changes.toDF("k", "v", "op", "seq"), "k")
+        .as[(Long, Double)].collect().toMap
+      assert(got == model,
+        s"round $round: missing=${model.toSet -- got.toSet} spurious=${got.toSet -- model.toSet}")
+    }
+  }
+
+  test("mergeStats is associative and commutative over generated batch splits") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val rowGen = for {
+      src <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(1L, 500L)
+    } yield (src, v)
+    for (round <- 0 until 5) {
+      val rows = samples(rowGen, 40 + round)
+      def part(i: Int) = Incremental.statsPartial(
+        rows.zipWithIndex.filter(_._2 % 3 == i).map(_._1)
+          .toDF("source", "n_chars"))
+      val Seq(p0, p1, p2) = (0 to 2).map(part)
+      def fin(df: org.apache.spark.sql.DataFrame) =
+        Incremental.finalizeStats(df).collect().toSeq
+      val leftFold = fin(Incremental.mergeStats(Incremental.mergeStats(p0, p1), p2))
+      val rightFold = fin(Incremental.mergeStats(p0, Incremental.mergeStats(p1, p2)))
+      val swapped = fin(Incremental.mergeStats(Incremental.mergeStats(p2, p0), p1))
+      val direct = fin(Incremental.statsPartial(rows.toDF("source", "n_chars")))
+      assert(leftFold == direct && rightFold == direct && swapped == direct,
+        s"round $round: fold order changed the merged stats")
+    }
+  }
 }

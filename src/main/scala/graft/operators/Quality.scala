@@ -86,8 +86,11 @@ object Quality {
     val rowLevelReport: Option[DataFrame] =
       if (rowLevel.isEmpty) None
       else Some {
+        // coalesce: sum over an EMPTY table is null, and an empty table
+        // violates nothing — the report must read (0 violations, passed),
+        // not nulls (streaming micro-batches are legitimately empty)
         val aggs = count(lit(1)).as("__n") +: rowLevel.map { case (n, bad) =>
-          sum(when(bad, 1L).otherwise(0L)).as(s"__v_$n")
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"__v_$n")
         }
         df.agg(aggs.head, aggs.tail: _*)
           .select(explode(array(rowLevel.map { case (n, _) =>

@@ -347,6 +347,35 @@ object StreamOps {
           Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max").map(col): _*)))
   }
 
+  /** Streaming side of [[graft.operators.Quality]]: evaluate a declared
+    * constraint suite over every micro-batch and land the per-constraint
+    * report as a `batch_id=N` parquet partition (dynamic overwrite —
+    * replay-idempotent, the [[incrementalStatsSink]] design). The report
+    * table IS the DQ time series: one row per (batch, constraint), so
+    * gate-rate drift, a schema break, or a poisoned upstream shows up as
+    * `passed=false` rows the moment the batch lands — the monitoring
+    * stream a continuous ingestion publishes next to its corpus. Each
+    * batch pays the constraint mix's cost (one shared row-level pass +
+    * per-unique/per-FK branches) over BATCH-sized input only.
+    */
+  def constraintReportSink(
+      rows: DataFrame,
+      constraints: Seq[graft.operators.Quality.Constraint],
+      reportDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.checkConstraints(batch, constraints)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(reportDir)
+      }
+      .start()
+
   /** Fold an [[incrementalStatsSink]] state table's accumulated batch
     * partitions into one state row per group, published to a NEW
     * directory — the compaction the merge's associativity licenses.

@@ -116,6 +116,18 @@ class IncrementalSpec extends AnyFunSuite {
     assert(report("fk(k->dim.dk)") === ((1L, 5L, false)))
   }
 
+  test("checkConstraints on an empty table reports zero violations, all passed") {
+    import spark.implicits._
+    val df = Seq.empty[(java.lang.Long, Double)].toDF("k", "amount")
+    val report = Quality.checkConstraints(df, Seq(
+      Quality.NotNull("k"), Quality.InRange("amount", 0.0, 100.0)))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(report === Seq(
+      ("not_null(k)", 0L, 0L, true),
+      ("range(amount)", 0L, 0L, true)),
+      "an empty table violates nothing — nulls in the report would poison a streaming DQ series")
+  }
+
   test("checkConstraints passes on a clean table") {
     import spark.implicits._
     val df = Seq((1L, "O", 10.0), (2L, "F", 20.0)).toDF("k", "status", "amount")

@@ -146,6 +146,36 @@ class StreamOpsSpec extends AnyFunSuite {
       "compacted state must read back identical to the partitioned state")
   }
 
+  test("constraint report sink lands a per-batch DQ time series") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Quality
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq-stream").toString
+    val stream = MemoryStream[(Long, Double)]
+    val df = stream.toDF().toDF("k", "amount")
+    val q = StreamOps.constraintReportSink(df, Seq(
+      Quality.NotNull("k"),
+      Quality.InRange("amount", 0.0, 100.0)),
+      s"$dir/report", s"$dir/chk")
+    try {
+      // batch 0: clean
+      stream.addData(Seq((1L, 10.0), (2L, 20.0)))
+      q.processAllAvailable()
+      // batch 1: one range violation
+      stream.addData(Seq((3L, 30.0), (4L, 5000.0)))
+      q.processAllAvailable()
+      val report = spark.read.parquet(s"$dir/report")
+        .select("batch_id", "constraint", "violations", "passed")
+        .as[(Long, String, Long, Boolean)].collect().toSet
+      assert(report === Set(
+        (0L, "not_null(k)", 0L, true),
+        (0L, "range(amount)", 0L, true),
+        (1L, "not_null(k)", 0L, true),
+        (1L, "range(amount)", 1L, false)),
+        s"unexpected DQ time series: $report")
+    } finally q.stop()
+  }
+
   test("incremental corpus sink recovers from a crashed, uncommitted first write") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

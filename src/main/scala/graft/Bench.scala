@@ -34,14 +34,28 @@ object Bench {
     * query median by its run's probe median (round-6 verdict item 1 —
     * the 4.6× r6 wall jump was only explainable by manual forensics).
     * bit_xor, not sum: summing xxhash64 outputs overflows under ANSI.
+    *
+    * Probe v2: the sort is forced through a `localCheckpoint` barrier.
+    * Plugging the sorted frame straight into the bit_xor aggregate let
+    * Catalyst's `EliminateSorts` REMOVE the sort (bit_xor is whitelisted
+    * as order-irrelevant, confirmed in the shipped 4.1.2 jar), so probe
+    * v1 measured CPU + job overhead only — a box whose shuffle/spill
+    * path degrades while CPU stays flat would have shifted every query
+    * median but not the probe, misreading box slowdown as a plan
+    * regression. The barrier makes the range exchange + external sort
+    * actually execute inside the timed window (BenchSpec asserts the
+    * executed plan), at the cost of a transient ~80 MB persist, freed
+    * before return. v1 and v2 values are NOT comparable across
+    * recordings — BASELINE.md records the version split.
     */
   def probeOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    spark.range(0L, 10000000L, 1L, 32)
+    val sorted = spark.range(0L, 10000000L, 1L, 32)
       .selectExpr("xxhash64(id) AS h")
       .orderBy("h")
-      .selectExpr("bit_xor(h)")
-      .collect()
+    val (cp, free) = graft.engine.OpCache.checkpointWithHandle(sorted)
+    try cp.selectExpr("bit_xor(h)").collect()
+    finally free()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -120,7 +134,7 @@ object Bench {
     // so in-run drift is visible too; `median` (over all probe samples) is
     // the per-recording box factor the gate should normalize by.
     val probeJson = probeStats.map { case (before, after, med) =>
-      s""","probe":{"before":$before,"after":$after,"median":$med,"unit":"sec","workload":"range(10M)>xxhash64>orderBy>bit_xor"}"""
+      s""","probe":{"before":$before,"after":$after,"median":$med,"unit":"sec","workload":"v2:range(10M)>xxhash64>orderBy(live)>bit_xor"}"""
     }.getOrElse("")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$probeJson,"sf":"$sfDir"}"""
   }

@@ -846,8 +846,13 @@ object SparkEntry {
         |         CAST(count(*) AS BIGINT)
         |  FROM orders
         |  UNION ALL
+        |  -- struct semantics (Quality.Unique scaladoc): null keys form ONE
+        |  -- duplicate group, so distinct groups = count(DISTINCT col)
+        |  -- + (1 if any null) — plain count(DISTINCT) drops nulls entirely
         |  SELECT 'unique(o_orderkey)',
-        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |         CAST(count(*) - count(DISTINCT o_orderkey)
+        |              - CASE WHEN count(*) > count(o_orderkey)
+        |                     THEN 1 ELSE 0 END AS BIGINT),
         |         CAST(count(*) AS BIGINT)
         |  FROM orders
         |  UNION ALL
@@ -858,20 +863,24 @@ object SparkEntry {
         |  WHERE o_custkey IS NOT NULL)
         |SELECT "constraint", violations, n_rows, violations = 0 AS passed
         |FROM r ORDER BY "constraint"""".stripMargin,
-    "pipeline_incremental_stats" ->
-      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(n_chars) AS BIGINT) AS val_sum,
-        |       CAST(min(n_chars) AS BIGINT) AS val_min,
-        |       CAST(max(n_chars) AS BIGINT) AS val_max,
-        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS val_mean,
-        |       round(sqrt(greatest(
-        |         CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*)
-        |           - (CAST(sum(n_chars) AS DOUBLE) / count(*))
-        |             * (CAST(sum(n_chars) AS DOUBLE) / count(*)), 0.0)), 6)
-        |         AS val_std
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // mean/std rounded via OracleRound.duck — DuckDB's round() and
+    // Spark's round() disagree on binary-boundary doubles; the shared
+    // floor spelling is bit-identical cross-engine
+    "pipeline_incremental_stats" -> {
+      val meanExpr = "CAST(sum(n_chars) AS DOUBLE) / count(*)"
+      val stdExpr =
+        "sqrt(greatest(CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*) " +
+          s"- ($meanExpr) * ($meanExpr), 0.0))"
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(n_chars) AS BIGINT) AS val_sum,
+         |       CAST(min(n_chars) AS BIGINT) AS val_min,
+         |       CAST(max(n_chars) AS BIGINT) AS val_max,
+         |       ${graft.functions.OracleRound.duck(meanExpr, 6)} AS val_mean,
+         |       ${graft.functions.OracleRound.duck(stdExpr, 6)} AS val_std
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
     "pipeline_cdc_apply" ->
-      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |                     o_totalprice, o_orderpriority FROM orders),
         |changes AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -894,8 +903,9 @@ object SparkEntry {
         |            ELSE b.o_custkey END AS o_custkey,
         |       CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
         |            ELSE b.o_orderstatus END AS o_orderstatus,
-        |       round(CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
-        |                  ELSE b.o_totalprice END, 2) AS o_totalprice,
+        |       ${graft.functions.OracleRound.duck(
+          "CASE WHEN c.op IS NOT NULL THEN c.o_totalprice " +
+            "ELSE b.o_totalprice END", 2)} AS o_totalprice,
         |       CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority
         |            ELSE b.o_orderpriority END AS o_orderpriority
         |FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey

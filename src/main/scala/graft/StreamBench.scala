@@ -143,12 +143,15 @@ object StreamBench {
       .getOrElse(Seq(10000L, 100000L, 500000L))
     val windowSec = sys.env.get("SPARK_GRAFT_STREAM_WINDOW_SEC")
       .map(_.toInt).getOrElse(20)
-    val (_, probeBefore) = Bench.probe(spark, 3)
+    val (beforeSamples, probeBefore) = Bench.probe(spark, 3)
     val results = pipelines.map { case (name, p) =>
       val stats = rates.map(r => runOne(spark, name, p, r, windowSec))
       name -> stats
     }
-    val (_, probeAfter) = Bench.probe(spark, 3)
+    val (afterSamples, probeAfter) = Bench.probe(spark, 3)
+    // the normalization contract (BASELINE.md) divides by the recording's
+    // probe MEDIAN over all samples — emit it, not just the brackets
+    val probeMedian = median(beforeSamples ++ afterSamples)
     val pipelinesJson = results.map { case (name, stats) =>
       val rs = stats.map { s =>
         s"""{"target_rps":${s.target},"input_rows":${s.inputRows},""" +
@@ -163,8 +166,9 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_processed_rps_median","value":$headline,""" +
         s""""unit":"rows/sec","window_sec":$windowSec,""" +
-        s""""probe":{"before":$probeBefore,"after":$probeAfter,"unit":"sec",""" +
-        s""""workload":"range(10M)>xxhash64>orderBy>bit_xor"},""" +
+        s""""probe":{"before":$probeBefore,"after":$probeAfter,""" +
+        s""""median":$probeMedian,"unit":"sec",""" +
+        s""""workload":"v2:range(10M)>xxhash64>orderBy(live)>bit_xor"},""" +
         s""""pipelines":$pipelinesJson,""" +
         s""""reference":{"events_per_sec":1.4,"batch_sec":8.1,""" +
         s""""source":"BASELINE.md (checkpoint offsets 0-12)"}}"""

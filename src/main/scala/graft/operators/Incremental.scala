@@ -61,8 +61,11 @@ object Incremental {
   /** Derive the read-time moments from a state table. Mean and
     * population std compute from the exact integer state with a fixed
     * IEEE formula (sumsq/n − mean², both divisions explicit), rounded
-    * to 6 decimals — the same literal expression the oracle runs, so
-    * the doubles hash-match cross-engine.
+    * to 6 decimals through [[graft.functions.OracleRound]] — Spark's
+    * own `round()` rounds the shortest-decimal representation while
+    * DuckDB rounds the exact binary value (OracleRound scaladoc records
+    * a real divergence), so only the shared floor-spelling hash-matches
+    * cross-engine.
     */
   def finalizeStats(state: DataFrame): DataFrame = {
     val groupCol = state.columns.head
@@ -70,8 +73,9 @@ object Incremental {
     val variance = col("val_sumsq").cast("double") / col("n_rows") - mean * mean
     state.select(col(groupCol), col("n_rows"), col("val_sum"),
       col("val_min"), col("val_max"),
-      round(mean, 6).as("val_mean"),
-      round(sqrt(greatest(variance, lit(0.0))), 6).as("val_std"))
+      graft.functions.OracleRound.roundN(mean, 6).as("val_mean"),
+      graft.functions.OracleRound.roundN(
+        sqrt(greatest(variance, lit(0.0))), 6).as("val_std"))
       .orderBy(groupCol)
   }
 

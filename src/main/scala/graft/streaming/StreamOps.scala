@@ -335,17 +335,23 @@ object StreamOps {
     * aggregate — IncrementalSpec asserts the algebra, the streaming
     * golden asserts it across micro-batches and a checkpoint restart.
     */
-  def readRunningStats(
+  /** Read a state table and restore the (group, state...) column layout —
+    * parquet round-trips do not guarantee the group column stays first,
+    * and `mergeAllStats` keys off the first column.
+    */
+  private def readStateTable(
       spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val stateCols = Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max")
     val state = spark.read.parquet(stateDir).drop("batch_id")
+    state.select(state.columns.filterNot(stateCols.toSet).map(col) ++
+      stateCols.map(col): _*)
+  }
+
+  def readRunningStats(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
     graft.operators.Incremental.finalizeStats(
       graft.operators.Incremental.mergeAllStats(
-        // column order after the parquet round-trip is not guaranteed to
-        // keep the group column first; restore the state layout
-        state.select(state.columns.filterNot(Set("n_rows", "val_sum",
-          "val_sumsq", "val_min", "val_max")).map(col) ++
-          Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max").map(col): _*)))
-  }
+        readStateTable(spark, stateDir)))
 
   /** Streaming side of [[graft.operators.Quality]]: evaluate a declared
     * constraint suite over every micro-batch and land the per-constraint
@@ -389,14 +395,9 @@ object StreamOps {
   def compactStats(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      outDir: String): Unit = {
-    val state = spark.read.parquet(stateDir).drop("batch_id")
-    graft.operators.Incremental.mergeAllStats(
-      state.select(state.columns.filterNot(Set("n_rows", "val_sum",
-        "val_sumsq", "val_min", "val_max")).map(col) ++
-        Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max").map(col): _*))
+      outDir: String): Unit =
+    graft.operators.Incremental.mergeAllStats(readStateTable(spark, stateDir))
       .write.mode("errorifexists").parquet(outDir)
-  }
 
   /** Per-user running aggregate emitted each micro-batch. */
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)

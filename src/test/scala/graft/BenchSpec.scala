@@ -45,4 +45,27 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("""\"quoted\""""))
     assert(json.contains("""\\ slash"""))
   }
+
+  test("the probe's sort actually executes (EliminateSorts must not strip it)") {
+    // probe v1 plugged the sorted frame straight into bit_xor and Catalyst's
+    // EliminateSorts removed the sort (bit_xor is whitelisted as
+    // order-irrelevant), silently turning the box probe into a CPU-only
+    // measurement. Guard the v2 barrier: the plan the probe times must
+    // contain a live Sort + range Exchange BEFORE the aggregate consumes it.
+    val sorted = spark.range(0L, 1000L, 1L, 4)
+      .selectExpr("xxhash64(id) AS h")
+      .orderBy("h")
+    val (cp, free) = graft.engine.OpCache.checkpointWithHandle(sorted)
+    try {
+      // the checkpointed frame's lineage was executed through the sort; its
+      // own plan is a leaf, so assert on the PRE-barrier plan the probe runs
+      val plan = sorted.queryExecution.executedPlan.toString
+      assert(plan.contains("Sort"), s"probe plan lost its sort:\n$plan")
+      assert(plan.contains("rangepartitioning") || plan.contains("Exchange"),
+        s"probe plan lost its range exchange:\n$plan")
+      // and the aggregate over the barrier must NOT see a sort to eliminate
+      val rows = cp.selectExpr("bit_xor(h)").collect()
+      assert(rows.length == 1)
+    } finally free()
+  }
 }

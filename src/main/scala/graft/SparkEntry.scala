@@ -132,16 +132,32 @@ object SparkEntry {
     // exact Levenshtein ≤ 2 join via PassJoin segment blocking (never
     // all-pairs): originals' 24-char prefixes plus a first-char-mutated
     // copy of every 5th doc — distance-1 pairs by construction, exact
-    // prefix dupes at distance 0; the naive quadratic form lives only in
-    // the DuckDB oracle (documented small-SF verifier)
+    // prefix dupes at distance 0 — plus 1-/2-/3-char strings exercising
+    // the length-bucketed short-string fallback and its cross-path seam
+    // (3-char strings are PassJoin members AND short-string partners at
+    // k=2). Synthetic-row id offsets are disjoint powers of two at bit 40+
+    // so they can never collide with real doc_ids at any SF (doc_id would
+    // need to exceed 2^40). The naive quadratic form lives only in the
+    // DuckDB oracle (documented small-SF verifier).
     "dedup_edit_distance" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val orig = docs.select(col("doc_id").as("id"),
         substring(col("text"), 1, 24).as("s"))
       val mut = docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("id"),
+        .select((col("doc_id") + (1L << 40)).as("id"),
           concat(lit("z"), substring(col("text"), 2, 23)).as("s"))
-      Dedup.editDistanceJoin(orig.unionByName(mut), k = 2)
+      val short2 = docs.where(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + (1L << 41)).as("id"),
+          substring(col("text"), 1, 2).as("s"))
+      val short1 = docs.where(col("doc_id") % 47 === 0)
+        .select((col("doc_id") + (1L << 42)).as("id"),
+          substring(col("text"), 1, 1).as("s"))
+      val seam3 = docs.where(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + (1L << 43)).as("id"),
+          substring(col("text"), 1, 3).as("s"))
+      Dedup.editDistanceJoin(
+        orig.unionByName(mut).unionByName(short2)
+          .unionByName(short1).unionByName(seam3), k = 2)
         .orderBy("id_a", "id_b")
     }),
     // asymmetric containment |A∩B|/|A| ≥ 0.8 (excerpt/quote detection —
@@ -1283,8 +1299,17 @@ object SparkEntry {
       """WITH strs AS (
         |  SELECT doc_id AS id, substr(text, 1, 24) AS s FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'z' || substr(text, 2, 23)
-        |  FROM documents WHERE doc_id % 5 = 0)
+        |  SELECT doc_id + 1099511627776, 'z' || substr(text, 2, 23)
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, substr(text, 1, 2)
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4398046511104, substr(text, 1, 1)
+        |  FROM documents WHERE doc_id % 47 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8796093022208, substr(text, 1, 3)
+        |  FROM documents WHERE doc_id % 53 = 0)
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
         |FROM strs a JOIN strs b ON a.id < b.id

@@ -147,10 +147,51 @@ object Dedup {
     * corpus-hot shingle fans out on the B side (the A side drops it via
     * the rarest-first order), which is the documented price of
     * containment vs jaccard at 100 TB.
+    *
+    * The skew surface is CAPPED, not just documented: shingles whose
+    * document frequency exceeds `hotShingleCap` are salted — the B side
+    * scatters a hot shingle's postings across ceil(df/cap) salt replicas
+    * by doc-id hash, and the A-side prefix hit replicates to every salt,
+    * so the candidate join meets on (shingle, salt) with per-key B-side
+    * posting lists of ~cap rows instead of df rows. The pair set is
+    * IDENTICAL for every cap (each (a, b, shingle) meeting lands in
+    * exactly the salt bucket b hashes to, and a is present there); only
+    * the per-task fan-out changes. A-side replication is the standard
+    * salted-join trade: ceil(df/cap) copies of a prefix hit, bounded and
+    * tunable, versus one task owning a hot shingle's entire df² fan-out.
+    * Hash scatter bounds the per-bucket count statistically (binomial
+    * around df/nsalt), not adversarially — DedupSpec pins a 2× margin.
     */
   def containmentPairs(
-      docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
+      docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      hotShingleCap: Int = 4096): DataFrame = {
+    val (base, prefixA, shB) = containmentPlan(docs, k, threshold, hotShingleCap)
+    val cands = prefixA
+      .join(shB, Seq("sh", "salt"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** The plan fragments [[containmentPairs]] joins — exposed (package-
+    * private) so DedupSpec asserts the salt cap on the REAL B-side
+    * posting frame, not a re-implementation. Returns
+    * (base (doc_id, shs) materialized,
+    *  salted A prefix (doc_a, sh, salt) — one row per admissible salt,
+    *  salted B postings (doc_b, sh, salt)).
+    */
+  private[graft] def containmentPlan(
+      docs: DataFrame, k: Int, threshold: Double,
+      hotShingleCap: Int): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(hotShingleCap >= 1, s"hotShingleCap must be >= 1, got $hotShingleCap")
     val base = OpCache.materialize(
       Partitioning.ensureParallelism(docs, col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -167,21 +208,22 @@ object Dedup {
     // ceil with the same epsilon rationale as ngramJaccardPairs
     val plen = (size(col("ord")) -
       ceil(size(col("ord")) * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    // vocab-sized salt plan: nsalt = ceil(df/cap), 1 for everything cold;
+    // both join sides consult it on the same equi-key they already shuffle
+    // on, so the salting adds no new shuffle topology
+    val salts = dfreq.select(col("sh"),
+      greatest(lit(1L), ceil(col("df") / lit(hotShingleCap.toDouble))
+        .cast("long")).as("nsalt"))
     val prefixA = ordered
       .select(col("doc_id").as("doc_a"),
         explode(slice(col("ord"), lit(1), plen)).as("sh"))
-    val cands = prefixA
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
-      .where(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    cands
-      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(col("sa")).cast("double")).as("containment"))
-      .where(col("containment") >= threshold)
+      .join(salts, "sh")
+      .select(col("doc_a"), col("sh"),
+        explode(sequence(lit(0L), col("nsalt") - 1)).as("salt"))
+    val shB = sh.join(salts, "sh")
+      .select(col("doc_id").as("doc_b"), col("sh"),
+        pmod(xxhash64(col("doc_id")), col("nsalt")).as("salt"))
+    (base, prefixA, shB)
   }
 
   /** Exact cross-corpus near-dup pairs: jaccard ≥ threshold between a NEW
@@ -940,13 +982,23 @@ object Dedup {
     * O((2k+1)²(k+1)) rows per string, LINEAR in the corpus, never
     * all-pairs. Candidates meet on the (partner_len, slot, substring)
     * equi-key — one hash-shuffle join — then exact `levenshtein`
-    * (codegen'd built-in) keeps true pairs. Segment completeness needs
-    * every segment non-empty: strings shorter than k+1 characters fail
-    * the job loudly via an IN-PLAN `raise_error` (they'd silently vanish
-    * from the join otherwise) — in-plan rather than an eager driver-side
-    * probe, because a validation `count()` would cost a full extra corpus
-    * scan (the `length(s) < k+1` predicate cannot push down past the
-    * computed length) before the join even starts.
+    * (codegen'd built-in) keeps true pairs.
+    *
+    * Segment completeness needs every segment non-empty, so the PassJoin
+    * path covers strings of length ≥ k+1 only. Shorter strings are NOT a
+    * domain hole: a string of length L ≤ k can pair only with partners of
+    * length ≤ L + k ≤ 2k (the length band), so pairs touching a short
+    * string route through an exact length-bucketed join — the short side
+    * explodes to its ≤ 2k+1 admissible partner lengths and BROADCASTS
+    * against the (map-side, never shuffled) length-≤2k slice of the
+    * corpus. The short set is corpus-bounded by construction (strings of
+    * ≤ k characters over a real alphabet repeat heavily; a corpus DOMINATED
+    * by ≤k-char keys is a degenerate input for an edit-distance join at
+    * k ≥ its string length, since every same-length pair is trivially
+    * within k). The two paths partition the pair space exactly — PassJoin
+    * emits pairs with BOTH sides ≥ k+1 chars, the fallback emits pairs
+    * with at least one side ≤ k chars — so their union is disjoint and
+    * complete (DedupSpec pins brute-force equality on mixed corpora).
     *
     * Input: (`idCol`, `strCol`). Output: (id_a, id_b, dist), id_a < id_b.
     */
@@ -956,23 +1008,37 @@ object Dedup {
       idCol: String = "id",
       strCol: String = "s"): DataFrame = {
     require(k >= 1, s"edit-distance bound must be >= 1, got $k")
-    val base = strings.select(
+    // scanned by both paths (PassJoin: 4 scans; fallback: 2) —
+    // materialize once, each path filters the cached frame
+    val all = OpCache.materialize(strings.select(
       col(idCol).cast("long").as("id"), col(strCol).as("s"),
-      when(length(col(strCol)) >= k + 1, length(col(strCol)))
-        .otherwise(raise_error(concat(
-          lit(s"editDistanceJoin(k=$k) requires every string to have >= " +
-            s"${k + 1} characters (segment blocking needs k+1 non-empty " +
-            "segments); got: "), col(strCol))))
-        .as("len"))
-    editDistanceJoinImpl(base, k)
+      length(col(strCol)).as("len")))
+    val longPairs = editDistanceJoinImpl(all.where(col("len") >= k + 1), k)
+    // fallback: short strings (len ≤ k) × partners (len ≤ 2k), meeting on
+    // the partner's exact length — an equi-key with ≤ 2k+1 distinct
+    // values, which would skew a shuffle join onto ≤ 2k+1 tasks; the
+    // broadcast keeps the partner slice map-side and unshuffled
+    val shortProbe = all.where(col("len") <= k)
+      .select(col("id").as("qid"), col("s").as("qs"),
+        explode(sequence(greatest(col("len") - k, lit(0)),
+          col("len") + k)).as("plen"))
+    val shortPairs = broadcast(shortProbe)
+      .join(all.where(col("len") <= 2 * k)
+        .select(col("id").as("pid"), col("s").as("ps"), col("len").as("plen")),
+        Seq("plen"))
+      .where(col("qid") =!= col("pid"))
+      .withColumn("dist", levenshtein(col("qs"), col("ps")))
+      .where(col("dist") <= k)
+      .select(least(col("qid"), col("pid")).as("id_a"),
+        greatest(col("qid"), col("pid")).as("id_b"), col("dist"))
+      // short×short pairs arrive once per direction; dist is functionally
+      // determined by the pair, so distinct on all three is exact
+      .distinct()
+    longPairs.unionByName(shortPairs)
   }
 
-  private def editDistanceJoinImpl(rawBase: DataFrame, k: Int): DataFrame = {
+  private def editDistanceJoinImpl(base: DataFrame, k: Int): DataFrame = {
     val parts = lit(k + 1)
-    // scanned four times (index postings, probe postings, two string
-    // lookups) — materialize once; this also fires the in-plan
-    // short-string guard before any shuffle
-    val base = OpCache.materialize(rawBase)
     // Postings carry ONLY (id, join key): the strings are needed to
     // COMPUTE the substrings but must not travel through the exploded
     // candidate join — the probe side multiplies every row ~(2k+1)²(k+1)

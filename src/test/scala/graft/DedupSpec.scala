@@ -432,17 +432,71 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("editDistanceJoin rejects strings shorter than k+1 loudly") {
+  test("editDistanceJoin equals brute force on mixed short/long corpora") {
     import spark.implicits._
-    val strs = Seq((1L, "ab"), (2L, "abcd")).toDF("id", "s")
-    // the guard is IN-PLAN (raise_error), not an eager driver probe — a
-    // probe would cost a full corpus scan — so it fires at action time
-    val e = intercept[Exception] {
-      Dedup.editDistanceJoin(strs, k = 2).collect()
+    // lengths 0..9 inclusive: empty strings, 1- and 2-char strings (the
+    // former raise_error domain hole, now the length-bucketed fallback
+    // path), lengths k+1..2k (PassJoin members that are also fallback
+    // partners — the cross-path seam), and longer PassJoin-only strings
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 100).map { i =>
+      val len = rnd.nextInt(10)
+      (i.toLong, (0 until len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("segment blocking")),
-      s"expected the in-plan guard message, got: ${messages(e)}")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(1, 2, 3)) {
+      val expected = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib && lev(sa, sb) <= k
+      } yield (ia, ib, lev(sa, sb))).toSet
+      // sanity on the fixture: each pair class must actually occur
+      val short = strs.filter(_._2.length <= k).map(_._1).toSet
+      val longs = strs.filter(_._2.length >= k + 1).map(_._1).toSet
+      assert(expected.exists(p => short(p._1) && short(p._2)),
+        s"k=$k fixture lacks short-short pairs")
+      assert(expected.exists(p =>
+        (short(p._1) && longs(p._2)) || (longs(p._1) && short(p._2))),
+        s"k=$k fixture lacks short-long seam pairs")
+      assert(expected.exists(p => longs(p._1) && longs(p._2)),
+        s"k=$k fixture lacks PassJoin pairs")
+      val got = Dedup.editDistanceJoin(strs.toDF("id", "s"), k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === expected,
+        s"k=$k: missing=${expected -- got} spurious=${got -- expected}")
+    }
+  }
+
+  test("containment salting bounds per-key postings and preserves the pair set") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val cap = 8 // force salting: sf0.001 hot shingles have df well above 8
+    // assert on the REAL B-side frame containmentPairs joins
+    val (_, _, shB) = Dedup.containmentPlan(docs, 3, 0.8, cap)
+    val counts = shB.groupBy(col("sh"), col("salt"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(when(col("salt") > 0, 1L)).as("salted"))
+      .collect().head
+    // hash scatter is binomial around df/nsalt, not adversarial — pin the
+    // documented 2x margin, and that the lever actually engaged
+    assert(counts.getLong(0) <= 2L * cap,
+      s"max per-(sh,salt) postings ${counts.getLong(0)} exceeds 2x cap $cap")
+    assert(counts.getLong(1) > 0L, "no shingle was salted — cap lever inert")
+    // identical pair set at a forcing cap vs the default (uncapped at this SF)
+    def pairs(hotCap: Int): Set[(Long, Long, Double)] =
+      Dedup.containmentPairs(docs, hotShingleCap = hotCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = pairs(cap)
+    val default = pairs(4096)
+    assert(salted.nonEmpty && salted === default,
+      s"salting changed the pair set: only-salted=${salted -- default} " +
+        s"only-default=${default -- salted}")
   }
 }

@@ -320,6 +320,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
         graft.operators.Incremental.statsPartial(batch, groupCol, valueCol)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -337,12 +338,21 @@ object StreamOps {
     */
   /** Read a state table and restore the (group, state...) column layout —
     * parquet round-trips do not guarantee the group column stays first,
-    * and `mergeAllStats` keys off the first column.
+    * and `mergeAllStats` keys off the first column. `sinceBatch`/`upToBatch`
+    * bound the batch_id partitions read (exclusive / inclusive); a
+    * compacted table has no batch_id column and must be read unbounded.
     */
   private def readStateTable(
-      spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      sinceBatch: Long = Long.MinValue,
+      upToBatch: Long = Long.MaxValue): DataFrame = {
     val stateCols = Seq("n_rows", "val_sum", "val_sumsq", "val_min", "val_max")
-    val state = spark.read.parquet(stateDir).drop("batch_id")
+    val raw = spark.read.parquet(stateDir)
+    val bounded =
+      if (sinceBatch == Long.MinValue && upToBatch == Long.MaxValue) raw
+      else raw.where(col("batch_id") > sinceBatch &&
+        col("batch_id") <= upToBatch)
+    val state = bounded.drop("batch_id")
     state.select(state.columns.filterNot(stateCols.toSet).map(col) ++
       stateCols.map(col): _*)
   }
@@ -352,6 +362,23 @@ object StreamOps {
     graft.operators.Incremental.finalizeStats(
       graft.operators.Incremental.mergeAllStats(
         readStateTable(spark, stateDir)))
+
+  /** Merge-on-read over a compacted table PLUS the live batches it does
+    * not cover: the compacted rows stand in for every batch_id ≤ the
+    * sidecar watermark, live partitions above it merge on top. Identical
+    * to [[readRunningStats]] over the uncompacted table — and because the
+    * ≤-watermark partitions are never consulted, [[vacuumStateTable]] can
+    * retire them without changing any reader's result.
+    */
+  def readRunningStats(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      compactedDir: String): DataFrame = {
+    val through = readCompactedThrough(spark, compactedDir)
+    graft.operators.Incremental.finalizeStats(
+      graft.operators.Incremental.mergeAllStats(
+        readStateTable(spark, stateDir, sinceBatch = through)
+          .unionByName(readStateTable(spark, compactedDir))))
+  }
 
   /** Streaming side of [[graft.operators.Quality]]: evaluate a declared
     * constraint suite over every micro-batch and land the per-constraint
@@ -373,6 +400,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, reportDir, batchId)
         graft.operators.Quality.checkConstraints(batch, constraints)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -395,9 +423,246 @@ object StreamOps {
   def compactStats(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      outDir: String): Unit =
-    graft.operators.Incremental.mergeAllStats(readStateTable(spark, stateDir))
+      outDir: String): Unit = {
+    // pin the fold's coverage BEFORE reading: the live sink may land a new
+    // batch mid-compaction, and a partition folded without being recorded
+    // in the watermark would double-count through the combined reader
+    val through = maxBatchId(spark, stateDir).getOrElse(throw
+      new IllegalStateException(s"no batch partitions to compact at $stateDir"))
+    graft.operators.Incremental.mergeAllStats(
+        readStateTable(spark, stateDir, upToBatch = through))
       .write.mode("errorifexists").parquet(outDir)
+    writeCompactedThrough(spark, outDir, through)
+  }
+
+  // ── state-table lifecycle: watermark sidecar, continuation guard,
+  //    retention ─────────────────────────────────────────────────────────
+
+  /** Sidecar inside a compacted table recording the highest batch_id it
+    * folded. Leading `_` keeps it out of parquet file listings (the
+    * [[graft.engine.PublishGuard.SidecarFile]] convention).
+    */
+  private[graft] val CompactedThroughFile = "_GRAFT_COMPACTED_THROUGH"
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeCompactedThrough(
+      spark: SparkSession, dir: String, through: Long): Unit = {
+    val (fs, p) = hadoopFs(spark, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, CompactedThroughFile), true)
+    try out.write(s"$through\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The compacted table's coverage watermark — loud when absent, because
+    * every consumer (combined readers, [[vacuumStateTable]]) uses it to
+    * decide which live partitions still matter; guessing would either
+    * double-count or delete uncovered data.
+    */
+  private[graft] def readCompactedThrough(
+      spark: SparkSession, dir: String): Long = {
+    val (fs, p) = hadoopFs(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(p, CompactedThroughFile)
+    if (!fs.exists(f))
+      throw new IllegalStateException(
+        s"$dir has no $CompactedThroughFile sidecar — not a compacted " +
+          "state table (or written by a pre-compaction version); refusing " +
+          "to guess its batch coverage")
+    val in = fs.open(f)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.trim.toLong
+  }
+
+  /** batch_id partition ids present under a state table dir, from one FS
+    * listing — no parquet footers touched.
+    */
+  private def batchIds(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val (fs, p) = hadoopFs(spark, stateDir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+  }
+
+  private def maxBatchId(spark: SparkSession, stateDir: String): Option[Long] = {
+    val ids = batchIds(spark, stateDir)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Fail a foreachBatch body whose batch id runs BEHIND the state table:
+    * that only happens when a sink was restarted with a FRESH checkpoint
+    * against an existing table, restarting batch ids at 0 — the dynamic
+    * partition overwrite would then silently clobber historical
+    * partitions with unrelated data. (A same-checkpoint replay targets
+    * only the LAST, possibly-uncommitted batch, so `max == batchId` is
+    * legitimate and idempotent; `max > batchId` never is.)
+    */
+  private def guardBatchContinuation(
+      spark: SparkSession, stateDir: String, batchId: Long): Unit =
+    maxBatchId(spark, stateDir).foreach { mx =>
+      if (mx > batchId)
+        throw new IllegalStateException(
+          s"state table $stateDir already holds batch_id=$mx but this " +
+            s"query is at batch $batchId — it was started with a fresh " +
+            "checkpoint against an existing state table. Reuse the " +
+            "original checkpoint dir, or point the sink at a new table.")
+    }
+
+  /** Retire live batch partitions a compacted table supersedes, keeping
+    * the newest `keepLast` for replay headroom. Deletes exactly the
+    * partitions with batch_id ≤ min(compacted watermark, max − keepLast):
+    * the combined readers filter to batch_id > watermark, so nothing they
+    * consult is ever removed — results are identical before and after —
+    * and a replayed (at-least-once) vacuumed batch merely recreates a
+    * partition below the watermark that those readers keep ignoring.
+    * Returns the number of partitions removed. Without periodic vacuum a
+    * long-running sink regrows the unbounded small-file accumulation that
+    * compaction exists to fold.
+    */
+  def vacuumStateTable(
+      spark: SparkSession,
+      stateDir: String,
+      compactedDir: String,
+      keepLast: Int = 2): Long = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val through = readCompactedThrough(spark, compactedDir)
+    val ids = batchIds(spark, stateDir)
+    if (ids.isEmpty) return 0L
+    val cutoff = math.min(through, ids.max - keepLast)
+    val doomed = ids.filter(_ <= cutoff)
+    val (fs, p) = hadoopFs(spark, stateDir)
+    doomed.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"batch_id=$id"), true)
+    }
+    doomed.size.toLong
+  }
+
+  // ── CDC: streaming changeset apply (merge-on-read) ─────────────────────
+
+  /** Streaming side of [[graft.operators.Incremental.applyChangeset]] —
+    * the production shape of CDC maintenance. Each micro-batch reduces to
+    * its per-key winner (highest `seqCol`, the batch operator's own rule)
+    * and lands as a replay-idempotent `batch_id=N` parquet partition via
+    * dynamic partition overwrite; the base snapshot is NEVER rewritten
+    * per batch — per-batch work is O(batch), not O(base). The current
+    * table materializes on read ([[readCdcTable]]: ONE window over
+    * base ∪ changes, no per-batch join cascade); [[compactCdc]] folds
+    * history into a new base snapshot and [[vacuumStateTable]] retires
+    * the partitions it covers.
+    *
+    * Contract (inherited and sharpened from `applyChangeset`): (key, seq)
+    * unique, and `seqCol` globally monotone ACROSS batches — the CDC log
+    * position. That is what makes one global highest-seq-wins pass equal
+    * the batch-at-a-time fold (which lets later batches win regardless of
+    * seq); a non-monotone seq would make the two diverge.
+    */
+  def cdcApplySink(
+      changes: DataFrame,
+      changesDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        guardBatchContinuation(s, changesDir, batchId)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+        batch
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .drop("__rn")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(changesDir)
+      }
+      .start()
+
+  /** Merge-on-read view of a [[cdcApplySink]] changes table over a base
+    * snapshot: one key-partitioned window (never a global sort) picks the
+    * winner among the base row (lowest precedence) and every change row
+    * (highest seq wins); winners whose op is D disappear. Column set and
+    * order mirror `base`. `sinceBatch`/`upToBatch` bound the change
+    * partitions consulted — the combined-reader and race-free-compaction
+    * levers. Equals `applyChangeset(base, allChanges)` under the sink's
+    * monotone-seq contract (StreamOpsSpec pins it, restart included).
+    */
+  def readCdcTable(
+      spark: SparkSession,
+      base: DataFrame,
+      changesDir: String,
+      keyCol: String,
+      seqCol: String = "seq",
+      opCol: String = "op",
+      sinceBatch: Long = Long.MinValue,
+      upToBatch: Long = Long.MaxValue): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol)
+    val changes = spark.read.parquet(changesDir)
+      .where(col("batch_id") > sinceBatch && col("batch_id") <= upToBatch)
+      .drop("batch_id")
+    val seqType = changes.schema(seqCol).dataType
+    val all = changes
+      .withColumn("__chg", lit(1))
+      .select((Seq(keyCol, opCol, seqCol, "__chg") ++ payload).map(col): _*)
+      .unionByName(base
+        .withColumn(opCol, lit("I"))
+        .withColumn(seqCol, lit(null).cast(seqType))
+        .withColumn("__chg", lit(0))
+        .select((Seq(keyCol, opCol, seqCol, "__chg") ++ payload).map(col): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__chg").desc, col(seqCol).desc)
+    all
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(opCol) =!= "D")
+      .select((keyCol +: payload).map(col): _*)
+  }
+
+  /** Fold a changes table into a NEW base snapshot (the [[compactStats]]
+    * design: never rewrite in place, never race the live sink — coverage
+    * is pinned before the read and recorded in the sidecar). The output
+    * is a plain snapshot; read it directly, or through [[readCdcCompacted]]
+    * to merge the live batches landed since.
+    */
+  def compactCdc(
+      spark: SparkSession,
+      base: DataFrame,
+      changesDir: String,
+      outDir: String,
+      keyCol: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): Unit = {
+    val through = maxBatchId(spark, changesDir).getOrElse(throw
+      new IllegalStateException(s"no batch partitions to compact at $changesDir"))
+    readCdcTable(spark, base, changesDir, keyCol, seqCol, opCol,
+        upToBatch = through)
+      .write.mode("errorifexists").parquet(outDir)
+    writeCompactedThrough(spark, outDir, through)
+  }
+
+  /** Current CDC table from a compacted snapshot plus the live batches
+    * above its watermark — identical to [[readCdcTable]] over the original
+    * base and the FULL changes table, which is what licenses
+    * [[vacuumStateTable]] on the covered partitions.
+    */
+  def readCdcCompacted(
+      spark: SparkSession,
+      compactedDir: String,
+      changesDir: String,
+      keyCol: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame =
+    readCdcTable(spark, spark.read.parquet(compactedDir), changesDir,
+      keyCol, seqCol, opCol,
+      sinceBatch = readCompactedThrough(spark, compactedDir))
 
   /** Per-user running aggregate emitted each micro-batch. */
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)

@@ -555,4 +555,126 @@ class StreamOpsSpec extends AnyFunSuite {
         s"unexpected sessions: $out")
     } finally query.stop()
   }
+
+  test("cdc apply sink: merge-on-read equals batch applyChangeset across restart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-sink").toString
+    val base = Seq((1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0))
+      .toDF("k", "name", "amount")
+    // (k, name, amount, op, seq): upserts, a delete, an in-batch seq rivalry
+    val b0 = Seq((4L, "dave", 40.0, "I", 1L), (1L, "alice2", 11.0, "U", 2L))
+    val b1 = Seq((2L, "", 0.0, "D", 3L), (4L, "dave2", 44.0, "U", 4L),
+      (3L, "carolX", 31.0, "U", 5L), (3L, "carolY", 33.0, "U", 6L))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cdc-src").toString
+    val schema = b0.toDF("k", "name", "amount", "op", "seq").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.cdcApplySink(fileDf, s"$dir/changes", s"$dir/chk", "k")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0, then a checkpointed RESTART carries batch ids forward for 1
+    b0.toDF("k", "name", "amount", "op", "seq").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("k", "name", "amount", "op", "seq").write.mode("append").json(srcDir)
+    runOnce()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+      df.select("k", "name", "amount").as[(Long, String, Double)].collect().toSet
+    val expected = rows(graft.operators.Incremental.applyChangeset(
+      base, (b0 ++ b1).toDF("k", "name", "amount", "op", "seq"), "k"))
+    val got = rows(StreamOps.readCdcTable(spark, base, s"$dir/changes", "k"))
+    assert(got === expected, s"merge-on-read diverged: got=$got expected=$expected")
+    assert(got === Set((1L, "alice2", 11.0), (3L, "carolY", 33.0),
+      (4L, "dave2", 44.0)), s"unexpected table: $got")
+    // an EMPTY micro-batch must be a no-op, not a corruption: a literal
+    // empty file guarantees the source registers a new file → 0-row batch
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(srcDir, "empty.json"), "")
+    runOnce()
+    assert(rows(StreamOps.readCdcTable(spark, base, s"$dir/changes", "k"))
+      === expected, "empty batch changed the table")
+    // compact to a NEW snapshot; compacted + live reader is identical
+    StreamOps.compactCdc(spark, base, s"$dir/changes", s"$dir/snap", "k")
+    assert(rows(StreamOps.readCdcCompacted(spark, s"$dir/snap", s"$dir/changes", "k"))
+      === expected, "compacted reader diverged")
+    // vacuum the covered partitions; reader identical before/after, and a
+    // post-vacuum batch folds on top through the surviving checkpoint
+    StreamOps.vacuumStateTable(spark, s"$dir/changes", s"$dir/snap", keepLast = 1)
+    assert(rows(StreamOps.readCdcCompacted(spark, s"$dir/snap", s"$dir/changes", "k"))
+      === expected, "vacuum changed the compacted reader")
+    val b3 = Seq((5L, "erin", 50.0, "I", 7L), (1L, "", 0.0, "D", 8L))
+    b3.toDF("k", "name", "amount", "op", "seq").write.mode("append").json(srcDir)
+    runOnce()
+    assert(rows(StreamOps.readCdcCompacted(spark, s"$dir/snap", s"$dir/changes", "k"))
+      === Set((3L, "carolY", 33.0), (4L, "dave2", 44.0), (5L, "erin", 50.0)),
+      "post-vacuum batch did not fold onto the compacted snapshot")
+  }
+
+  test("partitioned sinks refuse a fresh checkpoint against an existing table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-guard").toString
+    val rows = Seq((1L, "a", 1.0, "I", 1L))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cdc-guard-src").toString
+    val schema = rows.toDF("k", "name", "amount", "op", "seq").schema
+    rows.toDF("k", "name", "amount", "op", "seq").write.mode("overwrite").json(srcDir)
+    def run(chk: String): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.cdcApplySink(fileDf, s"$dir/changes", chk, "k")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(s"$dir/chk")
+    rows.toDF("k", "name", "amount", "op", "seq").write.mode("append").json(srcDir)
+    run(s"$dir/chk") // same checkpoint: continues at batch 1, legal
+    // fresh checkpoint restarts batch ids at 0 — the guard must fail the
+    // batch rather than let dynamic overwrite clobber batch_id=0
+    val e = intercept[Exception] { run(s"$dir/chk_fresh") }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fresh checkpoint")),
+      s"expected the continuation-guard error, got: ${messages(e)}")
+  }
+
+  test("stats-table vacuum bounds files and preserves the combined reader") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-vac").toString
+    def directOver(rows: Seq[(String, Long)]) =
+      graft.operators.Incremental.finalizeStats(
+        graft.operators.Incremental.statsPartial(
+          rows.toDF("source", "n_chars"))).collect().toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stats-vac-src").toString
+    val b0 = Seq(("web", 10L), ("books", 100L))
+    val b1 = Seq(("web", 20L), ("code", 7L))
+    val b2 = Seq(("books", 50L), ("web", 40L))
+    val schema = b0.toDF("source", "n_chars").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.incrementalStatsSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    b0.toDF("source", "n_chars").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("source", "n_chars").write.mode("append").json(srcDir)
+    runOnce()
+    b2.toDF("source", "n_chars").write.mode("append").json(srcDir)
+    runOnce()
+    StreamOps.compactStats(spark, s"$dir/state", s"$dir/state_c")
+    val before = StreamOps.readRunningStats(spark, s"$dir/state", s"$dir/state_c")
+      .collect().toSeq
+    assert(before === directOver(b0 ++ b1 ++ b2),
+      "combined reader must equal direct whole-history stats")
+    val removed = StreamOps.vacuumStateTable(
+      spark, s"$dir/state", s"$dir/state_c", keepLast = 1)
+    assert(removed === 2L, s"expected batches 0,1 vacuumed, removed=$removed")
+    val left = new java.io.File(s"$dir/state").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(left === Set("batch_id=2"), s"unexpected survivors: $left")
+    assert(StreamOps.readRunningStats(spark, s"$dir/state", s"$dir/state_c")
+      .collect().toSeq === before, "vacuum changed the combined reader")
+    // the surviving checkpoint continues past the vacuum: new data folds in
+    val b3 = Seq(("code", 70L))
+    b3.toDF("source", "n_chars").write.mode("append").json(srcDir)
+    runOnce()
+    assert(StreamOps.readRunningStats(spark, s"$dir/state", s"$dir/state_c")
+      .collect().toSeq === directOver(b0 ++ b1 ++ b2 ++ b3),
+      "post-vacuum batch did not merge through the combined reader")
+  }
 }

@@ -48,12 +48,24 @@ object Bench {
     * before return. v1 and v2 values are NOT comparable across
     * recordings — BASELINE.md records the version split.
     */
-  def probeOnce(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    val sorted = spark.range(0L, 10000000L, 1L, 32)
+  /** The probe's pre-barrier frame — shared with BenchSpec so the
+    * EliminateSorts guard asserts the EXACT construction [[probeOnce]]
+    * times, not a structural mirror that could drift.
+    */
+  private[graft] def probeFrame(
+      spark: SparkSession, rows: Long = 10000000L): DataFrame =
+    spark.range(0L, rows, 1L, 32)
       .selectExpr("xxhash64(id) AS h")
       .orderBy("h")
-    val (cp, free) = graft.engine.OpCache.checkpointWithHandle(sorted)
+
+  def probeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // blockingFree: the ~80 MB checkpoint must be GONE before the sample
+    // returns — an async unpersist lets the blocks linger into the next
+    // timed run, leaking memory pressure across supposedly independent
+    // samples (the free itself is deterministic work, identical per run)
+    val (cp, free) = graft.engine.OpCache.checkpointWithHandle(
+      probeFrame(spark), blockingFree = true)
     try cp.selectExpr("bit_xor(h)").collect()
     finally free()
     (System.nanoTime() - t0) / 1e9

@@ -528,6 +528,17 @@ object SparkEntry {
         baseDir = "/tmp/graft_warehouse",
         slug = s"ivf_centroids_${d.split('/').last}")
         .orderBy("query_id", "rank")),
+    // the retrieval deployment: an EXTERNAL query table (here a held-out
+    // id subset, so DuckDB can replay it) served against the SAME
+    // published centroid artifact as sim_ivf_topk — same assignment,
+    // probe and rerank math, query set swapped
+    "sim_ivf_external_topk" -> ((s, d) =>
+      Similarity.ivfTopKPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}",
+        queryTable = Some(Tables.embeddings(s, d)
+          .where(col("vec_id") % 97 === 1).select("vec_id", "embedding")))
+        .orderBy("query_id", "rank")),
     // PQ/ADC compressed-index scan with exact rerank — same split: the
     // trained codebooks are published and the oracle replays code
     // assignment + the ADC sum + rerank from the published table
@@ -2094,6 +2105,49 @@ object SparkEntry {
         |        FROM d WHERE vec_id < 10)
         |      WHERE rn <= 4),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM a JOIN p ON a.cluster = p.list_id
+        |         WHERE a.vec_id <> p.query_id),
+        |s AS (SELECT cand.query_id, cand.vec_id,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM cand JOIN n ON n.vec_id = cand.vec_id
+        |      JOIN q ON q.query_id = cand.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_ivf_external_topk: the sim_ivf_topk replay with the query set
+    // swapped to the held-out id subset the Spark side passes as an
+    // external query table — the artifact and all serving math unchanged
+    "sim_ivf_external_topk" ->
+      """WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |d AS (SELECT nn.vec_id, c.list_id,
+        |             list_reduce([nn.nv[i] * c.centroid[i]
+        |                          for i in range(1, 1 + len(nn.nv))],
+        |                         (x, y) -> x + y) AS dt
+        |      FROM nn CROSS JOIN c),
+        |a AS (SELECT vec_id, list_id AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |p AS (SELECT query_id, list_id FROM (
+        |        SELECT vec_id AS query_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d WHERE vec_id % 97 = 1)
+        |      WHERE rn <= 4),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 97 = 1),
         |cand AS (SELECT p.query_id, a.vec_id
         |         FROM a JOIN p ON a.cluster = p.list_id
         |         WHERE a.vec_id <> p.query_id),

@@ -85,13 +85,14 @@ object OpCache {
     * Freeing the handle makes the frame — and anything derived from it —
     * non-recomputable; free only superseded intermediates.
     */
-  def checkpointWithHandle(df: DataFrame): (DataFrame, () => Unit) = {
+  def checkpointWithHandle(
+      df: DataFrame, blockingFree: Boolean = false): (DataFrame, () => Unit) = {
     val out = df.localCheckpoint()
     val rdds = out.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
     assert(rdds.nonEmpty, "localCheckpoint did not produce a LogicalRDD plan")
-    (out, () => rdds.foreach(_.unpersist(blocking = false)))
+    (out, () => rdds.foreach(_.unpersist(blocking = blockingFree)))
   }
 
   /** [[checkpointWithHandle]] with the free registered for [[release]] —

@@ -71,6 +71,13 @@ object Quality {
     */
   def checkConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "declare at least one constraint")
+    // duplicate names (e.g. two InRange on one column) would alias two
+    // __v_<name> aggregates identically and surface later as an opaque
+    // ambiguous-reference AnalysisException — fail clearly up front
+    val names = constraints.map(_.name)
+    require(names.distinct.size == names.size,
+      s"constraint names must be unique, got duplicates: " +
+        names.diff(names.distinct).distinct.mkString(", "))
 
     val rowLevel = constraints.collect {
       case c: NotNull        => c.name -> col(c.column).isNull

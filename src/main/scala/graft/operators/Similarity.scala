@@ -26,17 +26,40 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Query-side base frame (vec_id, v, nrm, nv): either the first
+    * `numQueries` corpus vectors (the default, self-serving eval shape)
+    * or an EXTERNAL (vec_id, embedding) table — the retrieval deployment,
+    * where the query set arrives from outside the corpus and is served
+    * against the same published artifacts with the same deterministic
+    * math. The query set must be bounded (it is broadcast, and the PQ
+    * paths collect it to build per-query ADC tables); a query id equal to
+    * a corpus id is treated as the same vector — the self-match exclusion
+    * is id equality on either path.
+    */
+  private def queryBase(
+      corpus: DataFrame, numQueries: Int,
+      external: Option[DataFrame]): DataFrame =
+    external match {
+      case Some(q) =>
+        q.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.l2Norm(col("v")))
+          .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      case None => corpus.where(col("vec_id") < numQueries)
+    }
+
   /** Exact top-k by cosine for each query vector (queries = the first
-    * `numQueries` corpus vectors by vec_id; self-matches excluded).
+    * `numQueries` corpus vectors by vec_id, or an external query table —
+    * see [[queryBase]]; self-matches excluded).
     */
   def bruteForceTopK(
       embeddings: DataFrame,
       numQueries: Int = 10,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      queryTable: Option[DataFrame] = None): DataFrame = {
     val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
-    val queries = e.where(col("vec_id") < numQueries)
+    val queries = queryBase(e, numQueries, queryTable)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
@@ -295,7 +318,8 @@ object Similarity {
       nprobe: Int = 4,
       iters: Int = 3,
       centroids: Option[Array[Array[Double]]] = None,
-      cacheKey: String = ""): DataFrame = {
+      cacheKey: String = "",
+      queryTable: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(embeddings, nlist, iters, cacheKey))
     // the bucketed corpus feeds both the query side and the probe join
     val e = OpCache.materialize(
@@ -311,7 +335,7 @@ object Similarity {
     }: _*)
     val probes = transform(
       slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("i"))
-    val queries = e.where(col("vec_id") < numQueries)
+    val queries = queryBase(e, numQueries, queryTable)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), probes.as("probe_clusters"))
 
@@ -445,9 +469,11 @@ object Similarity {
       k: Int = 5,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      queryTable: Option[DataFrame] = None): DataFrame = {
     val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
-    ivfTopK(embeddings, numQueries, k, nlist, nprobe, iters, Some(cents))
+    ivfTopK(embeddings, numQueries, k, nlist, nprobe, iters, Some(cents),
+      queryTable = queryTable)
   }
 
   /** Write trained IVF centroids as a (list_id, centroid) parquet table.
@@ -605,9 +631,11 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       rerank: Int = 50,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      queryTable: Option[DataFrame] = None): DataFrame = {
     val books = publishedPqCodebooks(embeddings, baseDir, slug, m, ksub, 3, dim)
-    pqTopK(embeddings, numQueries, k, m, ksub, rerank, dim, "", Some(books))
+    pqTopK(embeddings, numQueries, k, m, ksub, rerank, dim, "", Some(books),
+      queryTable = queryTable)
   }
 
   /** [[ivfPqTopK]] with BOTH trained artifacts published —
@@ -628,11 +656,12 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       rerank: Int = 50,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      queryTable: Option[DataFrame] = None): DataFrame = {
     val cents = publishedIvfCentroids(embeddings, baseDir, s"${slug}_centroids", nlist, 3)
     val books = publishedPqCodebooks(embeddings, baseDir, s"${slug}_codebooks", m, ksub, 3, dim)
     ivfPqTopK(embeddings, numQueries, k, nlist, nprobe, m, ksub, rerank, dim,
-      "", Some(cents), Some(books))
+      "", Some(cents), Some(books), queryTable = queryTable)
   }
 
   /** ANN top-k via product quantization with asymmetric distance (ADC):
@@ -658,7 +687,8 @@ object Similarity {
       rerank: Int = 50,
       dim: Int = 64,
       cacheKey: String = "",
-      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      queryTable: Option[DataFrame] = None): DataFrame = {
     val books = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey))
     val dsub = dim / m
     val spark = embeddings.sparkSession
@@ -676,7 +706,7 @@ object Similarity {
       }): _*)
 
     // per-query ADC tables: table[s][j] = q_sub(s) · book(s)(j)
-    val qTables = e.where(col("vec_id") < numQueries)
+    val qTables = queryBase(e, numQueries, queryTable)
       .select(col("vec_id"), col("nv")).orderBy(col("vec_id")).collect()
       .map { r =>
         val qid = r.getLong(0)
@@ -700,7 +730,7 @@ object Similarity {
       .select("query_id", "vec_id")
 
     // exact rerank of the shortlist over the uncompressed vectors
-    val queries = e.where(col("vec_id") < numQueries)
+    val queries = queryBase(e, numQueries, queryTable)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -740,7 +770,8 @@ object Similarity {
       dim: Int = 64,
       cacheKey: String = "",
       centroids: Option[Array[Array[Double]]] = None,
-      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      queryTable: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(embeddings, nlist, 3, cacheKey))
     val books = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub, 3, dim, cacheKey))
     val dsub = dim / m
@@ -758,7 +789,7 @@ object Similarity {
       }): _*)
 
     // per-query probe list + ADC tables, driver-built from the bounded set
-    val qSide = e.where(col("vec_id") < numQueries)
+    val qSide = queryBase(e, numQueries, queryTable)
       .select(col("vec_id"), col("nv")).orderBy(col("vec_id")).collect()
       .map { r =>
         val qid = r.getLong(0)
@@ -786,7 +817,7 @@ object Similarity {
       .where(col("arank") <= rerank)
       .select("query_id", "vec_id")
 
-    val queries = e.where(col("vec_id") < numQueries)
+    val queries = queryBase(e, numQueries, queryTable)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))

@@ -50,20 +50,26 @@ class BenchSpec extends AnyFunSuite {
     // probe v1 plugged the sorted frame straight into bit_xor and Catalyst's
     // EliminateSorts removed the sort (bit_xor is whitelisted as
     // order-irrelevant), silently turning the box probe into a CPU-only
-    // measurement. Guard the v2 barrier: the plan the probe times must
-    // contain a live Sort + range Exchange BEFORE the aggregate consumes it.
-    val sorted = spark.range(0L, 1000L, 1L, 4)
-      .selectExpr("xxhash64(id) AS h")
-      .orderBy("h")
+    // measurement. Assert on Bench.probeFrame ITSELF — the construction
+    // probeOnce times — not a structural mirror that could drift from it.
+    val sorted = Bench.probeFrame(spark, rows = 1000L)
     val (cp, free) = graft.engine.OpCache.checkpointWithHandle(sorted)
     try {
-      // the checkpointed frame's lineage was executed through the sort; its
-      // own plan is a leaf, so assert on the PRE-barrier plan the probe runs
       val plan = sorted.queryExecution.executedPlan.toString
       assert(plan.contains("Sort"), s"probe plan lost its sort:\n$plan")
       assert(plan.contains("rangepartitioning") || plan.contains("Exchange"),
         s"probe plan lost its range exchange:\n$plan")
-      // and the aggregate over the barrier must NOT see a sort to eliminate
+      // the barrier must be a true lineage cut: the checkpointed frame
+      // analyzes to a bare LogicalRDD leaf, so the aggregate physically
+      // CANNOT reach back and give EliminateSorts a sort to strip — this
+      // is the v2 property, asserted on the executed object, not mirrored
+      val analyzed = cp.queryExecution.analyzed
+      assert(analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+        s"checkpoint is not a lineage-cut leaf:\n$analyzed")
+      val aggPlan = cp.selectExpr("bit_xor(h)").queryExecution
+        .executedPlan.toString
+      assert(!aggPlan.contains("Sort"),
+        s"aggregate over the barrier still sees a sort:\n$aggPlan")
       val rows = cp.selectExpr("bit_xor(h)").collect()
       assert(rows.length == 1)
     } finally free()

@@ -128,6 +128,20 @@ class IncrementalSpec extends AnyFunSuite {
       "an empty table violates nothing — nulls in the report would poison a streaming DQ series")
   }
 
+  test("checkConstraints rejects duplicate constraint names up front") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0)).toDF("k", "amount")
+    // two InRange on one column generate the same name — without the
+    // guard this surfaced as an opaque ambiguous-reference error
+    val e = intercept[IllegalArgumentException] {
+      Quality.checkConstraints(df, Seq(
+        Quality.InRange("amount", 0.0, 100.0),
+        Quality.InRange("amount", 0.0, 50.0)))
+    }
+    assert(e.getMessage.contains("range(amount)"),
+      s"expected the duplicate name in the error, got: ${e.getMessage}")
+  }
+
   test("checkConstraints passes on a clean table") {
     import spark.implicits._
     val df = Seq((1L, "O", 10.0), (2L, "F", 20.0)).toDF("k", "status", "amount")

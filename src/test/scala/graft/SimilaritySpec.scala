@@ -161,6 +161,28 @@ class SimilaritySpec extends AnyFunSuite {
     hit.foreach(p => assert(ann(p) == exact(p), s"rerank score drifted at $p"))
   }
 
+  test("external query table equals the internal prefix path on all ANN variants") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    // the same 10 vectors, passed as an EXTERNAL (vec_id, embedding)
+    // table: every serving path must produce bit-identical output to the
+    // internal vec_id<10 prefix — same normalization, probes, ADC tables,
+    // rerank — because external serving IS the same math over a swapped
+    // query frame
+    val ext = Some(emb.where(col("vec_id") < 10).select("vec_id", "embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.bruteForceTopK(emb, queryTable = ext))
+      === rows(Similarity.bruteForceTopK(emb)), "bruteForce diverged")
+    assert(rows(Similarity.ivfTopK(emb, queryTable = ext))
+      === rows(Similarity.ivfTopK(emb)), "ivf diverged")
+    assert(rows(Similarity.pqTopK(emb, queryTable = ext))
+      === rows(Similarity.pqTopK(emb)), "pq diverged")
+    assert(rows(Similarity.ivfPqTopK(emb, queryTable = ext))
+      === rows(Similarity.ivfPqTopK(emb)), "ivfpq diverged")
+  }
+
   test("int8 quantization codes are in range and reconstruction error is bounded") {
     val rows = Similarity.quantizeInt8(Tables.embeddings(spark, sf)).collect()
     assert(rows.nonEmpty)

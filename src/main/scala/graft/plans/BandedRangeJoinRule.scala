@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DayTimeIntervalType, IntegerType, LongType, TimestampType}
 
 /** Auto-rewrite of bare range-predicate joins into banded equi-joins.
   *
@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, T
   *    rewritten join's own bucket equality makes the rule a no-op on its
   *    output, which is also the termination proof);
   *  - among the conjuncts, a lower and an upper bound on the SAME pair of
-  *    int/long/timestamp `AttributeReference`s from opposite sides, each
+  *    int/long/timestamp/date `AttributeReference`s from opposite sides, each
   *    of the form `attr cmp attr' + literal` (Add/Subtract/bare for the
   *    integral types; `TimestampAddInterval` with a day-time-interval
   *    literal for timestamps — the optimizer rewrites
@@ -47,7 +47,11 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, T
   * domain (srapk_structure_streaming.py:148-153) written as
   * `ts BETWEEN t - INTERVAL x AND t`, which previously fell through to
   * the nested-loop plan this rule exists to kill. Year-month intervals
-  * (variable length) and TIMESTAMP_NTZ safely miss.
+  * (variable length) and TIMESTAMP_NTZ safely miss. DateType bands
+  * (`order_date BETWEEN d - 30 AND d`) run the same way in the
+  * epoch-DAYS domain: DateAdd/DateSub offsets are day counts and
+  * `unix_date` exposes the attr's exact days — dates pair only with
+  * dates (a date–timestamp comparison arrives cast-wrapped and misses).
   *
   * The rule only fires under ANSI mode (the Spark 4 default): with ANSI
   * off, long overflow in the bucket arithmetic near Long.MinValue/
@@ -111,6 +115,14 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case TimestampAddInterval(a: AttributeReference,
           Literal(v: Long, _: DayTimeIntervalType), _)
           if a.dataType == TimestampType => Some((a, v))
+      // `d ± 30` on a DateType column — the resolver maps date + int to
+      // DateAdd / date - int to DateSub; the offset is in DAYS, the same
+      // unit `unix_date` exposes at bucket time
+      case a: AttributeReference if a.dataType == DateType => Some((a, 0L))
+      case DateAdd(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.dataType == DateType => Some((a, v.toLong))
+      case DateSub(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.dataType == DateType => Some((a, -v.toLong))
       case _ => None
     }
   }
@@ -119,16 +131,24 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * timestamp pairs only with a timestamp; int/long pair freely (both
     * run in long).
     */
+  private def domainOf(a: AttributeReference): Int = a.dataType match {
+    case TimestampType => 1 // epoch-micros
+    case DateType => 2      // epoch-days
+    case _ => 0             // integral
+  }
+
   private def sameDomain(a: AttributeReference, b: AttributeReference): Boolean =
-    (a.dataType == TimestampType) == (b.dataType == TimestampType)
+    domainOf(a) == domainOf(b)
 
   /** `attr` in its native long domain (no-op for long attrs; exact
     * epoch-micros for timestamps — `Cast(ts, long)` would TRUNCATE to
-    * seconds and misbucket sub-second bands).
+    * seconds and misbucket sub-second bands; epoch-days for dates, the
+    * unit of DateAdd/DateSub offsets).
     */
   private def asLong(a: AttributeReference): Expression = a.dataType match {
     case LongType => a
     case TimestampType => UnixMicros(a)
+    case DateType => Cast(UnixDate(a), LongType)
     case _ => Cast(a, LongType)
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.Max
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
 
 /** Auto-rewrite of VARIABLE-width interval containment joins.
   *
@@ -65,20 +65,30 @@ object IntervalOverlapJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def eligible(a: AttributeReference): Boolean =
     a.dataType == LongType || a.dataType == IntegerType ||
-      a.dataType == TimestampType
+      a.dataType == TimestampType || a.dataType == DateType
 
-  /** Micros arithmetic on a timestamp pairs only with a timestamp;
-    * int/long pair freely (both run in long).
+  /** Micros arithmetic on a timestamp pairs only with a timestamp, days
+    * arithmetic on a date only with a date; int/long pair freely (both
+    * run in long). A date–timestamp comparison arrives cast-wrapped and
+    * safely misses.
     */
+  private def domainOf(a: AttributeReference): Int = a.dataType match {
+    case TimestampType => 1 // epoch-micros
+    case DateType => 2      // epoch-days
+    case _ => 0             // integral
+  }
+
   private def sameDomain(a: AttributeReference, b: AttributeReference): Boolean =
-    (a.dataType == TimestampType) == (b.dataType == TimestampType)
+    domainOf(a) == domainOf(b)
 
   /** `attr` in its native long domain (exact epoch-micros for
-    * timestamps — a long cast would truncate to seconds).
+    * timestamps — a long cast would truncate to seconds; epoch-days for
+    * dates).
     */
   private def asLong(a: AttributeReference): Expression = a.dataType match {
     case LongType => a
     case TimestampType => UnixMicros(a)
+    case DateType => Cast(UnixDate(a), LongType)
     case _ => Cast(a, LongType)
   }
 

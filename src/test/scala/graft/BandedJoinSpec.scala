@@ -156,6 +156,45 @@ class BandedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("date band columns rewrite (order_date BETWEEN d - 30 AND d)") {
+    import spark.implicits._
+    // dates spread over ~2 years so a 30-day band is selective; both the
+    // bare `- 30` spelling (resolver maps date - int to DateSub) and the
+    // explicit date_sub/date_add functions must rewrite in the DAYS domain
+    val l = (0 until 400).map(i => (i.toLong, (i * 37) % 700))
+      .toDF("lid", "ldays")
+      .select(col("lid"),
+        expr("date_add(date '2020-01-01', ldays)").as("ldate"))
+    val r = (0 until 250).map(i => (i.toLong, (i * 91) % 700))
+      .toDF("rid", "rdays")
+      .select(col("rid"),
+        expr("date_add(date '2020-01-01', rdays)").as("rdate"))
+    val spellings = Seq(
+      expr("ldate BETWEEN rdate - 30 AND rdate"),
+      expr("ldate BETWEEN date_sub(rdate, 30) AND date_add(rdate, 0)"))
+    spellings.zipWithIndex.foreach { case (cond, i) =>
+      val naive = l.join(r, cond)
+      assert(naive.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"),
+        s"precondition: naive date range join $i should nested-loop")
+      val expected = naive.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      withRule {
+        val banded = l.join(r, cond)
+        val plan = banded.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"rule did not upgrade date spelling $i:\n$plan")
+        assert(plan.contains("__graft_band"), s"band keys missing:\n$plan")
+        val got = banded.select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        assert(got == expected, s"date spelling $i changed the join result")
+        assert(got.nonEmpty && got.size < 400L * 250L,
+          "degenerate fixture: band neither selective nor populated")
+      }
+    }
+  }
+
   test("rule stands down when ANSI mode is off (overflow contract)") {
     val (l, r) = mkSides()
     val cond = col("lv") >= col("rv") - 100L && col("lv") <= col("rv")

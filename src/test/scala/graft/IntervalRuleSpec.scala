@@ -125,6 +125,41 @@ class IntervalRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("date-typed containment rewrites in the epoch-days domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val p = (0 until 500).map(i => (i.toLong, (i * 37) % 900))
+      .toDF("pid", "pd")
+      .select(col("pid"), expr("date_add(date '2020-01-01', pd)").as("pt"))
+    val iv = (0 until 120).map { i =>
+      val lo = (i * 104729L % 900L).toInt
+      (i.toLong, lo, lo + (i * 13) % 45) // widths 0..44 days
+    }.toDF("ivid", "lod", "hid")
+      .select(col("ivid"),
+        expr("date_add(date '2020-01-01', lod)").as("lo"),
+        expr("date_add(date '2020-01-01', hid)").as("hi"))
+    val cond = col("pt") >= col("lo") && col("pt") <= col("hi")
+    val naive = p.join(iv, cond)
+    assert(naive.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+      "precondition: the naive date interval join should nested-loop")
+    val expected = naive.select("pid", "ivid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    withRule {
+      val upgraded = p.join(iv, cond)
+      val plan = upgraded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule did not upgrade the date interval join:\n$plan")
+      assert(plan.contains("__graft_iv"), s"bucket keys missing:\n$plan")
+      val got = upgraded.select("pid", "ivid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got == expected, "date interval rewrite changed the join result")
+      assert(got.nonEmpty && got.size < 500L * 120L,
+        "degenerate fixture: join neither selective nor populated")
+    }
+  }
+
   test("empty and all-inverted interval sides yield the naive empty result") {
     import spark.implicits._
     val (p, _) = mkFrames()

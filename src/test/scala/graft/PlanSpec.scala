@@ -31,6 +31,9 @@ class PlanSpec extends AnyFunSuite {
     */
   private val boundedNestedLoop = Set(
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+    // external-query serving: the same bounded query set (a held-out id
+    // subset) on the same theta candidate join as sim_ivf_topk
+    "sim_ivf_external_topk",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;

@@ -59,16 +59,21 @@ object Bench {
       .orderBy("h")
 
   def probeOnce(spark: SparkSession): Double = {
+    // blockingFree OUTSIDE the timed window: the ~80 MB checkpoint must
+    // be GONE before the next sample starts (an async unpersist lets the
+    // blocks linger into it, leaking memory pressure across supposedly
+    // independent samples) — but timing the wait would add a ~1.7 s
+    // constant that swamps the workload's box-speed signal (measured:
+    // probe 0.17 s → 1.86 s while real queries held within 1.2×). The
+    // timed window is exactly the v2 workload, so probe values stay
+    // comparable across v2 recordings.
     val t0 = System.nanoTime()
-    // blockingFree: the ~80 MB checkpoint must be GONE before the sample
-    // returns — an async unpersist lets the blocks linger into the next
-    // timed run, leaking memory pressure across supposedly independent
-    // samples (the free itself is deterministic work, identical per run)
     val (cp, free) = graft.engine.OpCache.checkpointWithHandle(
       probeFrame(spark), blockingFree = true)
-    try cp.selectExpr("bit_xor(h)").collect()
-    finally free()
-    (System.nanoTime() - t0) / 1e9
+    val elapsed =
+      try { cp.selectExpr("bit_xor(h)").collect(); (System.nanoTime() - t0) / 1e9 }
+      finally free()
+    elapsed
   }
 
   /** Runs the probe `runs` times and returns (samples, median). */

@@ -225,6 +225,10 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // same fresh-checkpoint clobber hazard as the stats/CDC sinks —
+        // and here batch ids restarting at 0 would ALSO empty the
+        // cross-corpus dedup reference (batch_id < 0 matches nothing)
+        guardBatchContinuation(s, corpusDir, batchId)
         // scoped, not session-global release: a shared session may have
         // concurrent operator users (another stream, a batch job) whose
         // caches a global release would free from under them

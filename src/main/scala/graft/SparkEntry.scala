@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, EventPipelines, FunctionSurface, Incremental, Multimodal, Quality, Relational, Similarity, SqlSurface, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, EventPipelines, FunctionSurface, Graph, Incremental, Multimodal, Quality, Relational, Similarity, SqlSurface, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -611,6 +611,38 @@ object SparkEntry {
       Multimodal.resizeImages(s,
         Multimodal.attachMedia(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    // BM25 top-10 retrieval for the corpus's own head terms (scores
+    // rounded BEFORE ranking so the rank order is cross-engine exact)
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d))
+        .orderBy("query_term", "rank")),
+    // inverted index: df/cf + the head of each term's postings list
+    "text_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d)).orderBy("term")),
+    // maximal duplicated token spans (substring-level dedup report);
+    // string-keyed variant here for the oracle — DedupSpec proves the
+    // xxhash64-keyed scale default emits identical spans
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), hashKeys = false)
+        .orderBy("doc_id", "span_start")),
+    // ── graph analytics over relation-derived graphs ────────────────────
+    // customer–supplier trade graph: degree histogram per side
+    "graph_degrees" -> ((s, d) =>
+      Graph.degreeHistogram(
+        Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy("side", "degree")),
+    // 5-iteration damped PageRank on the symmetrized trade graph
+    // (checkpointed contributions loop — one |E| join + sum per round)
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pageRank(
+        Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy("node")),
+    // per-part triangle counts on the co-purchase (market-basket) graph,
+    // degree-ordered node-iterator enumeration
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangleCounts(
+        Graph.copurchaseEdges(Tables.lineitem(s, d)))
+        .orderBy("part_key")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2574,6 +2606,104 @@ object SparkEntry {
         |         unnest(generate_series(0, CAST(strlen(text) AS BIGINT) - 1, 100)) AS byte_offset
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // bm25: literals are written as the same IEEE arithmetic the Spark
+    // side runs (1.2 + 1.0 == 2.2 exactly in binary64, checked)
+    "text_bm25" -> {
+      val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |d AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM f GROUP BY term),
+         |q AS (SELECT term, df FROM d WHERE term NOT IN ($stop)
+         |      ORDER BY cf DESC, term LIMIT 5),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t),
+         |sc AS (SELECT q.term AS query_term, f.doc_id,
+         |         floor((ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+         |                (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) * 10000 + 0.5) / 10000 AS score
+         |       FROM f JOIN q ON f.term = q.term
+         |       JOIN dl ON dl.doc_id = f.doc_id CROSS JOIN st)
+         |SELECT query_term, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_term
+         |                               ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 10
+         |ORDER BY query_term, rank""".stripMargin
+    },
+    "text_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |d AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         |             list(doc_id || ':' || tf ORDER BY doc_id)[:20] AS head
+         |      FROM f GROUP BY term)
+         |SELECT term, df, cf, array_to_string(head, ',') AS postings
+         |FROM d WHERE df >= 2
+         |ORDER BY term""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest([{'pos': i, 'gram': array_to_string(toks[i+1:i+8], ' ')}
+         |                     for i in range(0, len(toks) - 7)], recursive := true)
+         |      FROM t WHERE len(toks) >= 8),
+         |dk AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dk)),
+         |w AS (SELECT doc_id, pos,
+         |             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |                  THEN 0 ELSE 1 END AS brk
+         |      FROM d),
+         |i AS (SELECT doc_id, pos,
+         |             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |      FROM w)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         |       CAST(max(pos) + 7 AS INTEGER) AS span_end,
+         |       CAST(max(pos) + 7 - min(pos) + 1 AS INTEGER) AS span_tokens
+         |FROM i GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // ── graph analytics ───────────────────────────────────────────────
+    "graph_degrees" ->
+      """WITH base AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+        |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+        |dg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u)
+        |SELECT substr(u, 1, 1) AS side, deg AS degree, count(*) AS n_nodes
+        |FROM dg GROUP BY side, deg
+        |ORDER BY side, degree""".stripMargin,
+    // PageRank: the oracle unrolls the SAME fixed 5 damped iterations the
+    // Spark loop runs; 6 dp rounding absorbs cross-engine sum-order float
+    // noise (~1e-15 relative — the iteration is a contraction)
+    "graph_pagerank" -> {
+      val iter = (k: Int) =>
+        s"""r${k + 1} AS (SELECT e.v AS node,
+           |       (SELECT 0.15 / n FROM nn) + 0.85 * sum(r.r / e.deg) AS r
+           |       FROM e JOIN r$k r ON r.node = e.u GROUP BY e.v)""".stripMargin
+      s"""WITH base AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |dg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+         |e AS (SELECT sym.u, sym.v, dg.deg FROM sym JOIN dg ON dg.u = sym.u),
+         |nn AS (SELECT count(*) AS n FROM dg),
+         |r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM dg),
+         |${(0 until 5).map(iter).mkString(",\n")}
+         |SELECT node, floor(r * 1000000 + 0.5) / 1000000 AS rank FROM r5
+         |ORDER BY node""".stripMargin
+    },
+    // triangles: the oracle enumerates naively (a<b<c three-way self-join);
+    // the Spark side's degree-ordered orientation changes join SIZES only,
+    // the triangle set is identical (GraphSpec proves it on testdata)
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |      FROM op a JOIN op b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+        |        JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2),
+        |v AS (SELECT a AS part_key FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT part_key, count(*) AS triangles FROM v GROUP BY part_key
+        |ORDER BY part_key""".stripMargin,
   )
 
   /** Exact word-shingle jaccard pairs (threshold 0.5) — the oracle for

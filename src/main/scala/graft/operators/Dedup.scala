@@ -1094,4 +1094,58 @@ object Dedup {
       .where(col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Maximal duplicated token spans: every span of ≥ `n` consecutive
+    * tokens whose every length-`n` window occurs more than once in the
+    * corpus (across documents OR repeated within one) — the substring-
+    * level dedup report of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL'22, public paper; method re-derived,
+    * no code consulted), re-expressed as a linear n-gram pipeline instead
+    * of a suffix array: emit every word n-gram with its start position,
+    * keep the grams whose corpus-wide count exceeds 1, and merge each
+    * document's surviving positions into maximal spans with a
+    * gaps-and-islands window (a new span starts when the next duplicated
+    * gram begins more than `n` tokens after the previous one — anything
+    * closer overlaps or abuts the running span).
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens), token-indexed,
+    * 0-based inclusive.
+    *
+    * Scale shape: gram rows are one per token (linear); the duplicate
+    * filter is one partial-agg count over the gram key plus a semi-join
+    * back; the islands window partitions BY DOCUMENT (bounded groups,
+    * never a global window). With `hashKeys` (the default) the shuffled
+    * key is an 8-byte xxhash64, not the ~n-word string — the oracle query
+    * runs `hashKeys = false` because DuckDB has no xxhash64, and
+    * DedupSpec asserts both key choices yield identical spans on the
+    * testdata (a 64-bit collision is the only possible divergence).
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8, hashKeys: Boolean = true): DataFrame = {
+    val grams = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc_id"), col("pos"),
+        (if (hashKeys) xxhash64(col("col")) else col("col")).as("gkey"))
+    val dupKeys = grams.groupBy(col("gkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("gkey"))
+    val dupPos = grams.join(dupKeys, Seq("gkey"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }

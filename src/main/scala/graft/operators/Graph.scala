@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.OpCache
+import graft.functions.OracleRound
+
+/** Graph analytics over graphs derived from the relational tables: the
+  * customer–supplier trade graph (who bought from whom, via
+  * orders ⋈ lineitem) and the part co-purchase graph (parts that appear in
+  * the same order — the market-basket graph).
+  *
+  * Scale design. Graph ops are join/agg chains over an edge list, so the
+  * whole module is shuffle-bound by design and the job is to keep each
+  * shuffle proportional to |E|:
+  *   - the edge lists are built once and `localCheckpoint`ed (lineage cut)
+  *     before any iterative use, so a k-round loop reads cached blocks
+  *     instead of re-deriving the o ⋈ l join k times;
+  *   - PageRank is the textbook "contributions" formulation — one
+  *     |E|-sized join + one partial-agg sum per round, with per-round
+  *     checkpoints so lineage stays O(1) (same discipline as the
+  *     connected-components loop in [[Dedup.clustersFromPairs]]);
+  *   - triangle counting uses the degree-ordered node-iterator: each
+  *     undirected edge is oriented from its lower-(degree, id) endpoint to
+  *     the higher one, which bounds per-node out-degree by O(√|E|) and so
+  *     bounds the wedge join — the naive all-wedges join is quadratic in
+  *     the max degree, the oriented one is not (Suri & Vassilvitskii,
+  *     "Counting Triangles and the Curse of the Last Reducer", WWW'11 —
+  *     public literature, no code consulted);
+  *   - loop/wedge parallelism is tied to edge count via
+  *     [[Dedup.ccLoopPartitions]], never a constant.
+  *
+  * Determinism for the DuckDB oracle: ranks are rounded to 6 dp AFTER the
+  * final iteration only (per-round float error is ~1e-15 relative and the
+  * iteration is a contraction, so both engines agree at 6 dp); triangle and
+  * degree outputs are exact integers.
+  */
+object Graph {
+
+  /** Undirected customer–supplier trade edges: one edge per (customer,
+    * supplier) pair connected by at least one order line. Node ids are
+    * namespaced (`c:<custkey>` / `s:<suppkey>`) so the two key spaces can
+    * never collide. One big-to-big join on the order key (co-partitioned
+    * when both sides are bucketed by order key — engine/Layout.scala) and
+    * one distinct shuffle on the pair.
+    */
+  def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c:"), col("o_custkey")).as("u"),
+        concat(lit("s:"), col("l_suppkey")).as("v"))
+      .distinct()
+
+  /** Degree histogram of an undirected edge list, split by the node-id
+    * namespace prefix: (side, degree, n_nodes). Two partial-agg shuffles
+    * (per-node degree, then the histogram); output is O(distinct degrees).
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+    sym.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .groupBy(substring(col("u"), 1, 1).as("side"), col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Damped PageRank over the symmetrized edge list, a FIXED number of
+    * iterations (fixed so the result is deterministic and
+    * oracle-replayable; convergence-probe variants belong to monitoring,
+    * not to a result contract). Returns (node, rank) with rank rounded to
+    * 6 dp.
+    *
+    * Per round: one |E|-join of ranks onto the (checkpointed) out-degree-
+    * annotated edge list, one partial-agg sum per destination — the
+    * map-side combine does most of the work before the shuffle. Every node
+    * in the symmetrized graph has out-degree ≥ 1, so there is no dangling
+    * mass and the per-round mass total stays 1 (GraphSpec asserts it).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // edge list annotated with source out-degree, built once, lineage-cut;
+    // loop parallelism tied to |E| (PlanSpec's fixed-parallelism guard)
+    val (e, freeE) = OpCache.checkpointWithHandle(sym.join(deg, "u"))
+    val edgeCount = e.count()
+    val parts = Dedup.ccLoopPartitions(edgeCount, spark.sparkContext.defaultParallelism)
+    val n = e.select(col("u")).distinct().count() // bounded driver pull: one long
+    val teleport = (1.0 - damping) / n
+    var (ranks, freeRanks) = OpCache.checkpointWithHandle(
+      e.select(col("u")).distinct().select(col("u"), lit(1.0 / n).as("rank")))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, "u")
+        .select(col("v"), (col("rank") / col("deg")).as("c"))
+        .repartition(parts, col("v"))
+      val (next, freeNext) = OpCache.checkpointWithHandle(
+        contribs.groupBy(col("v").as("u"))
+          .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank")))
+      freeRanks()
+      ranks = next
+      freeRanks = freeNext
+    }
+    freeE()
+    OpCache.defer(spark)(freeRanks)
+    ranks.select(col("u").as("node"), OracleRound.roundN(col("rank"), 6).as("rank"))
+  }
+
+  /** Undirected part co-purchase edges: parts that appear together in at
+    * least one order. Self-join of the distinct (order, part) projection on
+    * the order key — per-key fan-out is C(parts-per-order, 2), bounded by
+    * order size, so the pair explosion is linear in |lineitem|, never
+    * quadratic in |part|.
+    */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+    op.select(col("ok"), col("l_partkey").as("p1"))
+      .join(op.select(col("ok"), col("l_partkey").as("p2")), "ok")
+      .where(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts over an undirected (p1 < p2) edge list, via
+    * the degree-ordered node-iterator. Each edge is oriented from its
+    * lower-(degree, id) endpoint to the higher one; wedges are then pairs
+    * of out-edges of one node, and a triangle is a wedge whose far ends
+    * are themselves connected by an oriented edge. Orientation changes the
+    * JOIN SIZES only — the triangle set is identical to the naive
+    * enumeration (GraphSpec proves equality against the a<b<c self-join on
+    * testdata), which is why the DuckDB oracle can use the naive form.
+    *
+    * Output: (part_key, triangles) for every part in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("p1"), col("p2"))
+    val deg = e.select(col("p1").as("p")).union(e.select(col("p2")))
+      .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+    // (deg, id) total order as a single sortable value: degree in the high
+    // bits, id in the low bits (both well under 2^31 here; the packed form
+    // keeps the wedge inequality a single long comparison instead of a
+    // two-column lexicographic OR-chain)
+    def rank(dgc: Column, idc: Column): Column =
+      shiftleft(dgc, 32) + idc
+    val withRanks = e
+      .join(deg.select(col("p").as("p1"), col("dg").as("dg1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("dg").as("dg2")), "p2")
+      .select(col("p1"), col("p2"),
+        rank(col("dg1"), col("p1")).as("r1"),
+        rank(col("dg2"), col("p2")).as("r2"))
+    val oriented = withRanks.select(
+      when(col("r1") < col("r2"), col("p1")).otherwise(col("p2")).as("src"),
+      when(col("r1") < col("r2"), col("p2")).otherwise(col("p1")).as("dst"),
+      greatest(col("r1"), col("r2")).as("dst_rank"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst_rank") < col("y.dst_rank"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    // closing edge: b→c is oriented exactly lower-rank → higher-rank, which
+    // is how the wedge ordered (b, c) — one equi-join, no disjunction
+    val triangles = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part_key"))
+      .groupBy(col("part_key")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Naive triangle enumeration (the a<b<c three-way self-join) — the
+    * oracle-shaped form GraphSpec uses to prove [[triangleCounts]]'s
+    * oriented enumeration exact. Quadratic in the max degree; never the
+    * production path.
+    */
+  private[graft] def triangleCountsNaive(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("p1"), col("p2"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.p1") === col("e1.p1") && col("e2.p2") > col("e1.p2"))
+      .join(e.as("e3"), col("e3.p1") === col("e1.p2") && col("e3.p2") === col("e2.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_key"))
+      .groupBy(col("part_key")).agg(count(lit(1)).as("triangles"))
+  }
+}

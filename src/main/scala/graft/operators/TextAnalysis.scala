@@ -638,4 +638,78 @@ object TextAnalysis {
         concat_ws(",", transform(sort_array(col("winnowed")), h => h.cast("string")))
           .as("fingerprints"),
         size(col("winnowed")).as("n_fingerprints"))
+
+  /** BM25 retrieval: top-`topDocs` documents per query term under the
+    * Okapi BM25 weight
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    * The query set is derived deterministically from the corpus itself —
+    * the `nQueries` highest-collection-frequency non-stopword terms (term
+    * asc tie-break) — so the operator is self-contained and
+    * oracle-replayable; a production caller passes its own term list.
+    *
+    * Scale shape: corpus stats (N, avgdl) are a broadcast single-row
+    * aggregate; the query terms are a broadcast `limit nQueries` frame, so
+    * the scoring join is a BROADCAST semi-selective probe into the postings
+    * (only rows whose term is queried survive the join — the fact-side
+    * postings never shuffle on term for serving). Scores are rounded to
+    * 4 dp BEFORE ranking in both engines, so the rank order itself is
+    * cross-engine deterministic (score desc, doc_id asc).
+    */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 5, topDocs: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = graft.engine.OpCache.materialize(termFrequencies(docs))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val queries = df
+      .where(!col("term").isin(stopwords.map(lit): _*))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(nQueries)
+      .select(col("term"), col("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(tokens(col("text")))) / count(lit(1))).as("avgdl"))
+    val scored = tf
+      .join(broadcast(queries), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("term").as("query_term"), col("doc_id"),
+        OracleRound.roundN(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          4).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topDocs)
+      .select(col("query_term"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Inverted index: per term, document frequency, collection frequency,
+    * and the head of the postings list as `doc:tf` pairs (first
+    * `maxPostings` by doc id — the full list is the same frame without the
+    * slice; the head keeps oracle rows bounded). Terms below `minDf` are
+    * dropped (hapax legomena dominate the vocabulary and index nothing
+    * useful).
+    *
+    * Scale shape: one token-fold shuffle to (doc, term, tf), one per-term
+    * shuffle building the postings — collect_list is bounded per group by
+    * the term's df, and the slice caps the OUTPUT row, so only genuinely
+    * hot terms carry big groups (at extreme scale those are exactly the
+    * terms a stopword/df-ceiling filter drops before indexing).
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2, maxPostings: Int = 20): DataFrame =
+    termFrequencies(docs)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        slice(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          1, maxPostings).as("head"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        concat_ws(",", transform(col("head"),
+          p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))))
+          .as("postings"))
 }

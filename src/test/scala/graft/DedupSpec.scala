@@ -499,4 +499,35 @@ class DedupSpec extends AnyFunSuite {
       s"salting changed the pair set: only-salted=${salted -- default} " +
         s"only-default=${default -- salted}")
   }
+
+  test("duplicatedSpans merges overlapping duplicated windows into maximal spans") {
+    import spark.implicits._
+    // two docs share the 10-token run t0..t9 (doc 3 repeats it internally);
+    // doc 2 is all-unique filler, doc 4 is too short to carry any 8-gram
+    val run = (0 until 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, (0 until 30).map(i => s"u$i").mkString(" ")),
+      (3L, s"$run filler0 filler1 filler2 filler3 filler4 filler5 filler6 filler7 $run"),
+      (4L, "short doc only"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, n = 8, hashKeys = false)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1: windows 0..2 duplicated → span tokens 0..9
+    // doc 3: the run at 0..9 and again at 18..27; the unique filler gap is
+    //   10 tokens wide so the islands stay separate (gap > n)
+    assert(spans.toSeq === Seq(
+      (1L, 0, 9, 10), (3L, 0, 9, 10), (3L, 18, 27, 10)), s"got ${spans.toSeq}")
+  }
+
+  test("hash-keyed duplicatedSpans equals the string-keyed form on testdata") {
+    val docs = Tables.documents(spark, sf)
+    val hashed = Dedup.duplicatedSpans(docs, hashKeys = true)
+    val plain = Dedup.duplicatedSpans(docs, hashKeys = false)
+    assert(hashed.exceptAll(plain).isEmpty && plain.exceptAll(hashed).isEmpty,
+      "xxhash64-keyed spans diverge from string-keyed spans")
+    assert(plain.count() > 0,
+      "testdata should contain duplicated 8-gram spans (planted near-dups)")
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Graph
+
+/** Graph-operator invariants beyond the DuckDB oracle: hand-computable
+  * fixtures for PageRank/triangles, the oriented-vs-naive triangle equality
+  * on real testdata, and the no-cartesian plan guard.
+  */
+class GraphSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  test("pageRank on a 2-node graph is uniform at any damping / iteration count") {
+    import spark.implicits._
+    val e = Seq(("a", "b")).toDF("u", "v")
+    val ranks = Graph.pageRank(e, iters = 3).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks("a") === 0.5 && ranks("b") === 0.5, s"expected uniform: $ranks")
+  }
+
+  test("pageRank on a star concentrates rank at the hub (hand-computed, 1 iter)") {
+    import spark.implicits._
+    // star: hub h — leaves l1..l4. After 1 iteration from uniform 1/5:
+    // hub: 0.03 + 0.85 * (4 leaves * (0.2 / 1)) = 0.71
+    // leaf: 0.03 + 0.85 * (0.2 / 4) = 0.0725
+    val e = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4")).toDF("u", "v")
+    val ranks = Graph.pageRank(e, iters = 1).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks("h") - 0.71) < 1e-9, s"hub: ${ranks("h")}")
+    assert(math.abs(ranks("l1") - 0.0725) < 1e-9, s"leaf: ${ranks("l1")}")
+  }
+
+  test("pageRank conserves probability mass on the real trade graph") {
+    val edges = Graph.tradeEdges(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val ranks = Graph.pageRank(edges, iters = 3)
+    val total = ranks.agg(sum(col("rank"))).head().getDouble(0)
+    // symmetrized graph has no dangling nodes, so mass stays 1 exactly
+    // (up to the final 6 dp rounding × node count)
+    val n = ranks.count()
+    assert(math.abs(total - 1.0) <= n * 5e-7, s"mass drifted: $total over $n nodes")
+  }
+
+  test("triangleCounts on K4: every vertex is in C(3,2)=3 triangles") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("p1", "p2")
+    val counts = Graph.triangleCounts(k4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $counts")
+  }
+
+  test("oriented triangle enumeration equals the naive self-join on real data") {
+    val edges = Graph.copurchaseEdges(Tables.lineitem(spark, sf)).cache()
+    try {
+      val fast = Graph.triangleCounts(edges)
+      val naive = Graph.triangleCountsNaive(edges)
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        "oriented and naive triangle counts disagree")
+      assert(fast.agg(sum(col("triangles"))).head().getLong(0) > 0,
+        "testdata co-purchase graph has no triangles — fixture too small to prove anything")
+    } finally { edges.unpersist() }
+  }
+
+  test("graph plans stay cartesian-free and the wedge join is an equi-join") {
+    val edges = Graph.copurchaseEdges(Tables.lineitem(spark, sf))
+    val plan = Graph.triangleCounts(edges).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in triangle plan:\n$plan")
+    val trade = Graph.tradeEdges(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val prPlan = Graph.pageRank(trade, iters = 1).queryExecution.executedPlan.toString
+    assert(!prPlan.contains("CartesianProduct"), s"cartesian in pagerank plan:\n$prPlan")
+  }
+
+  test("degreeHistogram splits by namespace and counts nodes exactly") {
+    import spark.implicits._
+    // c1—s1, c1—s2, c2—s1: degrees c1=2, c2=1, s1=2, s2=1
+    val e = Seq(("c:1", "s:1"), ("c:1", "s:2"), ("c:2", "s:1")).toDF("u", "v")
+    val h = Graph.degreeHistogram(e).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h === Map(("c", 2L) -> 1L, ("c", 1L) -> 1L, ("s", 2L) -> 1L, ("s", 1L) -> 1L), s"got $h")
+  }
+}

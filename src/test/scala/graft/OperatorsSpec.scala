@@ -594,4 +594,36 @@ class OperatorsSpec extends AnyFunSuite {
       out.map(r => (r.getString(0), r.getLong(1))).toSeq,
       "exact top-10 must not depend on the sketch parameters")
   }
+
+  test("bm25 serving probes the postings via broadcast, never a term shuffle") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.bm25TopK(docs, nQueries = 3, topDocs = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term probe should broadcast:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty, "bm25 returned nothing")
+    // per query term: ranks are 1..k dense and scores non-increasing
+    rows.groupBy(_.getString(0)).foreach { case (term, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length).toSeq,
+        s"ranks not dense for $term")
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not sorted for $term: $scores")
+    }
+  }
+
+  test("invertedIndex postings are doc-sorted, df-consistent, and head-capped") {
+    val out = TextAnalysis.invertedIndex(
+      Tables.documents(spark, sf), minDf = 2, maxPostings = 7).collect()
+    assert(out.nonEmpty, "inverted index is empty")
+    out.foreach { r =>
+      val (term, df, postings) = (r.getString(0), r.getLong(1), r.getString(3))
+      val entries = postings.split(",").map(_.split(":")(0).toLong).toSeq
+      assert(entries == entries.sorted, s"postings unsorted for $term")
+      assert(entries.length == math.min(df, 7L).toInt,
+        s"head length ${entries.length} disagrees with df=$df (cap 7) for $term")
+      assert(df >= 2, s"minDf leaked: $term df=$df")
+    }
+  }
 }

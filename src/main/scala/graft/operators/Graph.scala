@@ -78,35 +78,70 @@ object Graph {
     * in the symmetrized graph has out-degree ≥ 1, so there is no dangling
     * mass and the per-round mass total stays 1 (GraphSpec asserts it).
     */
-  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val spark = edges.sparkSession
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v"), col("u")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // edge list annotated with source out-degree, built once, lineage-cut;
-    // loop parallelism tied to |E| (PlanSpec's fixed-parallelism guard)
-    val (e, freeE) = OpCache.checkpointWithHandle(sym.join(deg, "u"))
-    val edgeCount = e.count()
-    val parts = Dedup.ccLoopPartitions(edgeCount, spark.sparkContext.defaultParallelism)
+    // edge list annotated with source out-degree, built once, lineage-cut —
+    // the loop re-reads it every round, so without the cut the upstream
+    // edge derivation would re-execute `iters` times; loop parallelism is
+    // tied to |E| (PlanSpec's fixed-parallelism guard)
+    // materialize the annotated edge list once, size the loop off the
+    // cached count, then re-cut it PRE-PARTITIONED BY SOURCE: in the
+    // co-partitioned (large graph) regime each round's join then exchanges
+    // only the node-sized rank frame — the edge blocks never re-shuffle
+    // across rounds (a lazy `repartition` here would re-execute its
+    // exchange inside every round's plan instead)
+    val (e0, freeE0) = OpCache.checkpointWithHandle(sym.join(deg, "u"))
+    val parts = Dedup.ccLoopPartitions(
+      e0.count(), spark.sparkContext.defaultParallelism)
+    val (e, freeE) = OpCache.checkpointWithHandle(
+      e0.repartition(parts, col("u")))
+    freeE0()
     val n = e.select(col("u")).distinct().count() // bounded driver pull: one long
     val teleport = (1.0 - damping) / n
-    var (ranks, freeRanks) = OpCache.checkpointWithHandle(
-      e.select(col("u")).distinct().select(col("u"), lit(1.0 / n).as("rank")))
-    for (_ <- 1 to iters) {
-      val contribs = e.join(ranks, "u")
+    // a fixed-iteration loop needs NO per-round action (unlike the CC
+    // loop's convergence probe), so rounds CHAIN LAZILY into one job of
+    // `iters` join+agg stages — per-round materialization was pure
+    // overhead (measured ~1 s/round at sf0.1). Lineage is cut every
+    // `checkpointEvery` rounds so deep iteration counts can't overflow
+    // the planner; at the default 5 iterations the plan stays fully lazy.
+    //
+    // The rank frame is NODE-sized, and n is already measured: below the
+    // threshold it is explicitly broadcast (the "small dim" regime — the
+    // per-round join is then map-side over the partitioned edge blocks);
+    // above it, the join co-partitions ranks into e's layout. Either way
+    // the per-round |E|-sized contribution stream collapses via MAP-SIDE
+    // partial aggregation before its exchange (no manual repartition —
+    // that would ship raw contributions).
+    val broadcastRanks = n <= 1000000L
+    var ranks = e.select(col("u")).distinct()
+      .select(col("u"), lit(1.0 / n).as("rank"))
+    var freeRanks: () => Unit = () => ()
+    for (i <- 1 to iters) {
+      val rhs = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = e.join(rhs, "u")
         .select(col("v"), (col("rank") / col("deg")).as("c"))
-        .repartition(parts, col("v"))
-      val (next, freeNext) = OpCache.checkpointWithHandle(
-        contribs.groupBy(col("v").as("u"))
-          .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank")))
-      freeRanks()
+      var next = contribs.groupBy(col("v").as("u"))
+        .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        val (cut, freeNext) = OpCache.checkpointWithHandle(next)
+        freeRanks()
+        freeRanks = freeNext
+        next = cut
+      }
       ranks = next
-      freeRanks = freeNext
     }
-    freeE()
+    val out = ranks.select(
+      col("u").as("node"), OracleRound.roundN(col("rank"), 6).as("rank"))
+    // the edge cache (and any mid-loop cut) backs the returned lazy plan —
+    // release()-scoped, same contract as the CC loop
+    OpCache.defer(spark)(freeE)
     OpCache.defer(spark)(freeRanks)
-    ranks.select(col("u").as("node"), OracleRound.roundN(col("rank"), 6).as("rank"))
+    out
   }
 
   /** Undirected part co-purchase edges: parts that appear together in at

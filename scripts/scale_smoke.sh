@@ -10,10 +10,11 @@ set -e
 cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 OUT=${1:-/tmp/graft_sf1}
-# default: the round-7 top profile + the two newest dedup joins
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment}
+# default: the round-7 top profile + the newest dedup joins + the round-8
+# graph trio heavyweights and the substring-span dedup
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans}
 sbt -batch compile >/dev/null 2>&1
-if [ ! -d "$OUT/documents.parquet" ]; then
+if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"
   scripts/run_verify.sh graft.ScaleUp "$SF" "$OUT" 10
 fi

@@ -58,7 +58,31 @@ object ScaleUp {
     emb.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
 
-    println(s"[scaleup] wrote ${factor}x documents+embeddings to $outDir")
+    // orders + lineitem for the graph-operator smokes: replica k shifts
+    // EVERY key space (order, customer, supplier, part) into a disjoint
+    // block, so each replica group keeps sf-identical graph structure and
+    // the trade/co-purchase graphs grow 10× in nodes, edges, AND
+    // triangles — linear, the way a real 10× business would, instead of
+    // densifying one graph (which would grow wedges quadratically and
+    // make every ratio read as a false regression)
+    val orders = graft.engine.Tables.orders(spark, sfDir)
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("__k"))
+      .withColumn("o_orderkey", col("o_orderkey") * factor + k)
+      .withColumn("o_custkey", col("o_custkey") * factor + k)
+      .drop("__k")
+    orders.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("__k"))
+      .withColumn("l_orderkey", col("l_orderkey") * factor + k)
+      .withColumn("l_suppkey", col("l_suppkey") * factor + k)
+      .withColumn("l_partkey", col("l_partkey") * factor + k)
+      .drop("__k")
+    li.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+
+    println(s"[scaleup] wrote ${factor}x documents+embeddings+orders+lineitem to $outDir")
     spark.stop()
   }
 }

@@ -76,6 +76,58 @@ object StreamOps {
       horizonMinutes: Int = 10): DataFrame =
     attributionJoin(clicks, purchases, watermark, horizonMinutes, "full_outer")
 
+  /** Stream–stream LEFT OUTER interval join (purchase side preserved):
+    * every purchase emits exactly once — attributed rows as they meet a
+    * click, unattributed ones null-padded once the watermark passes the
+    * last instant a qualifying click could still arrive. The
+    * conversion-accounting shape: the full-outer form also surfaces
+    * clicks that never converted; this one keeps the output
+    * purchase-keyed. Same watermark-bounded state as the inner form.
+    */
+  def clickToPurchaseLeftOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
+      horizonMinutes: Int = 10): DataFrame =
+    attributionJoin(clicks, purchases, watermark, horizonMinutes, "left_outer")
+
+  /** Streaming trending terms: watermarked tumbling-window token counts
+    * over a documents-shaped stream (doc_id, ts, text) — the streaming
+    * leg of the [[graft.operators.TextAnalysis]] term surface. Append
+    * mode: a window's counts emit once, when the watermark closes it.
+    *
+    * Ranking ("top k per window") deliberately stays OUT of the stream:
+    * a per-window rank can only be final when the window is, so the
+    * serve-side finisher [[topTermsPerWindow]] ranks the closed-window
+    * table instead — the same streaming-agg → batch-serve split as the
+    * stats/CDC sinks. Scale: one shuffle on (window, term) with map-side
+    * partial counts; state bounded by watermark × live-window count.
+    */
+  def trendingTermCounts(
+      docs: DataFrame,
+      windowLength: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(window(col("ts"), windowLength), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("term"), col("n"))
+
+  /** Batch finisher for [[trendingTermCounts]]'s closed-window table:
+    * top `k` terms per window (count desc, term asc — deterministic).
+    * Window-partitioned rank, never a global reducer.
+    */
+  def topTermsPerWindow(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("window_start"), col("rank"), col("term"), col("n"))
+  }
+
   /** Watermarked delivery-dedup FEEDING the stream-stream attribution
     * join (chained stateful operators, append mode): an at-least-once
     * upstream that replays a click must not double-attribute a purchase,

@@ -58,7 +58,10 @@ class PlanSpec extends AnyFunSuite {
     "tpch_q11_important_parts",
     // constraint suite: the FK report's two single-row aggregates
     // (violations, evaluated) cross-joined — constant-size
-    "pipeline_constraint_checks")
+    "pipeline_constraint_checks",
+    // bm25: the single-row (N, avgdl) corpus-stats aggregate broadcast
+    // onto the already-query-filtered postings (same shape as text_tfidf)
+    "text_bm25")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -356,6 +356,68 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT outer join preserves unattributed purchases only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchaseStream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(s: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamOps.clickToPurchaseLeftOuter(df(clickStream), df(purchaseStream))
+    val q = joined.writeStream
+      .format("memory").queryName("left_attr_out").outputMode("append").start()
+    try {
+      clickStream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),   // matches purchase 10
+        (2L, ts("2024-01-01 00:20:00"), 1L, "click", 0.0)))  // never converts
+      purchaseStream.addData(Seq(
+        (10L, ts("2024-01-01 00:05:00"), 1L, "purchase", 9.99),
+        (11L, ts("2024-01-01 00:06:00"), 3L, "purchase", 5.00))) // no click
+      q.processAllAvailable()
+      clickStream.addData(Seq((90L, ts("2024-01-01 01:00:00"), 9L, "click", 0.0)))
+      purchaseStream.addData(Seq((91L, ts("2024-01-01 01:00:00"), 9L, "purchase", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table("left_attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+      // purchase-preserving: 11 emits null-padded, click 2 does NOT emit
+      assert(out == Set(
+        (10L, 1L, Some(1L)),
+        (11L, 3L, None),
+        (91L, 9L, Some(90L))),
+        s"unexpected left-outer output: $out")
+    } finally q.stop()
+  }
+
+  test("trending terms: closed windows only, then the batch finisher ranks them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.trendingTermCounts(df).writeStream
+      .format("memory").queryName("trend_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:10"), "alpha beta alpha"),
+        (2L, ts("2024-01-01 00:00:40"), "beta gamma")))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").isEmpty,
+        "open window must not emit in append mode")
+      // advance the watermark past the first window
+      stream.addData(Seq((3L, ts("2024-01-01 00:03:00"), "delta")))
+      q.processAllAvailable()
+      val counts = spark.table("trend_out")
+      val got = counts.collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("alpha", 2L), ("beta", 2L), ("gamma", 1L)),
+        s"unexpected closed-window counts: $got")
+      val top = StreamOps.topTermsPerWindow(counts, k = 2).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+      // count desc, term asc: alpha(2) then beta(2); gamma cut at k=2
+      assert(top == Seq((1, "alpha", 2L), (2, "beta", 2L)),
+        s"unexpected top-k: $top")
+    } finally q.stop()
+  }
+
   test("delivery-level dedup upstream of the join stops double attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

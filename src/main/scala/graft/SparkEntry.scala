@@ -643,6 +643,14 @@ object SparkEntry {
       Graph.triangleCounts(
         Graph.copurchaseEdges(Tables.lineitem(s, d)))
         .orderBy("part_key")),
+    // personalized PageRank: proximity to a 10-customer cohort (teleport
+    // to sources only — the related-supplier recommendation primitive)
+    "graph_ppr_cohort" -> ((s, d) =>
+      Graph.personalizedPageRank(
+        Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("u")).distinct())
+        .orderBy("node")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2683,6 +2691,27 @@ object SparkEntry {
          |e AS (SELECT sym.u, sym.v, dg.deg FROM sym JOIN dg ON dg.u = sym.u),
          |nn AS (SELECT count(*) AS n FROM dg),
          |r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM dg),
+         |${(0 until 5).map(iter).mkString(",\n")}
+         |SELECT node, floor(r * 1000000 + 0.5) / 1000000 AS rank FROM r5
+         |ORDER BY node""".stripMargin
+    },
+    // personalized PageRank: same unrolled iterations; each round is the
+    // damped walk sums UNION ALL the per-source teleport, re-aggregated
+    // (≤2 addends per node — IEEE-commutative, so order-deterministic)
+    "graph_ppr_cohort" -> {
+      val iter = (k: Int) =>
+        s"""r${k + 1} AS (SELECT u AS node, sum(x) AS r FROM (
+           |   SELECT e.v AS u, 0.85 * sum(rr.r / e.deg) AS x
+           |   FROM e JOIN r$k rr ON rr.node = e.u GROUP BY e.v
+           |   UNION ALL SELECT u, (SELECT 0.15 / n FROM ns) FROM srcs) GROUP BY u)""".stripMargin
+      s"""WITH base AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |dg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+         |e AS (SELECT sym.u, sym.v, dg.deg FROM sym JOIN dg ON dg.u = sym.u),
+         |srcs AS (SELECT DISTINCT 'c:' || o_custkey AS u FROM orders WHERE o_custkey < 10),
+         |ns AS (SELECT count(*) AS n FROM srcs),
+         |r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM ns) AS r FROM srcs),
          |${(0 until 5).map(iter).mkString(",\n")}
          |SELECT node, floor(r * 1000000 + 0.5) / 1000000 AS rank FROM r5
          |ORDER BY node""".stripMargin

@@ -144,6 +144,59 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank (random walk with restart): teleport mass goes
+    * only to the `sources` node set, so rank measures proximity TO THE
+    * COHORT — the "related suppliers for this customer segment"
+    * recommendation primitive, vs [[pageRank]]'s global centrality. Same
+    * lazy fixed-iteration contributions loop; the walk starts AT the
+    * sources (r0 = 1/|S| on S), so round-k frames only carry nodes within
+    * k hops — on power-law graphs that is quickly everything, but the
+    * early rounds stay cohort-sized. Returns (node, rank) rounded to 6 dp
+    * for every node reached within `iters` hops.
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val (e0, freeE0) = OpCache.checkpointWithHandle(sym.join(deg, "u"))
+    val parts = Dedup.ccLoopPartitions(
+      e0.count(), spark.sparkContext.defaultParallelism)
+    val (e, freeE) = OpCache.checkpointWithHandle(
+      e0.repartition(parts, col("u")))
+    freeE0()
+    // the source set is cohort-sized by definition — broadcast it; |S| is
+    // a bounded driver pull like pageRank's n
+    val (src, freeSrc) = OpCache.checkpointWithHandle(
+      sources.select(col("u")).distinct())
+    val nS = src.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty source set")
+    val teleport = (1.0 - damping) / nS
+    val nNodes = e.select(col("u")).distinct().count()
+    val broadcastRanks = nNodes <= 1000000L
+    var ranks = src.select(col("u"), lit(1.0 / nS).as("rank"))
+    for (_ <- 1 to iters) {
+      val rhs = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = e.join(rhs, "u")
+        .select(col("v"), (col("rank") / col("deg")).as("c"))
+      // teleport lands on every source EVEN IF it received no walk mass
+      // this round (a customer source in a bipartite graph gets walk mass
+      // only on even hops): union the damped walk sums with the teleport
+      // rows and re-aggregate — a node's rank is then at most a 2-term
+      // sum, and IEEE addition is commutative, so the value is
+      // order-deterministic for the oracle
+      ranks = contribs.groupBy(col("v").as("u"))
+        .agg((lit(damping) * sum(col("c"))).as("rank"))
+        .unionByName(src.select(col("u"), lit(teleport).as("rank")))
+        .groupBy(col("u")).agg(sum(col("rank")).as("rank"))
+    }
+    OpCache.defer(spark)(freeE)
+    OpCache.defer(spark)(freeSrc)
+    ranks.select(col("u").as("node"), OracleRound.roundN(col("rank"), 6).as("rank"))
+  }
+
   /** Undirected part co-purchase edges: parts that appear together in at
     * least one order. Self-join of the distinct (order, part) projection on
     * the order key — per-key fan-out is C(parts-per-order, 2), bounded by

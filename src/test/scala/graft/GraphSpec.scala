@@ -47,6 +47,35 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) <= n * 5e-7, s"mass drifted: $total over $n nodes")
   }
 
+  test("personalized PageRank on an edge: source keeps teleport, neighbor gets the walk") {
+    import spark.implicits._
+    // e = a—b, sources = {a}, 1 iteration from r0(a)=1:
+    // b: 0.85 · (1/1) = 0.85; a: teleport only = 0.15 (no walk mass back yet)
+    val e = Seq(("a", "b")).toDF("u", "v")
+    val src = Seq(Tuple1("a")).toDF("u")
+    val ranks = Graph.personalizedPageRank(e, src, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks === Map("a" -> 0.15, "b" -> 0.85), s"got $ranks")
+  }
+
+  test("personalized PageRank conserves mass and concentrates on the cohort") {
+    val orders = Tables.orders(spark, sf)
+    val edges = Graph.tradeEdges(orders, Tables.lineitem(spark, sf))
+    val src = orders.where(col("o_custkey") < 10)
+      .select(concat(lit("c:"), col("o_custkey")).as("u")).distinct()
+    val ranks = Graph.personalizedPageRank(edges, src, iters = 3)
+    val total = ranks.agg(sum(col("rank"))).head().getDouble(0)
+    val n = ranks.count()
+    assert(math.abs(total - 1.0) <= n * 5e-7, s"mass drifted: $total over $n nodes")
+    // a cohort member must outrank the median non-member by construction
+    val cohort = (0 until 10).map("c:" + _)
+    val cohortMin = ranks.where(col("node").isin(cohort: _*))
+      .agg(min(col("rank"))).head().getDouble(0)
+    val globalMedian = ranks.stat.approxQuantile("rank", Array(0.5), 0.0)(0)
+    assert(cohortMin > globalMedian,
+      s"cohort min $cohortMin not above median $globalMedian")
+  }
+
   test("triangleCounts on K4: every vertex is in C(3,2)=3 triangles") {
     import spark.implicits._
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

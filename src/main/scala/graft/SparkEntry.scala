@@ -554,6 +554,15 @@ object SparkEntry {
         baseDir = "/tmp/graft_warehouse",
         slug = s"ivfpq_${d.split('/').last}")
         .orderBy("query_id", "rank")),
+    // PCA train/serve split: covariance folds distributed, the (dim×dim)
+    // moment matrix Jacobi-solves on the driver, the canonical rotation
+    // publishes as parquet, and serving is one codegen'd map pass whose
+    // sequential folds the oracle replays bit-for-bit
+    "sim_pca_project" -> ((s, d) =>
+      Similarity.pcaProjectPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"pca_${d.split('/').last}")
+        .orderBy("vec_id")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),
@@ -2667,6 +2676,28 @@ object SparkEntry {
          |       CAST(max(pos) + 7 - min(pos) + 1 AS INTEGER) AS span_tokens
          |FROM i GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
+    // PCA serving replay: projections are sequential folds over the
+    // published (component, mean, rot) table — list_reduce associates
+    // exactly like the Spark aggregate fold, so values match bit-for-bit;
+    // the norm derives from the ROUNDED components in both engines
+    "sim_pca_project" -> {
+      val pcols = (1 to 16).map { k =>
+        s"""floor(list_reduce([(v[j] - pl.m[j]) * pl.rm[j][$k] for j in range(1, 65)],
+           |                  (a, b) -> a + b) * 1000000 + 0.5) / 1000000 AS p${"%02d".format(k)}""".stripMargin
+      }.mkString(",\n")
+      val sumsq = (1 to 16).map(k => f"p$k%02d * p$k%02d").mkString(" + ")
+      s"""WITH p AS (SELECT component, mean, rot
+         |           FROM read_parquet('/tmp/graft_warehouse/pca_sf0.01/*.parquet')),
+         |pl AS (SELECT list(mean ORDER BY component) AS m,
+         |              list(rot ORDER BY component) AS rm FROM p),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |y AS (SELECT vec_id,
+         |$pcols
+         |      FROM e CROSS JOIN pl)
+         |SELECT y.*, floor(sqrt($sumsq) * 1000000 + 0.5) / 1000000 AS proj_norm
+         |FROM y
+         |ORDER BY vec_id""".stripMargin
+    },
     // ── graph analytics ───────────────────────────────────────────────
     "graph_degrees" ->
       """WITH base AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v

@@ -937,4 +937,191 @@ object Similarity {
             (x - (col("vmin") + q * col("scale")))),
         lit(0.0), (acc, d) => acc + d) / size(col("v"))).as("mse"))
   }
+
+  // ── PCA projection (published rotation, oracle-replayable serving) ────
+
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PublishGuard.Fingerprint, (Array[Double], Array[Array[Double]]))]()
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — pure Scala,
+    * no library dependency, fully deterministic (fixed sweep order, fixed
+    * convergence test). Returns (eigenvalues, eigenvector COLUMNS). At
+    * embedding dimensionality (64–4096) this is microseconds-to-seconds of
+    * driver CPU on a (dim × dim) matrix — never data-sized work.
+    */
+  private[graft] def jacobiEigen(
+      a: Array[Array[Double]], maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = Array.tabulate(n, n)((i, j) => a(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += m(i)(j) * m(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offDiag > 1e-20) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case sg  => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val mip = m(i)(p); val miq = m(i)(q)
+              m(i)(p) = c * mip - s * miq
+              m(i)(q) = s * mip + c * miq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val mpi = m(p)(i); val mqi = m(q)(i)
+              m(p)(i) = c * mpi - s * mqi
+              m(q)(i) = s * mpi + c * mqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => m(i)(i)), v)
+  }
+
+  /** Train a PCA rotation: mean vector + the top-`outDims` principal
+    * directions of the embedding covariance. The covariance accumulates
+    * DISTRIBUTED — one pass folds every vector's outer product into
+    * (j, k) second-moment sums (|corpus| · dim² slim rows through one
+    * partial-agg shuffle), and only the (dim × dim) moment matrix is
+    * pulled to the driver (bounded: dim²·8 bytes, 32 KB at dim 64) for
+    * the Jacobi solve. Eigenvectors are ordered by eigenvalue desc
+    * (index asc ties) and sign-fixed (largest-|component| coordinate
+    * positive), so the published rotation is canonical.
+    *
+    * Returns (means[dim], rot[dim][outDims]).
+    */
+  private def trainPca(
+      embeddings: DataFrame, outDims: Int, dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val spark = embeddings.sparkSession
+    val n = embeddings.count().toDouble
+    require(n > 0, "trainPca needs a non-empty embedding table")
+    val meanRows = embeddings
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("j")).agg(sum(col("x").cast("double")).as("s"))
+      .collect()
+    val means = Array.ofDim[Double](dim)
+    meanRows.foreach(r => means(r.getInt(0)) = r.getDouble(1) / n)
+    val momentRows = embeddings
+      .select(explode(flatten(transform(col("embedding"), (xi, i) =>
+        transform(col("embedding"), (xj, j) =>
+          struct(i.as("j1"), j.as("j2"),
+            (xi.cast("double") * xj.cast("double")).as("p")))))).as("e"))
+      .select(col("e.j1"), col("e.j2"), col("e.p"))
+      .groupBy(col("j1"), col("j2")).agg(sum(col("p")).as("sp"))
+      .collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    momentRows.foreach { r =>
+      val (j, k) = (r.getInt(0), r.getInt(1))
+      cov(j)(k) = r.getDouble(2) / n - means(j) * means(k)
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => (-vals(i), i)).take(outDims)
+    val rot = Array.ofDim[Double](dim, outDims)
+    order.zipWithIndex.foreach { case (ei, k) =>
+      val column = Array.tabulate(dim)(j => vecs(j)(ei))
+      val jmax = column.indices.maxBy(j => (math.abs(column(j)), -j))
+      val sign = if (column(jmax) < 0) -1.0 else 1.0
+      var j = 0
+      while (j < dim) { rot(j)(k) = sign * column(j); j += 1 }
+    }
+    (means, rot)
+  }
+
+  private def writePcaTable(
+      spark: SparkSession, means: Array[Double],
+      rot: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    means.indices.map(j => (j, means(j), rot(j).toSeq)).toDF("component", "mean", "rot")
+      .coalesce(1)
+      .write.parquet(path)
+  }
+
+  /** Read-through accessor for the published PCA artifact — see
+    * [[publishedArtifact]] for the reuse/rebuild contract. Table rows:
+    * (component, mean, rot[outDims]) — one per input dimension.
+    */
+  def publishedPca(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      outDims: Int = 16,
+      dim: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val spark = embeddings.sparkSession
+    val path = s"$baseDir/$slug"
+    publishedArtifact[(Array[Double], Array[Array[Double]])](
+      spark, path, s"pca|$outDims|$dim",
+      embeddingFingerprint(embeddings), pcaCache,
+      train = () => trainPca(embeddings, outDims, dim),
+      write = (art, p) => writePcaTable(spark, art._1, art._2, p),
+      load = () => {
+        val rows = spark.read.parquet(path).orderBy("component").collect()
+        val means = rows.map(_.getDouble(1))
+        val rot = rows.map(_.getAs[scala.collection.Seq[Double]]("rot").toArray)
+        (means, rot)
+      },
+      what = s"published PCA rotation '$slug'")
+  }
+
+  /** PCA projection serving from the PUBLISHED rotation: y = Rᵀ(x − μ)
+    * per embedding, each output coordinate a SEQUENTIAL left fold over
+    * the input dimensions — the same association order as DuckDB's
+    * `list_reduce`, so the oracle reproduces every projected value
+    * bit-for-bit from the published table. Map-only over the corpus
+    * (the rotation rides along as literals inside whole-stage codegen);
+    * output components are rounded to 6 dp BEFORE the norm, so the norm
+    * is a deterministic function of the emitted values.
+    *
+    * The dimensionality-reduction stage of an embedding pipeline
+    * (whiten/reduce before ANN indexing): at 100 TB this is the shape
+    * you want — train once on a sample, publish, then one codegen'd
+    * map pass over the corpus.
+    */
+  def pcaProjectPublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      outDims: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val (means, rot) = publishedPca(embeddings, baseDir, slug, outDims, dim)
+    val mLit = typedLit(means.toSeq)
+    val projCols = (0 until outDims).map { k =>
+      val rk = typedLit(rot.map(_(k)).toSeq)
+      graft.functions.OracleRound.roundN(
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (acc, j) => acc +
+            (element_at(col("embedding"), j + 1).cast("double") -
+              element_at(mLit, j + 1)) * element_at(rk, j + 1)),
+        6).as(f"p${k + 1}%02d")
+    }
+    val projected = embeddings.select(col("vec_id") +: projCols: _*)
+    val normSq = (0 until outDims)
+      .map(k => col(f"p${k + 1}%02d") * col(f"p${k + 1}%02d"))
+      .reduce(_ + _)
+    projected.withColumn("proj_norm",
+      graft.functions.OracleRound.roundN(sqrt(normSq), 6))
+  }
 }

@@ -197,4 +197,38 @@ class SimilaritySpec extends AnyFunSuite {
         s"vec ${r.getLong(0)}: mse ${r.getDouble(4)} exceeds the step bound")
     }
   }
+
+  test("published PCA rotation is orthonormal and variance-ordered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-test").toString
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val (means, rot) = Similarity.publishedPca(emb, dir, "pca_spec", outDims = 16)
+    assert(means.length == 64 && rot.length == 64 && rot.head.length == 16)
+    // columns orthonormal: RᵀR = I within float-fold tolerance
+    for (a <- 0 until 16; b <- a until 16) {
+      val dot = (0 until 64).map(j => rot(j)(a) * rot(j)(b)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"RtR[$a][$b] = $dot")
+    }
+    // sign convention: the largest-|component| coordinate is positive
+    for (k <- 0 until 16) {
+      val colK = (0 until 64).map(j => rot(j)(k))
+      assert(colK.maxBy(math.abs) >= 0, s"column $k not sign-fixed")
+    }
+    // projections realize the eigen-spectrum: sample variance per output
+    // coordinate is non-increasing (p01 is the top principal direction)
+    val proj = Similarity.pcaProjectPublished(emb, dir, "pca_spec", outDims = 16).collect()
+    val vars = (1 to 16).map { k =>
+      val xs = proj.map(_.getDouble(k))
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(vars.head + 1e-9 >= vars(7) && vars(7) + 1e-9 >= vars.last,
+      s"variances not ordered: $vars")
+    // the norm column derives from the rounded components exactly
+    proj.take(20).foreach { r =>
+      val n = math.sqrt((1 to 16).map(k => r.getDouble(k) * r.getDouble(k)).sum)
+      val rounded = math.floor(n * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(17) == rounded, s"norm mismatch for vec ${r.getLong(0)}")
+    }
+  }
 }

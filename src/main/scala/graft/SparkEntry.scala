@@ -634,6 +634,24 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), hashKeys = false)
         .orderBy("doc_id", "span_start")),
+    // cross-source shingle-overlap matrix: jaccard + both directional
+    // containments per source pair (ingest double-count telemetry)
+    "pipeline_source_overlap" -> ((s, d) =>
+      Curation.sourceOverlap(Tables.documents(s, d))
+        .orderBy("source_a", "source_b")),
+    // schema evolution: two parquet generations (v1 lacks lang/n_chars)
+    // read as ONE table via mergeSchema — old files widen with nulls;
+    // the oracle replays the parity split on the original table
+    "pipeline_schema_evolution" -> ((s, d) => {
+      val (v1, v2) = evolvedDocsDirs(s, d)
+      graft.engine.Layout.evolvedRead(s, v1, v2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("lang")).as("n_with_lang"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_known"),
+          concat_ws(",", sort_array(collect_set(col("lang")))).as("langs"))
+        .orderBy("source")
+    }),
     // ── graph analytics over relation-derived graphs ────────────────────
     // customer–supplier trade graph: degree histogram per side
     "graph_degrees" -> ((s, d) =>
@@ -2698,6 +2716,35 @@ object SparkEntry {
          |FROM y
          |ORDER BY vec_id""".stripMargin
     },
+    // source overlap: string shingles here vs xxhash64 keys in the Spark
+    // plan — outputs agree unless a 64-bit collision (decontaminate's
+    // documented contract)
+    "pipeline_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |s AS (SELECT DISTINCT source,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |z AS (SELECT source, count(*) AS n FROM s GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+         |      FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, inter, za.n AS n_a, zb.n AS n_b,
+         |       floor(inter / (za.n + zb.n - inter) * 1000000 + 0.5) / 1000000 AS jaccard,
+         |       floor(inter / za.n * 1000000 + 0.5) / 1000000 AS containment_a,
+         |       floor(inter / zb.n * 1000000 + 0.5) / 1000000 AS containment_b
+         |FROM p
+         |JOIN z za ON za.source = source_a
+         |JOIN z zb ON zb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+    "pipeline_schema_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_with_lang,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_known,
+        |       coalesce(array_to_string(list_sort(list(DISTINCT lang)
+        |                FILTER (WHERE doc_id % 2 = 1)), ','), '') AS langs
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
     // ── graph analytics ───────────────────────────────────────────────
     "graph_degrees" ->
       """WITH base AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
@@ -2837,6 +2884,23 @@ object SparkEntry {
       graft.engine.Layout.zorderWrite(
         Tables.lineitem(s, d), Seq("l_shipdate", "l_partkey"), dst, nFiles = 16)
       dst
+    })
+
+  /** Two-generation (schema-evolved) documents split
+    * (Layout.evolvedWrite), memoized per sf dir: v1 files predate the
+    * lang/n_chars columns, v2 carries them; pipeline_schema_evolution
+    * reads both generations as one table via mergeSchema and the DuckDB
+    * compare replays the deterministic parity split on the ORIGINAL
+    * documents table.
+    */
+  private val evolvedDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def evolvedDocsDirs(s: SparkSession, d: String): (String, String) =
+    evolvedDocsCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-evolved").toString
+      graft.engine.Layout.evolvedWrite(
+        Tables.documents(s, d), s"$base/v1", s"$base/v2")
+      (s"$base/v1", s"$base/v2")
     })
 
   /** Bucketed orders+lineitem catalog tables (Layout.bucketedWrite),

@@ -215,4 +215,31 @@ object Layout {
       spark: SparkSession, dir: String, filter: String): Long =
     spark.read.parquet(dir).where(filter)
       .select(input_file_name()).distinct().count()
+
+  /** Schema-evolution fixture: split `docs` into two parquet generations —
+    * an OLD one (even doc_ids) written before `lang`/`n_chars` existed,
+    * and a NEW one (odd doc_ids) with the full schema. [[evolvedRead]]
+    * then reads both generations as ONE table. A 100 TB corpus is never
+    * rewritten when a column is added, so every long-lived table IS a mix
+    * of schema generations; the engine must widen old files with nulls
+    * instead of failing or silently dropping the column.
+    */
+  def evolvedWrite(docs: DataFrame, v1Dir: String, v2Dir: String): Unit = {
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+      .write.mode("overwrite").parquet(v1Dir)
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("source"),
+        col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(v2Dir)
+  }
+
+  /** Read mixed-schema parquet generations as one table: `mergeSchema`
+    * unions the file footers' schemas at planning time and old files
+    * surface the missing columns as nulls. Column pruning and predicate
+    * pushdown still reach each file with ITS OWN physical schema — the
+    * merge is metadata-only, no data rewrite.
+    */
+  def evolvedRead(spark: SparkSession, dirs: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
 }

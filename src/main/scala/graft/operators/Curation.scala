@@ -697,4 +697,44 @@ object Curation {
           .when(col("prev_digest") =!= col("cur_digest"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Cross-source k-shingle overlap matrix: for every source pair that
+    * shares at least one shingle, the intersection size, both set sizes,
+    * jaccard, and BOTH directional containments — the telemetry that
+    * catches one ingest pipeline swallowing (or mirroring) another before
+    * mixture weights are computed over double-counted text.
+    *
+    * Scale shape: one distinct shuffle on (source, shingle-hash) — 8-byte
+    * xxhash64 keys, never the shingle strings (collision odds ≈
+    * shingles²/2⁶⁴, the [[decontaminate]] contract; the oracle replays
+    * with plain strings) — then a self-join on the shingle whose per-key
+    * fan-out is bounded by the SOURCE count squared (each shingle appears
+    * once per source after the distinct). With few sources this is tiny;
+    * for a high-cardinality source column (per-domain), cap or bucket the
+    * sources first — the fan-out bound is the operator's contract.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(transform(Dedup.shinglesOf(col("toks"), k),
+          s => xxhash64(s))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), "sh")
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        col("n_a"), col("n_b"),
+        graft.functions.OracleRound.roundN(
+          col("inter") / (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"),
+        graft.functions.OracleRound.roundN(col("inter") / col("n_a"), 6)
+          .as("containment_a"),
+        graft.functions.OracleRound.roundN(col("inter") / col("n_b"), 6)
+          .as("containment_b"))
+  }
 }

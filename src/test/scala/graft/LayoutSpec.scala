@@ -143,4 +143,25 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_spec_b_lineitem")
     }
   }
+
+  test("mergeSchema read widens old-generation files with nulls, loses no rows") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-evolved-spec").toString
+    Layout.evolvedWrite(docs, s"$base/v1", s"$base/v2")
+    val merged = Layout.evolvedRead(spark, s"$base/v1", s"$base/v2")
+    // the union schema surfaces the new columns for EVERY file
+    assert(Seq("lang", "n_chars").forall(merged.columns.contains),
+      s"merged schema missing evolved columns: ${merged.columns.toSeq}")
+    assert(merged.count() === docs.count(), "generation split lost rows")
+    // old-generation rows widen with nulls; new-generation rows keep values
+    val v1Nulls = merged.where(col("doc_id") % 2 === 0 && col("lang").isNotNull).count()
+    val v2Nulls = merged.where(col("doc_id") % 2 === 1 && col("lang").isNull).count()
+    assert(v1Nulls === 0, s"$v1Nulls old-generation rows carry a lang value")
+    assert(v2Nulls === 0, s"$v2Nulls new-generation rows lost their lang")
+    // the merge is metadata-only: pushdown still reaches each scan
+    val plan = merged.where(col("doc_id") === 42L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"),
+      s"pushdown lost under mergeSchema:\n$plan")
+  }
 }

@@ -613,6 +613,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceOverlap rows satisfy the set-algebra bounds") {
+    val out = Curation.sourceOverlap(Tables.documents(spark, sf)).collect()
+    assert(out.nonEmpty, "testdata sources share no shingles at all?")
+    out.foreach { r =>
+      val (inter, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (j, ca, cb) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(inter >= 1 && inter <= math.min(na, nb),
+        s"intersection out of bounds: $r")
+      // jaccard ≤ each containment ≤ 1 (within the 6 dp rounding grain)
+      assert(j <= ca + 5e-7 && j <= cb + 5e-7 && ca <= 1.0 && cb <= 1.0,
+        s"set-algebra violation: $r")
+      assert(r.getString(0) < r.getString(1), s"pair not canonical: $r")
+    }
+  }
+
   test("invertedIndex postings are doc-sorted, df-consistent, and head-capped") {
     val out = TextAnalysis.invertedIndex(
       Tables.documents(spark, sf), minDf = 2, maxPostings = 7).collect()

@@ -628,6 +628,10 @@ object SparkEntry {
     // inverted index: df/cf + the head of each term's postings list
     "text_inverted_index" -> ((s, d) =>
       TextAnalysis.invertedIndex(Tables.documents(s, d)).orderBy("term")),
+    // positional-index phrase search (the oracle proves the position-join
+    // plan equals a direct n-gram scan)
+    "text_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseMatches(Tables.documents(s, d)).orderBy("doc_id")),
     // maximal duplicated token spans (substring-level dedup report);
     // string-keyed variant here for the oracle — DedupSpec proves the
     // xxhash64-keyed scale default emits identical spans
@@ -2674,6 +2678,21 @@ object SparkEntry {
          |SELECT term, df, cf, array_to_string(head, ',') AS postings
          |FROM d WHERE df >= 2
          |ORDER BY term""".stripMargin,
+    // phrase search: the oracle scans grams directly — hash-equality with
+    // the Spark positional-index join proves the two plans equivalent
+    "text_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest([{'pos': i, 'gram': array_to_string(toks[i+1:i+3], ' ')}
+         |                     for i in range(0, len(toks) - 2)], recursive := true)
+         |      FROM t WHERE len(toks) >= 3),
+         |top AS (SELECT gram AS phrase FROM g GROUP BY gram
+         |        ORDER BY count(*) DESC, gram LIMIT 1)
+         |SELECT doc_id, phrase, count(*) AS n_matches,
+         |       CAST(min(pos) AS INTEGER) AS first_pos
+         |FROM g JOIN top ON g.gram = top.phrase
+         |GROUP BY doc_id, phrase
+         |ORDER BY doc_id""".stripMargin,
     "dedup_substring_spans" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |g AS (SELECT doc_id,

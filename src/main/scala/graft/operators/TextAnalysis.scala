@@ -688,6 +688,54 @@ object TextAnalysis {
       .select(col("query_term"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Phrase search through a POSITIONAL index: occurrences of the
+    * corpus's most frequent word trigram, located by joining per-term
+    * position postings ((doc, pos) for word 1) ⋈ ((doc, pos+1) for
+    * word 2) ⋈ ((doc, pos+2) for word 3) — the inverted-index phrase
+    * plan, which touches only the queried terms' postings instead of
+    * re-scanning text. The DuckDB oracle deliberately takes the OTHER
+    * route (direct n-gram scan), so the hash-compare proves the
+    * positional-join plan equivalent to a full scan.
+    *
+    * The phrase is derived in-query (top trigram by count, gram asc
+    * tie-break — integer-deterministic in both engines) so the operator
+    * is self-contained; a production caller passes its own phrase and
+    * the postings come from a published index table.
+    *
+    * Scale shape: the trigram derivation is one gram fold (linear); the
+    * match side filters postings to the three queried terms via one
+    * broadcast, then joins on (doc, adjusted position) — shuffle volume
+    * is the queried terms' posting mass, not the corpus.
+    */
+  def phraseMatches(docs: DataFrame): DataFrame = {
+    val base = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = base
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))))
+    val top = grams.groupBy(col("col").as("phrase"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase"))
+      .limit(1)
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"),
+        split(col("phrase"), " ").getItem(2).as("w3"))
+    val postings = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val t = broadcast(top)
+    def side(w: String, offset: Int) = postings.join(t, col("term") === col(w))
+      .select(col("doc_id"), (col("pos") - offset).as("p0"),
+        (if (offset == 0) col("phrase") else lit(null)).as(s"ph$offset"))
+    val matches = side("w1", 0)
+      .join(side("w2", 1).drop("ph1"), Seq("doc_id", "p0"))
+      .join(side("w3", 2).drop("ph2"), Seq("doc_id", "p0"))
+    matches.groupBy(col("doc_id"), col("ph0").as("phrase"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p0")).as("first_pos"))
+  }
+
   /** Inverted index: per term, document frequency, collection frequency,
     * and the head of the postings list as `doc:tf` pairs (first
     * `maxPostings` by doc id — the full list is the same frame without the

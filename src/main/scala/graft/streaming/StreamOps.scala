@@ -386,6 +386,83 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming rate-anomaly detector: watermarked tumbling-window event
+    * counts, each CLOSED window scored against the RUNNING per-type count
+    * statistics of all previously closed windows — z = (n − mean)/std
+    * over the prior history, flagged when std > 0 and |z| exceeds the
+    * threshold (a zero-variance history cannot score; the first windows
+    * have no priors and emit unflagged with null mean/z). The volume-
+    * spike / pipeline-stall alarm a continuous ingestion runs next to its
+    * corpus.
+    *
+    * Architecture: the windowed agg's append stream delivers ONLY
+    * finalized windows to foreachBatch; each batch (a) scores its windows
+    * against the merge-on-read stats of STRICTLY EARLIER batches — so a
+    * replayed batch rescores identically and never sees itself — and
+    * lands the scored rows as a replay-idempotent `batch_id=N` partition,
+    * then (b) folds its windows into the stats state table
+    * ([[incrementalStatsSink]]'s algebraic design, O(batch) per batch,
+    * no unbounded streaming state).
+    */
+  def rateAnomalySink(
+      events: DataFrame,
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      windowLength: String = "1 minute",
+      watermark: String = "1 minute",
+      zThreshold: Double = 3.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        guardBatchContinuation(s, stateDir, batchId)
+        guardBatchContinuation(s, outDir, batchId)
+        val scored = maxBatchId(s, stateDir) match {
+          case Some(_) =>
+            val priors = graft.operators.Incremental.finalizeStats(
+              graft.operators.Incremental.mergeAllStats(
+                readStateTable(s, stateDir, upToBatch = batchId - 1)))
+              .select(col("event_type"), col("val_mean").as("mean_prev"),
+                col("val_std").as("std_prev"))
+            val z = (col("n") - col("mean_prev")) / col("std_prev")
+            batch.join(priors, Seq("event_type"), "left")
+              .select(col("window_start"), col("event_type"), col("n"),
+                col("mean_prev"),
+                when(col("std_prev") > 0,
+                  graft.functions.OracleRound.roundN(z, 4)).as("z"),
+                coalesce(col("std_prev") > 0 &&
+                  abs(z) > lit(zThreshold), lit(false)).as("anomalous"))
+          case None =>
+            batch.select(col("window_start"), col("event_type"), col("n"),
+              lit(null).cast("double").as("mean_prev"),
+              lit(null).cast("double").as("z"),
+              lit(false).as("anomalous"))
+        }
+        scored.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        graft.operators.Incremental
+          .statsPartial(batch, "event_type", "n")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+  }
+
   /** Merge-on-read view of an [[incrementalStatsSink]] state table: fold
     * every batch partition's partials and derive the moments. The result
     * is identical to running the whole history through one batch

@@ -418,6 +418,52 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-anomaly sink flags a spike window against prior-window stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly").toString
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.rateAnomalySink(df,
+      s"$dir/state", s"$dir/out", s"$dir/chk", zThreshold = 3.0)
+    def clicks(minute: Int, n: Int): Seq[(Long, Timestamp, Long, String, Double)] =
+      (0 until n).map(i =>
+        (minute * 1000L + i, ts(f"2024-01-01 00:$minute%02d:01"), 1L, "click", 0.0))
+    try {
+      // priors with non-zero variance: click windows of 9, 10, 11
+      stream.addData(clicks(0, 9) ++ clicks(1, 10) ++ clicks(2, 11))
+      q.processAllAvailable()
+      // close them: a 'tick' sentinel far past the watermark horizon
+      stream.addData(Seq((1L, ts("2024-01-01 00:10:00"), 9L, "tick", 0.0)))
+      q.processAllAvailable()
+      // a 100-count spike and a normal 10-count window, then close both
+      stream.addData(clicks(12, 100) ++ clicks(13, 10))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, ts("2024-01-01 00:30:00"), 9L, "tick", 0.0)))
+      q.processAllAvailable()
+      val out: Map[String, (Long, Option[Double], Boolean)] =
+        spark.read.parquet(s"$dir/out")
+          .where(org.apache.spark.sql.functions.col("event_type") === "click")
+          .collect()
+          .map(r => r.getString(0).takeRight(8) ->
+            Tuple3(r.getLong(2),
+              Option(r.get(4)).map(_.asInstanceOf[Double]),
+              r.getBoolean(5))).toMap
+      // the first three windows closed together with no priors: unflagged
+      Seq("00:00:00", "00:01:00", "00:02:00").foreach { w =>
+        assert(out(w)._2.isEmpty && !out(w)._3, s"window $w wrongly scored: $out")
+      }
+      // priors {9,10,11}: mean 10, std 0.816497 → spike z = 110.2 →
+      // anomalous; the normal window's z = 0 → not
+      val (spikeN, spikeZ, spikeFlag) = out("00:12:00")
+      assert(spikeN == 100 && spikeFlag, s"spike not flagged: $out")
+      assert(math.abs(spikeZ.get - 110.2275) < 1e-3, s"spike z off: $spikeZ")
+      val (_, normZ, normFlag) = out("00:13:00")
+      assert(!normFlag && math.abs(normZ.get) < 1e-9,
+        s"normal window misflagged: $out")
+    } finally q.stop()
+  }
+
   test("delivery-level dedup upstream of the join stops double attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1027,8 +1027,11 @@ object Dedup {
         .select(col("id").as("pid"), col("s").as("ps"), col("len").as("plen")),
         Seq("plen"))
       .where(col("qid") =!= col("pid"))
-      .withColumn("dist", levenshtein(col("qs"), col("ps")))
-      .where(col("dist") <= k)
+      // threshold-bounded levenshtein: the DP early-exits past k (and
+      // returns −1, hence the lower bound in the filter) — O(k·len)
+      // instead of O(len²) per candidate
+      .withColumn("dist", levenshtein(col("qs"), col("ps"), k))
+      .where(col("dist") >= 0 && col("dist") <= k)
       .select(least(col("qid"), col("pid")).as("id_a"),
         greatest(col("qid"), col("pid")).as("id_b"), col("dist"))
       // short×short pairs arrive once per direction; dist is functionally
@@ -1090,8 +1093,10 @@ object Dedup {
     cands
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .where(col("dist") <= k)
+      // threshold-bounded residual: early-exits past k (−1 ⇒ filtered),
+      // O(k·len) per surviving candidate instead of O(len²)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
+      .where(col("dist") >= 0 && col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

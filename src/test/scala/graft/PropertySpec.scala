@@ -287,4 +287,94 @@ class PropertySpec extends AnyFunSuite {
         s"round $round: fold order changed the merged stats")
     }
   }
+
+  test("duplicatedSpans equals a sequential reference on generated corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val n = 3
+    // tiny vocabulary forces dense duplicate structure; tokens are already
+    // normalized so tokenization is the identity split
+    val docGen = Gen.listOfN(8,
+      Gen.chooseNum(3, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))))
+    def reference(docs: Seq[(Long, Seq[String])]): Set[(Long, Int, Int)] = {
+      val grams = docs.flatMap { case (id, toks) =>
+        (0 to toks.size - n).map(p => (id, p, toks.slice(p, p + n).mkString(" ")))
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val dup = grams.filter(g => counts(g._3) > 1)
+      dup.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val islands = sorted.tail.foldLeft(List(List(sorted.head))) {
+          case (acc @ cur :: rest, p) =>
+            if (p - cur.head <= n) (p :: cur) :: rest else List(p) :: acc
+          case (Nil, p) => List(List(p))
+        }
+        islands.map(isl => (id, isl.min, isl.max + n - 1))
+      }.toSet
+    }
+    samples(docGen, 6).zipWithIndex.foreach { case (docs, round) =>
+      val withIds = docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+      val df = withIds.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.duplicatedSpans(df, n = n).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == reference(withIds),
+        s"round $round: spans diverge from the reference on $withIds")
+    }
+  }
+
+  test("triangle counting equals the naive enumeration on generated graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 5).zipWithIndex.foreach { case (edges, round) =>
+      val df = edges.toDF("p1", "p2")
+      val fast = Graph.triangleCounts(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val naive = Graph.triangleCountsNaive(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == naive, s"round $round: $edges → $fast vs $naive")
+    }
+  }
+
+  test("pageRank matches a sequential reference within rounding on generated graphs") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L)))
+      .map(_.collect { case (a, b) if a != b => (s"n${math.min(a, b)}", s"n${math.max(a, b)}") }
+        .distinct)
+      .suchThat(_.nonEmpty)
+    def reference(edges: Seq[(String, String)], iters: Int, d: Double): Map[String, Double] = {
+      val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+      val nodes = deg.keys.toSeq.sorted
+      var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+        sym.foreach { case (u, v) => contrib(v) += r(u) / deg(u) }
+        r = nodes.map(v => v -> ((1.0 - d) / nodes.size + d * contrib(v))).toMap
+      }
+      r
+    }
+    samples(edgeGen, 4).zipWithIndex.foreach { case (edges, round) =>
+      val got = Graph.pageRank(edges.toDF("u", "v"), iters = 3).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = reference(edges, 3, 0.85)
+      assert(got.keySet == want.keySet, s"round $round: node sets differ")
+      got.foreach { case (node, rank) =>
+        // reference sums in a different order; 6 dp rounding plus a 1-ulp
+        // grain bounds the allowed divergence
+        assert(math.abs(rank - want(node)) <= 2e-6,
+          s"round $round: $node rank $rank vs reference ${want(node)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) <= got.size * 5e-7,
+        s"round $round: mass ${got.values.sum}")
+    }
+  }
 }

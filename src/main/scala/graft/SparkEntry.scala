@@ -674,6 +674,12 @@ object SparkEntry {
       Graph.triangleCounts(
         Graph.copurchaseEdges(Tables.lineitem(s, d)))
         .orderBy("part_key")),
+    // weighted PageRank: walk probability follows trade volume
+    // (order-line counts), not mere adjacency
+    "graph_pagerank_weighted" -> ((s, d) =>
+      Graph.weightedPageRank(
+        Graph.weightedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy("node")),
     // personalized PageRank: proximity to a 10-customer cohort (teleport
     // to sources only — the related-supplier recommendation primitive)
     "graph_ppr_cohort" -> ((s, d) =>
@@ -2786,6 +2792,26 @@ object SparkEntry {
          |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
          |dg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
          |e AS (SELECT sym.u, sym.v, dg.deg FROM sym JOIN dg ON dg.u = sym.u),
+         |nn AS (SELECT count(*) AS n FROM dg),
+         |r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM dg),
+         |${(0 until 5).map(iter).mkString(",\n")}
+         |SELECT node, floor(r * 1000000 + 0.5) / 1000000 AS rank FROM r5
+         |ORDER BY node""".stripMargin
+    },
+    // weighted PageRank: identical unroll with w/wdeg walk probabilities
+    // (the multiply-then-divide order mirrors the Spark expression)
+    "graph_pagerank_weighted" -> {
+      val iter = (k: Int) =>
+        s"""r${k + 1} AS (SELECT e.v AS node,
+           |       (SELECT 0.15 / n FROM nn) + 0.85 * sum(r.r * e.w / e.wdeg) AS r
+           |       FROM e JOIN r$k r ON r.node = e.u GROUP BY e.v)""".stripMargin
+      s"""WITH base AS (SELECT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v,
+         |                     count(*) AS w
+         |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |              GROUP BY 1, 2),
+         |sym AS (SELECT u, v, w FROM base UNION ALL SELECT v, u, w FROM base),
+         |dg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM sym GROUP BY u),
+         |e AS (SELECT sym.u, sym.v, sym.w, dg.wdeg FROM sym JOIN dg ON dg.u = sym.u),
          |nn AS (SELECT count(*) AS n FROM dg),
          |r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM dg),
          |${(0 until 5).map(iter).mkString(",\n")}

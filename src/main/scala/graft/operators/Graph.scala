@@ -144,6 +144,56 @@ object Graph {
     out
   }
 
+  /** Weighted customer–supplier trade edges: weight = number of order
+    * lines connecting the pair (trade intensity). Same join as
+    * [[tradeEdges]] with a partial-agg count instead of the distinct.
+    */
+  def weightedTradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(
+        concat(lit("c:"), col("o_custkey")).as("u"),
+        concat(lit("s:"), col("l_suppkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Weighted PageRank: a walker at `u` crosses edge (u, v) with
+    * probability w(u,v) / Σw(u, ·) — rank follows trade VOLUME, not mere
+    * adjacency (a supplier with one huge customer ranks above one with
+    * many trivial ones). Same lazy fixed-iteration loop, broadcast
+    * small-dim regime, and map-side partial-agg collapse as
+    * [[pageRank]]; the edge cache additionally carries (w, wdeg).
+    */
+  def weightedPageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "weightedPageRank needs at least one iteration")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v"), col("u"), col("w")))
+    val wdeg = sym.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+    val (e0, freeE0) = OpCache.checkpointWithHandle(sym.join(wdeg, "u"))
+    val parts = Dedup.ccLoopPartitions(
+      e0.count(), spark.sparkContext.defaultParallelism)
+    val (e, freeE) = OpCache.checkpointWithHandle(
+      e0.repartition(parts, col("u")))
+    freeE0()
+    val n = e.select(col("u")).distinct().count()
+    val teleport = (1.0 - damping) / n
+    val broadcastRanks = n <= 1000000L
+    var ranks = e.select(col("u")).distinct()
+      .select(col("u"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val rhs = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = e.join(rhs, "u")
+        .select(col("v"),
+          (col("rank") * col("w") / col("wdeg")).as("c"))
+      ranks = contribs.groupBy(col("v").as("u"))
+        .agg((lit(teleport) + lit(damping) * sum(col("c"))).as("rank"))
+    }
+    OpCache.defer(spark)(freeE)
+    ranks.select(col("u").as("node"), OracleRound.roundN(col("rank"), 6).as("rank"))
+  }
+
   /** Personalized PageRank (random walk with restart): teleport mass goes
     * only to the `sources` node set, so rank measures proximity TO THE
     * COHORT — the "related suppliers for this customer segment"

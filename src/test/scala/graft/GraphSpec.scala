@@ -47,6 +47,21 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) <= n * 5e-7, s"mass drifted: $total over $n nodes")
   }
 
+  test("weighted PageRank follows trade volume (hand-computed, 1 iter)") {
+    import spark.implicits._
+    // a—b weight 3, a—c weight 1: from uniform 1/3, a routes 3/4 of its
+    // walk mass to b. After 1 iter:
+    // b: 0.05 + 0.85·(1/3·3/4 + 0) = 0.2625; c: 0.05 + 0.85·(1/3·1/4) = 0.120833…
+    // a: 0.05 + 0.85·(1/3·1 + 1/3·1) = 0.616667 (b and c return everything)
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("u", "v", "w")
+    val ranks = Graph.weightedPageRank(e, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks("b") - 0.2625) < 1e-6, s"b: ${ranks("b")}")
+    assert(math.abs(ranks("c") - 0.120833) < 1e-6, s"c: ${ranks("c")}")
+    assert(math.abs(ranks("a") - 0.616667) < 1e-6, s"a: ${ranks("a")}")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-5, s"mass: ${ranks.values.sum}")
+  }
+
   test("personalized PageRank on an edge: source keeps teleport, neighbor gets the walk") {
     import spark.implicits._
     // e = a—b, sources = {a}, 1 iteration from r0(a)=1:

@@ -464,6 +464,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-anomaly sink survives a checkpointed restart and keeps its priors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly-restart").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-anomaly-src").toString
+    def rows(minute: Int, n: Int, typ: String = "click") =
+      (0 until n).map(i => (minute * 1000L + i,
+        Timestamp.valueOf(f"2024-01-01 00:$minute%02d:01"), 1L, typ, 0.0))
+    val schema = rows(0, 1).toDF("event_id", "ts", "user_id", "event_type", "value").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.rateAnomalySink(fileDf,
+        s"$dir/state", s"$dir/out", s"$dir/chk", zThreshold = 3.0)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // first run: three prior windows + a closing tick
+    (rows(0, 9) ++ rows(1, 10) ++ rows(2, 11) ++ rows(10, 1, "tick"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").json(srcDir)
+    runOnce()
+    // RESTART from the same checkpoint: the spike must score against the
+    // priors the previous run's state table accumulated
+    (rows(12, 100) ++ rows(30, 1, "tick"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").json(srcDir)
+    runOnce()
+    val spike = spark.read.parquet(s"$dir/out")
+      .where(org.apache.spark.sql.functions.col("n") === 100).collect()
+    assert(spike.length == 1 && spike.head.getBoolean(5),
+      s"spike not flagged across the restart: ${spike.toSeq}")
+    assert(math.abs(spike.head.getDouble(4) - 110.2275) < 1e-3,
+      s"restart lost the priors: z = ${spike.head.getDouble(4)}")
+  }
+
   test("delivery-level dedup upstream of the join stops double attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -638,6 +638,11 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), hashKeys = false)
         .orderBy("doc_id", "span_start")),
+    // exact-size weight-proportional sample without replacement
+    // (Efraimidis–Spirakis keys, deterministic hash uniforms)
+    "pipeline_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(Tables.documents(s, d), k = 64)
+        .orderBy(col("sample_key").desc, col("doc_id"))),
     // cross-source shingle-overlap matrix: jaccard + both directional
     // containments per source pair (ingest double-count telemetry)
     "pipeline_source_overlap" -> ((s, d) =>
@@ -2741,6 +2746,22 @@ object SparkEntry {
          |FROM y
          |ORDER BY vec_id""".stripMargin
     },
+    // weighted sample: the same md5 52-bit uniform fold, ln-key, 9 dp
+    // pre-rank rounding, and (key desc, doc_id) cut — bit-reproducible
+    "pipeline_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(list_reduce(
+        |           [CAST(strpos('0123456789abcdef',
+        |                        substr(md5('ws:' || doc_id), d, 1)) - 1 AS BIGINT)
+        |            for d in range(1, 14)],
+        |           (a, c) -> a * 16 + c) AS DOUBLE) / 4503599627370496.0 AS uu
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |       floor(ln(greatest(uu, 1e-15)) / n_chars * 1000000000 + 0.5) / 1000000000 AS sample_key
+        |FROM u
+        |ORDER BY sample_key DESC, doc_id
+        |LIMIT 64""".stripMargin,
     // source overlap: string shingles here vs xxhash64 keys in the Spark
     // plan — outputs agree unless a 64-bit collision (decontaminate's
     // documented contract)

@@ -698,6 +698,40 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+    * public literature, method re-derived): each row gets the key
+    * ln(u)/w for a deterministic hash-uniform u ∈ (0,1], and the k
+    * LARGEST keys are exactly a weight-proportional sample without
+    * replacement. The sampling-by-quality/length primitive a curation
+    * pipeline needs where [[mixtureSample]]'s Bernoulli thinning cannot
+    * pin an exact output size.
+    *
+    * Determinism: u folds the first 13 hex digits of
+    * md5(salt:doc_id) into a 52-bit integer (exactly double-
+    * representable — the [[graft.operators.Similarity]] hyperplane
+    * trick), so u, the key, and the selected set reproduce bit-for-bit
+    * on any engine; keys are rounded to 9 dp BEFORE ranking and ties
+    * break on doc_id, making the top-k cut itself order-deterministic.
+    * Scale: map-only keying + `TakeOrderedAndProject` (per-partition
+    * top-k, driver merges k·partitions rows — never a global sort).
+    */
+  def weightedSample(
+      docs: DataFrame, k: Int,
+      weightCol: Column = col("n_chars"),
+      salt: String = "ws"): DataFrame = {
+    val u = conv(substring(
+        md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0)
+    val key = graft.functions.OracleRound.roundN(
+      log(greatest(u, lit(1.0e-15))) / weightCol.cast("double"), 9)
+    docs.where(weightCol > 0)
+      .select(col("doc_id"), weightCol.cast("long").as("weight"),
+        key.as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Cross-source k-shingle overlap matrix: for every source pair that
     * shares at least one shingle, the intersection size, both set sizes,
     * jaccard, and BOTH directional containments — the telemetry that

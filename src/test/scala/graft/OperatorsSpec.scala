@@ -613,6 +613,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample is exact-size, reproducible, and weight-biased") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val k = 20
+    val a = Curation.weightedSample(docs, k).collect()
+    val b = Curation.weightedSample(docs, k).collect()
+    assert(a.length == k, s"expected exactly $k rows, got ${a.length}")
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq,
+      "same salt must reproduce the same sample in the same order")
+    // weight-proportional on a SKEWED synthetic corpus (the testdata's
+    // weights are near-uniform, which carries no bias signal): 10 docs at
+    // weight 5000 among 200 at weight 1 — an unweighted draw of 10 picks
+    // ≈0.5 heavy docs, E-S with these weights picks nearly all of them
+    val skewed = ((0L until 200L).map(i => (i, 1L)) ++
+      (1000L until 1010L).map(i => (i, 5000L))).toDF("doc_id", "n_chars")
+    val heavy = Curation.weightedSample(skewed, 10).collect()
+      .map(_.getLong(0)).count(_ >= 1000L)
+    assert(heavy >= 8, s"only $heavy/10 heavy docs selected — not weight-biased")
+    // a different salt draws a different set
+    val c = Curation.weightedSample(docs, k, salt = "other").collect()
+    assert(c.map(_.getLong(0)).toSet != a.map(_.getLong(0)).toSet,
+      "independent salts should not agree on the full selection")
+  }
+
   test("sourceOverlap rows satisfy the set-algebra bounds") {
     val out = Curation.sourceOverlap(Tables.documents(spark, sf)).collect()
     assert(out.nonEmpty, "testdata sources share no shingles at all?")

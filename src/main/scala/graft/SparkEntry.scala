@@ -679,6 +679,11 @@ object SparkEntry {
       Graph.triangleCounts(
         Graph.copurchaseEdges(Tables.lineitem(s, d)))
         .orderBy("part_key")),
+    // HITS hubs/authorities on the DIRECTED bipartite trade graph
+    "graph_hits" -> ((s, d) =>
+      Graph.hits(
+        Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy("role", "node")),
     // weighted PageRank: walk probability follows trade volume
     // (order-line counts), not mere adjacency
     "graph_pagerank_weighted" -> ((s, d) =>
@@ -2818,6 +2823,29 @@ object SparkEntry {
          |${(0 until 5).map(iter).mkString(",\n")}
          |SELECT node, floor(r * 1000000 + 0.5) / 1000000 AS rank FROM r5
          |ORDER BY node""".stripMargin
+    },
+    // HITS: same fixed 5 rounds of L1-normalized mutual reinforcement;
+    // the normalizers are scalar subqueries (the Spark side's 1-row
+    // broadcast), scores rounded 6 dp at the end only
+    "graph_hits" -> {
+      val round = (k: Int) =>
+        s"""a${k}raw AS (SELECT e.v, sum(h.s) AS x
+           |            FROM e JOIN h${k - 1} h ON h.u = e.u GROUP BY e.v),
+           |a$k AS (SELECT v, x / (SELECT sum(x) FROM a${k}raw) AS s FROM a${k}raw),
+           |h${k}raw AS (SELECT e.u, sum(a.s) AS x
+           |            FROM e JOIN a$k a ON a.v = e.v GROUP BY e.u),
+           |h$k AS (SELECT u, x / (SELECT sum(x) FROM h${k}raw) AS s FROM h${k}raw)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT u, 1.0 / (SELECT count(DISTINCT u) FROM e) AS s
+         |       FROM (SELECT DISTINCT u FROM e)),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT u AS node, 'hub' AS role,
+         |       floor(s * 1000000 + 0.5) / 1000000 AS score FROM h5
+         |UNION ALL
+         |SELECT v AS node, 'authority' AS role,
+         |       floor(s * 1000000 + 0.5) / 1000000 AS score FROM a5
+         |ORDER BY role, node""".stripMargin
     },
     // weighted PageRank: identical unroll with w/wdeg walk probabilities
     // (the multiply-then-divide order mirrors the Spark expression)

@@ -247,6 +247,59 @@ object Graph {
     ranks.select(col("u").as("node"), OracleRound.roundN(col("rank"), 6).as("rank"))
   }
 
+  /** HITS (Kleinberg hubs & authorities) on the DIRECTED bipartite trade
+    * graph: customers are hubs (they "point at" suppliers), suppliers are
+    * authorities. Each round: authority = L1-normalized in-flow of hub
+    * mass, hub = L1-normalized in-flow of authority mass — the mutual-
+    * reinforcement fixpoint that separates "buys from everyone important"
+    * from "sells to everyone important", which degree and PageRank
+    * conflate on a bipartite graph. Fixed `iters` rounds (deterministic,
+    * oracle-replayable), scores rounded to 6 dp at the end only.
+    *
+    * Scale shape: the edge list checkpoints once; each half-round is one
+    * broadcast (node-sized score frame, same measured-n regime as
+    * [[pageRank]]) join + partial-agg sum; the L1 normalizers are
+    * single-row aggregates broadcast back over node-sized frames (the
+    * bounded crossJoin pattern). Output: (node, role ∈ {hub, authority},
+    * score).
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val spark = edges.sparkSession
+    val (e, freeE) = OpCache.checkpointWithHandle(edges.select(col("u"), col("v")))
+    val nHubs = e.select(col("u")).distinct().count()
+    val nNodes = nHubs + e.select(col("v")).distinct().count()
+    val broadcastScores = nNodes <= 1000000L
+    def bc(df: DataFrame): DataFrame = if (broadcastScores) broadcast(df) else df
+    // the raw in-flow frame feeds BOTH the L1 normalizer aggregate and
+    // the division — left lazy, each of the two references re-derives the
+    // whole upstream, QUADRUPLING the plan per round (4^iters copies of
+    // the base join — the first cut hung at sf0.01). The frames are
+    // node-sized, so a per-round lineage cut is cheap and makes each
+    // round read the previous round's cached blocks exactly once.
+    val frees = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    def l1(df: DataFrame, key: String): DataFrame = {
+      val (raw, freeRaw) = OpCache.checkpointWithHandle(df)
+      frees += freeRaw
+      val total = raw.agg(sum(col("x")).as("t"))
+      raw.crossJoin(broadcast(total)).select(col(key), (col("x") / col("t")).as("s"))
+    }
+    var hubs = e.select(col("u")).distinct().select(col("u"), lit(1.0 / nHubs).as("s"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = l1(
+        e.join(bc(hubs), "u").groupBy(col("v")).agg(sum(col("s")).as("x")), "v")
+      hubs = l1(
+        e.join(bc(auths), "v").groupBy(col("u")).agg(sum(col("s")).as("x")), "u")
+    }
+    OpCache.defer(spark)(freeE)
+    frees.foreach(OpCache.defer(spark))
+    hubs.select(col("u").as("node"), lit("hub").as("role"),
+        OracleRound.roundN(col("s"), 6).as("score"))
+      .unionByName(auths.select(col("v").as("node"), lit("authority").as("role"),
+        OracleRound.roundN(col("s"), 6).as("score")))
+  }
+
   /** Undirected part co-purchase edges: parts that appear together in at
     * least one order. Self-join of the distinct (order, part) projection on
     * the order key — per-key fan-out is C(parts-per-order, 2), bounded by

@@ -47,6 +47,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) <= n * 5e-7, s"mass drifted: $total over $n nodes")
   }
 
+  test("HITS on a 3-edge bipartite graph (hand-computed, 1 iter)") {
+    import spark.implicits._
+    // c1→s1, c1→s2, c2→s1 with h0 = 1/2 each:
+    // a_raw: s1 = 1.0, s2 = 0.5 → a: s1 = 2/3, s2 = 1/3
+    // h_raw: c1 = 1.0, c2 = 2/3 → h: c1 = 0.6, c2 = 0.4
+    val e = Seq(("c:1", "s:1"), ("c:1", "s:2"), ("c:2", "s:1")).toDF("u", "v")
+    val out = Graph.hits(e, iters = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("c:1", "hub")) - 0.6) < 1e-6, s"got $out")
+    assert(math.abs(out(("c:2", "hub")) - 0.4) < 1e-6, s"got $out")
+    assert(math.abs(out(("s:1", "authority")) - 2.0 / 3) < 1e-6, s"got $out")
+    assert(math.abs(out(("s:2", "authority")) - 1.0 / 3) < 1e-6, s"got $out")
+    // both score families are L1-normalized distributions
+    assert(math.abs(out.filter(_._1._2 == "hub").values.sum - 1.0) < 1e-6)
+    assert(math.abs(out.filter(_._1._2 == "authority").values.sum - 1.0) < 1e-6)
+  }
+
   test("weighted PageRank follows trade volume (hand-computed, 1 iter)") {
     import spark.implicits._
     // a—b weight 3, a—c weight 1: from uniform 1/3, a routes 3/4 of its

@@ -61,7 +61,10 @@ class PlanSpec extends AnyFunSuite {
     "pipeline_constraint_checks",
     // bm25: the single-row (N, avgdl) corpus-stats aggregate broadcast
     // onto the already-query-filtered postings (same shape as text_tfidf)
-    "text_bm25")
+    "text_bm25",
+    // hits: the per-round L1 normalizers — single-row sum aggregates
+    // cross-joined onto node-sized score frames
+    "graph_hits")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

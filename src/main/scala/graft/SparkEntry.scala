@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, EventPipelines, FunctionSurface, Graph, Incremental, Multimodal, Quality, Relational, Similarity, SqlSurface, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, EventPipelines, FunctionSurface, Graph, Incremental, Multimodal, Quality, Relational, Similarity, SqlSurface, TextAnalysis, TimeSeries}
+import graft.functions.OracleRound
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -698,6 +699,50 @@ object SparkEntry {
         Tables.orders(s, d).where(col("o_custkey") < 10)
           .select(concat(lit("c:"), col("o_custkey")).as("u")).distinct())
         .orderBy("node")),
+    // cluster-balanced diversity sample off the PUBLISHED IVF centroids
+    // (compute-once shared with the ANN serving paths): map-only
+    // assignment + bounded bottom-k per cluster — never a corpus-wide
+    // sort across nlist reducers
+    "pipeline_diverse_sample" -> ((s, d) =>
+      Similarity.diverseSample(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}")
+        .orderBy("cluster", "rank")),
+    // connected components of the support-2 co-purchase graph by
+    // FIXED-iteration min-label propagation (10 rounds — exact CC once
+    // converged, engine-replayable either way; GraphSpec pins convergence)
+    "graph_components" -> ((s, d) =>
+      Graph.components(
+        Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)))
+        .orderBy("part_key")),
+    // ── BPE tokenizer: train / audit / serve ───────────────────────────
+    // the learned merge table (training's audit trail): corpus → ONE word
+    // shuffle, then a vocab-sized 24-round argmax loop; published via
+    // PublishGuard. The oracle RE-DERIVES training round by round.
+    "text_bpe_merges" -> ((s, d) =>
+      Bpe.mergeTable(Tables.documents(s, d), "/tmp/graft_warehouse",
+        s"bpe_${d.split('/').last}").orderBy("rank")),
+    // serving: the merge chain runs once per DISTINCT word (codegen'd
+    // literal replaces), then rejoins the (doc, word) stream
+    "text_bpe_tokenize" -> ((s, d) =>
+      Bpe.tokenizeStats(Tables.documents(s, d), "/tmp/graft_warehouse",
+        s"bpe_${d.split('/').last}").orderBy("doc_id")),
+    // top-20 words with their learned segmentations (pins the actual
+    // subword strings, not just counts)
+    "text_bpe_segments" -> ((s, d) =>
+      Bpe.topSegmentations(Tables.documents(s, d), "/tmp/graft_warehouse",
+        s"bpe_${d.split('/').last}")),
+    // ── time series: resample / gap-fill / rolling / decay ─────────────
+    // calendar spine + LOCF/NOCB/linear interpolation in one window pair
+    // (the carried observation is a (day, value) struct, so interpolation
+    // knows neighbor DISTANCE without a self-join)
+    "ts_interpolate" -> ((s, d) => TimeSeries.dailyInterpolated(s, d)),
+    // rolling 7 calendar days via a RANGE frame over sparse series —
+    // revenue stays integer cents through the window sum (exact math)
+    "ts_rolling_range" -> ((s, d) => TimeSeries.rollingRange(s, d)),
+    // irregular-gap EWMA (1-day half-life): sequential per-key prefix
+    // fold with exact 2^-gap weights — bit-deterministic cross-engine
+    "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2905,6 +2950,231 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM tri)
         |SELECT part_key, count(*) AS triangles FROM v GROUP BY part_key
         |ORDER BY part_key""".stripMargin,
+    // components: the same 10 min-label rounds, materialized per round
+    // (inlining would re-expand the chain); inner joins are sound because
+    // the symmetric edge list gives every labeled node a neighbor
+    "graph_components" -> {
+      val round = (i: Int) =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.u, least(l.lbl, m.nm) AS lbl
+           |  FROM l${i - 1} l JOIN (
+           |    SELECT e.u, min(x.lbl) AS nm
+           |    FROM e JOIN l${i - 1} x ON x.u = e.v GROUP BY e.u) m
+           |  ON m.u = l.u)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pc AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+         |       FROM op a JOIN op b
+         |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |       GROUP BY 1, 2),
+         |ed AS (SELECT p1, p2 FROM pc WHERE w >= 2),
+         |e AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM ed
+         |                   UNION ALL SELECT p2, p1 FROM ed),
+         |l0 AS MATERIALIZED (SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)),
+         |${(1 to 10).map(round).mkString(",\n")}
+         |SELECT u AS part_key, lbl AS component FROM l10
+         |ORDER BY part_key""".stripMargin
+    },
+    // BPE training re-derivation: the SAME 24 rounds — pair counts from
+    // the delimited symbol string, (cnt DESC, a, b) argmax, literal
+    // boundary-anchored replace — because left-to-right non-overlapping
+    // replace IS greedy BPE merge application in both engines
+    "text_bpe_merges" -> {
+      val k = 24
+      // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+      // each round references its predecessor twice — inlining would
+      // expand the 24-round chain exponentially
+      val round = (r: Int) =>
+        s"""p$r AS MATERIALIZED (
+           |  SELECT s[j] AS a, s[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, s, unnest(range(1, len(s))) AS j
+           |        FROM (SELECT freq,
+           |                     list_filter(string_split(ws, '||'), x -> x <> '') AS s
+           |              FROM w${r - 1})
+           |        WHERE len(s) >= 2)
+           |  GROUP BY s[j], s[j+1]),
+           |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT freq, replace(ws,
+           |          '|' || (SELECT a FROM b$r) || '||' || (SELECT b FROM b$r) || '|',
+           |          '|' || (SELECT a FROM b$r) || (SELECT b FROM b$r) || '|') AS ws
+           |        FROM w${r - 1})""".stripMargin
+      val selects = (1 to k).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, " +
+          s"a || b AS merged, cnt AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |wrd AS (SELECT unnest(toks) AS word FROM t),
+         |wc AS (SELECT word, count(*) AS freq FROM wrd WHERE word <> ''
+         |       GROUP BY word HAVING count(*) >= 2),
+         |w0 AS MATERIALIZED (
+         |       SELECT freq, '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS ws
+         |       FROM wc),
+         |${(1 to k).map(round).mkString(",\n")}
+         |$selects
+         |ORDER BY rank""".stripMargin
+    },
+    // BPE serving replay: the merge chain as 24 nested replaces with
+    // patterns read from the PUBLISHED table via scalar subqueries
+    "text_bpe_tokenize" -> {
+      val chain = (1 to 24).foldLeft(
+        "'||' || regexp_replace(word, '(.)', '\\1||', 'g')") { (c, r) =>
+        s"replace($c, (SELECT '|' || lhs || '||' || rhs || '|' FROM m WHERE rank = $r), " +
+          s"(SELECT '|' || merged || '|' FROM m WHERE rank = $r))"
+      }
+      s"""WITH m AS (SELECT rank, lhs, rhs, merged
+         |           FROM read_parquet('/tmp/graft_warehouse/bpe_sf0.01/*.parquet')),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+         |seg AS (SELECT doc_id,
+         |          len(list_filter(string_split($chain, '||'), x -> x <> '')) AS n_syms
+         |        FROM ww)
+         |SELECT doc_id, count(*) AS n_words,
+         |       CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+         |       floor((CAST(sum(n_syms) AS BIGINT) / count(*)) * 1000000 + 0.5)
+         |         / 1000000 AS subword_ratio
+         |FROM seg GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_bpe_segments" -> {
+      val chain = (1 to 24).foldLeft(
+        "'||' || regexp_replace(word, '(.)', '\\1||', 'g')") { (c, r) =>
+        s"replace($c, (SELECT '|' || lhs || '||' || rhs || '|' FROM m WHERE rank = $r), " +
+          s"(SELECT '|' || merged || '|' FROM m WHERE rank = $r))"
+      }
+      s"""WITH m AS (SELECT rank, lhs, rhs, merged
+         |           FROM read_parquet('/tmp/graft_warehouse/bpe_sf0.01/*.parquet')),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+         |wc AS (SELECT word, count(*) AS freq FROM ww GROUP BY word),
+         |top AS (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT 20)
+         |SELECT word, freq,
+         |       array_to_string(list_filter(string_split($chain, '||'), x -> x <> ''), ' ')
+         |         AS segmentation
+         |FROM top ORDER BY freq DESC, word""".stripMargin
+    },
+    // diversity sample replay: the sim_ivf assignment CTEs (published
+    // centroids, same fold, same DESC/DESC tie-break), then the same
+    // fixed-width string key + (key, vec_id) rank order per cluster
+    "pipeline_diverse_sample" ->
+      """WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+        |d AS (SELECT nn.vec_id, c.list_id,
+        |             list_reduce([nn.nv[i] * c.centroid[i]
+        |                          for i in range(1, 1 + len(nn.nv))],
+        |                         (x, y) -> x + y) AS dt
+        |      FROM nn CROSS JOIN c),
+        |b AS (SELECT vec_id, list_id AS cluster, dt FROM (
+        |        SELECT vec_id, list_id, dt,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |r AS (SELECT cluster, vec_id, dt,
+        |        row_number() OVER (PARTITION BY cluster
+        |          ORDER BY lpad(CAST(CAST(floor((1.0 - dt) * 1000000000.0)
+        |                                  AS BIGINT) AS VARCHAR), 10, '0'),
+        |                   vec_id) AS rank
+        |      FROM b)
+        |SELECT cluster, CAST(rank AS INTEGER) AS rank, vec_id,
+        |       floor(dt * 1000000 + 0.5) / 1000000 AS centroid_dot
+        |FROM r WHERE rank <= 4
+        |ORDER BY cluster, rank""".stripMargin,
+    // time series: same spine, same struct-carrying IGNORE NULLS windows,
+    // and the interpolation expression written with the identical IEEE
+    // operation order as the Spark side
+    "ts_interpolate" ->
+      s"""WITH o AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day, o_totalprice
+         |           FROM orders
+         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+         |s AS (SELECT priority, day, count(*) AS n_orders,
+         |             max(o_totalprice) AS v_raw
+         |      FROM o GROUP BY priority, day),
+         |k AS (SELECT DISTINCT priority FROM o),
+         |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+         |                                    DATE '1997-02-28',
+         |                                    INTERVAL 1 DAY))::DATE AS day),
+         |sp AS (SELECT k.priority, d.day FROM k CROSS JOIN d),
+         |b AS (SELECT sp.priority, sp.day, s.n_orders, s.v_raw
+         |      FROM sp LEFT JOIN s ON s.priority = sp.priority AND s.day = sp.day),
+         |w AS (SELECT priority, day, n_orders, v_raw,
+         |        last_value(CASE WHEN v_raw IS NOT NULL
+         |                        THEN {'d': day, 'v': v_raw} END IGNORE NULLS)
+         |          OVER (PARTITION BY priority ORDER BY day
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         |        first_value(CASE WHEN v_raw IS NOT NULL
+         |                         THEN {'d': day, 'v': v_raw} END IGNORE NULLS)
+         |          OVER (PARTITION BY priority ORDER BY day
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+         |      FROM b)
+         |SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+         |       COALESCE(n_orders, 0) AS n_orders,
+         |       ${OracleRound.duck("v_raw", 6)} AS v_raw,
+         |       ${OracleRound.duck("prev.v", 6)} AS v_locf,
+         |       ${OracleRound.duck("nxt.v", 6)} AS v_nocb,
+         |       CASE WHEN v_raw IS NOT NULL THEN ${OracleRound.duck("v_raw", 6)}
+         |            WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+         |              ${OracleRound.duck(
+               "prev.v + (nxt.v - prev.v) * date_diff('day', prev.d, day)" +
+                 " / date_diff('day', prev.d, nxt.d)", 6)}
+         |       END AS v_interp
+         |FROM w ORDER BY priority, day""".stripMargin,
+    "ts_rolling_range" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+        |                  CAST(o_orderdate AS DATE) AS day, o_totalprice
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+        |s AS (SELECT priority, day, count(*) AS n_orders,
+        |             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_cents
+        |      FROM o GROUP BY priority, day),
+        |t AS (SELECT priority, day,
+        |             date_diff('day', DATE '1997-01-01', day) AS d_off,
+        |             n_orders, rev_cents
+        |      FROM s)
+        |SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+        |       rev_cents / 100.0 AS daily_rev,
+        |       CAST(sum(rev_cents) OVER w AS BIGINT) / 100.0 AS roll7_rev,
+        |       CAST(sum(n_orders) OVER w AS BIGINT) AS roll7_orders,
+        |       count(*) OVER w AS roll7_days
+        |FROM t
+        |WINDOW w AS (PARTITION BY priority ORDER BY d_off
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY priority, day""".stripMargin,
+    // EWMA replay: list_reduce uses the first struct as the fold init,
+    // exactly like the Spark aggregate over slice(prefix, 2, n-1) with
+    // element 1 as zero; 2^-gap weights are exact integer shifts
+    "ts_ewma" -> {
+      val foldV = "list_reduce(pfx, (acc, s) -> {'d': s.d, " +
+        "'v': (1.0 / CAST(1::BIGINT << (s.d - acc.d) AS DOUBLE)) * acc.v" +
+        " + (1 - 1.0 / CAST(1::BIGINT << (s.d - acc.d) AS DOUBLE)) * s.v}).v"
+      s"""WITH o AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day, o_totalprice
+         |           FROM orders
+         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+         |s AS (SELECT priority, day, max(o_totalprice) AS v_raw
+         |      FROM o GROUP BY priority, day),
+         |t AS (SELECT priority, day,
+         |             date_diff('day', DATE '1997-01-01', day) AS d_off, v_raw
+         |      FROM s),
+         |p AS (SELECT priority, day, v_raw,
+         |        list_sort(list({'d': d_off, 'v': v_raw})
+         |          OVER (PARTITION BY priority ORDER BY d_off
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pfx
+         |      FROM t)
+         |SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+         |       ${OracleRound.duck("v_raw", 6)} AS v_raw,
+         |       ${OracleRound.duck(foldV, 6)} AS ewma
+         |FROM p ORDER BY priority, day""".stripMargin
+    },
   )
 
   /** Exact word-shingle jaccard pairs (threshold 0.5) — the oracle for

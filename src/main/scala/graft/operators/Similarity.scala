@@ -531,7 +531,7 @@ object Similarity {
     * fingerprint matches the current input — otherwise it falls through
     * to the table logic above.
     */
-  private def publishedArtifact[A](
+  private[operators] def publishedArtifact[A](
       spark: SparkSession,
       path: String,
       paramsKey: String,
@@ -1123,5 +1123,61 @@ object Similarity {
       .reduce(_ + _)
     projected.withColumn("proj_norm",
       graft.functions.OracleRound.roundN(sqrt(normSq), 6))
+  }
+
+  /** Cluster-balanced diversity sample (coreset selection): assign every
+    * corpus vector to its nearest PUBLISHED IVF centroid (the same
+    * artifact the ANN serving paths read — compute-once shared), then
+    * keep the `perCluster` vectors closest to each centroid. The result
+    * covers every region of embedding space instead of oversampling the
+    * dense ones — the embedding-space analog of stratified sampling, used
+    * to pick diverse training subsets or eval probes.
+    *
+    * Scale shape: assignment is map-only (centroids ride as literals in
+    * whole-stage codegen); per-cluster selection uses the bounded
+    * [[graft.functions.BottomKAgg]] aggregate — O(perCluster) state per
+    * cluster folded MAP-SIDE before the exchange — because a
+    * `row_number() OVER (PARTITION BY cluster)` window would sort the
+    * whole corpus across only `nlist` reducers. The descending-dot order
+    * is encoded as a fixed-width zero-padded string key
+    * (`floor((1-dot)·10⁹)`), so string order ≡ numeric order and the
+    * DuckDB oracle replays the exact (key, vec_id) tie-break.
+    */
+  def diverseSample(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      nlist: Int = 16,
+      iters: Int = 3,
+      perCluster: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+    val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("d"),
+        lit(i).as("i"))
+    }: _*))
+    val assigned = OpCache.materialize(e.select(col("vec_id"),
+      best.getField("i").as("cluster"), best.getField("d").as("dt")))
+    val sampled = assigned
+      .select(col("cluster"),
+        lpad(floor((lit(1.0) - col("dt")) * lit(1000000000.0))
+          .cast("long").cast("string"), 10, "0").as("sk"),
+        col("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(expr(s"graft_bottom_k(sk, vec_id, $perCluster)").as("ids"))
+      .select(col("cluster"),
+        posexplode(col("ids")).as(Seq("pos", "vec_id")))
+      .select(col("cluster"), (col("pos") + 1).cast("int").as("rank"),
+        col("vec_id"))
+    // dt lookup for the selected rows: the sampled side is nlist ×
+    // perCluster rows — broadcast it against the corpus-sized frame
+    assigned.join(broadcast(sampled), Seq("vec_id", "cluster"))
+      .select(col("cluster"), col("rank"), col("vec_id"),
+        graft.functions.OracleRound.roundN(col("dt"), 6).as("centroid_dot"))
   }
 }

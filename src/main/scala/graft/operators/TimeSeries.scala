@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.OracleRound
+
+/** Time-series primitives over irregular (gapped) daily series — the
+  * resample / gap-fill / interpolate / rolling-window / decay-average
+  * toolkit a metrics or feature-engineering pipeline needs once events
+  * are bucketed to a calendar.
+  *
+  * Design notes for 100 TB:
+  *   - Every window is PARTITIONED by the series key; no unpartitioned
+  *     (single-reducer) windows anywhere. Series count scales out, series
+  *     LENGTH is bounded by the calendar span (a year of days is 365 rows
+  *     per key), which is what makes per-key windows and per-row prefix
+  *     folds safe at any corpus size.
+  *   - The calendar spine is generated (`sequence`), never read, and is
+  *     broadcast against the (large) key side, so gap-filling adds no
+  *     extra shuffle beyond the per-key aggregation that built the series.
+  *   - Cross-engine determinism: daily aggregates that feed arithmetic
+  *     are either order-independent (`count`, `max`) or snapped to an
+  *     exact integer grid (revenue in CENTS as BIGINT) before any
+  *     summation, so window sums are exact integer math; interpolation
+  *     and EWMA are written as the same IEEE-double expression / the same
+  *     sequential fold in both engines.
+  *
+  * No counterpart in the reference (its only time semantics is the
+  * streaming window of srapk_structure_streaming.py:150-160); this is the
+  * batch-side completion of that axis.
+  */
+object TimeSeries {
+
+  /** Analysis window — intentionally narrow so the per-key series is
+    * visibly gapped at small SFs (sparse series exercise the fill paths).
+    */
+  private val lo = "1997-01-01"
+  private val hi = "1997-02-28"
+
+  private def ordersInWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit("1997-03-01").cast("timestamp"))
+
+  /** Per-(priority, day) base series. `max` (not `avg`/`sum`) is the daily
+    * value so the base is bit-deterministic regardless of aggregation
+    * order; revenue is additionally snapped to integer cents.
+    */
+  private def dailySeries(spark: SparkSession, sfDir: String): DataFrame =
+    ordersInWindow(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("v_raw"),
+        floor(sum(col("o_totalprice")) * 100 + lit(0.5)).cast("long")
+          .as("rev_cents"))
+
+  /** Gap-fill + fill strategies in one pass: the (priority × calendar)
+    * spine left-joins the observed series, then per-key ordered windows
+    * derive last-observation-carried-forward, next-observation-carried-
+    * backward, and exact linear interpolation between the surrounding
+    * observations. Interior nulls get all three; leading/trailing nulls
+    * keep LOCF/NOCB null on the open side (no extrapolation).
+    *
+    * The carried observation is a (day, value) STRUCT through
+    * `last/first(..., ignoreNulls)` so the interpolation knows the
+    * neighbor's distance, not just its value — one window pair, no
+    * self-join against the non-null subset.
+    */
+  def dailyInterpolated(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+    val days = spark.range(1)
+      .select(explode(sequence(
+        lit(lo).cast("date"), lit(hi).cast("date"),
+        expr("interval 1 day"))).as("day"))
+    val keys = ordersInWindow(spark, sfDir)
+      .select(col("o_orderpriority").as("priority")).distinct()
+    // keys is the scale side (unbounded key count); the generated
+    // calendar is constant-size — broadcast it.
+    val spine = keys.crossJoin(broadcast(days))
+    val base = spine.join(series, Seq("priority", "day"), "left")
+
+    val wPrev = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col("v_raw").isNotNull,
+      struct(col("day").as("d"), col("v_raw").as("v")))
+    val prev = last(obs, ignoreNulls = true).over(wPrev)
+    val nxt = first(obs, ignoreNulls = true).over(wNext)
+
+    // identical IEEE expression shape in the oracle:
+    //   prev.v + (nxt.v - prev.v) * datediff / datediff
+    val interp = when(col("v_raw").isNotNull, col("v_raw"))
+      .when(prev.isNotNull && nxt.isNotNull,
+        prev.getField("v") +
+          (nxt.getField("v") - prev.getField("v")) *
+          datediff(col("day"), prev.getField("d")) /
+          datediff(nxt.getField("d"), prev.getField("d")))
+
+    base.select(
+      col("priority"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+      OracleRound.roundN(col("v_raw"), 6).as("v_raw"),
+      OracleRound.roundN(prev.getField("v"), 6).as("v_locf"),
+      OracleRound.roundN(nxt.getField("v"), 6).as("v_nocb"),
+      OracleRound.roundN(interp, 6).as("v_interp"))
+      .orderBy("priority", "day")
+  }
+
+  /** Rolling 7-day revenue per series via a RANGE window over the day
+    * offset — RANGE, not ROWS: the series is sparse, so "the last seven
+    * calendar days" is NOT "the last seven observations". Revenue stays
+    * in integer cents through the window sum (exact associative math),
+    * surfacing as dollars only at the edge.
+    */
+  def rollingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+      .withColumn("d_off", datediff(col("day"), lit(lo).cast("date")))
+    val w7 = Window.partitionBy(col("priority")).orderBy(col("d_off"))
+      .rangeBetween(-6, 0)
+    series.select(
+      col("priority"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      (col("rev_cents") / 100.0).as("daily_rev"),
+      (sum(col("rev_cents")).over(w7) / 100.0).as("roll7_rev"),
+      sum(col("n_orders")).over(w7).as("roll7_orders"),
+      count(lit(1)).over(w7).as("roll7_days"))
+      .orderBy("priority", "day")
+  }
+
+  /** Irregular-gap exponential decay average over the observed (gapped)
+    * series, one-day half-life: with gap g days between consecutive
+    * observations the carry weight is 2^{-g}, i.e.
+    * y_i = w·y_{i-1} + (1-w)·v_i with w = 2^{-gap} — the standard
+    * irregular-spacing EWMA generalization (a day of silence decays
+    * exactly like an observed step). The weight is computed as
+    * 1.0 / (1L << gap) — an exact power of two — rather than `pow`,
+    * because `pow` is only 1-ulp-accurate and its last bit differs
+    * between libm implementations; integer shift + division is
+    * bit-identical in every engine.
+    *
+    * The running value is a SEQUENTIAL fold over the per-key prefix
+    * (sorted (d_off, v) structs collected by an ordered per-key window,
+    * folded with `aggregate`), so both engines associate identically and
+    * the result is bit-deterministic. Per-row prefix folding is O(L²) in
+    * the series length — safe here because L is calendar-bounded (≤ 59);
+    * an unbounded-history production variant would keep the same fold but
+    * run it once per key in a single ordered pass (or checkpoint the
+    * running state, as the streaming stats sink does).
+    */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+      .withColumn("d_off", datediff(col("day"), lit(lo).cast("date")))
+    val wPrefix = Window.partitionBy(col("priority")).orderBy(col("d_off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // explicit array_sort: struct ordering is (d_off, v) lexicographic and
+    // d_off is unique per key, so the fold order is pinned, not inherited
+    // from frame iteration order.
+    val prefix = array_sort(
+      collect_list(struct(col("d_off").as("d"), col("v_raw").as("v")))
+        .over(wPrefix))
+    val folded = aggregate(
+      slice(prefix, lit(2), greatest(size(prefix) - 1, lit(0))),
+      element_at(prefix, 1),
+      (acc, s) => {
+        val w = lit(1.0) /
+          call_function("shiftleft", lit(1L),
+            s.getField("d") - acc.getField("d")).cast("double")
+        struct(s.getField("d").as("d"),
+          (w * acc.getField("v") + (lit(1.0) - w) * s.getField("v")).as("v"))
+      })
+    series.select(
+      col("priority"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      OracleRound.roundN(col("v_raw"), 6).as("v_raw"),
+      OracleRound.roundN(folded.getField("v"), 6).as("ewma"))
+      .orderBy("priority", "day")
+  }
+}

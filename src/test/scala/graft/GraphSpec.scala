@@ -145,4 +145,35 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(h === Map(("c", 2L) -> 1L, ("c", 1L) -> 1L, ("s", 2L) -> 1L, ("s", 1L) -> 1L), s"got $h")
   }
+
+  test("components: hand-built graph, exact components at the query's iteration count") {
+    import spark.implicits._
+    // two components {1,2,3} (path) and {7,8}; 9-10-11 chained to stress
+    // multi-hop label travel
+    val e = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 10L), (10L, 11L), (9L, 11L))
+      .toDF("p1", "p2")
+    val got = Graph.components(e, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L), s"got $got")
+  }
+
+  test("components on the real basket graph: converged at 10 iterations and edge-consistent") {
+    val edges = Graph.copurchaseEdgesSupported(Tables.lineitem(spark, sf))
+    val at10 = Graph.components(edges, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at13 = Graph.components(edges, iters = 13).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // converged: more rounds change nothing — so the fixed-round labeling
+    // IS the true component labeling on this data
+    assert(at10 === at13, "10 min-label rounds have not converged on testdata")
+    // every edge joins two nodes of the same component, and each label is
+    // the minimum id of its member set
+    edges.collect().foreach { r =>
+      assert(at10(r.getLong(0)) === at10(r.getLong(1)), s"edge $r crosses components")
+    }
+    at10.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min === lbl, s"component $lbl label is not its min id")
+    }
+  }
 }

@@ -231,4 +231,32 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(17) == rounded, s"norm mismatch for vec ${r.getLong(0)}")
     }
   }
+
+  test("diverse sample: per-cluster caps, rank = descending centroid dot, bottom-k plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-diverse").toString
+    val emb = Tables.embeddings(spark, sf)
+    val df = Similarity.diverseSample(emb, dir, "ivf_diverse_spec", perCluster = 4)
+
+    // the 100 TB shape: per-cluster selection folds through the bounded
+    // imperative aggregate, NOT a row_number window over nlist partitions
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bottom_k"), s"bottom-k agg missing:\n$plan")
+    assert(!plan.contains("row_number"), s"window rank crept in:\n$plan")
+
+    val rows = df.collect()
+    val byCluster = rows.groupBy(_.getInt(0))
+    assert(byCluster.nonEmpty && byCluster.values.forall(_.length <= 4))
+    byCluster.foreach { case (c, rs) =>
+      // ranks are 1..n and centroid_dot is non-increasing along them
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to rs.length), s"ranks in $c")
+      val dots = sorted.map(_.getDouble(3))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a + 1e-9 >= b },
+        s"dots not ordered in cluster $c: ${dots.toSeq}")
+    }
+    // selected ids are distinct across the whole sample (a vector belongs
+    // to exactly one cluster)
+    val ids = rows.map(_.getLong(2))
+    assert(ids.distinct.length == ids.length)
+  }
 }

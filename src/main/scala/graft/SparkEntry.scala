@@ -587,6 +587,10 @@ object SparkEntry {
     // forward direction: earliest order AT/after each event
     "join_asof_next_order" -> ((s, d) =>
       AsOfJoin.eventsToNextOrder(s, d).orderBy("event_id")),
+    // nearest direction (completes the as-of trio): both carries in one
+    // pass, smaller second-granularity gap wins, backward breaks ties
+    "join_asof_nearest_order" -> ((s, d) =>
+      AsOfJoin.eventsToNearestOrder(s, d).orderBy("event_id")),
     "agg_order_stats" -> ((s, d) => Relational.orderStats(s, d)),
     "fn_array" -> ((s, d) => FunctionSurface.arrayFunctions(s, d).orderBy("vec_id")),
     "fn_datetime" -> ((s, d) => FunctionSurface.datetimeFunctions(s, d)),
@@ -715,6 +719,12 @@ object SparkEntry {
       Graph.components(
         Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)))
         .orderBy("part_key")),
+    // Count-Min sketch vs exact: one bounded-state custom-aggregate pass
+    // (depth×width longs) beside the exact per-term shuffle; md5 buckets
+    // make the SKETCH itself oracle-replayable
+    "text_cms_freq" -> ((s, d) =>
+      TextAnalysis.cmsTermFrequencies(Tables.documents(s, d))
+        .orderBy(col("exact").desc, col("term"))),
     // ── BPE tokenizer: train / audit / serve ───────────────────────────
     // the learned merge table (training's audit trail): corpus → ONE word
     // shuffle, then a vocab-sized 24-round argmax loop; published via
@@ -2627,6 +2637,39 @@ object SparkEntry {
         |ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    // nearest as-of: DuckDB's native ASOF run once per direction
+    // (backward inclusive, forward strict — matching the Spark union's
+    // (t, side) sort), joined on event and arbitrated by the same
+    // second-granularity gap comparison
+    "join_asof_nearest_order" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, min(o_orderkey) AS ok
+        |           FROM orders GROUP BY o_custkey, o_orderdate),
+        |b AS (SELECT e.event_id, e.user_id, e.ts, o.ok AS bok, o.o_orderdate AS bot
+        |      FROM events e ASOF LEFT JOIN o
+        |        ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP >= o.o_orderdate),
+        |f AS (SELECT e.event_id, o.ok AS fok, o.o_orderdate AS fot
+        |      FROM events e ASOF LEFT JOIN o
+        |        ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP < o.o_orderdate),
+        |j AS (SELECT b.event_id, b.user_id,
+        |             bok, fok,
+        |             date_diff('second', bot, b.ts::TIMESTAMP) AS gp,
+        |             date_diff('second', b.ts::TIMESTAMP, fot) AS gn
+        |      FROM b JOIN f ON f.event_id = b.event_id)
+        |SELECT event_id, user_id,
+        |       CASE WHEN bok IS NULL AND fok IS NULL THEN NULL
+        |            WHEN fok IS NULL THEN bok
+        |            WHEN bok IS NULL THEN fok
+        |            WHEN gp <= gn THEN bok ELSE fok END AS nearest_orderkey,
+        |       CASE WHEN bok IS NULL AND fok IS NULL THEN NULL
+        |            WHEN fok IS NULL THEN 'backward'
+        |            WHEN bok IS NULL THEN 'forward'
+        |            WHEN gp <= gn THEN 'backward' ELSE 'forward' END AS direction,
+        |       CASE WHEN bok IS NULL AND fok IS NULL THEN NULL
+        |            WHEN fok IS NULL THEN gp
+        |            WHEN bok IS NULL THEN gn
+        |            WHEN gp <= gn THEN gp ELSE gn END AS gap_seconds
+        |FROM j
+        |ORDER BY event_id""".stripMargin,
     "pipeline_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang,
         |                  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
@@ -2873,16 +2916,23 @@ object SparkEntry {
     // the normalizers are scalar subqueries (the Spark side's 1-row
     // broadcast), scores rounded 6 dp at the end only
     "graph_hits" -> {
+      // every per-round CTE is MATERIALIZED: each is referenced twice
+      // (values + its own normalizer) and chains to the previous round,
+      // so plain (inlined) CTEs expand the edge join 2^rounds times —
+      // ~1000 re-scans by round 5 (observed as a ~1 h oracle on a slow
+      // box; the same exponential-inlining trap as text_bpe_merges)
       val round = (k: Int) =>
-        s"""a${k}raw AS (SELECT e.v, sum(h.s) AS x
+        s"""a${k}raw AS MATERIALIZED (SELECT e.v, sum(h.s) AS x
            |            FROM e JOIN h${k - 1} h ON h.u = e.u GROUP BY e.v),
-           |a$k AS (SELECT v, x / (SELECT sum(x) FROM a${k}raw) AS s FROM a${k}raw),
-           |h${k}raw AS (SELECT e.u, sum(a.s) AS x
+           |a$k AS MATERIALIZED (SELECT v, x / (SELECT sum(x) FROM a${k}raw) AS s FROM a${k}raw),
+           |h${k}raw AS MATERIALIZED (SELECT e.u, sum(a.s) AS x
            |            FROM e JOIN a$k a ON a.v = e.v GROUP BY e.u),
-           |h$k AS (SELECT u, x / (SELECT sum(x) FROM h${k}raw) AS s FROM h${k}raw)""".stripMargin
-      s"""WITH e AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+           |h$k AS MATERIALIZED (SELECT u, x / (SELECT sum(x) FROM h${k}raw) AS s FROM h${k}raw)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |           SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
          |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |h0 AS (SELECT u, 1.0 / (SELECT count(DISTINCT u) FROM e) AS s
+         |h0 AS MATERIALIZED (
+         |       SELECT u, 1.0 / (SELECT count(DISTINCT u) FROM e) AS s
          |       FROM (SELECT DISTINCT u FROM e)),
          |${(1 to 5).map(round).mkString(",\n")}
          |SELECT u AS node, 'hub' AS role,
@@ -2973,6 +3023,30 @@ object SparkEntry {
          |${(1 to 10).map(round).mkString(",\n")}
          |SELECT u AS part_key, lbl AS component FROM l10
          |ORDER BY part_key""".stripMargin
+    },
+    // CMS replay: the counter matrix rebuilt as three md5-bucket GROUP
+    // BYs (the same 52-bit hex-prefix fold as the JVM aggregate), point
+    // estimates as the same 3-way least
+    "text_cms_freq" -> {
+      val bucket = (d: Int, ref: String) =>
+        s"CAST(list_reduce([CAST(strpos('0123456789abcdef', " +
+          s"substr(md5('cms$d:' || $ref), h, 1)) - 1 AS BIGINT) " +
+          s"for h in range(1, 14)], (a, c) -> a * 16 + c) AS BIGINT) % 256"
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS term FROM t),
+         |ww AS (SELECT term FROM w WHERE term <> ''),
+         |ex AS (SELECT term, count(*) AS exact FROM ww GROUP BY term),
+         |top AS (SELECT term, exact FROM ex ORDER BY exact DESC, term LIMIT 20),
+         |${(0 until 3).map(d =>
+             s"b$d AS (SELECT ${bucket(d, "term")} AS b, count(*) AS c FROM ww GROUP BY 1)")
+             .mkString(",\n")}
+         |SELECT top.term, top.exact, least(c0.c, c1.c, c2.c) AS cms_est,
+         |       least(c0.c, c1.c, c2.c) - top.exact AS overcount
+         |FROM top
+         |JOIN b0 c0 ON c0.b = ${bucket(0, "top.term")}
+         |JOIN b1 c1 ON c1.b = ${bucket(1, "top.term")}
+         |JOIN b2 c2 ON c2.b = ${bucket(2, "top.term")}
+         |ORDER BY top.exact DESC, top.term""".stripMargin
     },
     // BPE training re-derivation: the SAME 24 rounds — pair counts from
     // the delimited symbol string, (cnt DESC, a, b) argmax, literal

@@ -17,6 +17,14 @@ object GraftFunctions {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms",
+      exprs => {
+        require(exprs.length == 3, "graft_cms(key, depth, width)")
+        CountMinAgg(exprs.head, literalK(exprs(1)), literalK(exprs(2)))
+          .toAggregateExpression()
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k",
       exprs => {
         require(exprs.length == 3, "graft_bottom_k(key, value, k)")

@@ -418,14 +418,17 @@ object Graph {
     * the rounds instead of running reachability (whose pair set is
     * O(n·|component|) — infeasible on a graph with a giant component).
     *
-    * Same loop regime as [[pageRank]]: edge blocks checkpointed once and
+    * Same loop regime as [[pageRank]] — edge blocks checkpointed once and
     * pre-partitioned, the node-sized label frame broadcast below the
-    * measured threshold, rounds chained lazily with periodic lineage
-    * cuts, per-round neighbor-min collapsing map-side before its
-    * exchange.
+    * measured threshold, per-round neighbor-min collapsing map-side before
+    * its exchange — EXCEPT the checkpoint cadence: each round's broadcast
+    * EXECUTES its lazy prefix, so at 10 rounds a long-lazy chain re-runs
+    * earlier rounds quadratically (measured at sf0.1: 12.7 s cutting
+    * every 8 rounds, 6.2 s every 2, 4.2 s every round — PageRank at 5
+    * rounds sits below the crossover, 10 rounds is well past it).
     */
   def components(
-      edges: DataFrame, iters: Int = 10, checkpointEvery: Int = 8): DataFrame = {
+      edges: DataFrame, iters: Int = 10, checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, "components needs at least one iteration")
     val spark = edges.sparkSession
     val sym = edges.select(col("p1").as("u"), col("p2").as("v"))

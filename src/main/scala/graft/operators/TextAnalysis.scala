@@ -400,6 +400,50 @@ object TextAnalysis {
     * and [[tfidf]]: one explode plus one (doc_id, term) partial-agg
     * shuffle.
     */
+  /** Hash-row `d`'s CMS bucket as a column expression — the same md5
+    * 52-bit-prefix derivation as [[graft.functions.CountMinAgg.bucket]]
+    * (one definition, three engines: JVM aggregate, Spark column, DuckDB
+    * hex fold).
+    */
+  private def cmsBucketCol(d: Int, term: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"cms$d:"), term)), 1, 13), 16, 10)
+      .cast("long") % width
+
+  /** Count-Min-sketched term frequencies, checked against exact counts:
+    * ONE bounded-state pass ([[graft.functions.CountMinAgg]], depth×width
+    * longs of aggregate state) builds the sketch; the matrix (a bounded
+    * driver pull, like the IVF centroids) then serves point estimates as
+    * literal-array lookups inside codegen. Output: the `topK` most
+    * frequent terms with exact count, CMS estimate, and the overcount
+    * est−exact (structurally ≥ 0 — CMS never undercounts; the DuckDB
+    * oracle rebuilds the same counters by md5-bucket GROUP BY and matches
+    * the estimates exactly).
+    *
+    * At 100 TB the point is the shape: the exact side needs a per-term
+    * shuffle, the sketch side is ONE map-side-folded aggregate whose
+    * state never grows — the frequency summary you keep when the key
+    * space doesn't fit anywhere.
+    */
+  def cmsTermFrequencies(
+      docs: DataFrame, depth: Int = 3, width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val terms = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val counters = terms
+      .select(expr(s"graft_cms(term, $depth, $width)").as("c"))
+      .head.getAs[scala.collection.Seq[Long]]("c")
+    val est = (0 until depth).map { d =>
+      val row = typedLit(counters.slice(d * width, (d + 1) * width).toSeq)
+      element_at(row, (cmsBucketCol(d, col("term"), width) + 1).cast("int"))
+    }.reduce(least(_, _))
+    terms.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(topK)
+      .select(col("term"), col("exact"), est.as("cms_est"),
+        (est - col("exact")).as("overcount"))
+  }
+
   private def termFrequencies(docs: DataFrame): DataFrame =
     graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))

@@ -965,4 +965,55 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming Count-Min sink: each micro-batch's term stream folds
+    * through the bounded [[graft.functions.CountMinAgg]] into ONE
+    * counter-array row, landed as a replay-idempotent `batch_id=N`
+    * partition (same design as [[incrementalStatsSink]] — foreachBatch is
+    * at-least-once, the dynamic overwrite makes it exactly-once at the
+    * table). The CMS monoid (element-wise add) is what makes the state
+    * mergeable across batches with no rescan: the merged matrix equals
+    * the sketch of the whole history, exactly (StreamOpsSpec proves the
+    * identity). An empty batch lands an all-zero row — the monoid
+    * identity — rather than skipping (the batch-id sequence stays dense
+    * for the continuation guard). Per-batch state is depth×width longs
+    * regardless of batch size; readers estimate any key's frequency over
+    * the FULL stream history from a constant-size table.
+    */
+  def cmsSink(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      depth: Int = 3,
+      width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        batch
+          .select(explode(
+            graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+          .where(length(col("term")) > 0)
+          .select(expr(s"graft_cms(term, $depth, $width)").as("counters"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** Merge-on-read for [[cmsSink]]'s state: element-wise sum across the
+    * batch rows — depth×width result rows, a bounded frame whatever the
+    * stream's history length.
+    */
+  def readCmsCounters(
+      spark: SparkSession, stateDir: String): Array[Long] =
+    spark.read.parquet(stateDir)
+      .select(posexplode(col("counters")).as(Seq("i", "c")))
+      .groupBy(col("i")).agg(sum(col("c")).as("c"))
+      .orderBy(col("i"))
+      .collect().map(_.getLong(1))
 }

@@ -665,4 +665,42 @@ class OperatorsSpec extends AnyFunSuite {
       assert(df >= 2, s"minDf leaked: $term df=$df")
     }
   }
+
+  test("nearest as-of equals brute force over the user's orders, backward on ties") {
+    val nearest = AsOfJoin.eventsToNearestOrder(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val orders = Tables.orders(spark, sf)
+      // o_orderdate may arrive NTZ: route through session-tz timestamp
+      // (UTC session → value-identical) before the epoch-seconds cast
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").cast("long"), col("o_orderkey"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        // min-id per (cust, time): the operator's dedup convention
+        (k, rs.groupBy(_.getLong(1)).map { case (t, g) =>
+          (t, g.map(_.getLong(2)).min)
+        }.toSeq)
+      }
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long"))
+      .collect()
+    assert(events.nonEmpty && nearest.size === events.length)
+    events.foreach { e =>
+      val (eid, uid, ts) = (e.getLong(0), e.getLong(1), e.getLong(2))
+      val got = nearest(eid)
+      orders.get(uid).map(_.map { case (t, okMin) => (math.abs(t - ts), t, okMin) }) match {
+        case None | Some(Seq()) =>
+          assert(got.isNullAt(2), s"event $eid matched with no orders")
+        case Some(cands) =>
+          // smallest gap; ties prefer backward (t <= ts); then the
+          // deduped min order id — mirror of the operator's contract
+          val best = cands.minBy { case (gap, t, ok) => (gap, t > ts, ok) }
+          assert(got.getLong(4) === best._1, s"event $eid gap")
+          assert(got.getLong(2) === best._3, s"event $eid orderkey")
+          assert(got.getString(3) === (if (best._2 <= ts) "backward" else "forward"),
+            s"event $eid direction")
+      }
+    }
+  }
 }

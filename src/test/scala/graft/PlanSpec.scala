@@ -64,7 +64,10 @@ class PlanSpec extends AnyFunSuite {
     "text_bm25",
     // hits: the per-round L1 normalizers — single-row sum aggregates
     // cross-joined onto node-sized score frames
-    "graph_hits")
+    "graph_hits",
+    // ts_interpolate: the generated 59-row calendar spine broadcast
+    // against the (unbounded) key side — constant-size build at any SF
+    "ts_interpolate")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

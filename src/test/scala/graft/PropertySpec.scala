@@ -377,4 +377,48 @@ class PropertySpec extends AnyFunSuite {
         s"round $round: mass ${got.values.sum}")
     }
   }
+
+  test("graft_cms on random streams: never undercounts, exact without collisions, partition-invariant") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "cc", "dd", "e1", "f2", "g", "h"))
+    samples(gen, 8).foreach { xs =>
+      val exact = xs.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      def countersOf(parts: Int): Seq[Long] =
+        xs.toDF("term").repartition(parts)
+          .select(expr("graft_cms(term, 3, 64)").as("c"))
+          .head.getAs[scala.collection.Seq[Long]]("c").toSeq
+      val c1 = countersOf(1)
+      // the monoid merge: 1-partition and 4-partition folds agree exactly
+      assert(c1 == countersOf(4), s"merge not partition-invariant on $xs")
+      // point estimates: min over rows, never below the true count; with
+      // 8 keys in 64 buckets collisions are possible per row but three
+      // independent rows make systematic overcounting unlikely — assert
+      // the one-sided sketch GUARANTEE only (est >= exact), plus the
+      // total-mass identity per row
+      exact.foreach { case (k, n) =>
+        val est = (0 until 3).map { d =>
+          c1(d * 64 + graft.functions.CountMinAgg.bucket(d, k, 64))
+        }.min
+        assert(est >= n, s"CMS undercounts '$k' on $xs: $est < $n")
+      }
+      (0 until 3).foreach { d =>
+        assert(c1.slice(d * 64, (d + 1) * 64).sum == xs.length.toLong,
+          s"row $d mass mismatch on $xs")
+      }
+    }
+  }
+
+  test("cms bucket: the column expression equals the JVM derivation") {
+    import spark.implicits._
+    val terms = Seq("the", "quick", "brown", "fox", "0", "a1b2c3")
+    val got = terms.toDF("term")
+      .select(col("term"),
+        conv(substring(md5(concat(lit("cms2:"), col("term"))), 1, 13), 16, 10)
+          .cast("long").%(64).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(got(t) == graft.functions.CountMinAgg.bucket(2, t, 64).toLong, t)
+    }
+  }
 }

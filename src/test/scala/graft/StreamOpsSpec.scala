@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, explode, expr, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
@@ -144,6 +145,50 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(StreamOps.readRunningStats(spark, s"$dir/state_c").collect().toSeq
       === directOver(b0 ++ b1 ++ b2),
       "compacted state must read back identical to the partitioned state")
+  }
+
+  test("cms sink: merged counters equal the whole-history sketch, across a restart") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cms-src").toString
+    val b0 = Seq((1L, "the cat sat"), (2L, "the dog"))
+    val b1 = Seq((3L, "the cat ran far"))
+    val b2 = Seq((4L, "dog dog dog"))
+    val schema = b0.toDF("doc_id", "text").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.cmsSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def directCms(rows: Seq[(Long, String)]): Seq[Long] =
+      rows.toDF("doc_id", "text")
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+        .select(expr("graft_cms(term, 3, 256)").as("c"))
+        .head.getAs[scala.collection.Seq[Long]]("c").toSeq
+
+    b0.toDF("doc_id", "text").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("doc_id", "text").write.mode("append").json(srcDir)
+    runOnce() // restart continues the batch-id sequence
+    assert(StreamOps.readCmsCounters(spark, s"$dir/state").toSeq
+      === directCms(b0 ++ b1),
+      "merged batch sketches must equal the whole-history sketch")
+    b2.toDF("doc_id", "text").write.mode("append").json(srcDir)
+    runOnce()
+    val merged = StreamOps.readCmsCounters(spark, s"$dir/state")
+    assert(merged.toSeq === directCms(b0 ++ b1 ++ b2),
+      "post-restart merge must fold new batches onto the surviving state")
+    // point estimates over the merged history never undercount
+    val terms = (b0 ++ b1 ++ b2).flatMap(_._2.split(" "))
+    terms.distinct.foreach { t =>
+      val exact = terms.count(_ == t).toLong
+      val est = (0 until 3).map { d =>
+        merged(d * 256 + graft.functions.CountMinAgg.bucket(d, t, 256))
+      }.min
+      assert(est >= exact, s"merged CMS undercounts '$t'")
+    }
   }
 
   test("constraint report sink lands a per-batch DQ time series") {

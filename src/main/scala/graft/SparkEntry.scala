@@ -719,6 +719,11 @@ object SparkEntry {
       Graph.components(
         Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)))
         .orderBy("part_key")),
+    // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
+    // sketches, every 7-day window a union of 7 sketches (distinct
+    // counts don't add; registers merge) — exact side is the gate only
+    "agg_rolling_distinct_hll" -> ((s, d) =>
+      Relational.rollingDistinctUsersHll(s, d)),
     // Count-Min sketch vs exact: one bounded-state custom-aggregate pass
     // (depth×width longs) beside the exact per-term shuffle; md5 buckets
     // make the SKETCH itself oracle-replayable
@@ -3024,6 +3029,21 @@ object SparkEntry {
          |SELECT u AS part_key, lbl AS component FROM l10
          |ORDER BY part_key""".stripMargin
     },
+    // rolling HLL: exact windowed distinct replayed; the sketch estimate
+    // is engine-specific, so it rides the pinned tolerance boolean
+    // (the approx_distinct_users convention)
+    "agg_rolling_distinct_hll" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM e),
+        |c AS (SELECT unnest([day + CAST(i AS INTEGER) for i in range(0, 7)]) AS wday,
+        |             user_id
+        |      FROM e)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |       count(DISTINCT c.user_id) AS exact_users_7d,
+        |       TRUE AS hll_within_tol
+        |FROM c JOIN d ON c.wday = d.day
+        |GROUP BY d.day
+        |ORDER BY day""".stripMargin,
     // CMS replay: the counter matrix rebuilt as three md5-bucket GROUP
     // BYs (the same 52-bit hex-prefix fold as the JVM aggregate), point
     // estimates as the same 3-way least

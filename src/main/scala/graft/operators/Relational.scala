@@ -1095,4 +1095,48 @@ object Relational {
         ntile(4).over(w).as("quartile"))
       .orderBy("o_orderkey")
   }
+
+  /** Rolling 7-day distinct users via MERGEABLE HLL sketches — the
+    * pattern that makes sliding-window distinct counts feasible at scale:
+    * distinct counts don't add (Σ per-day distincts overcounts returning
+    * users), but HLL registers MERGE, so the corpus is scanned ONCE into
+    * per-day sketches and every window is a union of 7 tiny sketches.
+    * The exact side (re-deduplicating (window, user) for every window —
+    * 7× the pair volume through a distinct agg) is computed here only as
+    * the verification gate; at 100 TB it is precisely what you can no
+    * longer afford, and the sketch path is what remains.
+    *
+    * Sketch VALUES are engine-specific, so (same convention as
+    * `approx_distinct_users`) the hash-compared output carries the exact
+    * count plus a boolean pinning the estimate within the published
+    * HLL tolerance (lgK=12 → rsd ≈ 1.6%; gate at 3×rsd ≈ 5%).
+    */
+  def rollingDistinctUsersHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val observed = e.select(col("day")).distinct()
+      .select(col("day").as("wday"))
+    // each day's (pairs, sketch) contribute to windows d .. d+6
+    val daySketch = e.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daySketch
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+        col("sk"))
+      .join(observed, Seq("wday"))
+      .groupBy(col("wday"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = e
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+        col("user_id"))
+      .join(observed, Seq("wday"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("exact_users_7d"))
+    exact.join(est, Seq("wday"))
+      .select(
+        date_format(col("wday"), "yyyy-MM-dd").as("day"),
+        col("exact_users_7d"),
+        (abs(col("est") - col("exact_users_7d")).cast("double") /
+          col("exact_users_7d") <= 0.05).as("hll_within_tol"))
+      .orderBy("day")
+  }
 }

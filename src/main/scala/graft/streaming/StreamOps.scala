@@ -1016,4 +1016,43 @@ object StreamOps {
       .groupBy(col("i")).agg(sum(col("c")).as("c"))
       .orderBy(col("i"))
       .collect().map(_.getLong(1))
+
+  /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
+    * per event type as a replay-idempotent `batch_id=N` partition.
+    * Distinct counts are the canonical NON-additive statistic — per-batch
+    * counts cannot be summed because a user may appear in many batches —
+    * but HLL registers merge by max, so the state table stays
+    * (types × batches) sketch rows and [[readDistinctUsers]] answers
+    * whole-history distinct counts without ever rescanning the stream.
+    * Merging batch sketches is EXACTLY the sketch of the full history
+    * (register-max is order- and partition-insensitive), so a restart
+    * replay changes nothing (StreamOpsSpec proves both identities).
+    */
+  def hllSink(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        batch.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** Merge-on-read for [[hllSink]]: per event type, the union of all
+    * batch sketches, estimated. Bounded work: (types × batches) rows in,
+    * types rows out.
+    */
+  def readDistinctUsers(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"))
 }

@@ -191,6 +191,45 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll sink: merged batch sketches equal the whole-history sketch, across a restart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-hll-src").toString
+    val b0 = Seq(("click", 1L), ("click", 2L), ("purchase", 1L))
+    val b1 = Seq(("click", 2L), ("click", 3L)) // user 2 returns: counts must NOT add
+    val b2 = Seq(("purchase", 9L), ("click", 1L))
+    val schema = b0.toDF("event_type", "user_id").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.hllSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def direct(rows: Seq[(String, Long)]): Map[String, Long] =
+      rows.toDF("event_type", "user_id")
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    b0.toDF("event_type", "user_id").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("event_type", "user_id").write.mode("append").json(srcDir)
+    runOnce() // restart continues the batch-id sequence
+    def merged(): Map[String, Long] =
+      StreamOps.readDistinctUsers(spark, s"$dir/state")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged() === direct(b0 ++ b1),
+      "merged batch sketches must equal the whole-history sketch")
+    b2.toDF("event_type", "user_id").write.mode("append").json(srcDir)
+    runOnce()
+    assert(merged() === direct(b0 ++ b1 ++ b2),
+      "post-restart union must fold new batches onto the surviving state")
+    // at these cardinalities the sketch is in exact (sparse) range:
+    // returning user 2 must not double-count
+    val exact = (b0 ++ b1 ++ b2).groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2).distinct.length.toLong }
+    assert(merged() === exact, "distinct counts added instead of merging")
+  }
+
   test("constraint report sink lands a per-batch DQ time series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

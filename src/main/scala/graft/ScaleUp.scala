@@ -82,7 +82,20 @@ object ScaleUp {
     li.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
 
-    println(s"[scaleup] wrote ${factor}x documents+embeddings+orders+lineitem to $outDir")
+    // events for the behavioral/HLL/as-of smokes: replica k shifts the
+    // user and event-id key spaces into disjoint blocks — user counts,
+    // funnels, transitions, and per-day distinct users all grow linearly
+    // (shifting only event_id would instead give every user 10× history,
+    // which changes per-user window depth rather than corpus breadth)
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("__k"))
+      .withColumn("event_id", col("event_id") * factor + k)
+      .withColumn("user_id", col("user_id") * factor + k)
+      .drop("__k")
+    ev.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+
+    println(s"[scaleup] wrote ${factor}x documents+embeddings+orders+lineitem+events to $outDir")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, EventPipelines, FunctionSurface, Graph, Incremental, Multimodal, Quality, Relational, Similarity, SqlSurface, TextAnalysis, TimeSeries}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, EventPipelines, FunctionSurface, Graph, Incremental, Multimodal, Quality, Relational, Sequence, Similarity, SqlSurface, TextAnalysis, TimeSeries}
 import graft.functions.OracleRound
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -719,6 +719,13 @@ object SparkEntry {
       Graph.components(
         Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)))
         .orderBy("part_key")),
+    // ── sequence / behavioral analytics ────────────────────────────────
+    // earliest-path funnel: one filtered per-user min-agg per step
+    // chained by joins — never a per-user event list
+    "events_funnel" -> ((s, d) => Sequence.funnel(s, d)),
+    // first-order transition matrix: per-user ordered lead + one
+    // partial-agg; the normalizer windows over the 5×5 matrix only
+    "events_transitions" -> ((s, d) => Sequence.transitions(s, d)),
     // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
     // sketches, every 7-day window a union of 7 sketches (distinct
     // counts don't add; registers merge) — exact side is the gate only
@@ -3029,6 +3036,53 @@ object SparkEntry {
          |SELECT u AS part_key, lbl AS component FROM l10
          |ORDER BY part_key""".stripMargin
     },
+    // funnel: identical progressive-min chain; mean gaps as exact
+    // integer-second sums ÷ counts (never a float-order avg)
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+        |       FROM e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, min(e.ts) AS t3
+        |       FROM e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id, s2.t1),
+        |a1 AS (SELECT count(*) AS n1 FROM s1),
+        |a2 AS (SELECT count(*) AS n2,
+        |              CAST(sum(date_diff('second', t1, t2)) AS BIGINT) AS sg2 FROM s2),
+        |a3 AS (SELECT count(*) AS n3,
+        |              CAST(sum(date_diff('second', t1, t3)) AS BIGINT) AS sg3 FROM s3)
+        |SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+        |       floor(1.0 * 1000000 + 0.5) / 1000000 AS conversion,
+        |       CAST(NULL AS DOUBLE) AS avg_gap_seconds
+        |FROM a1
+        |UNION ALL
+        |SELECT 2, 'click', n2,
+        |       floor((CAST(n2 AS DOUBLE) / n1) * 1000000 + 0.5) / 1000000,
+        |       floor((CAST(sg2 AS DOUBLE) / n2) * 1000000 + 0.5) / 1000000
+        |FROM a2 CROSS JOIN a1
+        |UNION ALL
+        |SELECT 3, 'purchase', n3,
+        |       floor((CAST(n3 AS DOUBLE) / n1) * 1000000 + 0.5) / 1000000,
+        |       floor((CAST(sg3 AS DOUBLE) / n3) * 1000000 + 0.5) / 1000000
+        |FROM a3 CROSS JOIN a1
+        |ORDER BY step""".stripMargin,
+    "events_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id
+        |                                         ORDER BY ts, event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |       floor((CAST(n AS DOUBLE) /
+        |              (sum(n) OVER (PARTITION BY from_type))) * 1000000 + 0.5)
+        |         / 1000000 AS p
+        |FROM c
+        |ORDER BY from_type, to_type""".stripMargin,
     // rolling HLL: exact windowed distinct replayed; the sketch estimate
     // is engine-specific, so it rides the pinned tolerance boolean
     // (the approx_distinct_users convention)

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.OracleRound
+
+/** Ordered-sequence (behavioral) analytics over the event stream —
+  * funnels and transition structure. The category's trap at scale is
+  * per-user event lists (collect + sort per user: a power user with 10⁷
+  * events breaks the executor); both operators here stay in
+  * partial-agg/window land:
+  *   - the funnel is a chain of (filter → per-user min → join) steps —
+  *     one bounded shuffle per funnel STEP, never a per-user list;
+  *   - transitions use one per-user ordered window (`lead`), which
+  *     sorts within the shuffle partition like any windowed agg.
+  *
+  * No counterpart in the reference (its event handling stops at windowed
+  * counts, srapk_structure_streaming.py:150-160).
+  */
+object Sequence {
+
+  /** Funnel analysis: of the users who did `steps(0)`, how many went on
+    * to do `steps(1)` strictly later, then `steps(2)` strictly later
+    * still — with per-step user counts, conversion vs the funnel top,
+    * and the mean seconds from first step. Semantics: progressive
+    * EARLIEST qualifying times (t₁ = min time of step 1; tₖ = min time
+    * of step k after tₖ₋₁) — the standard "earliest path" funnel, which
+    * is deterministic and engine-replayable.
+    *
+    * Shape: one filtered per-user min-agg per step, each joined to the
+    * previous step's frame (shuffles on user_id, co-located when the
+    * event table is bucketed by user). The final assembly cross-joins
+    * three SINGLE-ROW aggregates (constant-size — the documented-bounded
+    * BNLJ family) and explodes to one row per step. Gaps are integer
+    * seconds (exact sums), so the mean is deterministic cross-engine.
+    */
+  def funnel(
+      spark: SparkSession, sfDir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.length == 3, "funnel() is specified for 3 steps")
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.where(col("event_type") === steps(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.where(col("event_type") === steps(1))
+      .join(s1, Seq("user_id"))
+      .where(col("ts") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+    val s3 = e.where(col("event_type") === steps(2))
+      .join(s2, Seq("user_id"))
+      .where(col("ts") > col("t2"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t3"))
+
+    def gap(later: String) =
+      col(later).cast("long") - col("t1").cast("long")
+    // mean gap as exact-integer sum ÷ count (Spark's avg() over longs
+    // folds DOUBLES in partition order — not cross-engine-stable)
+    val a1 = s1.agg(count(lit(1)).as("n1"))
+    val a2 = s2.agg(count(lit(1)).as("n2"), sum(gap("t2")).as("sg2"))
+      .withColumn("g2", col("sg2").cast("double") / col("n2"))
+    val a3 = s3.agg(count(lit(1)).as("n3"), sum(gap("t3")).as("sg3"))
+      .withColumn("g3", col("sg3").cast("double") / col("n3"))
+    val one = a1.crossJoin(a2).crossJoin(a3)
+    val rows = array(
+      struct(lit(1).as("step"), lit(steps(0)).as("event_type"),
+        col("n1").as("n_users"),
+        lit(1.0).as("conversion"),
+        lit(null).cast("double").as("avg_gap_seconds")),
+      struct(lit(2).as("step"), lit(steps(1)).as("event_type"),
+        col("n2").as("n_users"),
+        (col("n2").cast("double") / col("n1")).as("conversion"),
+        col("g2").as("avg_gap_seconds")),
+      struct(lit(3).as("step"), lit(steps(2)).as("event_type"),
+        col("n3").as("n_users"),
+        (col("n3").cast("double") / col("n1")).as("conversion"),
+        col("g3").as("avg_gap_seconds")))
+    one.select(explode(rows).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.n_users"),
+        OracleRound.roundN(col("r.conversion"), 6).as("conversion"),
+        OracleRound.roundN(col("r.avg_gap_seconds"), 6).as("avg_gap_seconds"))
+      .orderBy("step")
+  }
+
+  /** First-order transition matrix of the event stream: for every
+    * consecutive (by time, event_id tie-break) pair of one user's
+    * events, count (from_type → to_type) and the row-conditional
+    * probability P(next | current). One per-user ordered window + one
+    * partial-agg shuffle; the normalizing window runs over the
+    * TYPE×TYPE matrix (25 rows), not the stream.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      OracleRound.roundN(
+        col("n").cast("double") / sum(col("n")).over(wRow), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+}

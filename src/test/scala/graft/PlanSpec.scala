@@ -67,7 +67,10 @@ class PlanSpec extends AnyFunSuite {
     "graph_hits",
     // ts_interpolate: the generated 59-row calendar spine broadcast
     // against the (unbounded) key side — constant-size build at any SF
-    "ts_interpolate")
+    "ts_interpolate",
+    // events_funnel: three SINGLE-ROW per-step aggregates cross-joined
+    // for the final 3-row assembly — constant-size at any SF
+    "events_funnel")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sequence
+
+/** Invariants for the sequence-analytics operators (the DuckDB oracle
+  * pins exact values at sf0.01; these pin semantics).
+  */
+class SequenceSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  test("funnel on real data: monotone counts, conversion vs top, step-1 exact") {
+    val rows = Sequence.funnel(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    val ns = rows.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel widened: ${ns.toSeq}")
+    assert(rows(0).getDouble(3) === 1.0 && rows(0).isNullAt(4))
+    // step-1 count is exactly the distinct users with a 'view'
+    val expect = graft.engine.Tables.events(spark, sf)
+      .where(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(ns(0) === expect)
+    // conversions consistent with the counts
+    rows.drop(1).foreach { r =>
+      val want = math.floor(r.getLong(2).toDouble / ns(0) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) === want, s"conversion at step ${r.getInt(0)}")
+    }
+  }
+
+  test("funnel semantics on a hand-built stream: strict ordering enforced") {
+    import spark.implicits._
+    // user 1: full ordered path; user 2: click BEFORE view (must not
+    // convert past step 1); user 3: view only
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      (1L, 1L, "view", "2020-01-01 00:00:00"),
+      (2L, 1L, "click", "2020-01-01 00:10:00"),
+      (3L, 1L, "purchase", "2020-01-01 00:20:00"),
+      (4L, 2L, "click", "2020-01-01 00:00:00"),
+      (5L, 2L, "view", "2020-01-01 00:05:00"),
+      (6L, 3L, "view", "2020-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_s").cast("timestamp").as("ts"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Sequence.funnel(spark, dir).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(3L, 1L, 1L),
+      rows.mkString(", "))
+    assert(rows(1).getDouble(4) === 600.0) // 10 min view→click
+    assert(rows(2).getDouble(4) === 1200.0) // 20 min view→purchase
+  }
+
+  test("transitions: rows are conditional distributions and pair counts match brute force") {
+    val rows = Sequence.transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"row $from sums to $psum")
+    }
+    // total transition count = events − users with ≥1 event
+    val e = graft.engine.Tables.events(spark, sf)
+    val expectTotal = e.count() - e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expectTotal)
+  }
+}

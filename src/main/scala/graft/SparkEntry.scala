@@ -726,6 +726,9 @@ object SparkEntry {
     // first-order transition matrix: per-user ordered lead + one
     // partial-agg; the normalizer windows over the 5×5 matrix only
     "events_transitions" -> ((s, d) => Sequence.transitions(s, d)),
+    // cohort retention: first-event-day cohorts × week offsets, all
+    // partial-agg; offset-0 counts ARE the cohort sizes
+    "events_retention" -> ((s, d) => Sequence.retention(s, d)),
     // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
     // sketches, every 7-day window a union of 7 sketches (distinct
     // counts don't add; registers merge) — exact side is the gate only
@@ -3083,6 +3086,24 @@ object SparkEntry {
         |         / 1000000 AS p
         |FROM c
         |ORDER BY from_type, to_type""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |act AS (SELECT DISTINCT ch.cohort_day,
+        |               CAST(floor(date_diff('day', ch.cohort_day, e.day) / 7)
+        |                    AS INTEGER) AS week_offset,
+        |               e.user_id
+        |        FROM e JOIN ch ON ch.user_id = e.user_id),
+        |c AS (SELECT cohort_day, week_offset, count(*) AS n_active
+        |      FROM act GROUP BY cohort_day, week_offset),
+        |sz AS (SELECT cohort_day, n_active AS cohort_size
+        |       FROM c WHERE week_offset = 0)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       c.week_offset, c.n_active, sz.cohort_size,
+        |       floor((CAST(c.n_active AS DOUBLE) / sz.cohort_size) * 1000000 + 0.5)
+        |         / 1000000 AS retention
+        |FROM c JOIN sz ON sz.cohort_day = c.cohort_day
+        |ORDER BY cohort_day, week_offset""".stripMargin,
     // rolling HLL: exact windowed distinct replayed; the sketch estimate
     // is engine-specific, so it rides the pinned tolerance boolean
     // (the approx_distinct_users convention)

@@ -84,6 +84,43 @@ object Sequence {
       .orderBy("step")
   }
 
+  /** Cohort retention matrix: users are cohorted by FIRST-event day;
+    * for each (cohort, week offset), the count of cohort members active
+    * that week and the share of the cohort they represent. The classic
+    * product-analytics table, in pure partial-agg form:
+    *   - cohort assignment is one per-user min-agg (shuffle on user,
+    *     co-located when events are bucketed by user);
+    *   - activity is a distinct over (cohort, user, offset) — partial
+    *     aggregation collapses each user's events per week BEFORE the
+    *     exchange;
+    *   - the normalizing join runs on the (cohorts × offsets) matrix,
+    *     not the stream, and offset-0 counts ARE the cohort sizes
+    *     (every user is active in their own first week by definition).
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = e.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("int")
+          .as("week_offset"),
+        col("user_id"))
+      .distinct()
+    val counts = active.groupBy(col("cohort_day"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = counts.where(col("week_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    counts.join(sizes, Seq("cohort_day"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        OracleRound.roundN(
+          col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   /** First-order transition matrix of the event stream: for every
     * consecutive (by time, event_id tie-break) pair of one user's
     * events, count (from_type → to_type) and the row-conditional

@@ -59,6 +59,27 @@ class SequenceSpec extends AnyFunSuite {
     assert(rows(2).getDouble(4) === 1200.0) // 20 min view→purchase
   }
 
+  test("retention: offset-0 is the full cohort, counts are non-increasing nowhere above size") {
+    val rows = Sequence.retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (cd, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(1) === 0, s"cohort $cd missing offset 0")
+      val size = sorted.head.getLong(3)
+      assert(sorted.head.getLong(2) === size, s"cohort $cd: offset 0 != size")
+      assert(sorted.head.getDouble(4) === 1.0)
+      sorted.foreach { r =>
+        assert(r.getLong(2) <= size, s"cohort $cd offset ${r.getInt(1)} exceeds size")
+        assert(r.getLong(3) === size)
+      }
+    }
+    // cohort sizes partition the user base exactly
+    val users = graft.engine.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.head.getLong(3)).sum === users)
+  }
+
   test("transitions: rows are conditional distributions and pair counts match brute force") {
     val rows = Sequence.transitions(spark, sf).collect()
     assert(rows.nonEmpty)

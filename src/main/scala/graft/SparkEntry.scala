@@ -374,6 +374,21 @@ object SparkEntry {
             sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue"))
         .orderBy("l_linestatus")),
+    // manifest-pruned scan: the file list is planned from the per-file
+    // min/max MANIFEST table (O(files) metadata, one read — the
+    // Iceberg/Delta planning shape), the exact predicate re-applied as
+    // the residual; reads the same clustered table, different month
+    "pipeline_manifest_scan" -> ((s, d) => {
+      val (table, mdir) = manifestLineitemDirs(s, d)
+      graft.engine.Layout.manifestPrunedRead(
+        s, table, mdir, "l_shipdate", "1996-06-01", "1996-07-01")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.functions.OracleRound.round2(
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("l_linestatus")
+    }),
     "pipeline_pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     // sharded form: partitioned window → one prefix-sum reducer per source
@@ -2072,6 +2087,17 @@ object SparkEntry {
          |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
          |  AND l_shipdate < TIMESTAMP '1995-04-01'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // manifest scan: the oracle reads the ORIGINAL table with the same
+    // filter — manifest planning that lost or duplicated a file fails
+    // the compare
+    "pipeline_manifest_scan" ->
+      s"""SELECT l_linestatus,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${graft.functions.OracleRound.duck("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+         |  AND l_shipdate < TIMESTAMP '1996-07-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_knn_label" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label,
@@ -3402,6 +3428,20 @@ object SparkEntry {
       graft.engine.Layout.clusteredWrite(
         Tables.lineitem(s, d), "l_shipdate", dst, nFiles = 16)
       dst
+    })
+
+  /** Per-file min/max manifest over the clustered lineitem table
+    * ([[clusteredLineitemDir]] — compute-once shared), memoized per sf
+    * dir: pipeline_manifest_scan plans its file list from this table.
+    */
+  private val manifestLineitemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def manifestLineitemDirs(s: SparkSession, d: String): (String, String) =
+    manifestLineitemCache.computeIfAbsent(d, _ => {
+      val table = clusteredLineitemDir(s, d)
+      val mdir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+      graft.engine.Layout.buildManifest(s, table, "l_shipdate", mdir)
+      (table, mdir)
     })
 
   /** Z-ordered lineitem rewrite (Layout.zorderWrite on l_shipdate ×

@@ -242,4 +242,50 @@ object Layout {
     */
   def evolvedRead(spark: SparkSession, dirs: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+
+  /** Build a per-file statistics MANIFEST over an already-written table:
+    * one row per physical file with (file_path, min, max, n_rows) of
+    * `statCol`, derived in one scan via the `_metadata.file_path` hidden
+    * column. This is the lakehouse metadata layer in miniature
+    * (Iceberg/Delta keep exactly this table): parquet footers already
+    * carry per-file min/max, but the READER must still open every footer
+    * to learn them — O(files) round-trips per query on object storage.
+    * A manifest moves that knowledge into ONE table read at planning
+    * time, and it works for any engine, not just footers-aware ones.
+    * Returns the manifest's file count.
+    */
+  def buildManifest(
+      spark: SparkSession, tableDir: String, statCol: String,
+      manifestDir: String): Long = {
+    val stats = spark.read.parquet(tableDir)
+      .groupBy(col("_metadata.file_path").as("file_path"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+    stats.coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    spark.read.parquet(manifestDir).count()
+  }
+
+  /** Manifest-pruned range read: plan the file list from the MANIFEST
+    * (files whose [min, max] intersects [lo, hi)), then read only those
+    * files, with the exact predicate re-applied as the residual filter —
+    * pruning is an optimization, never a semantics change. The driver
+    * pull is FILE PATHS ONLY (planning-time metadata, the same thing any
+    * table format's driver materializes); data never moves through the
+    * driver. An empty qualifying set short-circuits to an empty frame of
+    * the table's schema without touching data files.
+    */
+  def manifestPrunedRead(
+      spark: SparkSession, tableDir: String, manifestDir: String,
+      statCol: String, lo: String, hi: String): DataFrame = {
+    val loTs = lit(lo).cast("timestamp")
+    val hiTs = lit(hi).cast("timestamp")
+    val files = spark.read.parquet(manifestDir)
+      .where(col("max_v") >= loTs && col("min_v") < hiTs)
+      .select(col("file_path"))
+      .collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(tableDir).where(lit(false))
+      else spark.read.parquet(files: _*)
+    base.where(col(statCol) >= loTs && col(statCol) < hiTs)
+  }
 }

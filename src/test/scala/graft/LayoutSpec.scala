@@ -164,4 +164,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"),
       s"pushdown lost under mergeSchema:\n$plan")
   }
+
+  test("manifest: covers every file, prunes the planned list, read equals direct filter") {
+    val table = java.nio.file.Files.createTempDirectory("graft-mtable").toString
+    val mdir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val li = Tables.lineitem(spark, sf)
+    val wrote = Layout.clusteredWrite(li, "l_shipdate", table, nFiles = 16)
+    val nFiles = Layout.buildManifest(spark, table, "l_shipdate", mdir)
+    val manifest = spark.read.parquet(mdir).collect()
+    // the manifest accounts for every file and every row exactly
+    assert(manifest.length === nFiles && nFiles >= 8)
+    assert(manifest.map(_.getLong(3)).sum === wrote)
+
+    val (lo, hi) = ("1995-03-01", "1995-04-01")
+    // planning prunes: few files qualify on the clustered table
+    // (counted through the same column exprs the reader uses — the
+    // manifest may carry NTZ timestamps depending on the writer)
+    val qualifying = spark.read.parquet(mdir)
+      .where(col("max_v") >= lit(lo).cast("timestamp") &&
+        col("min_v") < lit(hi).cast("timestamp"))
+      .count()
+    assert(qualifying < nFiles / 2,
+      s"manifest planned $qualifying of $nFiles files — no pruning")
+    // and the pruned read is EXACTLY the direct filtered read
+    val pruned = Layout.manifestPrunedRead(
+      spark, table, mdir, "l_shipdate", lo, hi)
+    val direct = li.where(
+      col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") < lit(hi).cast("timestamp"))
+    assert(pruned.count() === direct.count())
+    assert(pruned.agg(sum(col("l_orderkey")).as("s")).collect().head.getLong(0)
+      === direct.agg(sum(col("l_orderkey")).as("s")).collect().head.getLong(0))
+    // an empty range short-circuits to an empty frame with the schema
+    val empty = Layout.manifestPrunedRead(
+      spark, table, mdir, "l_shipdate", "2050-01-01", "2050-02-01")
+    assert(empty.isEmpty && empty.columns.contains("l_orderkey"))
+  }
 }

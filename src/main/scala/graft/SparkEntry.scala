@@ -582,6 +582,9 @@ object SparkEntry {
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
     "sql_graft_dot" -> ((s, d) => SqlSurface.sqlDotProducts(s, d)),
+    // both custom TypedImperativeAggregates through pure spark.sql —
+    // the registration path, constant-folded md5 bucket indexes in SQL
+    "sql_graft_sketches" -> ((s, d) => SqlSurface.sqlSketchSurface(s, d)),
     "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
     // deliberately-skewed shuffle join, salted: results must be identical
     // to the plain join (the salt is a physical-plan rewrite only)
@@ -3130,6 +3133,33 @@ object SparkEntry {
         |         / 1000000 AS retention
         |FROM c JOIN sz ON sz.cohort_day = c.cohort_day
         |ORDER BY cohort_day, week_offset""".stripMargin,
+    // SQL sketch surface: CMS estimates replayed as filtered counts on
+    // the constant buckets of 'the'; the bottom-k sample as the 3
+    // smallest (md5, id) per source
+    "sql_graft_sketches" -> {
+      val bucket = (d: Int, ref: String) =>
+        s"CAST(list_reduce([CAST(strpos('0123456789abcdef', " +
+          s"substr(md5('cms$d:' || $ref), h, 1)) - 1 AS BIGINT) " +
+          s"for h in range(1, 14)], (a, c) -> a * 16 + c) AS BIGINT) % 256"
+      s"""WITH w AS (SELECT source, unnest($duckToks) AS term
+         |           FROM documents),
+         |ww AS (SELECT source, term FROM w WHERE term <> ''),
+         |cms AS (SELECT source, count(*) AS n_terms,
+         |               least(
+         |                 count(*) FILTER (WHERE ${bucket(0, "term")} = ${bucket(0, "'the'")}),
+         |                 count(*) FILTER (WHERE ${bucket(1, "term")} = ${bucket(1, "'the'")}),
+         |                 count(*) FILTER (WHERE ${bucket(2, "term")} = ${bucket(2, "'the'")}))
+         |                 AS est_the,
+         |               count(*) FILTER (WHERE term = 'the') AS exact_the
+         |        FROM ww GROUP BY source),
+         |samp AS (SELECT source,
+         |                (list(doc_id ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id))[1:3]
+         |                  AS sample_ids
+         |         FROM documents GROUP BY source)
+         |SELECT c.source, c.n_terms, c.est_the, c.exact_the, s.sample_ids
+         |FROM cms c JOIN samp s ON s.source = c.source
+         |ORDER BY c.source""".stripMargin
+    },
     // rolling HLL: exact windowed distinct replayed; the sketch estimate
     // is engine-specific, so it rides the pinned tolerance boolean
     // (the approx_distinct_users convention)

@@ -52,6 +52,42 @@ object SqlSurface {
         |  ON a.vec_id < b.vec_id AND a.vec_id < 5 AND b.vec_id < 5
         |ORDER BY vec_a, vec_b""".stripMargin)
 
+  /** Both custom AGGREGATES driven purely through `spark.sql` — the
+    * registration path (`GraftFunctions.register`), not the Column API:
+    * per source, the Count-Min estimate of the term "the" (bucket
+    * indexes computed IN SQL by the same md5-prefix fold, constant-
+    * folded by Catalyst) beside its exact count, plus a deterministic
+    * 3-doc `graft_bottom_k` sample. Proves the TypedImperativeAggregates
+    * resolve, aggregate, and serialize from the SQL surface.
+    */
+  def sqlSketchSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    // flat index into the depth×width matrix: row offset d·256, then the
+    // md5-prefix bucket, then +1 for 1-based element_at
+    def idx(d: Int) =
+      s"CAST(${d * 256} + CAST(conv(substr(md5('cms$d:the'), 1, 13), 16, 10) AS BIGINT) % 256 + 1 AS INT)"
+    sql(spark, sfDir,
+      s"""WITH w AS (
+         |  SELECT source, t.term
+         |  FROM documents
+         |  LATERAL VIEW explode(
+         |    split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')) t AS term
+         |  WHERE length(t.term) > 0),
+         |cms AS (
+         |  SELECT source, count(*) AS n_terms,
+         |         least(element_at(graft_cms(term, 3, 256), ${idx(0)}),
+         |               element_at(graft_cms(term, 3, 256), ${idx(1)}),
+         |               element_at(graft_cms(term, 3, 256), ${idx(2)})) AS est_the,
+         |         count_if(term = 'the') AS exact_the
+         |  FROM w GROUP BY source),
+         |samp AS (
+         |  SELECT source,
+         |         graft_bottom_k(md5(CAST(doc_id AS STRING)), doc_id, 3) AS sample_ids
+         |  FROM documents GROUP BY source)
+         |SELECT c.source, c.n_terms, c.est_the, c.exact_the, s.sample_ids
+         |FROM cms c JOIN samp s ON s.source = c.source
+         |ORDER BY c.source""".stripMargin)
+  }
+
   /** HLL approximate distinct (approx_count_distinct) next to the exact
     * count — the approximation target the oracle can't mirror exactly, so
     * ApproxSpec bounds its relative error instead.

@@ -72,13 +72,21 @@ object SqlSurface {
          |  LATERAL VIEW explode(
          |    split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')) t AS term
          |  WHERE length(t.term) > 0),
-         |cms AS (
+         |agg AS (
+         |  -- aggregate the sketch ONCE per group; the three lookups are
+         |  -- projections over it (three graft_cms calls would each keep
+         |  -- their own matrix and hash the stream three times)
          |  SELECT source, count(*) AS n_terms,
-         |         least(element_at(graft_cms(term, 3, 256), ${idx(0)}),
-         |               element_at(graft_cms(term, 3, 256), ${idx(1)}),
-         |               element_at(graft_cms(term, 3, 256), ${idx(2)})) AS est_the,
+         |         graft_cms(term, 3, 256) AS c,
          |         count_if(term = 'the') AS exact_the
          |  FROM w GROUP BY source),
+         |cms AS (
+         |  SELECT source, n_terms,
+         |         least(element_at(c, ${idx(0)}),
+         |               element_at(c, ${idx(1)}),
+         |               element_at(c, ${idx(2)})) AS est_the,
+         |         exact_the
+         |  FROM agg),
          |samp AS (
          |  SELECT source,
          |         graft_bottom_k(md5(CAST(doc_id AS STRING)), doc_id, 3) AS sample_ids

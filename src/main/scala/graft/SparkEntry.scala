@@ -747,6 +747,11 @@ object SparkEntry {
     // cohort retention: first-event-day cohorts × week offsets, all
     // partial-agg; offset-0 counts ARE the cohort sizes
     "events_retention" -> ((s, d) => Sequence.retention(s, d)),
+    // Kaplan-Meier signup→purchase survival with right-censoring at
+    // last activity; life table bounded by the calendar, product folded
+    // in ascending-day order (oracle folds the identical sequence)
+    "events_survival" -> ((s, d) =>
+      Sequence.survivalCurve(s, d).orderBy("duration_days")),
     // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
     // sketches, every 7-day window a union of 7 sketches (distinct
     // counts don't add; registers merge) — exact side is the gate only
@@ -3115,6 +3120,49 @@ object SparkEntry {
         |         / 1000000 AS p
         |FROM c
         |ORDER BY from_type, to_type""".stripMargin,
+    // KM survival: at-risk via exclusive cumulative sums (exact integer
+    // math); the survival product as a per-row prefix fold over
+    // duration-sorted factors — list_reduce's first-element init and
+    // left-to-right multiply reproduce the Spark driver fold exactly
+    "events_survival" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |t0 AS (SELECT user_id, min(ts) AS t0 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |cv AS (SELECT e.user_id, min(e.ts) AS tp
+        |       FROM e JOIN t0 ON t0.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+        |       GROUP BY e.user_id),
+        |ld AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day
+        |       FROM e GROUP BY user_id),
+        |b AS (SELECT t0.user_id,
+        |        CASE WHEN cv.tp IS NOT NULL
+        |             THEN date_diff('day', CAST(t0.t0 AS DATE), CAST(cv.tp AS DATE))
+        |             ELSE date_diff('day', CAST(t0.t0 AS DATE), ld.last_day)
+        |        END AS duration,
+        |        CASE WHEN cv.tp IS NOT NULL THEN 1 ELSE 0 END AS event
+        |      FROM t0 JOIN ld ON ld.user_id = t0.user_id
+        |      LEFT JOIN cv ON cv.user_id = t0.user_id),
+        |km AS (SELECT duration, CAST(sum(event) AS BIGINT) AS d,
+        |              CAST(sum(1 - event) AS BIGINT) AS c
+        |       FROM b GROUP BY duration),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM km),
+        |w AS (SELECT duration, d, c,
+        |        (SELECT n FROM tot) - COALESCE(CAST(sum(d + c) OVER (
+        |           ORDER BY duration
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |          AS at_risk
+        |      FROM km),
+        |w2 AS (SELECT duration, d, c, at_risk,
+        |         list_sort(list({'t': duration,
+        |                         'f': 1 - CAST(d AS DOUBLE) / at_risk})
+        |           OVER (ORDER BY duration
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pfx
+        |       FROM w)
+        |SELECT CAST(duration AS INTEGER) AS duration_days, at_risk,
+        |       d AS events, c AS censored,
+        |       floor(list_reduce([x.f for x in pfx], (a, b) -> a * b)
+        |             * 1000000 + 0.5) / 1000000 AS survival
+        |FROM w2 ORDER BY duration_days""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |ch AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

@@ -121,6 +121,59 @@ object Sequence {
       .orderBy("cohort_day", "week_offset")
   }
 
+  /** Kaplan–Meier survival curve for signup → first purchase: each
+    * signed-up user contributes either an EVENT at their conversion lag
+    * (days from signup to first strictly-later purchase) or a CENSORING
+    * at their last observed activity — the standard right-censored
+    * time-to-event estimator, S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ).
+    *
+    * Everything per-user is distributed partial-agg work (three min/max
+    * aggs + two joins on user). The KM life table itself is bounded by
+    * the CALENDAR (≤ one row per distinct lag day), so it is pulled to
+    * the driver — the same bounded-pull contract as the centroid/merge
+    * tables — where the survival product folds in ascending-day order;
+    * the DuckDB oracle folds the identical factor sequence with
+    * `list_reduce` (first-element init), so values match bit-for-bit
+    * before the 6 dp output rounding. No unpartitioned window anywhere.
+    */
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t0 = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val conv = e.where(col("event_type") === "purchase")
+      .join(t0, Seq("user_id"))
+      .where(col("ts") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val lastDay = e.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"))
+    val base = t0.join(lastDay, Seq("user_id"))
+      .join(conv, Seq("user_id"), "left")
+      .select(
+        when(col("tp").isNotNull,
+          datediff(to_date(col("tp")), to_date(col("t0"))))
+          .otherwise(datediff(col("last_day"), to_date(col("t0"))))
+          .as("duration"),
+        when(col("tp").isNotNull, lit(1)).otherwise(lit(0)).as("event"))
+    val km = base.groupBy(col("duration"))
+      .agg(sum(col("event")).as("d"),
+        sum(lit(1) - col("event")).as("c"))
+      .orderBy(col("duration"))
+      .collect() // bounded: ≤ one row per distinct lag day (calendar span)
+    var atRisk = km.map(r => r.getLong(1) + r.getLong(2)).sum
+    var s = 1.0
+    val rows = km.map { r =>
+      val (t, d, c) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val n = atRisk
+      s = s * (1.0 - d.toDouble / n.toDouble)
+      atRisk -= (d + c)
+      (t, n, d, c, math.floor(s * 1e6 + 0.5) / 1e6)
+    }
+    import spark.implicits._
+    rows.toSeq
+      .toDF("duration_days", "at_risk", "events", "censored", "survival")
+  }
+
   /** First-order transition matrix of the event stream: for every
     * consecutive (by time, event_id tie-break) pair of one user's
     * events, count (from_type → to_type) and the row-conditional

@@ -80,6 +80,39 @@ class SequenceSpec extends AnyFunSuite {
     assert(byCohort.values.map(_.head.getLong(3)).sum === users)
   }
 
+  test("survival: KM invariants — telescoping risk set, monotone curve, exact product") {
+    val rows = Sequence.survivalCurve(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.nonEmpty)
+    // at-risk starts at the signed-up population and telescopes down by
+    // that day's events + censorings
+    val signups = graft.engine.Tables.events(spark, sf)
+      .where(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(1) === signups)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) === a.getLong(1) - a.getLong(2) - a.getLong(3),
+          s"risk set breaks at duration ${b.getInt(0)}")
+      case _ =>
+    }
+    // the curve is non-increasing within [0, 1], and each row's value is
+    // the running product of (1 - d/n) recomputed imperatively
+    var s = 1.0
+    var prev = 1.0
+    rows.foreach { r =>
+      s *= (1.0 - r.getLong(2).toDouble / r.getLong(1).toDouble)
+      val rounded = math.floor(s * 1e6 + 0.5) / 1e6
+      val got = r.getDouble(4)
+      assert(got === rounded, s"survival at ${r.getInt(0)}")
+      assert(got >= 0.0 && got <= prev + 1e-12)
+      prev = got
+    }
+    // every duration consumed: the last risk set empties exactly
+    val last = rows.last
+    assert(last.getLong(1) - last.getLong(2) - last.getLong(3) === 0L)
+  }
+
   test("transitions: rows are conditional distributions and pair counts match brute force") {
     val rows = Sequence.transitions(spark, sf).collect()
     assert(rows.nonEmpty)

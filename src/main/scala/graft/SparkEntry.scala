@@ -763,6 +763,12 @@ object SparkEntry {
     "text_cms_freq" -> ((s, d) =>
       TextAnalysis.cmsTermFrequencies(Tables.documents(s, d))
         .orderBy(col("exact").desc, col("term"))),
+    // 3-core of the support-2 basket graph: fixed-round peeling (drop
+    // degree<k, restrict edges, repeat) — deterministic, unrollable
+    "graph_kcore" -> ((s, d) =>
+      Graph.kCore(
+        Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)), k = 3)
+        .orderBy("part_key")),
     // ── BPE tokenizer: train / audit / serve ───────────────────────────
     // the learned merge table (training's audit trail): corpus → ONE word
     // shuffle, then a vocab-sized 24-round argmax loop; published via
@@ -3246,6 +3252,30 @@ object SparkEntry {
          |JOIN b1 c1 ON c1.b = ${bucket(1, "top.term")}
          |JOIN b2 c2 ON c2.b = ${bucket(2, "top.term")}
          |ORDER BY top.exact DESC, top.term""".stripMargin
+    },
+    // k-core: the same 10 peel rounds, MATERIALIZED per round (the
+    // doubly-referenced chain would inline exponentially)
+    "graph_kcore" -> {
+      val round = (r: Int) =>
+        s"""k$r AS MATERIALIZED (
+           |  SELECT u FROM (SELECT u, count(*) AS dg FROM e${r - 1} GROUP BY u)
+           |  WHERE dg >= 3),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN k$r a ON a.u = e.u
+           |  JOIN k$r b ON b.u = e.v)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pc AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+         |       FROM op a JOIN op b
+         |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |       GROUP BY 1, 2),
+         |ed AS (SELECT p1, p2 FROM pc WHERE w >= 2),
+         |e0 AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM ed
+         |                    UNION ALL SELECT p2, p1 FROM ed),
+         |${(1 to 10).map(round).mkString(",\n")}
+         |SELECT u AS part_key, count(*) AS core_degree
+         |FROM e10 GROUP BY u
+         |ORDER BY part_key""".stripMargin
     },
     // BPE training re-derivation: the SAME 24 rounds — pair counts from
     // the delimited symbol string, (cnt DESC, a, b) argmax, literal

@@ -465,4 +465,50 @@ object Graph {
     OpCache.defer(spark)(freeLabels)
     out
   }
+
+  /** k-core decomposition by FIXED-iteration peeling: each round drops
+    * every node whose CURRENT degree is below `k` and restricts the edge
+    * set to surviving endpoints; after enough rounds the survivors are
+    * exactly the k-core (the maximal subgraph where every node keeps ≥ k
+    * neighbors — the standard "dense backbone" filter before community
+    * or influence analysis). Fixed rounds for the same reason as
+    * [[components]]: deterministic, oracle-unrollable, exact once
+    * converged (GraphSpec pins convergence on testdata).
+    *
+    * Per round: one degree partial-agg + two semi-join-shaped inner
+    * joins of the edge list against the (node-sized) survivor set —
+    * broadcast below the measured threshold, co-partitioned above — with
+    * per-round lineage cuts (the [[components]] cadence; each round's
+    * broadcast executes its prefix). Edges only shrink, so rounds get
+    * cheaper as they go. Output: (part_key, core_degree) for the
+    * surviving nodes, degree measured INSIDE the core.
+    */
+  def kCore(
+      edges: DataFrame, k: Int = 2, iters: Int = 10): DataFrame = {
+    require(k >= 1 && iters >= 1, "kCore needs k >= 1 and iters >= 1")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("p1").as("u"), col("p2").as("v"))
+      .union(edges.select(col("p2"), col("p1")))
+    var (e, freeE) = OpCache.checkpointWithHandle(sym.repartition(
+      Dedup.ccLoopPartitions(
+        sym.count(), spark.sparkContext.defaultParallelism), col("u")))
+    val broadcastKeep =
+      e.select(col("u")).distinct().count() <= 1000000L
+    for (_ <- 1 to iters) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("u"))
+      val kb = if (broadcastKeep) broadcast(keep) else keep
+      val next = e.join(kb, Seq("u"))
+        .join(kb.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+      val (cut, freeNext) = OpCache.checkpointWithHandle(next)
+      freeE()
+      e = cut
+      freeE = freeNext
+    }
+    val out = e.groupBy(col("u").as("part_key"))
+      .agg(count(lit(1)).as("core_degree"))
+    OpCache.defer(spark)(freeE)
+    out
+  }
 }

@@ -176,4 +176,28 @@ class GraphSpec extends AnyFunSuite {
       assert(members.keys.min === lbl, s"component $lbl label is not its min id")
     }
   }
+
+  test("kCore: hand-built graph — the tail peels, the clique stays, degrees are in-core") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (a 3-core) with a pendant path 4-5-6 that must peel
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("p1", "p2")
+    val got = Graph.kCore(e, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // k=2 keeps the K4 only as well (5-6 peel once 5 loses its support)
+    val core2 = Graph.kCore(e, k = 2).collect().map(_.getLong(0)).sorted
+    assert(core2.toSeq === Seq(1L, 2L, 3L, 4L), core2.toSeq)
+  }
+
+  test("kCore on the real basket graph: converged at 10 rounds, every core degree >= k") {
+    val edges = Graph.copurchaseEdgesSupported(Tables.lineitem(spark, sf))
+    def run(iters: Int): Map[Long, Long] =
+      Graph.kCore(edges, k = 3, iters = iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at10 = run(10)
+    assert(at10 === run(12), "peeling has not converged in 10 rounds on testdata")
+    assert(at10.nonEmpty)
+    assert(at10.values.forall(_ >= 3L), "a survivor has in-core degree < k")
+  }
 }

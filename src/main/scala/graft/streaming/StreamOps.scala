@@ -845,6 +845,76 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One completed funnel conversion (step-1 time, final-step time,
+    * whole-funnel gap in seconds).
+    */
+  case class FunnelConversion(
+      user_id: Long,
+      t_first: Timestamp,
+      t_converted: Timestamp,
+      gap_seconds: Long)
+
+  /** Per-user funnel progress: millis of the deepest reached step
+    * (`-1` = not reached); `t1 == -2` marks an already-converted user
+    * (conversions emit exactly once).
+    */
+  case class FunnelProgress(t1: Long, t2: Long)
+
+  /** Streaming funnel: the real-time form of
+    * [[graft.operators.Sequence.funnel]] — per-user
+    * `flatMapGroupsWithState` tracking view → click → purchase progress
+    * across micro-batches and emitting a conversion row the moment the
+    * final step lands. Ordering is STRICT (each step must be later than
+    * the previous step's recorded time; a click before any view does not
+    * advance), events inside a batch are processed in event-time order,
+    * and a converted user's state collapses to a done marker so repeat
+    * purchases never re-emit. State is two longs per active user —
+    * the per-key state-store shape that scales with user count, not
+    * event count. Cross-batch ARRIVAL order is trusted batch-to-batch
+    * (the batch funnel is the reprocessing backstop for late data — the
+    * same batch-serves-truth split as the stats/CDC sinks); a
+    * production TTL would hang state eviction on the event-time timeout
+    * like [[sessionize]] does.
+    */
+  def funnelStream(
+      spark: SparkSession,
+      events: DataFrame,
+      steps: (String, String, String) = ("view", "click", "purchase"),
+      watermark: String = "30 minutes"): Dataset[FunnelConversion] = {
+    import spark.implicits._
+    val typed = events
+      .select(
+        col("user_id").cast("long"),
+        col("event_type").cast("string"),
+        col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .as[(Long, String, Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelConversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, String, Timestamp)],
+         state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelConversion]
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+            val t = ts.getTime
+            if (st.t1 == -2L) ()               // already converted
+            else if (st.t1 < 0L) {
+              if (tpe == steps._1) st = FunnelProgress(t, -1L)
+            } else if (st.t2 < 0L) {
+              if (tpe == steps._2 && t > st.t1) st = st.copy(t2 = t)
+            } else if (tpe == steps._3 && t > st.t2) {
+              out += FunnelConversion(userId, new Timestamp(st.t1),
+                new Timestamp(t), t / 1000L - st.t1 / 1000L)
+              st = FunnelProgress(-2L, -2L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One user session: contiguous activity with gaps < the timeout. */
   case class SessionUpdate(
       user_id: Long,

@@ -230,6 +230,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(merged() === exact, "distinct counts added instead of merging")
   }
 
+  test("funnel stream: strict cross-batch progression, single emission, ordering enforced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = stream.toDF().toDF("user_id", "event_type", "ts")
+    val q = StreamOps.funnelStream(spark, df).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    def rows() = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    try {
+      // batch 0: user 1 view+click; user 2 click only (no view yet)
+      stream.addData(Seq(
+        (1L, "view", ts("2020-01-01 10:00:00")),
+        (1L, "click", ts("2020-01-01 10:10:00")),
+        (2L, "click", ts("2020-01-01 09:00:00"))))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "no funnel completed yet")
+      // batch 1: user 1 converts (state crossed the batch boundary);
+      // user 2's purchase WITHOUT an ordered view→click must not
+      stream.addData(Seq(
+        (1L, "purchase", ts("2020-01-01 10:20:00")),
+        (2L, "view", ts("2020-01-01 09:30:00")),
+        (2L, "purchase", ts("2020-01-01 09:40:00"))))
+      q.processAllAvailable()
+      assert(rows().toSeq === Seq(
+        (1L, ts("2020-01-01 10:00:00"), ts("2020-01-01 10:20:00"), 1200L)))
+      // batch 2: a second purchase by user 1 does NOT re-emit; user 2
+      // finally clicks (after the view) then converts next batch
+      stream.addData(Seq(
+        (1L, "purchase", ts("2020-01-01 10:30:00")),
+        (2L, "click", ts("2020-01-01 09:50:00"))))
+      q.processAllAvailable()
+      assert(rows().length === 1, "conversion re-emitted")
+      stream.addData(Seq((2L, "purchase", ts("2020-01-01 09:55:00"))))
+      q.processAllAvailable()
+      assert(rows().sortBy(_._1).toSeq === Seq(
+        (1L, ts("2020-01-01 10:00:00"), ts("2020-01-01 10:20:00"), 1200L),
+        (2L, ts("2020-01-01 09:30:00"), ts("2020-01-01 09:55:00"), 1500L)))
+    } finally q.stop()
+  }
+
   test("constraint report sink lands a per-batch DQ time series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1125,4 +1125,39 @@ object StreamOps {
     spark.read.parquet(stateDir)
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"))
+
+  /** Streaming cohort assignment: each micro-batch lands its users'
+    * first-seen-IN-BATCH day as a replay-idempotent `batch_id=N`
+    * partition; per-user cohort day is the MIN across batch rows — a
+    * true semilattice (idempotent, commutative, associative), so
+    * merge-on-read equals the batch-computed assignment EXACTLY no
+    * matter how arrivals split across batches or replays, with no
+    * rescan and O(batch users) work per batch. The streaming feeder for
+    * [[graft.operators.Sequence.retention]]'s cohort side.
+    */
+  def cohortSink(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        batch.select(col("user_id"), to_date(col("ts")).as("day"))
+          .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** Merge-on-read for [[cohortSink]]: the per-user min across batch
+    * partials — (users × batches) rows in, users rows out.
+    */
+  def readCohorts(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(col("user_id")).agg(min(col("cohort_day")).as("cohort_day"))
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, expr, length}
+import org.apache.spark.sql.functions.{col, date_format, explode, expr, length, min}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
@@ -270,6 +270,46 @@ class StreamOpsSpec extends AnyFunSuite {
         (1L, ts("2020-01-01 10:00:00"), ts("2020-01-01 10:20:00"), 1200L),
         (2L, ts("2020-01-01 09:30:00"), ts("2020-01-01 09:55:00"), 1500L)))
     } finally q.stop()
+  }
+
+  test("cohort sink: per-user min is a semilattice — merge equals direct, across a restart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cohort-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cohort-src").toString
+    // user 1's EARLIER day arrives in a LATER batch: only a true min
+    // merge assigns the right cohort
+    val b0 = Seq((1L, "2020-01-10 08:00:00"), (2L, "2020-01-11 09:00:00"))
+    val b1 = Seq((1L, "2020-01-03 07:00:00"), (3L, "2020-01-12 10:00:00"))
+    val b2 = Seq((2L, "2020-01-01 06:00:00"))
+    def toDf(rows: Seq[(Long, String)]) =
+      rows.toDF("user_id", "ts_s")
+        .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val schema = toDf(b0).schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.cohortSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def direct(rows: Seq[(Long, String)]): Map[Long, String] =
+      toDf(rows).groupBy(col("user_id"))
+        .agg(date_format(min(org.apache.spark.sql.functions.to_date(col("ts"))),
+          "yyyy-MM-dd").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def merged(): Map[Long, String] =
+      StreamOps.readCohorts(spark, s"$dir/state")
+        .select(col("user_id"), date_format(col("cohort_day"), "yyyy-MM-dd").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    toDf(b0).write.mode("overwrite").json(srcDir)
+    runOnce()
+    toDf(b1).write.mode("append").json(srcDir)
+    runOnce() // restart continues the batch-id sequence
+    assert(merged() === direct(b0 ++ b1),
+      "late-arriving earlier day must win the cohort assignment")
+    assert(merged()(1L) === "2020-01-03")
+    toDf(b2).write.mode("append").json(srcDir)
+    runOnce()
+    assert(merged() === direct(b0 ++ b1 ++ b2))
   }
 
   test("constraint report sink lands a per-batch DQ time series") {

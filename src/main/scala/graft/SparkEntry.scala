@@ -3210,7 +3210,8 @@ object SparkEntry {
          |                (list(doc_id ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id))[1:3]
          |                  AS sample_ids
          |         FROM documents GROUP BY source)
-         |SELECT c.source, c.n_terms, c.est_the, c.exact_the, s.sample_ids
+         |SELECT c.source, c.n_terms, c.est_the, c.exact_the,
+         |       array_to_string(s.sample_ids, ',') AS sample_ids
          |FROM cms c JOIN samp s ON s.source = c.source
          |ORDER BY c.source""".stripMargin
     },

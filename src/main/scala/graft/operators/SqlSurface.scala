@@ -91,7 +91,10 @@ object SqlSurface {
          |  SELECT source,
          |         graft_bottom_k(md5(CAST(doc_id AS STRING)), doc_id, 3) AS sample_ids
          |  FROM documents GROUP BY source)
-         |SELECT c.source, c.n_terms, c.est_the, c.exact_the, s.sample_ids
+         |SELECT c.source, c.n_terms, c.est_the, c.exact_the,
+         |       -- serialized, not a raw array<long>: the repo convention is
+         |       -- that no query hands an array column to the driver compare
+         |       array_join(CAST(s.sample_ids AS ARRAY<STRING>), ',') AS sample_ids
          |FROM cms c JOIN samp s ON s.source = c.source
          |ORDER BY c.source""".stripMargin)
   }

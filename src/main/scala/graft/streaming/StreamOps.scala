@@ -854,11 +854,13 @@ object StreamOps {
       t_converted: Timestamp,
       gap_seconds: Long)
 
-  /** Per-user funnel progress: millis of the deepest reached step
-    * (`-1` = not reached); `t1 == -2` marks an already-converted user
-    * (conversions emit exactly once).
+  /** Per-user funnel progress. `stage` is an explicit enum — 0 = no step
+    * reached, 1 = step-1 seen (at `t1`), 2 = step-2 seen (at `t2`),
+    * 3 = converted (done marker) — NOT a negative-millis sentinel, so a
+    * legitimate pre-1970 event time (negative epoch millis) records and
+    * progresses correctly instead of reading as "not reached".
     */
-  case class FunnelProgress(t1: Long, t2: Long)
+  case class FunnelProgress(stage: Int, t1: Long, t2: Long)
 
   /** Streaming funnel: the real-time form of
     * [[graft.operators.Sequence.funnel]] — per-user
@@ -868,19 +870,26 @@ object StreamOps {
     * the previous step's recorded time; a click before any view does not
     * advance), events inside a batch are processed in event-time order,
     * and a converted user's state collapses to a done marker so repeat
-    * purchases never re-emit. State is two longs per active user —
-    * the per-key state-store shape that scales with user count, not
-    * event count. Cross-batch ARRIVAL order is trusted batch-to-batch
-    * (the batch funnel is the reprocessing backstop for late data — the
-    * same batch-serves-truth split as the stats/CDC sinks); a
-    * production TTL would hang state eviction on the event-time timeout
-    * like [[sessionize]] does.
+    * purchases never re-emit. State is one int + two longs per active
+    * user — the per-key state-store shape that scales with user count,
+    * not event count — and is BOUNDED by event-time eviction: once the
+    * watermark passes a user's last recorded step plus `horizonMs`, the
+    * key times out and its state is removed (the [[sessionize]]
+    * `EventTimeTimeout` pattern), so never-converting users cannot grow
+    * the store without bound on an unbounded user space. Eviction also
+    * retires converted users' done markers; a user active again AFTER
+    * eviction starts a fresh funnel (a new full view → click → purchase
+    * within a horizon re-emits — per-horizon funnel semantics). Cross-
+    * batch ARRIVAL order is trusted batch-to-batch (the batch funnel is
+    * the reprocessing backstop for late data — the same batch-serves-
+    * truth split as the stats/CDC sinks).
     */
   def funnelStream(
       spark: SparkSession,
       events: DataFrame,
       steps: (String, String, String) = ("view", "click", "purchase"),
-      watermark: String = "30 minutes"): Dataset[FunnelConversion] = {
+      watermark: String = "30 minutes",
+      horizonMs: Long = 24 * 3600 * 1000L): Dataset[FunnelConversion] = {
     import spark.implicits._
     val typed = events
       .select(
@@ -892,26 +901,43 @@ object StreamOps {
     typed
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelProgress, FunnelConversion](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, String, Timestamp)],
          state: GroupState[FunnelProgress]) =>
-          var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L))
-          val out = scala.collection.mutable.ListBuffer.empty[FunnelConversion]
-          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
-            val t = ts.getTime
-            if (st.t1 == -2L) ()               // already converted
-            else if (st.t1 < 0L) {
-              if (tpe == steps._1) st = FunnelProgress(t, -1L)
-            } else if (st.t2 < 0L) {
-              if (tpe == steps._2 && t > st.t1) st = st.copy(t2 = t)
-            } else if (tpe == steps._3 && t > st.t2) {
-              out += FunnelConversion(userId, new Timestamp(st.t1),
-                new Timestamp(t), t / 1000L - st.t1 / 1000L)
-              st = FunnelProgress(-2L, -2L)
+          if (state.hasTimedOut) {
+            // watermark passed last step + horizon: evict (partial
+            // progress is abandoned; the batch funnel reprocesses truth)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
+            var lastSeen = Long.MinValue
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelConversion]
+            rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+              val t = ts.getTime
+              lastSeen = math.max(lastSeen, t)
+              st.stage match {
+                case 0 =>
+                  if (tpe == steps._1) st = FunnelProgress(1, t, 0L)
+                case 1 =>
+                  if (tpe == steps._2 && t > st.t1) st = st.copy(stage = 2, t2 = t)
+                case 2 =>
+                  if (tpe == steps._3 && t > st.t2) {
+                    out += FunnelConversion(userId, new Timestamp(st.t1),
+                      new Timestamp(t), t / 1000L - st.t1 / 1000L)
+                    st = st.copy(stage = 3)
+                  }
+                case _ => () // 3: already converted, suppress re-emission
+              }
             }
+            state.update(st)
+            // the timeout timestamp must sit strictly past the current
+            // watermark (Spark rejects an already-expired value); a key
+            // whose horizon has in fact lapsed evicts on the next batch
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

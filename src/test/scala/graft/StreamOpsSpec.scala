@@ -236,7 +236,10 @@ class StreamOpsSpec extends AnyFunSuite {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
     val df = stream.toDF().toDF("user_id", "event_type", "ts")
-    val q = StreamOps.funnelStream(spark, df).writeStream
+    // wide watermark: this test exercises cross-batch ordering, not late-
+    // data drop — user 2's view arrives a batch after newer user-1 events,
+    // and under EventTimeTimeout the watermark filter drops rows behind it
+    val q = StreamOps.funnelStream(spark, df, watermark = "2 hours").writeStream
       .format("memory").queryName("funnel_out").outputMode("append").start()
     def rows() = spark.table("funnel_out").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
@@ -269,6 +272,52 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows().sortBy(_._1).toSeq === Seq(
         (1L, ts("2020-01-01 10:00:00"), ts("2020-01-01 10:20:00"), 1200L),
         (2L, ts("2020-01-01 09:30:00"), ts("2020-01-01 09:55:00"), 1500L)))
+    } finally q.stop()
+  }
+
+  test("funnel stream: event-time eviction bounds state; an evicted user cannot convert late") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = stream.toDF().toDF("user_id", "event_type", "ts")
+    // 10-minute watermark, 20-minute eviction horizon past the last step
+    val q = StreamOps.funnelStream(
+        spark, df, watermark = "10 minutes", horizonMs = 20 * 60 * 1000L)
+      .writeStream
+      .format("memory").queryName("funnel_evict").outputMode("append").start()
+    def rows() = spark.table("funnel_evict").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2)))
+    def stateRows() = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // user 1 stalls mid-funnel; user 2 never passes step 1
+      stream.addData(Seq(
+        (1L, "view", ts("2020-01-01 10:00:00")),
+        (1L, "click", ts("2020-01-01 10:05:00")),
+        (2L, "view", ts("2020-01-01 10:00:00"))))
+      q.processAllAvailable()
+      val activeBefore = stateRows()
+      assert(activeBefore >= 2L, "both mid-funnel users hold state")
+      // user 3 advances the watermark to 11:50, far past both users'
+      // horizon (last step + 20 min ≤ 10:25); one more batch lets the
+      // timeout fire under the advanced watermark
+      stream.addData(Seq((3L, "view", ts("2020-01-01 12:00:00"))))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, "click", ts("2020-01-01 12:30:00"))))
+      q.processAllAvailable()
+      assert(stateRows() < activeBefore + 1,
+        s"eviction must shrink state: before=$activeBefore after=${stateRows()}")
+      // user 1's purchase lands AFTER eviction: with its view/click state
+      // gone the purchase must NOT convert (a fresh funnel needs a new
+      // ordered view → click first)
+      stream.addData(Seq((1L, "purchase", ts("2020-01-01 12:40:00"))))
+      q.processAllAvailable()
+      assert(!rows().exists(_._1 == 1L), "evicted user converted on a late purchase")
+      // user 3 converts inside the horizon — eviction does not disturb
+      // an active funnel
+      stream.addData(Seq((3L, "purchase", ts("2020-01-01 12:35:00"))))
+      q.processAllAvailable()
+      assert(rows().toSeq === Seq((3L, ts("2020-01-01 12:35:00"))))
     } finally q.stop()
   }
 

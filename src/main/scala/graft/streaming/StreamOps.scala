@@ -491,10 +491,14 @@ object StreamOps {
   }
 
   def readRunningStats(
-      spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame = {
+    asOfBatch.foreach(requireAsOfCoverage(spark, stateDir, _))
     graft.operators.Incremental.finalizeStats(
       graft.operators.Incremental.mergeAllStats(
-        readStateTable(spark, stateDir)))
+        readStateTable(spark, stateDir,
+          upToBatch = asOfBatch.getOrElse(Long.MaxValue))))
+  }
 
   /** Merge-on-read over a compacted table PLUS the live batches it does
     * not cover: the compacted rows stand in for every batch_id ≤ the
@@ -502,16 +506,37 @@ object StreamOps {
     * to [[readRunningStats]] over the uncompacted table — and because the
     * ≤-watermark partitions are never consulted, [[vacuumStateTable]] can
     * retire them without changing any reader's result.
+    *
+    * `asOfBatch` = snapshot-as-of (time travel): the table as it stood
+    * after batch N. For N at or above the compaction watermark the
+    * snapshot stands in for everything it folded and live partitions in
+    * (watermark, N] merge on top — vacuum never touches those, so an
+    * as-of read in this range survives the full compact → vacuum
+    * lifecycle. For N BELOW the watermark the snapshot cannot be
+    * un-merged; the read routes to the live partitions if their prefix
+    * still survives (compacted-but-not-yet-vacuumed), and refuses loudly
+    * once vacuum has retired them — never a silent undercount.
     */
   def readRunningStats(
       spark: org.apache.spark.sql.SparkSession, stateDir: String,
-      compactedDir: String): DataFrame = {
+      compactedDir: String, asOfBatch: Option[Long]): DataFrame = {
     val through = readCompactedThrough(spark, compactedDir)
-    graft.operators.Incremental.finalizeStats(
-      graft.operators.Incremental.mergeAllStats(
-        readStateTable(spark, stateDir, sinceBatch = through)
-          .unionByName(readStateTable(spark, compactedDir))))
+    asOfBatch match {
+      case Some(n) if n < through =>
+        readRunningStats(spark, stateDir, asOfBatch = Some(n))
+      case n =>
+        graft.operators.Incremental.finalizeStats(
+          graft.operators.Incremental.mergeAllStats(
+            readStateTable(spark, stateDir, sinceBatch = through,
+                upToBatch = n.getOrElse(Long.MaxValue))
+              .unionByName(readStateTable(spark, compactedDir))))
+    }
   }
+
+  def readRunningStats(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      compactedDir: String): DataFrame =
+    readRunningStats(spark, stateDir, compactedDir, None)
 
   /** Streaming side of [[graft.operators.Quality]]: evaluate a declared
     * constraint suite over every micro-batch and land the per-constraint
@@ -625,6 +650,29 @@ object StreamOps {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** Guard for snapshot-as-of reads over LIVE batch partitions: the whole
+    * prefix of batches up to `asOf` must still be present. Vacuum only
+    * ever retires a PREFIX (ids ≤ its cutoff), so a surviving minimum
+    * above 0 means history below it is gone and an as-of read there
+    * would silently undercount — refuse loudly instead. A gap ABOVE the
+    * surviving minimum is an empty micro-batch (sinks land no partition
+    * for an empty batch) and is fine. Conservative by design: an empty
+    * batch 0 is indistinguishable from a vacuumed one in the listing, so
+    * it refuses that case too rather than guess.
+    */
+  private def requireAsOfCoverage(
+      spark: SparkSession, stateDir: String, asOf: Long): Unit = {
+    require(asOf >= 0, s"asOfBatch must be >= 0, got $asOf")
+    val ids = batchIds(spark, stateDir)
+    if (ids.isEmpty || ids.min > 0)
+      throw new IllegalStateException(
+        s"$stateDir cannot serve an as-of-batch=$asOf read: the batch " +
+          s"prefix below ${if (ids.isEmpty) "any surviving partition"
+            else s"batch_id=${ids.min}"} has been vacuumed (or never " +
+          "landed) — read through a compacted snapshot whose watermark " +
+          "is ≤ the requested batch, or retain more live history")
+  }
+
   /** Fail a foreachBatch body whose batch id runs BEHIND the state table:
     * that only happens when a sink was restarted with a FRESH checkpoint
     * against an existing table, restarting batch ids at 0 — the dynamic
@@ -727,6 +775,12 @@ object StreamOps {
     * partitions consulted — the combined-reader and race-free-compaction
     * levers. Equals `applyChangeset(base, allChanges)` under the sink's
     * monotone-seq contract (StreamOpsSpec pins it, restart included).
+    *
+    * `asOfBatch` = snapshot-as-of over the ORIGINAL base: the table as it
+    * stood after change batch N (time travel for CDC debugging). Unlike
+    * the raw `upToBatch` bound it also VERIFIES the prefix of change
+    * partitions up to N still exists, refusing loudly after vacuum
+    * rather than reconstructing a silently incomplete past.
     */
   def readCdcTable(
       spark: SparkSession,
@@ -736,10 +790,13 @@ object StreamOps {
       seqCol: String = "seq",
       opCol: String = "op",
       sinceBatch: Long = Long.MinValue,
-      upToBatch: Long = Long.MaxValue): DataFrame = {
+      upToBatch: Long = Long.MaxValue,
+      asOfBatch: Option[Long] = None): DataFrame = {
+    asOfBatch.foreach(requireAsOfCoverage(spark, changesDir, _))
+    val upTo = asOfBatch.fold(upToBatch)(math.min(_, upToBatch))
     val payload = base.columns.filterNot(_ == keyCol)
     val changes = spark.read.parquet(changesDir)
-      .where(col("batch_id") > sinceBatch && col("batch_id") <= upToBatch)
+      .where(col("batch_id") > sinceBatch && col("batch_id") <= upTo)
       .drop("batch_id")
     val seqType = changes.schema(seqCol).dataType
     val all = changes
@@ -785,6 +842,15 @@ object StreamOps {
     * above its watermark — identical to [[readCdcTable]] over the original
     * base and the FULL changes table, which is what licenses
     * [[vacuumStateTable]] on the covered partitions.
+    *
+    * `asOfBatch` = snapshot-as-of: the table after change batch N. Valid
+    * for N at or above the snapshot's watermark (the partitions in
+    * (watermark, N] are exactly the ones vacuum never touches, so the
+    * read survives the full compact → vacuum lifecycle). For N BELOW the
+    * watermark the snapshot has already folded later changes and cannot
+    * be un-merged — the reader refuses loudly and names the fallback
+    * ([[readCdcTable]] over the original base, while its live prefix
+    * survives) instead of returning a wrong past.
     */
   def readCdcCompacted(
       spark: SparkSession,
@@ -792,10 +858,22 @@ object StreamOps {
       changesDir: String,
       keyCol: String,
       seqCol: String = "seq",
-      opCol: String = "op"): DataFrame =
+      opCol: String = "op",
+      asOfBatch: Option[Long] = None): DataFrame = {
+    val through = readCompactedThrough(spark, compactedDir)
+    asOfBatch.filter(_ < through).foreach { n =>
+      throw new IllegalStateException(
+        s"compacted snapshot at $compactedDir already folds change " +
+          s"batches ≤ $through; as-of-batch=$n predates it and a fold " +
+          "cannot be un-merged — read the ORIGINAL base through " +
+          "readCdcTable(asOfBatch=...) while the live change prefix " +
+          "survives, or retain an earlier snapshot")
+    }
     readCdcTable(spark, spark.read.parquet(compactedDir), changesDir,
       keyCol, seqCol, opCol,
-      sinceBatch = readCompactedThrough(spark, compactedDir))
+      sinceBatch = through,
+      upToBatch = asOfBatch.getOrElse(Long.MaxValue))
+  }
 
   /** Per-user running aggregate emitted each micro-batch. */
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
@@ -1101,13 +1179,28 @@ object StreamOps {
       }
       .start()
 
+  /** Bound a state table to batches ≤ `asOfBatch` (with the vacuum
+    * coverage guard) — the shared snapshot-as-of entry for the sketch
+    * readers below; `None` reads current state untouched.
+    */
+  private def stateAsOf(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long]): DataFrame = {
+    asOfBatch.foreach(requireAsOfCoverage(spark, stateDir, _))
+    val raw = spark.read.parquet(stateDir)
+    asOfBatch.fold(raw)(n => raw.where(col("batch_id") <= n))
+  }
+
   /** Merge-on-read for [[cmsSink]]'s state: element-wise sum across the
     * batch rows — depth×width result rows, a bounded frame whatever the
-    * stream's history length.
+    * stream's history length. `asOfBatch` folds only batches ≤ N — the
+    * sketch exactly as it stood then (the monoid makes any prefix a
+    * valid sketch).
     */
   def readCmsCounters(
-      spark: SparkSession, stateDir: String): Array[Long] =
-    spark.read.parquet(stateDir)
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): Array[Long] =
+    stateAsOf(spark, stateDir, asOfBatch)
       .select(posexplode(col("counters")).as(Seq("i", "c")))
       .groupBy(col("i")).agg(sum(col("c")).as("c"))
       .orderBy(col("i"))
@@ -1145,10 +1238,14 @@ object StreamOps {
 
   /** Merge-on-read for [[hllSink]]: per event type, the union of all
     * batch sketches, estimated. Bounded work: (types × batches) rows in,
-    * types rows out.
+    * types rows out. `asOfBatch` unions only batches ≤ N — the distinct
+    * count exactly as of that batch (register-max over any prefix IS the
+    * prefix's sketch).
     */
-  def readDistinctUsers(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
+  def readDistinctUsers(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch)
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"))
 
@@ -1181,9 +1278,13 @@ object StreamOps {
       .start()
 
   /** Merge-on-read for [[cohortSink]]: the per-user min across batch
-    * partials — (users × batches) rows in, users rows out.
+    * partials — (users × batches) rows in, users rows out. `asOfBatch`
+    * folds only batches ≤ N (the min-semilattice over any prefix is that
+    * prefix's assignment): which cohort each user belonged to as of N.
     */
-  def readCohorts(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
+  def readCohorts(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch)
       .groupBy(col("user_id")).agg(min(col("cohort_day")).as("cohort_day"))
 }

@@ -228,6 +228,12 @@ class StreamOpsSpec extends AnyFunSuite {
     val exact = (b0 ++ b1 ++ b2).groupBy(_._1)
       .map { case (t, rs) => t -> rs.map(_._2).distinct.length.toLong }
     assert(merged() === exact, "distinct counts added instead of merging")
+    // snapshot-as-of: unioning only batches ≤ 1 IS the sketch as it
+    // stood after batch 1 (register-max over a prefix)
+    assert(StreamOps.readDistinctUsers(spark, s"$dir/state", asOfBatch = Some(1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === direct(b0 ++ b1),
+      "as-of-batch-1 read must reconstruct the post-batch-1 sketch")
   }
 
   test("funnel stream: strict cross-batch progression, single emission, ordering enforced") {
@@ -1033,5 +1039,118 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(StreamOps.readRunningStats(spark, s"$dir/state", s"$dir/state_c")
       .collect().toSeq === directOver(b0 ++ b1 ++ b2 ++ b3),
       "post-vacuum batch did not merge through the combined reader")
+  }
+
+  test("stats snapshot-as-of equals the first-N-batches fold, across compact + vacuum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-asof").toString
+    def directOver(rows: Seq[(String, Long)]) =
+      graft.operators.Incremental.finalizeStats(
+        graft.operators.Incremental.statsPartial(
+          rows.toDF("source", "n_chars"))).collect().toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stats-asof-src").toString
+    val b0 = Seq(("web", 10L), ("books", 100L))
+    val b1 = Seq(("web", 20L), ("code", 7L))
+    val b2 = Seq(("books", 50L), ("web", 40L))
+    val schema = b0.toDF("source", "n_chars").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.incrementalStatsSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    b0.toDF("source", "n_chars").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("source", "n_chars").write.mode("append").json(srcDir)
+    runOnce()
+    b2.toDF("source", "n_chars").write.mode("append").json(srcDir)
+    runOnce()
+    def live(asOf: Long) =
+      StreamOps.readRunningStats(spark, s"$dir/state", asOfBatch = Some(asOf))
+        .collect().toSeq
+    // time travel on the live table: as-of-N == the fold of batches 0..N
+    assert(live(0) === directOver(b0), "as-of-0 must see only batch 0")
+    assert(live(1) === directOver(b0 ++ b1), "as-of-1 must see batches 0..1")
+    assert(live(2) === directOver(b0 ++ b1 ++ b2), "as-of-2 must equal current")
+
+    StreamOps.compactStats(spark, s"$dir/state", s"$dir/state_c")
+    def combined(asOf: Long) =
+      StreamOps.readRunningStats(spark, s"$dir/state", s"$dir/state_c", Some(asOf))
+        .collect().toSeq
+    // at/above the watermark the snapshot serves; below it the read
+    // routes to the still-surviving live prefix
+    assert(combined(2) === directOver(b0 ++ b1 ++ b2),
+      "combined as-of at the watermark must equal the snapshot")
+    assert(combined(1) === directOver(b0 ++ b1),
+      "combined as-of below the watermark must route to live partitions")
+
+    // vacuum retires the covered prefix: pre-watermark history is GONE
+    // and every reader must refuse rather than silently undercount
+    StreamOps.vacuumStateTable(spark, s"$dir/state", s"$dir/state_c", keepLast = 1)
+    assert(combined(2) === directOver(b0 ++ b1 ++ b2),
+      "vacuum must not disturb as-of reads at/above the watermark")
+    val e1 = intercept[IllegalStateException] { live(1) }
+    assert(e1.getMessage.contains("vacuumed"), s"wrong refusal: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] { combined(1) }
+    assert(e2.getMessage.contains("vacuumed"), s"wrong refusal: ${e2.getMessage}")
+  }
+
+  test("cdc snapshot-as-of reconstructs any past table state; refuses below the fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-asof").toString
+    val base = Seq((1L, "alice", 10.0), (2L, "bob", 20.0))
+      .toDF("k", "name", "amount")
+    val b0 = Seq((3L, "carol", 30.0, "I", 1L), (1L, "alice2", 11.0, "U", 2L))
+    val b1 = Seq((2L, "", 0.0, "D", 3L), (3L, "carol2", 33.0, "U", 4L))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cdc-asof-src").toString
+    val schema = b0.toDF("k", "name", "amount", "op", "seq").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.cdcApplySink(fileDf, s"$dir/changes", s"$dir/chk", "k")
+      try q.processAllAvailable() finally q.stop()
+    }
+    b0.toDF("k", "name", "amount", "op", "seq").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("k", "name", "amount", "op", "seq").write.mode("append").json(srcDir)
+    runOnce()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+      df.select("k", "name", "amount").as[(Long, String, Double)].collect().toSet
+    def applied(chg: Seq[(Long, String, Double, String, Long)]) =
+      rows(graft.operators.Incremental.applyChangeset(
+        base, chg.toDF("k", "name", "amount", "op", "seq"), "k"))
+    // as-of-0: carol's later update and bob's delete have not happened yet
+    assert(rows(StreamOps.readCdcTable(spark, base, s"$dir/changes", "k",
+        asOfBatch = Some(0))) === applied(b0),
+      "as-of-0 must reconstruct the table after change batch 0")
+    assert(rows(StreamOps.readCdcTable(spark, base, s"$dir/changes", "k",
+        asOfBatch = Some(1))) === applied(b0 ++ b1),
+      "as-of-1 must equal the current table")
+
+    StreamOps.compactCdc(spark, base, s"$dir/changes", s"$dir/snap", "k")
+    // at the fold watermark the snapshot serves the as-of read; below it
+    // the fold cannot be un-merged and the reader must refuse loudly
+    assert(rows(StreamOps.readCdcCompacted(spark, s"$dir/snap",
+        s"$dir/changes", "k", asOfBatch = Some(1))) === applied(b0 ++ b1),
+      "compacted as-of at the watermark diverged")
+    val eFold = intercept[IllegalStateException] {
+      StreamOps.readCdcCompacted(spark, s"$dir/snap", s"$dir/changes", "k",
+        asOfBatch = Some(0))
+    }
+    assert(eFold.getMessage.contains("cannot be un-merged"),
+      s"wrong refusal: ${eFold.getMessage}")
+    // ... but the ORIGINAL base still answers while the prefix survives
+    assert(rows(StreamOps.readCdcTable(spark, base, s"$dir/changes", "k",
+        asOfBatch = Some(0))) === applied(b0),
+      "pre-fold as-of must still route through the original base")
+
+    // vacuum retires batch 0: the pre-fold past is unrecoverable — refuse
+    StreamOps.vacuumStateTable(spark, s"$dir/changes", s"$dir/snap", keepLast = 1)
+    val eVac = intercept[IllegalStateException] {
+      StreamOps.readCdcTable(spark, base, s"$dir/changes", "k",
+        asOfBatch = Some(0))
+    }
+    assert(eVac.getMessage.contains("vacuumed"), s"wrong refusal: ${eVac.getMessage}")
+    assert(rows(StreamOps.readCdcCompacted(spark, s"$dir/snap",
+        s"$dir/changes", "k", asOfBatch = Some(1))) === applied(b0 ++ b1),
+      "vacuum must not disturb the at-watermark as-of read")
   }
 }

@@ -3437,7 +3437,7 @@ object SparkEntry {
         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
         |s AS (SELECT priority, day, count(*) AS n_orders,
-        |             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_cents
+        |             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
         |      FROM o GROUP BY priority, day),
         |t AS (SELECT priority, day,
         |             date_diff('day', DATE '1997-01-01', day) AS d_off,

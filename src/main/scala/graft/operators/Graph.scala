@@ -489,9 +489,16 @@ object Graph {
     val spark = edges.sparkSession
     val sym = edges.select(col("p1").as("u"), col("p2").as("v"))
       .union(edges.select(col("p2"), col("p1")))
-    var (e, freeE) = OpCache.checkpointWithHandle(sym.repartition(
-      Dedup.ccLoopPartitions(
-        sym.count(), spark.sparkContext.defaultParallelism), col("u")))
+    // checkpoint FIRST, then count the cut frame to size the loop
+    // partitions (the components cadence) — counting the raw union would
+    // re-run the upstream edge derivation (distinct + self-join + support
+    // agg for the basket graph) once more before the checkpoint
+    val (e0, freeE0) = OpCache.checkpointWithHandle(sym)
+    val parts = Dedup.ccLoopPartitions(
+      e0.count(), spark.sparkContext.defaultParallelism)
+    var (e, freeE) = OpCache.checkpointWithHandle(
+      e0.repartition(parts, col("u")))
+    freeE0()
     val broadcastKeep =
       e.select(col("u")).distinct().count() <= 1000000L
     for (_ <- 1 to iters) {

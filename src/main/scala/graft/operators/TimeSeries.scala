@@ -47,7 +47,10 @@ object TimeSeries {
 
   /** Per-(priority, day) base series. `max` (not `avg`/`sum`) is the daily
     * value so the base is bit-deterministic regardless of aggregation
-    * order; revenue is additionally snapped to integer cents.
+    * order; revenue snaps EACH price to integer cents BEFORE the daily
+    * sum, so the aggregate is a sum of longs — exact and order-
+    * independent, never a double fold whose rounding could differ across
+    * engines or partitionings.
     */
   private def dailySeries(spark: SparkSession, sfDir: String): DataFrame =
     ordersInWindow(spark, sfDir)
@@ -56,7 +59,7 @@ object TimeSeries {
       .agg(
         count(lit(1)).as("n_orders"),
         max(col("o_totalprice")).as("v_raw"),
-        floor(sum(col("o_totalprice")) * 100 + lit(0.5)).cast("long")
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
           .as("rev_cents"))
 
   /** Gap-fill + fill strategies in one pass: the (priority × calendar)

@@ -769,6 +769,22 @@ object SparkEntry {
       Graph.kCore(
         Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)), k = 3)
         .orderBy("part_key")),
+    // local clustering coefficient: the degree/triangles/cc telemetry
+    // trio closed — one degree agg + the Bloom-pruned triangle count
+    // over one checkpointed edge frame, joined node-wise
+    "graph_clustering_coeff" -> ((s, d) =>
+      Graph.clusteringCoefficients(
+        Graph.copurchaseEdges(Tables.lineitem(s, d)))
+        .orderBy("part_key")),
+    // hop-bounded BFS from a customer cohort over the trade graph:
+    // min-hop distance within 3 hops (supply-chain blast radius)
+    "graph_reach" -> ((s, d) =>
+      Graph.reach(
+        Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
+        Tables.customer(s, d).where(col("c_nationkey") === 1)
+          .select(concat(lit("c:"), col("c_custkey")).as("node")),
+        maxHops = 3)
+        .orderBy("node")),
     // ── BPE tokenizer: train / audit / serve ───────────────────────────
     // the learned merge table (training's audit trail): corpus → ONE word
     // shuffle, then a vocab-sized 24-round argmax loop; published via
@@ -3277,6 +3293,57 @@ object SparkEntry {
          |SELECT u AS part_key, count(*) AS core_degree
          |FROM e10 GROUP BY u
          |ORDER BY part_key""".stripMargin
+    },
+    // clustering coefficient: naive-triangle replay (the SET is
+    // orientation-invariant) + degree count; one IEEE division of exact
+    // integers, 6 dp floor-rounded on both engines
+    "graph_clustering_coeff" ->
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |      FROM op a JOIN op b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS MATERIALIZED (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+        |        JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2),
+        |tc AS (SELECT part_key, count(*) AS triangles
+        |       FROM (SELECT a AS part_key FROM tri
+        |             UNION ALL SELECT b FROM tri
+        |             UNION ALL SELECT c FROM tri)
+        |       GROUP BY part_key),
+        |deg AS (SELECT part_key, count(*) AS degree
+        |        FROM (SELECT p1 AS part_key FROM e UNION ALL SELECT p2 FROM e)
+        |        GROUP BY part_key)
+        |SELECT d.part_key, d.degree,
+        |       coalesce(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |       CASE WHEN d.degree >= 2
+        |            THEN floor(2.0 * coalesce(t.triangles, 0)
+        |                       / (d.degree * (d.degree - 1)) * 1000000 + 0.5) / 1000000
+        |            ELSE 0.0 END AS clustering_coeff
+        |FROM deg d LEFT JOIN tc t ON t.part_key = d.part_key
+        |ORDER BY d.part_key""".stripMargin,
+    // BFS reach: 3 unrolled frontier rounds (each MATERIALIZED — the
+    // visited set is doubly referenced per round), layer r = distinct
+    // neighbors of layer r-1 minus everything already visited
+    "graph_reach" -> {
+      val round = (r: Int) =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT DISTINCT e.v AS node
+           |  FROM e JOIN f${r - 1} f ON f.node = e.u
+           |  WHERE e.v NOT IN (SELECT node FROM v${r - 1})),
+           |v$r AS MATERIALIZED (
+           |  SELECT node, hops FROM v${r - 1}
+           |  UNION ALL SELECT node, $r AS hops FROM f$r)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || c_custkey AS node, 0 AS hops
+         |  FROM customer WHERE c_nationkey = 1),
+         |f0 AS MATERIALIZED (SELECT node FROM v0),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node, hops FROM v3 ORDER BY node""".stripMargin
     },
     // BPE training re-derivation: the SAME 24 rounds — pair counts from
     // the delimited symbol string, (cnt DESC, a, b) argmax, literal

@@ -518,4 +518,98 @@ object Graph {
     OpCache.defer(spark)(freeE)
     out
   }
+
+  /** Hop-bounded BFS reach from a source cohort over an undirected (u, v)
+    * edge list: (node, hops) where `hops` is the MINIMUM hop distance
+    * from any source, for every node within `maxHops` (sources at 0).
+    * The supply-chain / blast-radius question users ask of a trade graph:
+    * "everything within k relationships of this cohort".
+    *
+    * Classic frontier BFS with the [[components]]/[[kCore]] loop
+    * discipline: the edge frame is checkpointed once and pre-partitioned
+    * on the probe key; each round is ONE edge⋈frontier equi-join (the
+    * node-sized frontier broadcast below the measured threshold,
+    * co-partitioned above), a distinct, and an anti-join against the
+    * visited set — per-round lineage cuts keep round r from re-running
+    * rounds 1..r−1. A node joins `visited` the FIRST round it appears and
+    * the anti-join bars re-entry, so its hop count is the BFS layer = min
+    * distance, each node exactly once. Fixed rounds (oracle-unrollable,
+    * like [[components]]) with an early exit when a frontier empties —
+    * sound because an empty frontier can never produce a later one, so
+    * the remaining rounds are no-ops by construction.
+    */
+  def reach(edges: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, "reach needs at least one hop")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val (e0, freeE0) = OpCache.checkpointWithHandle(sym)
+    val parts = Dedup.ccLoopPartitions(
+      e0.count(), spark.sparkContext.defaultParallelism)
+    val (e, freeE) = OpCache.checkpointWithHandle(e0.repartition(parts, col("u")))
+    freeE0()
+    val broadcastNodes =
+      e.select(col("u")).distinct().count() <= 1000000L
+    def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
+
+    var (visited, freeVisited) = OpCache.checkpointWithHandle(
+      sources.select(col("node"), lit(0).as("hops")).distinct())
+    var frontier = visited.select(col("node"))
+    var h = 1
+    var drained = false
+    while (h <= maxHops && !drained) {
+      val nbrs = e.join(bc(frontier.select(col("node").as("u"))), Seq("u"))
+        .select(col("v").as("node")).distinct()
+      val fresh = nbrs
+        .join(bc(visited.select(col("node"))), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hops"))
+      val (vNext, freeNext) = OpCache.checkpointWithHandle(
+        visited.unionByName(fresh))
+      freeVisited()
+      visited = vNext
+      freeVisited = freeNext
+      frontier = visited.where(col("hops") === h).select(col("node"))
+      // one node-sized count on the already-checkpointed frame
+      drained = frontier.limit(1).count() == 0L
+      h += 1
+    }
+    OpCache.defer(spark)(freeE)
+    OpCache.defer(spark)(freeVisited)
+    visited
+  }
+
+  /** Local clustering coefficient per node over an undirected (p1 < p2)
+    * edge list: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the fraction of
+    * a node's neighbor pairs that are themselves connected. Closes the
+    * standard graph-telemetry trio (degree / triangles / clustering):
+    * high degree + low cc is a hub bridging otherwise-unrelated baskets,
+    * high cc a tight co-purchase community.
+    *
+    * Pure composition of two proven pieces: one degree partial-agg and
+    * [[triangleCounts]]'s Bloom-pruned degree-ordered enumeration, both
+    * over ONE checkpointed edge frame (the lazy co-purchase derivation
+    * would otherwise re-run for each consumer), joined node-wise — the
+    * join is node-sized, orders of magnitude below the edge/wedge frames
+    * that dominate. Triangle-free nodes enter as 0 through the left
+    * join; degree-1 nodes have no neighbor pair, so cc is 0 by
+    * convention. The ratio is one IEEE division of exactly-represented
+    * integers, rounded to 6 dp on both engines — cross-engine exact.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val (e, freeE) = OpCache.checkpointWithHandle(edges.select(col("p1"), col("p2")))
+    val deg = e.select(col("p1").as("part_key")).union(e.select(col("p2")))
+      .groupBy(col("part_key")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e)
+    val out = deg.join(tri, Seq("part_key"), "left")
+      .select(col("part_key"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          OracleRound.roundN(
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+    OpCache.defer(spark)(freeE)
+    out
+  }
 }

@@ -200,4 +200,69 @@ class GraphSpec extends AnyFunSuite {
     assert(at10.nonEmpty)
     assert(at10.values.forall(_ >= 3L), "a survivor has in-core degree < k")
   }
+
+  test("clusteringCoefficients: K4 + pendant hand fixture") {
+    import spark.implicits._
+    // K4 on 1..4 (cc = 1 everywhere), plus pendant 5 hanging off node 1:
+    // node 1 gains a neighbor pair that cannot close (deg 4, tri 3 →
+    // cc = 6/12 = 0.5); the pendant has no neighbor pair (cc = 0)
+    val k4 = for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong)
+    val e = (k4 :+ ((1L, 5L))).toDF("p1", "p2")
+    val out = Graph.clusteringCoefficients(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(2L) === ((3L, 3L, 1.0)), s"got $out")
+    assert(out(3L) === ((3L, 3L, 1.0)), s"got $out")
+    assert(out(4L) === ((3L, 3L, 1.0)), s"got $out")
+    assert(out(1L) === ((4L, 3L, 0.5)), s"got $out")
+    assert(out(5L) === ((1L, 0L, 0.0)), s"got $out")
+  }
+
+  test("clusteringCoefficients agrees with triangleCounts and degrees on real data") {
+    val edges = Graph.copurchaseEdges(Tables.lineitem(spark, sf))
+    val cc = Graph.clusteringCoefficients(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val tri = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.nonEmpty && tri.nonEmpty)
+    // every triangle-bearing node carries exactly its triangle count, and
+    // the ratio bound cc ∈ [0, 1] holds everywhere
+    tri.foreach { case (p, t) =>
+      assert(cc(p)._2 === t, s"node $p: cc table says ${cc(p)._2}, triangles $t")
+    }
+    cc.values.foreach { case (d, t, c) =>
+      assert(c >= 0.0 && c <= 1.0, s"cc out of range: ($d, $t, $c)")
+      if (d < 2) assert(c === 0.0, "degree-1 node must have cc 0")
+    }
+  }
+
+  test("reach: path fixture — hop-bounded min distance, far end excluded") {
+    import spark.implicits._
+    // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("u", "v")
+    val src = Seq("a").toDF("node")
+    val out = Graph.reach(e, src, maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3), s"got $out")
+  }
+
+  test("reach: diamond takes the SHORTEST path and early-exits on a drained frontier") {
+    import spark.implicits._
+    // diamond a—b, a—c, b—d, c—d: d is 2 hops via either arm — exactly
+    // one row per node, labeled with the minimum; maxHops far beyond the
+    // diameter must not loop or relabel
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")).toDF("u", "v")
+    val src = Seq("a").toDF("node")
+    val out = Graph.reach(e, src, maxHops = 8).collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    assert(out.length === out.map(_._1).distinct.length, "a node was relabeled")
+    assert(out.toMap === Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2),
+      s"got ${out.toMap}")
+    // frontier monotonicity: hop-k nodes only ever appear with k ≤ the
+    // round that discovered them — growing maxHops never changes labels
+    val at2 = Graph.reach(e, src, maxHops = 2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(at2 === out.toMap, "extra rounds changed already-assigned labels")
+  }
 }

@@ -1206,6 +1206,119 @@ object StreamOps {
       .orderBy(col("i"))
       .collect().map(_.getLong(1))
 
+  /** Incremental inverted-index sink: each micro-batch folds its documents
+    * into per-term partial postings — `(term, df, cf, postings)` where
+    * `postings` is the batch's (doc_id, tf) struct array — landed as a
+    * replay-idempotent `batch_id=N` partition (the [[cmsSink]]/[[hllSink]]
+    * monoid pattern). df/cf sums and postings concatenation are
+    * associative and commutative across batches when each document
+    * arrives in exactly ONE batch (the deduped-corpus contract
+    * [[incrementalCorpusSink]] produces; a same-checkpoint replay
+    * overwrites its own partition, so at-least-once delivery stays
+    * exactly-once at the table), so the merged index EQUALS
+    * [[graft.operators.TextAnalysis.invertedIndex]] rebuilt on the whole
+    * corpus — with no rescan of history. Per-batch work is O(batch
+    * tokens): the same two partial-agg shuffles as the batch operator,
+    * over batch-sized input only.
+    *
+    * `minDf`/`maxPostings` are READ-time parameters, deliberately not
+    * applied here: a term below `minDf` within one batch may cross it
+    * after a merge, and truncating postings per batch would make the fold
+    * lossy. The state rows keep FULL per-batch postings; the head
+    * truncation is [[readInvertedIndex]]'s display contract.
+    */
+  def invertedIndexSink(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        batch
+          .select(col("doc_id"), explode(
+            graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+            collect_list(struct(col("doc_id"), col("tf"))).as("postings"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** The shared postings merge: per term, df/cf sums plus the flattened
+    * postings arrays, then the batch operator's exact read contract
+    * (minDf floor, doc-sorted head truncated to maxPostings, `doc:tf`
+    * serialization) — so merged-index == rebuilt-index is a column-level
+    * identity, not an approximation.
+    */
+  private def mergeInvertedIndex(
+      state: DataFrame, minDf: Long, maxPostings: Int): DataFrame =
+    state
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        flatten(collect_list(col("postings"))).as("plist"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        concat_ws(",", transform(
+          slice(sort_array(col("plist")), 1, maxPostings),
+          p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))))
+          .as("postings"))
+
+  /** Merge-on-read for [[invertedIndexSink]]: identical output (schema
+    * and values) to `TextAnalysis.invertedIndex` over the full ingested
+    * corpus, from (terms × batches) partial rows — StreamOpsSpec pins the
+    * identity across a checkpointed restart. `asOfBatch` = the index as
+    * it stood after batch N (the snapshot-as-of contract).
+    */
+  def readInvertedIndex(
+      spark: SparkSession, stateDir: String,
+      minDf: Long = 2, maxPostings: Int = 20,
+      asOfBatch: Option[Long] = None): DataFrame =
+    mergeInvertedIndex(
+      stateAsOf(spark, stateDir, asOfBatch).drop("batch_id"),
+      minDf, maxPostings)
+
+  /** Fold the postings history into one row per term in a NEW directory
+    * (the [[compactStats]] design: coverage pinned before the read,
+    * recorded in the sidecar, never rewritten in place). Postings stay
+    * FULL — compaction bounds the ROW count (one per term instead of one
+    * per term×batch), not the postings length, so later reads at any
+    * `maxPostings` remain exact.
+    */
+  def compactInvertedIndex(
+      spark: SparkSession, stateDir: String, outDir: String): Unit = {
+    val through = maxBatchId(spark, stateDir).getOrElse(throw
+      new IllegalStateException(s"no batch partitions to compact at $stateDir"))
+    spark.read.parquet(stateDir)
+      .where(col("batch_id") <= through)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        flatten(collect_list(col("postings"))).as("postings"))
+      .write.mode("errorifexists").parquet(outDir)
+    writeCompactedThrough(spark, outDir, through)
+  }
+
+  /** Merged index from a compacted snapshot plus the live batches above
+    * its watermark — identical to [[readInvertedIndex]] over the
+    * uncompacted table, which licenses [[vacuumStateTable]] on the
+    * covered partitions (the combined-reader contract).
+    */
+  def readInvertedIndexCompacted(
+      spark: SparkSession, compactedDir: String, stateDir: String,
+      minDf: Long = 2, maxPostings: Int = 20): DataFrame = {
+    val through = readCompactedThrough(spark, compactedDir)
+    val live = spark.read.parquet(stateDir)
+      .where(col("batch_id") > through).drop("batch_id")
+    mergeInvertedIndex(
+      live.unionByName(spark.read.parquet(compactedDir)), minDf, maxPostings)
+  }
+
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
     * per event type as a replay-idempotent `batch_id=N` partition.
     * Distinct counts are the canonical NON-additive statistic — per-batch

@@ -236,6 +236,60 @@ class StreamOpsSpec extends AnyFunSuite {
       "as-of-batch-1 read must reconstruct the post-batch-1 sketch")
   }
 
+  test("inverted-index sink: merged postings equal the whole-corpus rebuild, across restart/compact/vacuum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-invidx-src").toString
+    val b0 = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat"))
+    val b1 = Seq((3L, "cat and dog and bird"))
+    val b2 = Seq((4L, "the bird sat on the cat"))
+    val b3 = Seq((5L, "cat mat dog"))
+    val schema = b0.toDF("doc_id", "text").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.invertedIndexSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    type Rowt = (String, Long, Long, String)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Rowt] =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def rebuilt(rows: Seq[(Long, String)]): Set[Rowt] =
+      toSet(graft.operators.TextAnalysis.invertedIndex(rows.toDF("doc_id", "text")))
+    def merged(): Set[Rowt] =
+      toSet(StreamOps.readInvertedIndex(spark, s"$dir/state"))
+    b0.toDF("doc_id", "text").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("doc_id", "text").write.mode("append").json(srcDir)
+    runOnce() // checkpointed restart continues the batch-id sequence
+    assert(merged() === rebuilt(b0 ++ b1),
+      "merged index must equal the whole-corpus rebuild after a restart")
+    b2.toDF("doc_id", "text").write.mode("append").json(srcDir)
+    runOnce()
+    val all = b0 ++ b1 ++ b2
+    assert(merged() === rebuilt(all), "third batch did not fold in")
+    // the minDf floor is read-time: 'bird' has df 1 in each of two
+    // batches and must appear once the MERGED df crosses 2
+    assert(merged().exists(_._1 == "bird"),
+      "a term crossing minDf only across batches was lost")
+    assert(!rebuilt(b0 ++ b1).exists(_._1 == "bird"), "fixture broken")
+
+    // compaction folds rows per-term (postings kept FULL), combined
+    // reader identical; vacuum retires covered partitions unchanged
+    StreamOps.compactInvertedIndex(spark, s"$dir/state", s"$dir/state_c")
+    def combined(): Set[Rowt] =
+      toSet(StreamOps.readInvertedIndexCompacted(
+        spark, s"$dir/state_c", s"$dir/state"))
+    assert(combined() === rebuilt(all), "compacted reader diverged")
+    StreamOps.vacuumStateTable(spark, s"$dir/state", s"$dir/state_c", keepLast = 1)
+    assert(combined() === rebuilt(all), "vacuum changed the combined reader")
+    // a post-vacuum batch folds on top through the surviving checkpoint
+    b3.toDF("doc_id", "text").write.mode("append").json(srcDir)
+    runOnce()
+    assert(combined() === rebuilt(all ++ b3),
+      "post-vacuum batch did not merge through the combined reader")
+  }
+
   test("funnel stream: strict cross-batch progression, single emission, ordering enforced") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

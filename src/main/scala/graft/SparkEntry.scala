@@ -752,6 +752,10 @@ object SparkEntry {
     // in ascending-day order (oracle folds the identical sequence)
     "events_survival" -> ((s, d) =>
       Sequence.survivalCurve(s, d).orderBy("duration_days")),
+    // multi-touch attribution: first/last/linear credit in exact integer
+    // micro-cents; one user-keyed purchases-touches join, per-purchase
+    // windows, anti-joined 'none' channel completes each ledger
+    "events_attribution" -> ((s, d) => Sequence.attribution(s, d)),
     // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
     // sketches, every 7-day window a union of 7 sketches (distinct
     // counts don't add; registers merge) — exact side is the gate only
@@ -3203,6 +3207,43 @@ object SparkEntry {
         |         / 1000000 AS retention
         |FROM c JOIN sz ON sz.cohort_day = c.cohort_day
         |ORDER BY cohort_day, week_offset""".stripMargin,
+    // multi-touch attribution: identical micro-cent integer credit math
+    // (full credit cents*1e6; linear floor(cents*1e6/n) — one IEEE
+    // division of exact integers), so the sums hash-match exactly
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_id AS tid,
+        |             event_type AS channel
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.pid, p.cents, t.channel, t.tts, t.tid
+        |      FROM p JOIN t ON t.user_id = p.user_id
+        |       AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |w AS (SELECT pid, cents, channel,
+        |             count(*) OVER (PARTITION BY pid) AS n,
+        |             row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rna,
+        |             row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rnd
+        |      FROM j),
+        |un AS (SELECT pid, cents FROM p
+        |       WHERE pid NOT IN (SELECT pid FROM j)),
+        |cr AS (SELECT 'first_touch' AS model, channel, cents * 1000000 AS micro
+        |       FROM w WHERE rna = 1
+        |       UNION ALL
+        |       SELECT 'last_touch', channel, cents * 1000000 FROM w WHERE rnd = 1
+        |       UNION ALL
+        |       SELECT 'linear', channel,
+        |              CAST(floor(cents * 1000000.0 / n) AS BIGINT) FROM w
+        |       UNION ALL
+        |       SELECT m.model, 'none', cents * 1000000
+        |       FROM un CROSS JOIN (VALUES ('first_touch'), ('last_touch'),
+        |                                  ('linear')) m(model))
+        |SELECT model, channel, count(*) AS n_credits,
+        |       CAST(sum(micro) AS BIGINT) AS attributed_micro,
+        |       floor(CAST(sum(micro) AS DOUBLE) / 100000000 * 10000 + 0.5)
+        |         / 10000 AS attributed_revenue
+        |FROM cr GROUP BY model, channel
+        |ORDER BY model, channel""".stripMargin,
     // SQL sketch surface: CMS estimates replayed as filtered counts on
     // the constant buckets of 'the'; the bottom-k sample as the 3
     // smallest (md5, id) per source

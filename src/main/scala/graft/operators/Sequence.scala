@@ -197,4 +197,73 @@ object Sequence {
         col("n").cast("double") / sum(col("n")).over(wRow), 6).as("p"))
       .orderBy("from_type", "to_type")
   }
+
+  /** Multi-touch revenue attribution: every purchase's value is credited
+    * to the user's preceding view/click touches inside a lookback
+    * window, under the three standard models at once — first-touch (all
+    * credit to the earliest touch), last-touch (the latest), and linear
+    * (an equal split across the path) — plus a `none` channel carrying
+    * purchases with no touch in window, so each model's credit ledger is
+    * complete. The marketing-analytics sibling of [[funnel]]: funnel asks
+    * "who converts", attribution asks "which touchpoint earns the
+    * revenue".
+    *
+    * Scale shape: ONE purchases⋈touches equi-join on `user_id`
+    * (co-located when events are bucketed by user) with the lookback as
+    * a residual range predicate — never a time-only banded join; windows
+    * partition by PURCHASE id (millions of tiny partitions, no skewable
+    * global window); the anti-join for unattributed purchases rides the
+    * same user-partitioned shape.
+    *
+    * Determinism: credit is integer MICRO-CENTS — full credit is
+    * cents·10⁶ exactly; a linear share is floor(cents·10⁶ / n), one
+    * IEEE division of exactly-representable integers floored identically
+    * on both engines — so sums are long-exact in any order, and the
+    * display dollars derive from the exact long by one final division.
+    * Ties on touch time break by event_id (unique), so first/last are
+    * total orders.
+    */
+  def attribution(
+      spark: SparkSession, sfDir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val touches = e.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .where(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val byPurchase = Window.partitionBy(col("pid"))
+    val touched = joined
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rn_asc", row_number().over(
+        byPurchase.orderBy(col("tts"), col("tid"))))
+      .withColumn("rn_desc", row_number().over(
+        byPurchase.orderBy(col("tts").desc, col("tid").desc)))
+    val untouched = purchases
+      .join(joined.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+    val micro = col("cents") * lit(1000000L)
+    val credits = touched.where(col("rn_asc") === 1)
+      .select(lit("first_touch").as("model"), col("channel"), micro.as("micro"))
+      .unionByName(touched.where(col("rn_desc") === 1)
+        .select(lit("last_touch").as("model"), col("channel"), micro.as("micro")))
+      .unionByName(touched
+        .select(lit("linear").as("model"), col("channel"),
+          floor(micro.cast("double") / col("n")).cast("long").as("micro")))
+      .unionByName(Seq("first_touch", "last_touch", "linear")
+        .map(m => untouched.select(
+          lit(m).as("model"), lit("none").as("channel"), micro.as("micro")))
+        .reduce(_ unionByName _))
+    credits.groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("micro")).as("attributed_micro"))
+      .select(col("model"), col("channel"), col("n_credits"),
+        col("attributed_micro"),
+        OracleRound.roundN(
+          col("attributed_micro").cast("double") / 1e8, 4).as("attributed_revenue"))
+      .orderBy("model", "channel")
+  }
 }

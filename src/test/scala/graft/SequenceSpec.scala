@@ -125,4 +125,33 @@ class SequenceSpec extends AnyFunSuite {
     val expectTotal = e.count() - e.select("user_id").distinct().count()
     assert(rows.map(_.getLong(2)).sum === expectTotal)
   }
+
+  test("attribution: single-credit models conserve revenue exactly, linear within floor slack") {
+    val rows = Sequence.attribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val totalMicro = graft.engine.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(sum(floor(col("value") * 100 + lit(0.5)).cast("long") * 1000000L))
+      .head().getLong(0)
+    def byModel(m: String) = rows.filter(_._1 == m)
+    // first/last give each purchase's FULL credit to exactly one channel:
+    // the ledger sums to total purchase revenue, micro-cent exact
+    for (m <- Seq("first_touch", "last_touch")) {
+      assert(byModel(m).map(_._4).sum === totalMicro, s"$m ledger leaked")
+      // ...and one credit per purchase
+      val nPurchases = graft.engine.Tables.events(spark, sf)
+        .where(col("event_type") === "purchase").count()
+      assert(byModel(m).map(_._3).sum === nPurchases, s"$m credit count")
+    }
+    // linear floors each share, losing < n_touches micro-units per
+    // purchase — bounded below by total minus the credit count
+    val linear = byModel("linear")
+    val linSum = linear.map(_._4).sum
+    val linCredits = linear.map(_._3).sum
+    assert(linSum <= totalMicro && linSum > totalMicro - linCredits,
+      s"linear ledger out of floor slack: $linSum vs $totalMicro (credits $linCredits)")
+    // the three models agree exactly on the untouched 'none' channel
+    val nones = rows.filter(_._2 == "none").map(t => (t._3, t._4)).distinct
+    assert(nones.length === 1, s"models disagree on unattributed purchases: $nones")
+  }
 }

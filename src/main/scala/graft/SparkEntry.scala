@@ -817,6 +817,10 @@ object SparkEntry {
     // irregular-gap EWMA (1-day half-life): sequential per-key prefix
     // fold with exact 2^-gap weights — bit-deterministic cross-engine
     "ts_ewma" -> ((s, d) => TimeSeries.ewma(s, d)),
+    // additive decomposition n = trend + seasonal + resid: centered
+    // 7-day mean + day-of-week deviation, all integer-sum/single-
+    // division math on the zero-filled calendar spine
+    "ts_seasonal_decompose" -> ((s, d) => TimeSeries.seasonalDecompose(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3587,6 +3591,38 @@ object SparkEntry {
          |       ${OracleRound.duck(foldV, 6)} AS ewma
          |FROM p ORDER BY priority, day""".stripMargin
     },
+    // seasonal decomposition: the same integer-sum/single-division
+    // component math over the zero-filled spine; the residual subtracts
+    // the already-rounded components, mirroring the engine exactly
+    "ts_seasonal_decompose" ->
+      s"""WITH o AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day
+         |           FROM orders
+         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+         |s AS (SELECT priority, day, count(*) AS n FROM o GROUP BY priority, day),
+         |k AS (SELECT DISTINCT priority FROM o),
+         |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+         |                                    DATE '1997-02-28',
+         |                                    INTERVAL 1 DAY))::DATE AS day),
+         |f AS (SELECT k.priority, d.day, coalesce(s.n, 0) AS n
+         |      FROM k CROSS JOIN d
+         |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
+         |w AS (SELECT priority, day, n,
+         |        ${OracleRound.duck(
+               "CAST(sum(n) OVER wt AS DOUBLE) / count(*) OVER wt", 6)} AS trend,
+         |        ${OracleRound.duck(
+               "CAST(sum(n) OVER wd AS DOUBLE) / count(*) OVER wd " +
+                 "- CAST(sum(n) OVER wa AS DOUBLE) / count(*) OVER wa", 6)} AS seasonal
+         |      FROM f
+         |      WINDOW wt AS (PARTITION BY priority ORDER BY day
+         |                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+         |             wd AS (PARTITION BY priority, dayofweek(day)),
+         |             wa AS (PARTITION BY priority))
+         |SELECT priority, strftime(day, '%Y-%m-%d') AS day, n AS n_orders,
+         |       trend, seasonal,
+         |       ${OracleRound.duck("n - trend - seasonal", 6)} AS resid
+         |FROM w ORDER BY priority, day""".stripMargin,
   )
 
   /** Exact word-shingle jaccard pairs (threshold 0.5) — the oracle for

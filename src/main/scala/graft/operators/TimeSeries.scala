@@ -185,4 +185,58 @@ object TimeSeries {
       OracleRound.roundN(folded.getField("v"), 6).as("ewma"))
       .orderBy("priority", "day")
   }
+
+  /** Additive seasonal decomposition of the daily order-count series:
+    * per (priority, calendar day), `n_orders = trend + seasonal + resid`
+    * where trend is the centered 7-day moving average, seasonal the
+    * day-of-week deviation from each series' own mean, and resid what's
+    * left — the classic telemetry that turns "volume moved" into "is
+    * that the weekday pattern or an anomaly". Zero-filled on the
+    * broadcast calendar spine first (a missing day IS a zero-order day —
+    * skipping it would shift every window).
+    *
+    * Every component is derived from INTEGER sums by single IEEE
+    * divisions (centered mean = windowed long sum / window count;
+    * seasonal = dow mean − series mean), and the residual subtracts the
+    * already-6dp-rounded components — identical expression trees on both
+    * engines, so the hash compare is exact, never tolerance-based.
+    * Shape: one partial-agg to the day grain, then windows partitioned
+    * by priority over CALENDAR-sized frames; the spine is a broadcast
+    * constant (bounded BNLJ family), never a shuffle of the fact table.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+    val days = spark.range(1)
+      .select(explode(sequence(
+        lit(lo).cast("date"), lit(hi).cast("date"),
+        expr("interval 1 day"))).as("day"))
+    val keys = ordersInWindow(spark, sfDir)
+      .select(col("o_orderpriority").as("priority")).distinct()
+    val filled = keys.crossJoin(broadcast(days))
+      .join(series.select(col("priority"), col("day"), col("n_orders")),
+        Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n"))
+
+    val wTrend = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trend = sum(col("n")).over(wTrend).cast("double") /
+      count(lit(1)).over(wTrend)
+    val wDow = Window.partitionBy(col("priority"), dayofweek(col("day")))
+    val wAll = Window.partitionBy(col("priority"))
+    val seasonal = sum(col("n")).over(wDow).cast("double") /
+      count(lit(1)).over(wDow) -
+      sum(col("n")).over(wAll).cast("double") / count(lit(1)).over(wAll)
+
+    val trendR = OracleRound.roundN(trend, 6)
+    val seasonalR = OracleRound.roundN(seasonal, 6)
+    filled.select(
+      col("priority"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n").as("n_orders"),
+      trendR.as("trend"),
+      seasonalR.as("seasonal"),
+      OracleRound.roundN(col("n") - trendR - seasonalR, 6).as("resid"))
+      .orderBy("priority", "day")
+  }
 }

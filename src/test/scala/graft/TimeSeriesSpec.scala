@@ -107,6 +107,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("seasonal decomposition: identity, dense spine, mass-balanced seasonal") {
+    val rows = TimeSeries.seasonalDecompose(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // dense spine: every (priority, calendar day) exactly once
+    val keys = rows.map(t => (t._1, t._2))
+    assert(keys.length === keys.distinct.length, "spine has duplicates")
+    val daysPerKey = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(daysPerKey.values.toSet === Set(59), s"spine not dense: $daysPerKey")
+    rows.foreach { case (p, d, n, trend, seasonal, resid) =>
+      // the decomposition identity holds by construction against the
+      // ROUNDED components (resid is defined as the rounded remainder)
+      assert(math.abs(n - trend - seasonal - resid) < 2e-6,
+        s"identity broken at ($p, $d): $n != $trend + $seasonal + $resid")
+      assert(trend >= 0.0, "a centered mean of counts cannot be negative")
+    }
+    // seasonal is a deviation from each series' own mean: weighted by
+    // day-of-week frequency it cancels to ~0 per priority (exact pre-
+    // rounding; 59 days × 1e-6 rounding slack after)
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val s = rs.map(_._5).sum
+      assert(math.abs(s) < 1e-4, s"seasonal mass not balanced for $p: $s")
+    }
+  }
 }
 // NOTE: plan-shape guards (no unpartitioned windows, no cartesian
 // products) come free from PlanSpec's sweep over SparkEntry.queries,

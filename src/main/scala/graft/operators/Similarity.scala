@@ -253,6 +253,25 @@ object Similarity {
     cents
   }
 
+  /** Map-only nearest-centroid assignment of a corpus against FIXED
+    * centroids — the serving-side pass [[ivfTopK]] runs internally,
+    * exposed for incremental index maintenance
+    * ([[graft.streaming.StreamOps.ivfAssignSink]]): each vector's cluster
+    * depends only on (vector, centroids), so assigning a growing corpus
+    * batch-at-a-time equals whole-corpus assignment EXACTLY (the argmax
+    * ties on centroid index, a total order). Output: (vec_id, cluster,
+    * v, nrm) — everything exact rerank needs, no second read of the raw
+    * table.
+    */
+  def assignVectors(
+      embeddings: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .withColumn("cluster",
+        assignCluster(transform(col("v"), x => x / col("nrm")), cents))
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+
   /** argmax-dot cluster assignment against centroid literals (array_max
     * over (dot, idx) structs — compares by dot, ties by idx).
     */

@@ -1319,6 +1319,54 @@ object StreamOps {
       live.unionByName(spark.read.parquet(compactedDir)), minDf, maxPostings)
   }
 
+  /** Streaming ANN index maintenance: each micro-batch of NEW embeddings
+    * is assigned to its nearest published IVF centroid — a map-only pass,
+    * the centroids are frozen training artifacts
+    * ([[graft.operators.Similarity.publishedIvfCentroids]]) — and landed
+    * under `batch_id=N/cluster=C` partitions (replay-idempotent dynamic
+    * overwrite). The partition layout IS the inverted file: a serving
+    * query probing `nprobe` centroids reads exactly those `cluster=`
+    * directories (partition pruning), never the corpus; per-batch work is
+    * O(batch × nlist) with zero shuffles. Because each vector's cluster
+    * depends only on (vector, centroids), the merged table equals batch
+    * assignment of the whole corpus exactly — the index never needs a
+    * rebuild until the CENTROIDS are retrained (which is a new artifact
+    * version and a new state dir, not an in-place mutation).
+    */
+  def ivfAssignSink(
+      embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        graft.operators.Similarity.assignVectors(batch, centroids)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cluster")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** The maintained inverted file, merged on read: (vec_id, cluster, v,
+    * nrm) for the full ingested corpus — or, with `clusters`, ONLY the
+    * probed lists (partition-pruned: the scan touches the named
+    * `cluster=` directories and nothing else — the serving path's read).
+    * `asOfBatch` = the index as of batch N (snapshot-as-of contract).
+    */
+  def readIvfAssignments(
+      spark: SparkSession, stateDir: String,
+      clusters: Seq[Int] = Nil,
+      asOfBatch: Option[Long] = None): DataFrame = {
+    val all = stateAsOf(spark, stateDir, asOfBatch).drop("batch_id")
+    if (clusters.isEmpty) all
+    else all.where(col("cluster").isin(clusters: _*))
+  }
+
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
     * per event type as a replay-idempotent `batch_id=N` partition.
     * Distinct counts are the canonical NON-additive statistic — per-batch

@@ -236,6 +236,47 @@ class StreamOpsSpec extends AnyFunSuite {
       "as-of-batch-1 read must reconstruct the post-batch-1 sketch")
   }
 
+  test("ivf assign sink: maintained inverted file equals whole-corpus assignment; cluster layout prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ivf-src").toString
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 64)
+    val cents = graft.operators.Similarity.trainIvfCentroids(emb, nlist = 4, iters = 2)
+    // ship the stream through json; the identity compares against the SAME
+    // json-round-tripped frame so float serialization cancels out
+    emb.where(col("vec_id") < 32).select("vec_id", "embedding")
+      .write.mode("overwrite").json(srcDir)
+    val schema = emb.select("vec_id", "embedding").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.ivfAssignSink(fileDf, cents, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    emb.where(col("vec_id") >= 32).select("vec_id", "embedding")
+      .write.mode("append").json(srcDir)
+    runOnce() // checkpointed restart continues the batch-id sequence
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = toMap(StreamOps.readIvfAssignments(spark, s"$dir/state"))
+    val direct = toMap(graft.operators.Similarity.assignVectors(
+      spark.read.schema(schema).json(srcDir), cents))
+    assert(merged.size === 64)
+    assert(merged === direct,
+      "incrementally maintained assignments diverged from the whole-corpus pass")
+    // the partition layout IS the inverted file: cluster= directories
+    // under each batch, so a probed read touches only its lists
+    val b0 = new java.io.File(s"$dir/state/batch_id=0").list()
+      .filter(_.startsWith("cluster=")).toSet
+    assert(b0.nonEmpty, "no cluster partitions under batch 0")
+    val probed = direct.values.head
+    val pruned = toMap(StreamOps.readIvfAssignments(
+      spark, s"$dir/state", clusters = Seq(probed)))
+    assert(pruned === direct.filter(_._2 == probed),
+      "probed-cluster read diverged")
+  }
+
   test("inverted-index sink: merged postings equal the whole-corpus rebuild, across restart/compact/vacuum") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-stream").toString

@@ -648,6 +648,15 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d))
         .orderBy("query_term", "rank")),
+    // EXTERNAL-query BM25 serving: the caller's own terms probe the
+    // index (the ANN queryTable= parity for text retrieval); the fact
+    // side never reshuffles for serving
+    "text_bm25_external" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bm25TopK(Tables.documents(s, d),
+        queryTable = Some(Seq("vector", "stream", "window").toDF("term")))
+        .orderBy("query_term", "rank")
+    }),
     // inverted index: df/cf + the head of each term's postings list
     "text_inverted_index" -> ((s, d) =>
       TextAnalysis.invertedIndex(Tables.documents(s, d)).orderBy("term")),
@@ -2851,6 +2860,27 @@ object SparkEntry {
          |WHERE rank <= 10
          |ORDER BY query_term, rank""".stripMargin
     },
+    // external BM25 serving: identical scoring plan, the probe is the
+    // caller's literal term list instead of the corpus-derived top-cf set
+    "text_bm25_external" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+         |q AS (SELECT d.term, d.df FROM d
+         |      WHERE d.term IN ('vector', 'stream', 'window')),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t),
+         |sc AS (SELECT q.term AS query_term, f.doc_id,
+         |         floor((ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+         |                (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) * 10000 + 0.5) / 10000 AS score
+         |       FROM f JOIN q ON f.term = q.term
+         |       JOIN dl ON dl.doc_id = f.doc_id CROSS JOIN st)
+         |SELECT query_term, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_term
+         |                               ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 10
+         |ORDER BY query_term, rank""".stripMargin,
     "text_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |c AS (SELECT doc_id, unnest(toks) AS term FROM t),

@@ -701,15 +701,25 @@ object TextAnalysis {
     * cross-engine deterministic (score desc, doc_id asc).
     */
   def bm25TopK(docs: DataFrame, nQueries: Int = 5, topDocs: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               queryTable: Option[DataFrame] = None): DataFrame = {
     val tf = graft.engine.OpCache.materialize(termFrequencies(docs))
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    val queries = df
-      .where(!col("term").isin(stopwords.map(lit): _*))
-      .orderBy(col("cf").desc, col("term"))
-      .limit(nQueries)
-      .select(col("term"), col("df"))
+    // external serving: the caller's own query terms (a `term` column)
+    // instead of the corpus-derived probe — the same join shape, the
+    // query side stays a broadcast frame, the fact side untouched. Terms
+    // absent from the corpus have no postings and drop out naturally.
+    val queries = queryTable match {
+      case Some(qt) =>
+        qt.select(col("term")).distinct().join(df, Seq("term"))
+          .select(col("term"), col("df"))
+      case None => df
+        .where(!col("term").isin(stopwords.map(lit): _*))
+        .orderBy(col("cf").desc, col("term"))
+        .limit(nQueries)
+        .select(col("term"), col("df"))
+    }
     val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),

@@ -60,14 +60,16 @@ class PlanSpec extends AnyFunSuite {
     // (violations, evaluated) cross-joined — constant-size
     "pipeline_constraint_checks",
     // bm25: the single-row (N, avgdl) corpus-stats aggregate broadcast
-    // onto the already-query-filtered postings (same shape as text_tfidf)
-    "text_bm25",
+    // onto the already-query-filtered postings (same shape as text_tfidf);
+    // the external-serving variant shares the identical scoring plan
+    "text_bm25", "text_bm25_external",
     // hits: the per-round L1 normalizers — single-row sum aggregates
     // cross-joined onto node-sized score frames
     "graph_hits",
     // ts_interpolate: the generated 59-row calendar spine broadcast
-    // against the (unbounded) key side — constant-size build at any SF
-    "ts_interpolate",
+    // against the (unbounded) key side — constant-size build at any SF;
+    // seasonal decomposition fills the same spine
+    "ts_interpolate", "ts_seasonal_decompose",
     // events_funnel: three SINGLE-ROW per-step aggregates cross-joined
     // for the final 3-row assembly — constant-size at any SF
     "events_funnel")

@@ -82,6 +82,17 @@ object ScaleUp {
     li.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
 
+    // customer for the BFS-reach smoke: the SAME custkey shift as orders
+    // (the trade graph's 'c:' node ids must line up across tables), and
+    // nationkey untouched — the reach cohort replicates linearly with
+    // the graph instead of staying one fixed-size island
+    val cust = graft.engine.Tables.customer(spark, sfDir)
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("__k"))
+      .withColumn("c_custkey", col("c_custkey") * factor + k)
+      .drop("__k")
+    cust.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/customer.parquet")
+
     // events for the behavioral/HLL/as-of smokes: replica k shifts the
     // user and event-id key spaces into disjoint blocks — user counts,
     // funnels, transitions, and per-day distinct users all grow linearly

@@ -421,6 +421,16 @@ object SparkEntry {
     // mutated; cur = docs minus (id%23==11) — added/removed/changed/
     // unchanged per id, both sides derived deterministically so the
     // oracle rebuilds the identical snapshots
+    // PSI length-distribution drift between snapshots: prev drops
+    // (id%17==3); cur drops (id%23==11) AND truncates the long tail
+    // (n_chars < 450) so the banded shares genuinely move
+    "pipeline_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.driftPsi(
+        docs.where(col("doc_id") % 17 =!= 3),
+        docs.where(col("doc_id") % 23 =!= 11 && col("n_chars") < 450))
+        .orderBy("source")
+    }),
     "pipeline_corpus_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val prev = docs.where(col("doc_id") % 17 =!= 3)
@@ -1056,6 +1066,55 @@ object SparkEntry {
         |         AS n_removed
         |FROM documents d LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // PSI drift: identical banding ladder, Laplace-smoothed shares as
+    // single divisions of exact integers, band-sorted sequential fold
+    // (list_reduce with a prepended 0.0 ≡ the Spark aggregate's init)
+    "pipeline_drift_psi" ->
+      """WITH pv AS (SELECT source, n_chars FROM documents WHERE doc_id % 17 <> 3),
+        |cu AS (SELECT source, n_chars FROM documents
+        |       WHERE doc_id % 23 <> 11 AND n_chars < 450),
+        |bp AS (SELECT source,
+        |              (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS band,
+        |              count(*) AS cp
+        |       FROM pv GROUP BY source, band),
+        |bq AS (SELECT source,
+        |              (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+        |             + CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS band,
+        |              count(*) AS cq
+        |       FROM cu GROUP BY source, band),
+        |src AS (SELECT DISTINCT source FROM
+        |        (SELECT source FROM pv UNION ALL SELECT source FROM cu)),
+        |bands AS (SELECT CAST(unnest(range(0, 6)) AS INTEGER) AS band),
+        |g AS (SELECT s.source, b.band,
+        |             coalesce(bp.cp, 0) AS cp, coalesce(bq.cq, 0) AS cq
+        |      FROM src s CROSS JOIN bands b
+        |      LEFT JOIN bp ON bp.source = s.source AND bp.band = b.band
+        |      LEFT JOIN bq ON bq.source = s.source AND bq.band = b.band),
+        |t AS (SELECT source, CAST(sum(cp) AS BIGINT) AS np,
+        |             CAST(sum(cq) AS BIGINT) AS nq
+        |      FROM g GROUP BY source),
+        |c AS (SELECT g.source, t.np, t.nq,
+        |             {'band': g.band,
+        |              'c': ((CAST(cq + 1 AS DOUBLE) / (nq + 6))
+        |                    - (CAST(cp + 1 AS DOUBLE) / (np + 6)))
+        |                   * ln((CAST(cq + 1 AS DOUBLE) / (nq + 6))
+        |                        / (CAST(cp + 1 AS DOUBLE) / (np + 6)))} AS bc
+        |      FROM g JOIN t ON t.source = g.source),
+        |f AS (SELECT source, max(np) AS n_prev, max(nq) AS n_cur,
+        |             floor(list_reduce(
+        |               list_prepend(0.0, list_transform(list_sort(list(bc)),
+        |                                                x -> x.c)),
+        |               (a, b) -> a + b) * 10000 + 0.5) / 10000 AS psi
+        |      FROM c GROUP BY source)
+        |SELECT source, n_prev, n_cur, psi, psi >= 0.2 AS drifted
+        |FROM f ORDER BY source""".stripMargin,
     "pipeline_corpus_diff" ->
       """WITH prev AS (SELECT doc_id,
         |                     md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v1'

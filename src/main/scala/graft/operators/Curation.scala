@@ -698,6 +698,57 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Population-stability-index drift between two corpus snapshots, per
+    * source: n_chars is banded on a FIXED literal ladder, band shares are
+    * Laplace-smoothed ((c+1)/(n+B) — empty bands contribute finitely
+    * instead of blowing up the log), and
+    * PSI = Σ_bands (q−p)·ln(q/p). The standard "did the length
+    * distribution move between releases" gate (PSI ≳ 0.2 = investigate),
+    * complementing [[graft.operators.TextAnalysis.sourceDivergence]]'s
+    * vocabulary KL with a numeric-column drift check.
+    *
+    * Determinism: band counts are exact integers on a dense
+    * (source × band) grid (the broadcast constant-size spine — empty
+    * bands present, so smoothing sees them); each share is one IEEE
+    * division of exact integers; the per-source sum folds a SORTED band
+    * array sequentially (the repo's pinned-fold convention), so the only
+    * cross-engine wiggle is ln's final ulp, absorbed by the 4 dp round
+    * (the [[graft.operators.TextAnalysis.sourceDivergence]] precedent).
+    * Scale: two band-count partial-aggs + a bands×sources grid join —
+    * the fact tables are touched once each, map-side banded.
+    */
+  def driftPsi(
+      prev: DataFrame, cur: DataFrame,
+      edges: Seq[Long] = Seq(100L, 200L, 300L, 400L, 500L)): DataFrame = {
+    val spark = prev.sparkSession
+    val nBands = edges.size + 1
+    def band(c: Column): Column =
+      edges.map(e => when(c >= e, 1).otherwise(0)).reduce(_ + _)
+    def counts(df: DataFrame, name: String) =
+      df.select(col("source"), band(col("n_chars")).as("band"))
+        .groupBy(col("source"), col("band")).agg(count(lit(1)).as(name))
+    val sources = prev.select(col("source"))
+      .union(cur.select(col("source"))).distinct()
+    val bands = spark.range(nBands).select(col("id").cast("int").as("band"))
+    val grid = sources.crossJoin(broadcast(bands))
+      .join(counts(prev, "cp"), Seq("source", "band"), "left")
+      .join(counts(cur, "cq"), Seq("source", "band"), "left")
+      .na.fill(0L, Seq("cp", "cq"))
+    val totals = grid.groupBy(col("source"))
+      .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    val p = (col("cp") + 1).cast("double") / (col("np") + lit(nBands))
+    val q = (col("cq") + 1).cast("double") / (col("nq") + lit(nBands))
+    grid.join(totals, "source")
+      .select(col("source"), col("np"), col("nq"),
+        struct(col("band"), ((q - p) * log(q / p)).as("c")).as("bc"))
+      .groupBy(col("source"))
+      .agg(max(col("np")).as("n_prev"), max(col("nq")).as("n_cur"),
+        graft.functions.OracleRound.roundN(
+          aggregate(sort_array(collect_list(col("bc"))), lit(0.0),
+            (acc, s) => acc + s.getField("c")), 4).as("psi"))
+      .withColumn("drifted", col("psi") >= 0.2)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
     * public literature, method re-derived): each row gets the key

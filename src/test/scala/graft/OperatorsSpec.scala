@@ -703,4 +703,25 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("driftPsi: zero on identical snapshots, nonnegative, moved tail detected") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // identical snapshots: every band share pair is equal → PSI exactly 0
+    val same = graft.operators.Curation.driftPsi(docs, docs).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getDouble(3) === 0.0, s"psi nonzero on identical snapshots: $r")
+      assert(!r.getBoolean(4))
+    }
+    // PSI terms (q−p)·ln(q/p) are individually nonnegative — any drift
+    // can only raise the index
+    val moved = graft.operators.Curation.driftPsi(
+      docs, docs.where(col("n_chars") < 300)).collect()
+    moved.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, s"negative psi: $r")
+    }
+    // chopping everything above the median length is a drift the gate
+    // must see somewhere
+    assert(moved.exists(_.getDouble(3) > 0.0), "hard length cut left psi at 0")
+  }
 }

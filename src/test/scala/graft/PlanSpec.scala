@@ -70,6 +70,8 @@ class PlanSpec extends AnyFunSuite {
     // against the (unbounded) key side — constant-size build at any SF;
     // seasonal decomposition fills the same spine
     "ts_interpolate", "ts_seasonal_decompose",
+    // PSI drift: the 6-row band spine broadcast against the source side
+    "pipeline_drift_psi",
     // events_funnel: three SINGLE-ROW per-step aggregates cross-joined
     // for the final 3-row assembly — constant-size at any SF
     "events_funnel")

@@ -106,7 +106,7 @@ object ScaleUp {
     ev.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
 
-    println(s"[scaleup] wrote ${factor}x documents+embeddings+orders+lineitem+events to $outDir")
+    println(s"[scaleup] wrote ${factor}x documents+embeddings+orders+lineitem+customer+events to $outDir")
     spark.stop()
   }
 }

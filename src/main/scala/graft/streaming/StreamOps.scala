@@ -1410,6 +1410,94 @@ object StreamOps {
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"))
 
+  /** Streaming value-distribution sink: each micro-batch folds its
+    * `value` column into a FIXED-edge histogram — bucket =
+    * clamp(floor((v−lo)/width), 0, n−1), the top bucket catching the
+    * overflow tail — landed as a replay-idempotent `batch_id=N`
+    * partition of (bucket, n) rows. Fixed edges are what make the
+    * sketch EXACTLY mergeable (bucket counts are a plain monoid —
+    * unlike adaptive sketches whose bins depend on the data seen), so
+    * the merged histogram equals the whole-history histogram with no
+    * rescan, replays included; the price is a fixed value range chosen
+    * up front, the right trade for monitoring a telemetry stream whose
+    * domain is known. State per batch is ≤ nBuckets longs.
+    */
+  def histogramSink(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      lo: Double = 0.0,
+      width: Double = 25.0,
+      nBuckets: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        batch
+          .select(least(greatest(
+            floor((col("value") - lit(lo)) / lit(width)), lit(0L)),
+            lit(nBuckets - 1L)).cast("int").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** Merge-on-read for [[histogramSink]]: per bucket, the count sum plus
+    * the bucket's value edges. (buckets × batches) rows in, ≤ nBuckets
+    * rows out. `asOfBatch` = the distribution as of batch N.
+    */
+  def readHistogram(
+      spark: SparkSession, stateDir: String,
+      lo: Double = 0.0, width: Double = 25.0,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch)
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * lit(width)).as("hi_edge"),
+        col("n"))
+      .orderBy("bucket")
+
+  /** Quantile estimates over the maintained histogram: walk the
+    * cumulative counts to the bucket containing rank q·total and
+    * interpolate linearly inside it. The driver pull is the merged
+    * histogram — ≤ nBuckets rows by construction (the bounded-pull
+    * contract), whatever the stream's history. Estimates are within one
+    * bucket width of the true quantile by the pigeonhole bound; the
+    * walk and interpolation are deterministic given the (exact, merged)
+    * counts. Returns (q, estimate) per requested quantile.
+    */
+  def readQuantiles(
+      spark: SparkSession, stateDir: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      lo: Double = 0.0, width: Double = 25.0,
+      asOfBatch: Option[Long] = None): Seq[(Double, Double)] = {
+    val hist = readHistogram(spark, stateDir, lo, width, asOfBatch)
+      .select(col("bucket"), col("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    require(total > 0, s"empty histogram at $stateDir")
+    qs.map { q =>
+      require(q > 0.0 && q <= 1.0, s"quantile out of range: $q")
+      val rank = q * total
+      var cum = 0L
+      var hit: Option[(Int, Long, Long)] = None
+      hist.foreach { case (b, n) =>
+        if (hit.isEmpty && cum + n >= rank) hit = Some((b, n, cum))
+        cum += n
+      }
+      val (bucket, inBucket, prevCum) =
+        hit.getOrElse((hist.last._1, hist.last._2, total - hist.last._2))
+      val frac = if (inBucket == 0) 0.0 else (rank - prevCum) / inBucket
+      q -> (lo + bucket * width + width * frac)
+    }
+  }
+
   /** Streaming cohort assignment: each micro-batch lands its users'
     * first-seen-IN-BATCH day as a replay-idempotent `batch_id=N`
     * partition; per-user cohort day is the MIN across batch rows — a

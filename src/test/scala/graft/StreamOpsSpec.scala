@@ -422,6 +422,51 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("histogram sink: fixed edges merge exactly; quantiles within a bucket width") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-hist-src").toString
+    // values spanning under/overflow and several interior buckets
+    val b0 = Seq(-3.0, 2.0, 27.0, 51.0, 52.0, 260.0)
+    val b1 = Seq(26.0, 28.0, 53.0, 999.0)
+    val b2 = Seq(0.0, 75.0, 77.0, 78.0)
+    val schema = b0.toDF("value").schema
+    def runOnce(): Unit = {
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.histogramSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    b0.toDF("value").write.mode("overwrite").json(srcDir)
+    runOnce()
+    b1.toDF("value").write.mode("append").json(srcDir)
+    runOnce() // checkpointed restart continues the batch-id sequence
+    b2.toDF("value").write.mode("append").json(srcDir)
+    runOnce()
+    val all = b0 ++ b1 ++ b2
+    def direct(rows: Seq[Double]): Map[Int, Long] =
+      rows.groupBy(v => math.min(math.max(math.floor(v / 25.0).toLong, 0L), 19L).toInt)
+        .view.mapValues(_.size.toLong).toMap
+    val merged = StreamOps.readHistogram(spark, s"$dir/state").collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(merged === direct(all),
+      "merged histogram must equal the whole-history histogram")
+    // as-of: only the first two batches
+    assert(StreamOps.readHistogram(spark, s"$dir/state", asOfBatch = Some(1))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap === direct(b0 ++ b1),
+      "as-of-1 histogram must see batches 0..1")
+    // quantiles: within one bucket width (25) of the exact order stat
+    val sorted = all.sorted
+    StreamOps.readQuantiles(spark, s"$dir/state", Seq(0.5, 0.9)).foreach {
+      case (q, est) =>
+        val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+        // clamp the exact value the way the histogram does (tails fold
+        // into the edge buckets)
+        val clamped = math.min(math.max(exact, 0.0), 500.0)
+        assert(math.abs(est - clamped) <= 25.0,
+          s"q=$q estimate $est too far from exact $clamped")
+    }
+  }
+
   test("cohort sink: per-user min is a semilattice — merge equals direct, across a restart") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cohort-stream").toString

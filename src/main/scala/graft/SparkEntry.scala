@@ -775,6 +775,9 @@ object SparkEntry {
     // micro-cents; one user-keyed purchases-touches join, per-purchase
     // windows, anti-joined 'none' channel completes each ledger
     "events_attribution" -> ((s, d) => Sequence.attribution(s, d)),
+    // batch sessionization (gaps-and-islands): the oracle-checked batch
+    // truth for the streaming sessionize gap rule; exact integer micros
+    "events_sessions" -> ((s, d) => Sequence.sessions(s, d)),
     // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
     // sketches, every 7-day window a union of 7 sketches (distinct
     // counts don't add; registers merge) — exact side is the gate only
@@ -3300,6 +3303,32 @@ object SparkEntry {
         |         / 1000000 AS retention
         |FROM c JOIN sz ON sz.cohort_day = c.cohort_day
         |ORDER BY cohort_day, week_offset""".stripMargin,
+    // batch sessionization: the same lag-flag + running-sum islands in
+    // exact integer microseconds (epoch_us ≡ unix_micros); // is floor
+    // division, matching the Spark double-div + truncate on positives
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, us, cents,
+        |             CASE WHEN lag(us) OVER w IS NULL
+        |                    OR us - lag(us) OVER w > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us, cents,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id
+        |                                   ORDER BY us, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                   AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM f),
+        |s AS (SELECT user_id, session_idx, min(us) AS start_us,
+        |             max(us) AS end_us, count(*) AS n_events,
+        |             CAST(sum(cents) AS BIGINT) AS value_cents
+        |      FROM g GROUP BY user_id, session_idx)
+        |SELECT user_id, session_idx, start_us, end_us,
+        |       (end_us - start_us) // 1000000 AS duration_seconds,
+        |       n_events, value_cents
+        |FROM s ORDER BY user_id, session_idx""".stripMargin,
     // multi-touch attribution: identical micro-cent integer credit math
     // (full credit cents*1e6; linear floor(cents*1e6/n) — one IEEE
     // division of exact integers), so the sums hash-match exactly

@@ -198,6 +198,51 @@ object Sequence {
       .orderBy("from_type", "to_type")
   }
 
+  /** Batch sessionization — the oracle-checked batch truth for
+    * [[graft.streaming.StreamOps.sessionize]]'s gap rule: per user,
+    * events ordered by (ts, event_id) split into sessions wherever the
+    * gap to the previous event EXCEEDS `gapMinutes` (the classic
+    * gaps-and-islands: a lag flag + running sum numbers the islands,
+    * then one partial-agg per session). All time math is exact integer
+    * MICROSECONDS (`unix_micros` ≡ DuckDB `epoch_us`) — second-truncated
+    * casts would flip boundaries on sub-second timestamps — and money is
+    * integer cents, so every output column hash-matches with no
+    * tolerance.
+    *
+    * Scale shape: one user-partitioned ordered window (fine-grained
+    * partitions — no global sort) + one (user, session) partial-agg;
+    * co-located end-to-end when events are bucketed by user.
+    */
+  def sessions(
+      spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("int"))
+    flagged
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("value_cents"))
+      .select(col("user_id"), col("session_idx"),
+        col("start_us"), col("end_us"),
+        ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long")
+          .as("duration_seconds"),
+        col("n_events"), col("value_cents"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Multi-touch revenue attribution: every purchase's value is credited
     * to the user's preceding view/click touches inside a lookback
     * window, under the three standard models at once — first-touch (all

@@ -215,6 +215,13 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(Tables.documents(s, d)).orderBy("doc_id", "term")),
+    // PMI collocations: strongest adjacent-bigram associations, count
+    // floor 5, ranked by the ROUNDED score (deterministic top-k cut)
+    "text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d))),
+    // per-doc keyword extraction: top-3 TF-IDF terms per document
+    "text_keywords" -> ((s, d) =>
+      TextAnalysis.keywords(Tables.documents(s, d)).orderBy("doc_id", "kw_rank")),
     // corpus quality-distribution telemetry (equal-count deciles; exact
     // distributed ntile via GlobalOrder — no global window)
     "text_quality_deciles" -> ((s, d) =>
@@ -2305,6 +2312,43 @@ object SparkEntry {
                "f.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))", 4)} AS tfidf
          |FROM f JOIN d USING (term) CROSS JOIN n
          |ORDER BY doc_id, term""".stripMargin,
+    // PMI collocations: same counts, same single-division-inside-ln
+    // expression tree, same rounded-score ranking and tie-break
+    "text_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |uc AS (SELECT term, count(*) AS c1
+         |       FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term),
+         |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tokens FROM uc),
+         |g AS (SELECT unnest([{'a': toks[i], 'b': toks[i+1]}
+         |                     for i in range(1, len(toks))],
+         |                    recursive := true) FROM t),
+         |bg AS (SELECT a, b, count(*) AS cab FROM g GROUP BY a, b
+         |       HAVING count(*) >= 5),
+         |j AS (SELECT bg.a, bg.b, bg.cab, ua.c1 AS ca, ub.c1 AS cb
+         |      FROM bg JOIN uc ua ON ua.term = bg.a
+         |      JOIN uc ub ON ub.term = bg.b)
+         |SELECT a, b, cab, ca, cb,
+         |       ${graft.functions.OracleRound.duck(
+               "ln(CAST(n.n_tokens AS DOUBLE) * cab / (CAST(ca AS DOUBLE) * cb))", 4)} AS pmi
+         |FROM j CROSS JOIN n
+         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+    // per-doc keywords: the tfidf frame cut to top-3 per document by
+    // (rounded score desc, term) — the same deterministic window cut
+    "text_keywords" ->
+      s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term),
+         |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT f.doc_id, f.term,
+         |             ${graft.functions.OracleRound.duck(
+               "f.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))", 4)} AS tfidf
+         |      FROM f JOIN d USING (term) CROSS JOIN n)
+         |SELECT doc_id, CAST(kw_rank AS INTEGER) AS kw_rank, term, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY tfidf DESC, term) AS kw_rank
+         |  FROM s)
+         |WHERE kw_rank <= 3
+         |ORDER BY doc_id, kw_rank""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

@@ -483,6 +483,67 @@ object TextAnalysis {
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
 
+  /** PMI collocations: the corpus's strongest two-word associations —
+    * adjacent bigrams scored by pointwise mutual information
+    * ln(N·c(ab) / (c(a)·c(b))) over the token stream, with a minimum
+    * bigram count floor so rare accidents don't dominate (the classic
+    * Church–Hanks association measure, re-derived). The collocation
+    * table is corpus telemetry (multi-word expressions, domain phrases)
+    * and a tokenizer-merge candidate list.
+    *
+    * Scale shape: one bigram partial-agg over the (linear) adjacent-pair
+    * stream, one unigram partial-agg, two broadcast-sized joins of the
+    * FILTERED bigram list against the unigram counts (the ≥minCount
+    * survivors are vocabulary-sized, not corpus-sized), and a top-k
+    * TakeOrderedAndProject — never a global sort. PMI is integer counts
+    * closed by one division inside ln, rounded 4 dp (the BM25/KL ln
+    * precedent); ranking uses the ROUNDED score with a bigram tie-break,
+    * so the cut is cross-engine deterministic.
+    */
+  def collocations(
+      docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val base = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val nTotal = uni.agg(sum(col("c1")).as("n_tokens"))
+    val bi = base.where(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("a"),
+          element_at(col("toks"), i + 2).as("b")))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    bi
+      .join(uni.select(col("term").as("a"), col("c1").as("ca")), Seq("a"))
+      .join(uni.select(col("term").as("b"), col("c1").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        OracleRound.round4(log(
+          col("n_tokens").cast("double") * col("cab") /
+            (col("ca").cast("double") * col("cb")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Per-document keyword extraction: each document's top-`k` terms by
+    * TF-IDF (rounded score, then term as the tie-break — a deterministic
+    * cut). The "what is this document about" summary column a curation
+    * pipeline publishes next to the corpus; one window over the
+    * (doc, term) posting frame, partitioned by document (fine-grained,
+    * never global).
+    */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tfidf(docs)
+      .withColumn("kw_rank", row_number().over(w))
+      .where(col("kw_rank") <= k)
+      .select(col("doc_id"), col("kw_rank"), col("term"), col("tfidf"))
+  }
+
   /** Quality-decile telemetry: documents ranked by composite quality
     * (doc_id tie-break) and cut into ten equal-count buckets — the
     * monitoring table a corpus build publishes per snapshot so

@@ -72,8 +72,9 @@ class PlanSpec extends AnyFunSuite {
     "ts_interpolate", "ts_seasonal_decompose",
     // PSI drift: the 6-row band spine broadcast against the source side
     "pipeline_drift_psi",
-    // collocations: the single-row token-total broadcast into the PMI
-    "text_collocations",
+    // collocations / keywords: the single-row token-total / doc-count
+    // broadcast into the PMI / TF-IDF score (the text_tfidf shape)
+    "text_collocations", "text_keywords",
     // events_funnel: three SINGLE-ROW per-step aggregates cross-joined
     // for the final 3-row assembly — constant-size at any SF
     "events_funnel")

@@ -850,6 +850,14 @@ object SparkEntry {
     // 7-day mean + day-of-week deviation, all integer-sum/single-
     // division math on the zero-filled calendar spine
     "ts_seasonal_decompose" -> ((s, d) => TimeSeries.seasonalDecompose(s, d)),
+    // robust rolling-MAD outlier flags: trailing exclusive 14-day frame,
+    // 2·median / 4·MAD kept INTEGER so the 3.5-MAD flag is pure integer
+    // comparison (bit-identical cross-engine); 8-obs warm-up
+    "ts_anomaly" -> ((s, d) => TimeSeries.anomalies(s, d)),
+    // sample ACF at lags 1..7 over the zero-filled series: every
+    // aggregate an integer sum, the ratio ONE shared IEEE expression;
+    // lag dim = 7 map-side projections (no nested loop)
+    "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3785,6 +3793,84 @@ object SparkEntry {
          |       trend, seasonal,
          |       ${OracleRound.duck("n - trend - seasonal", 6)} AS resid
          |FROM w ORDER BY priority, day""".stripMargin,
+    // rolling-MAD anomalies: the trailing frame as a sorted integer list;
+    // m2 = 2·median and mad4 = 4·MAD stay integers, the 3.5-MAD flag is
+    // pure integer comparison — mirrors the engine bit-for-bit
+    "ts_anomaly" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+        |                  CAST(o_orderdate AS DATE) AS day
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+        |s AS (SELECT priority, day, count(*) AS n FROM o GROUP BY priority, day),
+        |k AS (SELECT DISTINCT priority FROM o),
+        |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+        |                                    DATE '1997-02-28',
+        |                                    INTERVAL 1 DAY))::DATE AS day),
+        |f AS (SELECT k.priority, d.day, coalesce(s.n, 0)::BIGINT AS n
+        |      FROM k CROSS JOIN d
+        |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
+        |w AS (SELECT priority, day, n,
+        |             list_sort(list(n) OVER (PARTITION BY priority ORDER BY day
+        |               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) AS hist
+        |      FROM f),
+        |m AS (SELECT priority, day, n, hist, len(hist) AS cnt,
+        |             hist[(len(hist) + 1) // 2] + hist[len(hist) // 2 + 1] AS m2
+        |      FROM w),
+        |v AS (SELECT priority, day, n, cnt, m2,
+        |             list_sort(list_transform(hist, x -> abs(x * 2 - m2))) AS sdev
+        |      FROM m),
+        |a AS (SELECT priority, day, n, cnt, m2,
+        |             sdev[(cnt + 1) // 2] + sdev[cnt // 2 + 1] AS mad4
+        |      FROM v)
+        |SELECT priority, strftime(day, '%Y-%m-%d') AS day, n AS n_orders,
+        |       CASE WHEN cnt >= 8 THEN m2 / 2.0 END AS med,
+        |       CASE WHEN cnt >= 8 THEN mad4 / 4.0 END AS mad,
+        |       CASE WHEN cnt >= 8 THEN abs(n * 2 - m2) * 4 > mad4 * 7 END
+        |         AS is_anomaly
+        |FROM a ORDER BY priority, day""".stripMargin,
+    // ACF: pair formation joins the series against its 7 lag-shifted
+    // copies; every aggregate is an integer sum, the ratio the same
+    // single IEEE expression as the engine
+    "ts_acf" ->
+      s"""WITH o AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day
+         |           FROM orders
+         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+         |s AS (SELECT priority, day, count(*) AS n FROM o GROUP BY priority, day),
+         |k AS (SELECT DISTINCT priority FROM o),
+         |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+         |                                    DATE '1997-02-28',
+         |                                    INTERVAL 1 DAY))::DATE AS day),
+         |f AS (SELECT k.priority,
+         |             date_diff('day', DATE '1997-01-01', d.day) AS d_off,
+         |             coalesce(s.n, 0)::BIGINT AS n
+         |      FROM k CROSS JOIN d
+         |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
+         |lg AS (SELECT unnest(range(1, 8)) AS lag),
+         |p AS (SELECT a.priority, lg.lag,
+         |             count(*) AS n_pairs,
+         |             sum(a.n * b.n)::BIGINT AS spp,
+         |             sum(a.n)::BIGINT AS s1,
+         |             sum(b.n)::BIGINT AS s2
+         |      FROM f a
+         |      CROSS JOIN lg
+         |      JOIN f b ON b.priority = a.priority
+         |              AND b.d_off = a.d_off - lg.lag
+         |      GROUP BY a.priority, lg.lag),
+         |mo AS (SELECT priority, count(*) AS n_tot, sum(n)::BIGINT AS s,
+         |              sum(n * n)::BIGINT AS sxx
+         |       FROM f GROUP BY priority)
+         |SELECT p.priority, p.lag, p.n_pairs,
+         |       ${OracleRound.duck(
+             "(p.spp - (CAST(mo.s AS DOUBLE) / mo.n_tot) * (p.s1 + p.s2)" +
+               " + p.n_pairs * ((CAST(mo.s AS DOUBLE) / mo.n_tot)" +
+               " * (CAST(mo.s AS DOUBLE) / mo.n_tot)))" +
+               " / (mo.sxx - mo.n_tot * ((CAST(mo.s AS DOUBLE) / mo.n_tot)" +
+               " * (CAST(mo.s AS DOUBLE) / mo.n_tot)))", 6)} AS acf
+         |FROM p JOIN mo ON mo.priority = p.priority
+         |ORDER BY priority, lag""".stripMargin,
   )
 
   /** Exact word-shingle jaccard pairs (threshold 0.5) — the oracle for

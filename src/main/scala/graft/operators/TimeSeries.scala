@@ -186,6 +186,120 @@ object TimeSeries {
       .orderBy("priority", "day")
   }
 
+  /** Robust rolling-MAD anomaly flags over the zero-filled daily
+    * order-count series: each day is scored against the TRAILING 14-day
+    * history (exclusive of itself — scoring a point against a window that
+    * contains it dilutes the very outlier being tested), flagged when
+    * |x − median| > 3.5·MAD, the standard robust z-score rule. Median/MAD
+    * instead of mean/stddev because a burst in the history window would
+    * inflate a stddev and mask the next burst; the breakdown point of the
+    * median keeps the baseline honest.
+    *
+    * Exactness: the frame is collected as a SORTED integer array (≤ 14
+    * elements, calendar-bounded) and both medians are taken as the SUM of
+    * the two middle elements — m2 = 2·median and mad4 = 4·MAD stay
+    * integers, so the flag `4·|2x − m2| > 7·mad4` (⇔ |x−med| > 3.5·MAD)
+    * is pure integer comparison, bit-identical across engines; the
+    * surfaced median/MAD are single IEEE divisions of those integers.
+    * Days with under 8 trailing observations are warm-up (flag NULL).
+    * Shape: one partial-agg to the day grain + per-key ordered windows
+    * over calendar-bounded frames — series count scales out, frames never
+    * grow with data volume.
+    */
+  def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+    val days = spark.range(1)
+      .select(explode(sequence(
+        lit(lo).cast("date"), lit(hi).cast("date"),
+        expr("interval 1 day"))).as("day"))
+    val keys = ordersInWindow(spark, sfDir)
+      .select(col("o_orderpriority").as("priority")).distinct()
+    val filled = keys.crossJoin(broadcast(days))
+      .join(series.select(col("priority"), col("day"), col("n_orders")),
+        Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n"))
+
+    val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(-14, -1)
+    val hist = array_sort(collect_list(col("n")).over(w))
+    val cnt = size(hist)
+    // 1-based two-middle indices: lower = (cnt+1)/2, upper = cnt/2 + 1
+    val loIdx = floor((cnt + lit(1)) / lit(2)).cast("int")
+    val hiIdx = floor(cnt / lit(2)).cast("int") + lit(1)
+    val m2 = element_at(hist, loIdx) + element_at(hist, hiIdx)
+    val sdev = array_sort(transform(hist, v => abs(v * lit(2L) - m2)))
+    val mad4 = element_at(sdev, loIdx) + element_at(sdev, hiIdx)
+    val warm = cnt >= 8
+    filled.select(
+      col("priority"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n").as("n_orders"),
+      when(warm, m2 / 2.0).as("med"),
+      when(warm, mad4 / 4.0).as("mad"),
+      when(warm,
+        abs(col("n") * lit(2L) - m2) * lit(4L) > mad4 * lit(7L))
+        .as("is_anomaly"))
+      .orderBy("priority", "day")
+  }
+
+  /** Autocorrelation function of the zero-filled daily order-count series
+    * at lags 1..7 — the "is there a weekly pulse" diagnostic that decides
+    * whether [[seasonalDecompose]]'s day-of-week component is even the
+    * right model. Standard sample ACF: r_k = Σ(x_t−x̄)(x_{t−k}−x̄) /
+    * Σ(x_t−x̄)², expanded so every aggregate is an exact INTEGER sum
+    * (Σx_t·x_{t−k}, the two marginal lag-window sums, Σx, Σx², counts)
+    * and the ratio is ONE double expression over those integers — the
+    * identical IEEE tree on both engines, so 6-dp rounding hash-matches.
+    *
+    * Shape: the lag dimension is 7 map-side projections of the series
+    * unioned (no join-condition arithmetic, no nested loop); pair
+    * formation is an equi-join on (priority, day-offset) against a
+    * calendar-bounded frame, and everything downstream is one
+    * partial-agg per (priority, lag) plus a per-priority moment agg —
+    * series count scales out, frames never grow with data volume.
+    */
+  def acf(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+    val days = spark.range(1)
+      .select(explode(sequence(
+        lit(lo).cast("date"), lit(hi).cast("date"),
+        expr("interval 1 day"))).as("day"))
+    val keys = ordersInWindow(spark, sfDir)
+      .select(col("o_orderpriority").as("priority")).distinct()
+    val filled = keys.crossJoin(broadcast(days))
+      .join(series.select(col("priority"), col("day"), col("n_orders")),
+        Seq("priority", "day"), "left")
+      .select(col("priority"),
+        datediff(col("day"), lit(lo).cast("date")).as("d_off"),
+        coalesce(col("n_orders"), lit(0L)).as("n"))
+
+    val lagged = (1 to 7).map { k =>
+      filled.select(col("priority"),
+        (col("d_off") + lit(k)).as("d_off"),
+        col("n").as("n_lag"), lit(k).as("lag"))
+    }.reduce(_ unionByName _)
+    val pairs = filled.join(lagged, Seq("priority", "d_off"))
+      .groupBy(col("priority"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n") * col("n_lag")).as("spp"),
+        sum(col("n")).as("s1"),
+        sum(col("n_lag")).as("s2"))
+    val moments = filled.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_tot"),
+        sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("sxx"))
+
+    val xbar = col("s").cast("double") / col("n_tot")
+    val num = col("spp") - xbar * (col("s1") + col("s2")) +
+      col("n_pairs") * (xbar * xbar)
+    val den = col("sxx") - col("n_tot") * (xbar * xbar)
+    pairs.join(moments, Seq("priority"))
+      .select(col("priority"), col("lag"), col("n_pairs"),
+        OracleRound.roundN(num / den, 6).as("acf"))
+      .orderBy("priority", "lag")
+  }
+
   /** Additive seasonal decomposition of the daily order-count series:
     * per (priority, calendar day), `n_orders = trend + seasonal + resid`
     * where trend is the centered 7-day moving average, seasonal the

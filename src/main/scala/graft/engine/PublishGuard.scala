@@ -131,6 +131,80 @@ object PublishGuard {
     * marker carries its own token; a loser whose staging leaked under the
     * winner's table deletes the leaked copy.
     */
+  /** The full compute-once / publish / reuse dance for a shared table —
+    * the shape [[graft.operators.Dedup.sharedNearDupClusters]] proved out
+    * (its Scaladoc carries the operational contract), extracted so every
+    * compute-once artifact family (near-dup clusters, triangle stats, …)
+    * shares ONE implementation of the memo + `_SUCCESS` probe + atomic
+    * publish + fingerprint verification.
+    *
+    *  - `memo`: the caller's in-JVM path cache (per artifact family).
+    *  - `family`: the warehouse subdirectory (`$base/$family/<slug>`).
+    *  - `cacheKey`: MUST encode the data version; the published path is
+    *    made injective in it via an md5 suffix (sanitization alone could
+    *    collide distinct keys).
+    *  - `params`: non-data parameters that change the artifact (rendered
+    *    into both the memo key and the path slug).
+    *  - `fp`: fingerprint of the artifact's INPUT — re-checked on every
+    *    reuse (memo hits included) so a stale key fails loudly.
+    *
+    * With no baseDir (argument or `spark.graft.warehouse.dir` conf) the
+    * table falls back to driver-local temp — correct in local mode only.
+    */
+  def sharedTable(
+      spark: SparkSession,
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      baseDir: String,
+      family: String,
+      cacheKey: String,
+      params: Seq[String],
+      fp: Fingerprint,
+      what: String)(compute: () => DataFrame): DataFrame = {
+    val base =
+      if (baseDir.nonEmpty) baseDir
+      else spark.conf.get("spark.graft.warehouse.dir", "")
+    val paramsSlug = params.mkString("_")
+    val dir = memo.computeIfAbsent(
+      (Seq(base, cacheKey) ++ params).mkString("|"), _ => {
+        if (base.nonEmpty) {
+          val keyHash = java.security.MessageDigest.getInstance("MD5")
+            .digest(cacheKey.getBytes("UTF-8"))
+            .take(6).map(x => f"${x & 0xff}%02x").mkString
+          val slug = (Seq(
+            s"${cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")}_$keyHash") ++
+            (if (paramsSlug.nonEmpty) Seq(paramsSlug) else Nil)).mkString("_")
+          val out = s"$base/$family/$slug"
+          val outPath = new Path(out)
+          val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // _SUCCESS present ⇒ a prior session already published this exact
+          // (key, params) table — reuse. Absent ⇒ compute into a staging
+          // sibling and rename into place (racing publishers: first rename
+          // wins, losers read the winner's committed table).
+          if (!fs.exists(new Path(outPath, "_SUCCESS"))) {
+            publishAtomic(spark, out) { staging =>
+              compute().write.mode("overwrite").parquet(staging)
+              writeSidecar(fs, new Path(staging), fp)
+            }
+          }
+          out
+        } else {
+          val out = java.nio.file.Files
+            .createTempDirectory(s"graft-$family").toString
+          compute().write.mode("overwrite").parquet(out)
+          val outPath = new Path(out)
+          writeSidecar(
+            outPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+            outPath, fp)
+          out
+        }
+      })
+    val dirPath = new Path(dir)
+    verifySidecar(
+      dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dirPath, fp, what)
+    spark.read.parquet(dir)
+  }
+
   def publishAtomic(spark: SparkSession, out: String)(
       write: String => Unit): Boolean = {
     val outPath = new Path(out)

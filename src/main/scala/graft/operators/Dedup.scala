@@ -688,66 +688,18 @@ object Dedup {
       baseDir: String = ""): DataFrame = {
     if (cacheKey.isEmpty) nearDupClusters(docs, k, threshold)
     else {
-      val spark = docs.sparkSession
-      val base =
-        if (baseDir.nonEmpty) baseDir
-        else spark.conf.get("spark.graft.warehouse.dir", "")
       // fingerprint of the clustering INPUT (one map-side pass): written
       // beside the table at publish time, re-checked on EVERY reuse —
       // in-JVM memo hits included — so a cache key that went stale after
       // the corpus changed fails loudly instead of silently serving
-      // clusters computed from different data
+      // clusters computed from different data. The memo/probe/atomic-
+      // publish/verify dance itself is PublishGuard.sharedTable (extracted
+      // round 10; behavior and published paths unchanged).
       val fp = PublishGuard.fingerprint(docs, Seq(col("doc_id"), col("text")))
-      val dir = clusterTableCache.computeIfAbsent(s"$base|$cacheKey|$k|$threshold", _ => {
-        if (base.nonEmpty) {
-          // sanitization alone could collide distinct keys ('/data/v1' vs
-          // '/data_v1' both → 'data_v1'), and a collision would serve a
-          // cluster table computed from DIFFERENT data via the _SUCCESS
-          // reuse check — suffix a hash of the raw key to make the path
-          // injective in cacheKey
-          val keyHash = java.security.MessageDigest.getInstance("MD5")
-            .digest(cacheKey.getBytes("UTF-8"))
-            .take(6).map(x => f"${x & 0xff}%02x").mkString
-          val slug =
-            s"${cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")}_${keyHash}_k${k}_t$threshold"
-          val out = s"$base/near_dup_clusters/$slug"
-          val outPath = new org.apache.hadoop.fs.Path(out)
-          val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // _SUCCESS is the commit marker: present ⇒ a prior session already
-          // published this exact (key, k, threshold) table — reuse, don't
-          // recompute. Absent ⇒ compute into a staging sibling and rename
-          // into place (PublishGuard): two sessions racing the same
-          // unpublished key can no longer interleave overwrite's
-          // delete-then-write on the final path — the loser's rename fails
-          // and it reads the winner's committed table.
-          if (!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))) {
-            PublishGuard.publishAtomic(spark, out) { staging =>
-              nearDupClusters(docs, k, threshold)
-                .write.mode("overwrite").parquet(staging)
-              PublishGuard.writeSidecar(
-                fs, new org.apache.hadoop.fs.Path(staging), fp)
-            }
-          }
-          out
-        } else {
-          val out = java.nio.file.Files
-            .createTempDirectory("graft-clusters").toString
-          nearDupClusters(docs, k, threshold)
-            .write.mode("overwrite").parquet(out)
-          val outPath = new org.apache.hadoop.fs.Path(out)
-          PublishGuard.writeSidecar(
-            outPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-            outPath, fp)
-          // the write fully materialized the plan; the label/pair blocks it
-          // registered on OpCache are freed by the caller's usual release
-          out
-        }
-      })
-      val dirPath = new org.apache.hadoop.fs.Path(dir)
-      PublishGuard.verifySidecar(
-        dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        dirPath, fp, "near-dup cluster table")
-      spark.read.parquet(dir)
+      PublishGuard.sharedTable(
+        docs.sparkSession, clusterTableCache, baseDir, "near_dup_clusters",
+        cacheKey, Seq(s"k$k", s"t$threshold"), fp, "near-dup cluster table")(
+        () => nearDupClusters(docs, k, threshold))
     }
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.engine.OpCache
+import graft.engine.{OpCache, PublishGuard}
 import graft.functions.OracleRound
 
 /** Graph analytics over graphs derived from the relational tables: the
@@ -598,18 +598,73 @@ object Graph {
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val (e, freeE) = OpCache.checkpointWithHandle(edges.select(col("p1"), col("p2")))
-    val deg = e.select(col("p1").as("part_key")).union(e.select(col("p2")))
-      .groupBy(col("part_key")).agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(e)
-    val out = deg.join(tri, Seq("part_key"), "left")
-      .select(col("part_key"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"),
-        when(col("degree") >= 2,
-          OracleRound.roundN(
-            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
-              (col("degree") * (col("degree") - 1)), 6))
-          .otherwise(lit(0.0)).as("clustering_coeff"))
+    val out = clusteringFromStats(nodeTriangleStats(e))
     OpCache.defer(spark)(freeE)
     out
+  }
+
+  /** (part_key, degree, triangles) for every node of the undirected
+    * (p1 < p2) edge list — the node-grain telemetry frame that BOTH
+    * `graph_triangles` (filter triangles > 0) and `graph_clustering_coeff`
+    * ([[clusteringFromStats]]) are projections of. One degree partial-agg
+    * + [[triangleCounts]]'s Bloom-pruned enumeration, joined node-wise;
+    * triangle-free nodes enter as 0 through the left join.
+    */
+  def nodeTriangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("p1").as("part_key"))
+      .union(edges.select(col("p2")))
+      .groupBy(col("part_key")).agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges), Seq("part_key"), "left")
+      .select(col("part_key"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** cc from an already-computed stats frame: one IEEE division of
+    * exactly-represented integers, rounded to 6 dp on both engines —
+    * cross-engine exact. Degree-1 nodes have no neighbor pair ⇒ cc 0.
+    */
+  def clusteringFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("part_key"), col("degree"), col("triangles"),
+      when(col("degree") >= 2,
+        OracleRound.roundN(
+          lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)), 6))
+        .otherwise(lit(0.0)).as("clustering_coeff"))
+
+  private val triangleTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook — drop the in-JVM publish memo, simulating a fresh session
+    * (cross-session reuse must then come from the `_SUCCESS`-marked table).
+    */
+  private[graft] def clearTriangleTableMemo(): Unit = triangleTableCache.clear()
+
+  /** [[nodeTriangleStats]] of the co-purchase graph computed ONCE per
+    * cacheKey and PUBLISHED (PublishGuard.sharedTable: memo + `_SUCCESS`
+    * probe + atomic publish + fingerprint verify) — the round-9 verdict's
+    * compute-once ask: `graph_triangles` and `graph_clustering_coeff` each
+    * ran the full Bloom-pruned triangle enumeration, making the most
+    * expensive subplan in the repo execute twice in a profile that runs
+    * both. Now both are node-sized projections of one published table.
+    *
+    * Takes the FACT input (lineitem), not the edge list, so the reuse
+    * fingerprint is a map-side pass over the parquet scan's two pruned
+    * columns — fingerprinting the derived edge frame would re-run the
+    * co-purchase self-join per consumer, forfeiting the saving.
+    * `cacheKey` must encode the data version (pass `""` to compute live).
+    */
+  def sharedCopurchaseTriangleStats(
+      lineitem: DataFrame,
+      cacheKey: String,
+      baseDir: String = ""): DataFrame = {
+    def live() = nodeTriangleStats(copurchaseEdges(lineitem))
+    if (cacheKey.isEmpty) live()
+    else {
+      val fp = PublishGuard.fingerprint(
+        lineitem, Seq(col("l_orderkey"), col("l_partkey")))
+      PublishGuard.sharedTable(
+        lineitem.sparkSession, triangleTableCache, baseDir,
+        "triangle_stats", cacheKey, Nil, fp, "triangle stats table")(live)
+    }
   }
 }

@@ -4,18 +4,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for a training-data pipeline: media as opaque
-  * `binary` columns with typed metadata, processed per-partition in batches
-  * — the Spark-side shape (schema, partitioning, batch iteration, typed
-  * boundaries) is real and tested; the actual media decode is a
-  * deterministic STUB because no image/audio codec libraries exist in this
-  * container (builder prompt: "STUB the decode step ... and make the
-  * Spark-side plumbing real").
+  * `binary` columns with typed metadata, processed per-partition in batches.
+  * The decode step is a REAL header parse of the public container formats
+  * (PNG IHDR / JPEG SOFn / WAV `fmt ` — [[MediaHeaders]]): dimensions,
+  * channels and sample frames are read from the actual big-/little-endian
+  * header fields, never inferred from byte counts. Because no real media
+  * files exist in this container, [[attachMedia]] SYNTHESIZES format-valid
+  * blobs (real signatures, chunk layout, CRCs) around deterministic
+  * payloads — which is exactly what makes the decode oracle-checkable: the
+  * DuckDB side replays the ENCODER's deterministic choices while Spark
+  * genuinely round-trips them through binary header parsing, and
+  * MultimodalSpec feeds the parser containers produced by the independent
+  * JDK encoders (javax.imageio / javax.sound.sampled) to pin the parse
+  * against a second implementation.
   *
-  * Scale notes: decode is the classic CPU-heavy map-only stage — batched
-  * iteration inside mapPartitions amortizes per-batch setup (a real decoder
-  * would hold one codec context per batch), `repartition` upstream sizes
-  * tasks to decoder throughput, and the output is columnar features, never
-  * the raw bytes, so downstream stages shuffle small rows.
+  * Scale notes: header parse reads a few hundred bytes per blob — a
+  * map-only stage whose cost is IO, not codec CPU (a pixel decode would
+  * sit in the same `decodeOne` slot, batched per codec context). Batched
+  * iteration inside mapPartitions amortizes per-batch setup, `repartition`
+  * upstream sizes tasks to decoder throughput, and the output is columnar
+  * features, never the raw bytes, so downstream stages shuffle small rows.
   */
 object Multimodal {
 
@@ -25,7 +33,11 @@ object Multimodal {
       media_type: String,
       payload: Array[Byte])
 
-  /** Typed output record: decoded features (stubbed, deterministic). */
+  /** Typed output record: header-decoded features. width/height/channels
+    * from the image header (0 where the modality has none), channels also
+    * the WAV channel count, n_frames = 1 for stills, PCM sample frames
+    * for audio, sampled-frame count for raw video blobs.
+    */
   case class MediaFeatures(
       doc_id: Long,
       media_type: String,
@@ -33,20 +45,40 @@ object Multimodal {
       checksum: Long,
       width: Int,
       height: Int,
+      channels: Int,
       n_frames: Int)
 
-  /** Attach a binary media column to the documents table: payload =
-    * UTF-8 bytes of the text (the container has no real media files);
+  /** Attach a binary media column to the documents table: the text bytes
+    * wrapped in a format-valid container (the container has no real media
+    * files) — PNG or JPEG alternating for image docs, with dimensions
+    * derived deterministically from the payload size (mod-251 keeps them
+    * u16-safe), 16-bit PCM WAV for audio docs, raw bytes for video docs.
     * media_type assigned round-robin by doc_id. This is the envelope a
     * real pipeline would read from parquet `binary` columns.
     */
-  def attachMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"))
+  def attachMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val n = payload.length.toLong
+        (id % 3).toInt match {
+          case 0 =>
+            val w = (n % 251 + 1).toInt
+            val h = ((n * 7 + 13) % 251 + 1).toInt
+            val blob =
+              if (id % 6 == 0) MediaHeaders.buildPng(w, h, payload)
+              else MediaHeaders.buildJpeg(w, h, payload)
+            MediaRecord(id, "image", blob)
+          case 1 =>
+            MediaRecord(id, "audio", MediaHeaders.buildWav(
+              channels = (1 + id % 2).toInt, sampleRate = 8000, payload))
+          case _ =>
+            MediaRecord(id, "video", payload)
+        }
+      }.toDF()
+  }
 
   /** Modality accounting: per (source, media_type) document counts and
     * byte mass — the storage/throughput telemetry a multimodal corpus
@@ -61,22 +93,29 @@ object Multimodal {
         sum(length(col("payload"))).as("total_bytes"),
         max(length(col("payload"))).cast("long").as("max_bytes"))
 
-  /** STUB decode: deterministic integer arithmetic standing in for a codec.
-    * A real implementation would replace `decodeOne` with e.g. a JNI image
-    * decoder; everything around it (typed Dataset boundary, per-partition
-    * batching, feature schema) stays exactly as-is.
+  /** Real header decode of one blob: format-sniff on the magic bytes
+    * (extensions/envelope metadata are untrusted at ingest), parse the
+    * public header fields, and checksum the container's PAYLOAD section
+    * (PNG IDAT / JPEG entropy segment / WAV data chunk) with a bounded
+    * mod-prime rolling hash. Unrecognized blobs (raw video here) fall
+    * through with zero dimensions and the byte-stride frame count.
     */
   private def decodeOne(r: MediaRecord): MediaFeatures = {
     val size = r.payload.length
-    // ??? real codec goes here — stub derives pseudo-dimensions from size.
-    // checksum is a mod-prime rolling hash (bounded, so the DuckDB oracle
-    // can express it without BIGINT overflow)
-    val checksum = r.payload.foldLeft(0L)((acc, b) =>
+    val data = MediaHeaders.payloadSection(r.payload)
+    val checksum = data.foldLeft(0L)((acc, b) =>
       (acc * 31 + (b & 0xff)) % 1000000007L)
-    val width = size % 251
-    val height = (size * 7 + 13) % 251
-    val frames = if (r.media_type == "video") size / 100 + 1 else 1
-    MediaFeatures(r.doc_id, r.media_type, size, checksum, width, height, frames)
+    MediaHeaders.sniff(r.payload) match {
+      case Some(MediaHeaders.ImageInfo(w, h, ch)) =>
+        MediaFeatures(r.doc_id, r.media_type, size, checksum, w, h, ch, 1)
+      case Some(MediaHeaders.AudioInfo(ch, _, bits, dataBytes)) =>
+        val frameBytes = math.max(ch * (bits / 8), 1)
+        MediaFeatures(r.doc_id, r.media_type, size, checksum, 0, 0, ch,
+          dataBytes / frameBytes)
+      case None =>
+        MediaFeatures(r.doc_id, r.media_type, size, checksum, 0, 0, 0,
+          size / 100 + 1)
+    }
   }
 
   /** Batched per-partition decode: groups the partition iterator into
@@ -90,20 +129,21 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup for a real decoder would happen here
+        // per-batch setup for a real pixel decoder would happen here
         batch.iterator.map(decodeOne)
       }
     }
   }
 
-  /** Resize stub for image payloads: aspect-preserving fit into a
+  /** Resize planning for image payloads: aspect-preserving fit into a
     * `(tw × th)` box — keep dimensions that already fit, else scale the
     * tighter side down with floor arithmetic (exact: all products are
-    * small integers, representable in doubles on any engine). Emits the
-    * resized dimensions and a proportional byte estimate — the metadata
-    * half of a resize stage; a real implementation re-encodes the payload
-    * where the `???` codec stub sits in [[decodeFeatures]]. Map-only, no
-    * shuffle at any scale.
+    * small integers, representable in doubles on any engine). Input
+    * dimensions come from the REAL header parse; emits the resized
+    * dimensions and a proportional byte estimate — the planning half of
+    * a resize stage; a real implementation re-encodes the payload where
+    * the pixel decode sits in [[decodeFeatures]]. Map-only, no shuffle
+    * at any scale.
     */
   def resizeImages(
       spark: SparkSession,

@@ -206,7 +206,12 @@ object TimeSeries {
     * over calendar-bounded frames — series count scales out, frames never
     * grow with data volume.
     */
-  def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The zero-filled (priority, day, n) daily order-count series on the
+    * broadcast calendar spine — the shared input of [[anomalies]],
+    * [[acf]], [[seasonalDecompose]] and [[cusum]] (a missing day IS a
+    * zero-order day; skipping it would shift every window).
+    */
+  private def zeroFilledDaily(spark: SparkSession, sfDir: String): DataFrame = {
     val series = dailySeries(spark, sfDir)
     val days = spark.range(1)
       .select(explode(sequence(
@@ -214,11 +219,15 @@ object TimeSeries {
         expr("interval 1 day"))).as("day"))
     val keys = ordersInWindow(spark, sfDir)
       .select(col("o_orderpriority").as("priority")).distinct()
-    val filled = keys.crossJoin(broadcast(days))
+    keys.crossJoin(broadcast(days))
       .join(series.select(col("priority"), col("day"), col("n_orders")),
         Seq("priority", "day"), "left")
       .select(col("priority"), col("day"),
         coalesce(col("n_orders"), lit(0L)).as("n"))
+  }
+
+  def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val filled = zeroFilledDaily(spark, sfDir)
 
     val w = Window.partitionBy(col("priority")).orderBy(col("day"))
       .rowsBetween(-14, -1)
@@ -231,15 +240,22 @@ object TimeSeries {
     val sdev = array_sort(transform(hist, v => abs(v * lit(2L) - m2)))
     val mad4 = element_at(sdev, loIdx) + element_at(sdev, hiIdx)
     val warm = cnt >= 8
+    // Two-stage projection: the window expressions order by `day`, so the
+    // date_format re-alias of `day` MUST live in a later select — putting
+    // both in one projection makes the window resolve the lateral alias
+    // (AnalysisException UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW).
     filled.select(
-      col("priority"),
-      date_format(col("day"), "yyyy-MM-dd").as("day"),
-      col("n").as("n_orders"),
+      col("priority"), col("day"), col("n"),
       when(warm, m2 / 2.0).as("med"),
       when(warm, mad4 / 4.0).as("mad"),
       when(warm,
         abs(col("n") * lit(2L) - m2) * lit(4L) > mad4 * lit(7L))
         .as("is_anomaly"))
+      .select(
+        col("priority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_orders"),
+        col("med"), col("mad"), col("is_anomaly"))
       .orderBy("priority", "day")
   }
 
@@ -260,19 +276,10 @@ object TimeSeries {
     * series count scales out, frames never grow with data volume.
     */
   def acf(spark: SparkSession, sfDir: String): DataFrame = {
-    val series = dailySeries(spark, sfDir)
-    val days = spark.range(1)
-      .select(explode(sequence(
-        lit(lo).cast("date"), lit(hi).cast("date"),
-        expr("interval 1 day"))).as("day"))
-    val keys = ordersInWindow(spark, sfDir)
-      .select(col("o_orderpriority").as("priority")).distinct()
-    val filled = keys.crossJoin(broadcast(days))
-      .join(series.select(col("priority"), col("day"), col("n_orders")),
-        Seq("priority", "day"), "left")
+    val filled = zeroFilledDaily(spark, sfDir)
       .select(col("priority"),
         datediff(col("day"), lit(lo).cast("date")).as("d_off"),
-        coalesce(col("n_orders"), lit(0L)).as("n"))
+        col("n"))
 
     val lagged = (1 to 7).map { k =>
       filled.select(col("priority"),
@@ -319,18 +326,7 @@ object TimeSeries {
     * constant (bounded BNLJ family), never a shuffle of the fact table.
     */
   def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
-    val series = dailySeries(spark, sfDir)
-    val days = spark.range(1)
-      .select(explode(sequence(
-        lit(lo).cast("date"), lit(hi).cast("date"),
-        expr("interval 1 day"))).as("day"))
-    val keys = ordersInWindow(spark, sfDir)
-      .select(col("o_orderpriority").as("priority")).distinct()
-    val filled = keys.crossJoin(broadcast(days))
-      .join(series.select(col("priority"), col("day"), col("n_orders")),
-        Seq("priority", "day"), "left")
-      .select(col("priority"), col("day"),
-        coalesce(col("n_orders"), lit(0L)).as("n"))
+    val filled = zeroFilledDaily(spark, sfDir)
 
     val wTrend = Window.partitionBy(col("priority")).orderBy(col("day"))
       .rowsBetween(-3, 3)
@@ -344,13 +340,70 @@ object TimeSeries {
 
     val trendR = OracleRound.roundN(trend, 6)
     val seasonalR = OracleRound.roundN(seasonal, 6)
+    // Same two-stage shape as [[anomalies]]: window columns first, the
+    // `day` re-alias second, so the windows never see a lateral alias.
     filled.select(
-      col("priority"),
-      date_format(col("day"), "yyyy-MM-dd").as("day"),
-      col("n").as("n_orders"),
+      col("priority"), col("day"), col("n"),
       trendR.as("trend"),
       seasonalR.as("seasonal"),
       OracleRound.roundN(col("n") - trendR - seasonalR, 6).as("resid"))
+      .select(
+        col("priority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_orders"),
+        col("trend"), col("seasonal"), col("resid"))
       .orderBy("priority", "day")
   }
+
+  /** Two-sided CUSUM changepoint statistics over a zero-filled daily
+    * series — the sustained-shift detector beside [[anomalies]]' pointwise
+    * MAD flags (one burst day never alarms CUSUM; a run of elevated days
+    * never alarms MAD — a monitoring stack wants both). Page's scheme
+    * against the series' own mean μ with allowance μ/2, kept EXACTLY
+    * integer by scaling to 2n units (n = series length, S = Σx, so
+    * μ = S/n and the per-day increments are 2n·x−3S upward, S−2n·x
+    * downward): U_t = max(0, U_{t−1} + 2n·x_t − 3S) accumulates excess
+    * over 1.5μ, D_t the mirror below 0.5μ, and the alarm fires when a
+    * statistic exceeds 4S (cumulative scaled excess worth two mean-days).
+    * Every value is a long — the sequential fold is bit-identical in any
+    * engine, no tolerance anywhere.
+    *
+    * Shape: per-key windows for (n, S, ordered prefix) + a per-row fold
+    * over the calendar-bounded prefix (≤ series length, the documented
+    * [[ewma]] pattern; the single-pass production variant is a stateful
+    * per-key scan). Series count scales out; frames never grow with data
+    * volume. [[cusumFromSeries]] is the testable core over any
+    * (priority, day, n) frame.
+    */
+  def cusumFromSeries(filled: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy(col("priority"))
+    val wPre = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withStats = filled.select(
+      col("priority"), col("day"), col("n"),
+      count(lit(1)).over(wAll).as("n_tot"),
+      sum(col("n")).over(wAll).as("s_tot"),
+      collect_list(col("n")).over(wPre).as("pre"))
+    def fold(step: Column => Column): Column =
+      aggregate(col("pre"), lit(0L),
+        (acc, x) => greatest(lit(0L), acc + step(x)))
+    withStats
+      .select(
+        col("priority"), col("day"), col("n"), col("s_tot"),
+        fold(x => x * lit(2L) * col("n_tot") - lit(3L) * col("s_tot"))
+          .as("cusum_up"),
+        fold(x => col("s_tot") - x * lit(2L) * col("n_tot"))
+          .as("cusum_dn"))
+      .select(
+        col("priority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_orders"),
+        col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > col("s_tot") * lit(4L)).as("up_alarm"),
+        (col("cusum_dn") > col("s_tot") * lit(4L)).as("dn_alarm"))
+      .orderBy("priority", "day")
+  }
+
+  def cusum(spark: SparkSession, sfDir: String): DataFrame =
+    cusumFromSeries(zeroFilledDaily(spark, sfDir))
 }

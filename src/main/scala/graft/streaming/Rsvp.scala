@@ -79,8 +79,8 @@ object Rsvp {
     ("UTAH", "UT"), ("VERMONT", "VT"), ("VIRGINIA", "VA"),
     ("WASHINGTON", "WA"), ("WEST VIRGINIA", "WV"), ("WISCONSIN", "WI"),
     ("WYOMING", "WY"), ("DISTRICT OF COLUMBIA", "DC"), ("PUERTO RICO", "PR"),
-    ("GUAM", "GU"), ("AMERICAN SAMOA", "AS"), ("U.S. VIRGIN ISLANDS", "VI"),
-    ("NORTHERN MARIANA ISLANDS", "MP"))
+    ("GUAM", "GU"), ("AMERICAN SAMOA", "AS"), ("VIRGIN ISLANDS", "VI"),
+    ("NORTHERN MARIANA IS", "MP"))
 
   def statesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._

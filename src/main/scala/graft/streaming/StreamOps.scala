@@ -1367,6 +1367,173 @@ object StreamOps {
     else all.where(col("cluster").isin(clusters: _*))
   }
 
+  // ── centroid-version rotation for the maintained ANN index ──────────
+  //
+  // [[ivfAssignSink]]'s scaladoc names the one event the incremental
+  // index cannot absorb in place: retraining the centroids. Rotation
+  // OPERATES that event: each centroid generation is its own version
+  // directory `v=N` under an index root, carrying (a) the centroids that
+  // define it (`_centroids`, a bounded nlist×dim parquet), (b) a
+  // batch_id=-1 "rebase" partition holding the whole already-ingested
+  // corpus re-assigned against the new centroids, and (c) a commit
+  // marker written LAST, so half-built versions are invisible to
+  // readers. Readers resolve the max committed version by default or PIN
+  // any retained version explicitly (old versions stay exact until
+  // vacuumed). The continuing stream keeps its ORIGINAL checkpoint and
+  // simply points its sink at the new version's directory: source
+  // offsets and batch ids carry over, so nothing is re-ingested and the
+  // rebase partition plus post-rotation batches partition the corpus.
+
+  /** Commit marker inside a `v=N` directory (leading `_` keeps it out of
+    * parquet listings). Present ⇔ the version is fully built.
+    */
+  val IvfVersionMarker = "_GRAFT_VERSION_COMMITTED"
+
+  /** The rebase partition id: below every real micro-batch, so
+    * [[guardBatchContinuation]] still catches fresh-checkpoint restarts
+    * (max(-1) never exceeds a real batch id) and as-of reads include the
+    * rebase as the base snapshot.
+    */
+  val IvfRebaseBatchId = -1L
+
+  def ivfVersionDir(indexRoot: String, version: Int): String =
+    s"$indexRoot/v=$version"
+
+  /** Committed versions under the root, ascending (uncommitted build
+    * dirs — no marker — are invisible).
+    */
+  def ivfVersions(spark: SparkSession, indexRoot: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        ivfVersionDir(indexRoot, v), IvfVersionMarker)))
+      .sorted
+  }
+
+  def currentIvfVersion(spark: SparkSession, indexRoot: String): Int = {
+    val vs = ivfVersions(spark, indexRoot)
+    require(vs.nonEmpty, s"no committed index versions under $indexRoot")
+    vs.max
+  }
+
+  private def writeIvfVersionArtifacts(
+      spark: SparkSession, verDir: String,
+      centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$verDir/_centroids")
+    val fs = new org.apache.hadoop.fs.Path(verDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(verDir, IvfVersionMarker), true)
+      .close()
+  }
+
+  /** The centroids a version was built with — the serving side loads
+    * THESE to compute probe lists for a pinned version (bounded pull:
+    * nlist rows).
+    */
+  def readIvfVersionCentroids(
+      spark: SparkSession, indexRoot: String,
+      version: Option[Int] = None): Array[Array[Double]] = {
+    val v = version.getOrElse(currentIvfVersion(spark, indexRoot))
+    spark.read.parquet(s"${ivfVersionDir(indexRoot, v)}/_centroids")
+      .orderBy("cluster_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Create version 1 (empty index, committed centroids) and return the
+    * state dir to hand to [[ivfAssignSink]].
+    */
+  def initIvfIndex(
+      spark: SparkSession, indexRoot: String,
+      centroids: Array[Array[Double]]): String = {
+    val verDir = ivfVersionDir(indexRoot, 1)
+    writeIvfVersionArtifacts(spark, verDir, centroids)
+    verDir
+  }
+
+  /** Retrain-and-rotate: re-assign the whole ingested corpus (the current
+    * version's merged state) against `newCentroids` into version N+1's
+    * rebase partition, publish the centroids, commit the marker, and
+    * return the new version. One map-only pass over the corpus — O(corpus
+    * × nlist), the unavoidable cost of new centroids — plus a
+    * cluster-partitioned write; no shuffle beyond the partitioned layout.
+    * The caller then restarts its [[ivfAssignSink]] against
+    * [[ivfVersionDir]](root, newVersion) KEEPING the original checkpoint
+    * (offsets/batch ids continue; nothing re-ingests). Old versions stay
+    * readable and exact until [[vacuumIvfVersions]].
+    */
+  def rotateIvfIndex(
+      spark: SparkSession, indexRoot: String,
+      newCentroids: Array[Array[Double]]): Int = {
+    val cur = currentIvfVersion(spark, indexRoot)
+    val next = cur + 1
+    val verDir = ivfVersionDir(indexRoot, next)
+    val curDir = ivfVersionDir(indexRoot, cur)
+    val fs = new org.apache.hadoop.fs.Path(curDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(curDir))
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasData) {
+      val corpus = readIvfAssignments(spark, curDir)
+        .select(col("vec_id"), col("v").as("embedding"))
+      graft.operators.Similarity.assignVectors(corpus, newCentroids)
+        // carry at most one row per vector into the rebase (replay dups
+        // in the source version are value-identical); dedup AFTER the
+        // map-only assignment — its input must stay a scan-only frame
+        .dropDuplicates("vec_id")
+        .withColumn("batch_id", lit(IvfRebaseBatchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cluster")
+        .parquet(verDir)
+    }
+    writeIvfVersionArtifacts(spark, verDir, newCentroids)
+    next
+  }
+
+  /** Versioned read of the maintained index: default = the max committed
+    * version, or PIN any retained `version`. Same probed-cluster pruning
+    * as [[readIvfAssignments]]. Rows are deduplicated by vec_id: a crash
+    * between a version's parquet commit and the checkpoint commit makes
+    * the restarted sink replay its last batch, and after a rotation that
+    * replay can double a vector already captured by the rebase partition
+    * — duplicates are value-identical (assignment is a pure function of
+    * (vector, this version's centroids)), so keeping either row is exact.
+    */
+  def readIvfIndex(
+      spark: SparkSession, indexRoot: String,
+      version: Option[Int] = None,
+      clusters: Seq[Int] = Nil,
+      asOfBatch: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentIvfVersion(spark, indexRoot))
+    readIvfAssignments(spark, ivfVersionDir(indexRoot, v), clusters, asOfBatch)
+      .dropDuplicates("vec_id")
+  }
+
+  /** Retire old index versions, keeping the newest `keepLast` committed
+    * ones (readers pinned to a vacuumed version fail loudly — its marker
+    * is gone with the directory). Returns the number of versions removed.
+    */
+  def vacuumIvfVersions(
+      spark: SparkSession, indexRoot: String, keepLast: Int = 1): Long = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = ivfVersions(spark, indexRoot)
+    val doomed = vs.sorted.dropRight(keepLast)
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(ivfVersionDir(indexRoot, v)), true)
+    }
+    doomed.length.toLong
+  }
+
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
     * per event type as a replay-idempotent `batch_id=N` partition.
     * Distinct counts are the canonical NON-additive statistic — per-batch

@@ -237,6 +237,31 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("shared triangle stats equal the live computation and compute once") {
+    val li = Tables.lineitem(spark, sf)
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val key = s"graphspec-${System.nanoTime()}" // fresh memo entry
+    val first = Graph.sharedCopurchaseTriangleStats(li, cacheKey = key)
+    assert(toMap(first) ==
+      toMap(Graph.nodeTriangleStats(Graph.copurchaseEdges(li))))
+    // the second consumer must READ the published table, not re-run the
+    // triangle enumeration: same parquet files back both frames — this is
+    // the compute-once contract graph_triangles + graph_clustering_coeff
+    // now share
+    val second = Graph.sharedCopurchaseTriangleStats(li, cacheKey = key)
+    assert(first.inputFiles.nonEmpty &&
+      first.inputFiles.toSet == second.inputFiles.toSet)
+    // and clusteringFromStats over the shared table equals the standalone
+    // clusteringCoefficients path row-for-row
+    val viaShared = Graph.clusteringFromStats(second).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val standalone = Graph
+      .clusteringCoefficients(Graph.copurchaseEdges(li)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaShared == standalone)
+  }
+
   test("reach: path fixture — hop-bounded min distance, far end excluded") {
     import spark.implicits._
     // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out

@@ -1,0 +1,141 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{MediaHeaders, Multimodal}
+
+/** The multimodal decode is a REAL header parse — these tests pin it
+  * against containers produced by INDEPENDENT encoders (the JDK's
+  * javax.imageio PNG/JPEG writers and javax.sound.sampled WAV writer),
+  * not just our own builders, plus round-trip and fixture checks.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = graft.engine.Sessions
+    .builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def jdkImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out),
+      s"JDK has no $format writer")
+    out.toByteArray
+  }
+
+  test("PNG parser reads dimensions/channels from a JDK-encoded real PNG") {
+    val bytes = jdkImage(17, 9, "png")
+    assert(MediaHeaders.isPng(bytes))
+    assert(MediaHeaders.sniff(bytes) ===
+      Some(MediaHeaders.ImageInfo(17, 9, 3)))
+  }
+
+  test("JPEG parser reads dimensions/components from a JDK-encoded real JPEG") {
+    val bytes = jdkImage(33, 21, "jpg")
+    assert(MediaHeaders.isJpeg(bytes))
+    assert(MediaHeaders.sniff(bytes) ===
+      Some(MediaHeaders.ImageInfo(33, 21, 3)))
+  }
+
+  test("WAV parser reads channels/rate/frames from a JDK-encoded real WAV") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](8000) // 2000 frames at 2ch × 16-bit
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 4)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val bytes = out.toByteArray
+    assert(MediaHeaders.isWav(bytes))
+    val info = MediaHeaders.sniff(bytes)
+    assert(info === Some(MediaHeaders.AudioInfo(2, 8000, 16, 8000)))
+    // payload section is exactly the data chunk
+    assert(MediaHeaders.payloadSection(bytes).toSeq === pcm.toSeq)
+  }
+
+  test("builders round-trip through the parsers (PNG/JPEG/WAV)") {
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    val png = MediaHeaders.buildPng(200, 100, payload)
+    assert(MediaHeaders.sniff(png) === Some(MediaHeaders.ImageInfo(200, 100, 3)))
+    assert(MediaHeaders.payloadSection(png).toSeq === payload.toSeq)
+    val jpg = MediaHeaders.buildJpeg(640, 480, payload)
+    assert(MediaHeaders.sniff(jpg) === Some(MediaHeaders.ImageInfo(640, 480, 3)))
+    assert(MediaHeaders.payloadSection(jpg).toSeq === payload.toSeq)
+    val wav = MediaHeaders.buildWav(2, 44100, payload)
+    assert(MediaHeaders.sniff(wav) ===
+      Some(MediaHeaders.AudioInfo(2, 44100, 16, payload.length)))
+    assert(MediaHeaders.payloadSection(wav).toSeq === payload.toSeq)
+  }
+
+  test("built PNG chunks carry real CRC32s (a strict chunk walker verifies)") {
+    val png = MediaHeaders.buildPng(5, 7, "abc".getBytes("UTF-8"))
+    var i = 8
+    var chunks = List.empty[String]
+    while (i + 8 <= png.length) {
+      val len = ((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+        ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff)
+      val typ = new String(png, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, i + 4, 4 + len)
+      val stored = ((png(i + 8 + len) & 0xffL) << 24) |
+        ((png(i + 9 + len) & 0xffL) << 16) |
+        ((png(i + 10 + len) & 0xffL) << 8) | (png(i + 11 + len) & 0xffL)
+      assert(crc.getValue === stored, s"bad CRC on $typ")
+      chunks ::= typ
+      i += 12 + len
+    }
+    assert(chunks.reverse === List("IHDR", "IDAT", "IEND"))
+  }
+
+  test("attachMedia → decodeFeatures round-trips the encoder's parameters") {
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.decodeFeatures(
+      spark, Multimodal.attachMedia(docs)).collect()
+    assert(feats.nonEmpty)
+    val textLen = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes("UTF-8").length).toMap
+    feats.foreach { f =>
+      val n = textLen(f.doc_id)
+      f.media_type match {
+        case "image" =>
+          // dimensions parsed from the container header must equal what
+          // the encoder derived from the payload size
+          assert(f.width === n % 251 + 1, s"doc ${f.doc_id}")
+          assert(f.height === (n * 7 + 13) % 251 + 1, s"doc ${f.doc_id}")
+          assert(f.channels === 3 && f.n_frames === 1)
+          assert(f.size_bytes === n + (if (f.doc_id % 6 == 0) 57 else 37))
+        case "audio" =>
+          val ch = (1 + f.doc_id % 2).toInt
+          assert(f.channels === ch && f.width === 0 && f.height === 0)
+          assert(f.n_frames === n / (ch * 2), s"doc ${f.doc_id}")
+          assert(f.size_bytes === n + 44)
+        case "video" =>
+          assert(f.channels === 0 && f.width === 0 && f.height === 0)
+          assert(f.size_bytes === n && f.n_frames === n / 100 + 1)
+      }
+    }
+  }
+
+  test("JPEG parser skips APPn/COM markers and handles a missing SOF") {
+    // APP0-prefixed stream (like a JFIF file): APP0 then SOF0
+    val out = new ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    out.write(0xff); out.write(0xe0); out.write(0); out.write(4)
+    out.write(0); out.write(0) // APP0 body
+    val sof = MediaHeaders.buildJpeg(12, 34, Array.emptyByteArray)
+    out.write(sof, 2, sof.length - 2) // reuse everything after SOI
+    assert(MediaHeaders.sniff(out.toByteArray) ===
+      Some(MediaHeaders.ImageInfo(12, 34, 3)))
+    // SOI + EOI only: no SOF → None
+    assert(MediaHeaders.parseJpeg(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+  }
+}

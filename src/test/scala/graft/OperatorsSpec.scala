@@ -230,7 +230,8 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Multimodal.decodeFeatures(spark, Multimodal.attachMedia(docs))
     assert(out.count() == docs.count())
     assert(out.schema.fieldNames.toSeq ==
-      Seq("doc_id", "media_type", "size_bytes", "checksum", "width", "height", "n_frames"))
+      Seq("doc_id", "media_type", "size_bytes", "checksum", "width", "height",
+        "channels", "n_frames"))
   }
 
   test("langPredOf / qualityOf expression forms agree with the operator frames") {

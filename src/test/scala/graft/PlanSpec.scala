@@ -68,8 +68,10 @@ class PlanSpec extends AnyFunSuite {
     "graph_hits",
     // ts_interpolate: the generated 59-row calendar spine broadcast
     // against the (unbounded) key side — constant-size build at any SF;
-    // seasonal decomposition fills the same spine
+    // seasonal decomposition, MAD anomalies, ACF and CUSUM fill the
+    // same spine (zeroFilledDaily)
     "ts_interpolate", "ts_seasonal_decompose",
+    "ts_anomaly", "ts_acf", "ts_cusum",
     // PSI drift: the 6-row band spine broadcast against the source side
     "pipeline_drift_psi",
     // collocations / keywords: the single-row token-total / doc-count

@@ -277,6 +277,76 @@ class StreamOpsSpec extends AnyFunSuite {
       "probed-cluster read diverged")
   }
 
+  test("ivf rotation: post-rotation reads == whole-corpus assignment on new centroids; pinned old version stays exact; vacuum retires it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-rot").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ivf-rot-src").toString
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 96)
+    val centsA = graft.operators.Similarity.trainIvfCentroids(
+      emb.where(col("vec_id") < 48), nlist = 4, iters = 2)
+    val centsB = graft.operators.Similarity.trainIvfCentroids(
+      emb, nlist = 6, iters = 2) // retrained on more data, different nlist
+    val schema = emb.select("vec_id", "embedding").schema
+    def pump(where: org.apache.spark.sql.Column, stateDir: String): Unit = {
+      emb.where(where).select("vec_id", "embedding")
+        .write.mode("append").json(srcDir)
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      // the ONE checkpoint survives rotation: offsets/batch ids continue
+      val q = StreamOps.ivfAssignSink(
+        fileDf, StreamOps.readIvfVersionCentroids(spark, root),
+        stateDir, s"$root/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val jsonCorpus = () => spark.read.schema(schema).json(srcDir)
+
+    // v1: init + two ingested windows against centroids A
+    val v1Dir = StreamOps.initIvfIndex(spark, root, centsA)
+    pump(col("vec_id") < 32, v1Dir)
+    pump(col("vec_id") >= 32 && col("vec_id") < 64, v1Dir)
+    assert(StreamOps.currentIvfVersion(spark, root) === 1)
+    assert(toMap(StreamOps.readIvfIndex(spark, root)) ===
+      toMap(graft.operators.Similarity.assignVectors(jsonCorpus(), centsA)))
+
+    // rotate to centroids B; corpus-at-rotation snapshot for the pin check
+    val atRotation = toMap(
+      graft.operators.Similarity.assignVectors(jsonCorpus(), centsA))
+    val v2 = StreamOps.rotateIvfIndex(spark, root, centsB)
+    assert(v2 === 2 && StreamOps.currentIvfVersion(spark, root) === 2)
+    // post-rotation read == whole-corpus assignment against NEW centroids
+    assert(toMap(StreamOps.readIvfIndex(spark, root)) ===
+      toMap(graft.operators.Similarity.assignVectors(jsonCorpus(), centsB)),
+      "rebase partition diverged from whole-corpus assignment on new centroids")
+    // the version's own centroids round-trip for serving-side probes
+    assert(StreamOps.readIvfVersionCentroids(spark, root).map(_.toSeq).toSeq
+      === centsB.map(_.toSeq).toSeq)
+
+    // the stream continues into v2 on the SAME checkpoint: only the new
+    // window is processed, and the merged read covers rebase + new batches
+    pump(col("vec_id") >= 64, StreamOps.ivfVersionDir(root, v2))
+    assert(toMap(StreamOps.readIvfIndex(spark, root)) ===
+      toMap(graft.operators.Similarity.assignVectors(jsonCorpus(), centsB)),
+      "post-rotation ingestion diverged from whole-corpus assignment")
+
+    // pinned old version: still exact for the corpus as of rotation,
+    // against the OLD centroids
+    assert(toMap(StreamOps.readIvfIndex(spark, root, version = Some(1)))
+      === atRotation, "pinned old version no longer exact")
+    assert(StreamOps.readIvfVersionCentroids(spark, root, Some(1))
+      .map(_.toSeq).toSeq === centsA.map(_.toSeq).toSeq)
+
+    // vacuum retires v1; current is untouched, pinned v1 reads now fail
+    assert(StreamOps.vacuumIvfVersions(spark, root, keepLast = 1) === 1L)
+    assert(StreamOps.ivfVersions(spark, root) === Seq(2))
+    assert(toMap(StreamOps.readIvfIndex(spark, root)) ===
+      toMap(graft.operators.Similarity.assignVectors(jsonCorpus(), centsB)))
+    intercept[Exception] {
+      StreamOps.readIvfIndex(spark, root, version = Some(1)).collect()
+    }
+  }
+
   test("inverted-index sink: merged postings equal the whole-corpus rebuild, across restart/compact/vacuum") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-stream").toString

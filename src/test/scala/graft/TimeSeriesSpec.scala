@@ -108,6 +108,104 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("anomalies: brute-force trailing-MAD recompute agrees row-for-row") {
+    val rows = TimeSeries.anomalies(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      assert(sorted.length === 59, s"spine not dense for $p")
+      val n = sorted.map(_.getLong(2))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val hist = n.slice(math.max(0, i - 14), i).sorted
+        val cnt = hist.length
+        if (cnt < 8) {
+          assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+            s"warm-up row flagged at ($p, ${r.getString(1)})")
+        } else {
+          val m2 = hist((cnt + 1) / 2 - 1) + hist(cnt / 2)
+          val sdev = hist.map(x => math.abs(x * 2 - m2)).sorted
+          val mad4 = sdev((cnt + 1) / 2 - 1) + sdev(cnt / 2)
+          assert(r.getDouble(3) === m2 / 2.0, s"med at ($p, ${r.getString(1)})")
+          assert(r.getDouble(4) === mad4 / 4.0, s"mad at ($p, ${r.getString(1)})")
+          val flag = math.abs(n(i) * 2 - m2) * 4 > mad4 * 7
+          assert(r.getBoolean(5) === flag, s"flag at ($p, ${r.getString(1)})")
+        }
+      }
+    }
+  }
+
+  test("acf: brute-force recompute from the zero-filled series agrees at every lag") {
+    // anomalies exposes the identical zero-filled daily series — reuse it
+    // as the reference input rather than re-deriving the spine here.
+    val series = TimeSeries.anomalies(spark, sf).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getString(1)).map(_.getLong(2).toDouble)).toMap
+    val rows = TimeSeries.acf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val seen = rows.map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(seen === series.keySet.flatMap(p => (1 to 7).map(k => (p, k))),
+      "every (priority, lag 1..7) exactly once")
+    rows.foreach { r =>
+      val (p, k) = (r.getString(0), r.getInt(1))
+      val x = series(p)
+      val t = x.length
+      val pairsN = t - k
+      assert(r.getLong(2) === pairsN.toLong, s"n_pairs at ($p, $k)")
+      val mean = x.sum / t
+      val spp = (k until t).map(i => x(i) * x(i - k)).sum
+      val s1 = (k until t).map(x).sum
+      val s2 = (k until t).map(i => x(i - k)).sum
+      val sxx = x.map(v => v * v).sum
+      val expect = (spp - mean * (s1 + s2) + pairsN * mean * mean) /
+        (sxx - t * mean * mean)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-5,
+        s"acf at ($p, $k): got ${r.getDouble(3)}, want $expect")
+    }
+  }
+
+  test("cusum: imperative recompute agrees; planted step shift alarms exactly in the run") {
+    // real-data recompute: the operator's folds must equal a plain loop
+    val rows = TimeSeries.cusum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      val n = sorted.map(_.getLong(2))
+      val nTot = n.length.toLong
+      val sTot = n.sum
+      var up = 0L; var dn = 0L
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        up = math.max(0L, up + n(i) * 2 * nTot - 3 * sTot)
+        dn = math.max(0L, dn + sTot - n(i) * 2 * nTot)
+        assert(r.getLong(3) === up, s"cusum_up at ($p, ${r.getString(1)})")
+        assert(r.getLong(4) === dn, s"cusum_dn at ($p, ${r.getString(1)})")
+        assert(r.getBoolean(5) === (up > 4 * sTot))
+        assert(r.getBoolean(6) === (dn > 4 * sTot))
+      }
+    }
+    // planted fixture: 20 quiet days at 10 then a step to 40 — the up
+    // alarm must fire inside the shifted run and never in the quiet head;
+    // the mirrored collapse fixture must fire only the down alarm
+    import spark.implicits._
+    def series(vals: Seq[Long], key: String) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (key, java.sql.Date.valueOf(java.time.LocalDate
+          .of(2020, 1, 1).plusDays(i.toLong)), v)
+      }
+    val surge = series(Seq.fill(20)(10L) ++ Seq.fill(10)(40L), "surge")
+    val crash = series(Seq.fill(20)(40L) ++ Seq.fill(10)(0L), "crash")
+    val out = TimeSeries.cusumFromSeries(
+      (surge ++ crash).toDF("priority", "day", "n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(5), r.getBoolean(6)))
+    val surgeRows = out.filter(_._1 == "surge").sortBy(_._2)
+    assert(!surgeRows.take(20).exists(_._3), "up alarm in the quiet head")
+    assert(surgeRows.drop(20).exists(_._3), "up alarm never fired on the surge")
+    assert(!surgeRows.exists(_._4), "down alarm on a pure surge")
+    val crashRows = out.filter(_._1 == "crash").sortBy(_._2)
+    assert(!crashRows.take(20).exists(_._4), "down alarm in the elevated head")
+    assert(crashRows.drop(20).exists(_._4), "down alarm never fired on the crash")
+    assert(!crashRows.exists(_._3), "up alarm on a pure collapse")
+  }
+
   test("seasonal decomposition: identity, dense spine, mass-balanced seasonal") {
     val rows = TimeSeries.seasonalDecompose(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
@@ -136,4 +234,4 @@ class TimeSeriesSpec extends AnyFunSuite {
 }
 // NOTE: plan-shape guards (no unpartitioned windows, no cartesian
 // products) come free from PlanSpec's sweep over SparkEntry.queries,
-// which includes the three ts_* registrations.
+// which includes all ts_* registrations.

@@ -572,6 +572,14 @@ object SparkEntry {
         queryTable = Some(Tables.embeddings(s, d)
           .where(col("vec_id") % 97 === 1).select("vec_id", "embedding")))
         .orderBy("query_id", "rank")),
+    // the retrain trigger: PSI of the cluster-assignment distribution
+    // between the even/odd vec_id cohorts against the SAME published
+    // centroids — map-only assignment + nlist-sized partial-aggs, the
+    // PSI itself constant-size (quantifies when rotateIvfIndex is due)
+    "sim_centroid_drift" -> ((s, d) =>
+      Similarity.centroidDriftPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}")),
     // PQ/ADC compressed-index scan with exact rerank — same split: the
     // trained codebooks are published and the oracle replays code
     // assignment + the ADC sum + rerank from the published table
@@ -2423,6 +2431,52 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // sim_centroid_drift: replays the sim_ivf assignment chain against
+    // the published centroid table, then the driftPsi math (Laplace-
+    // smoothed shares, cluster-sorted fold with prepended 0.0 ≡ the
+    // Spark aggregate's zero init, 4 dp)
+    "sim_centroid_drift" ->
+      """WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |d AS (SELECT nn.vec_id, c.list_id,
+        |             list_reduce([nn.nv[i] * c.centroid[i]
+        |                          for i in range(1, 1 + len(nn.nv))],
+        |                         (x, y) -> x + y) AS dt
+        |      FROM nn CROSS JOIN c),
+        |a AS (SELECT vec_id, list_id AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |cnt AS (SELECT cluster,
+        |               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cq
+        |        FROM a GROUP BY cluster),
+        |grid AS (SELECT g.cluster, coalesce(cnt.cb, 0) AS cb, coalesce(cnt.cq, 0) AS cq
+        |         FROM (SELECT CAST(list_id AS INTEGER) AS cluster FROM c) g
+        |         LEFT JOIN cnt ON cnt.cluster = g.cluster),
+        |t AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cq) AS BIGINT) AS nc
+        |      FROM grid),
+        |bc AS (SELECT t.nb, t.nc,
+        |              {'band': grid.cluster,
+        |               'c': ((CAST(cq + 1 AS DOUBLE) / (nc + 16))
+        |                     - (CAST(cb + 1 AS DOUBLE) / (nb + 16)))
+        |                    * ln((CAST(cq + 1 AS DOUBLE) / (nc + 16))
+        |                         / (CAST(cb + 1 AS DOUBLE) / (nb + 16)))} AS bc
+        |       FROM grid CROSS JOIN t),
+        |f AS (SELECT max(nb) AS n_base, max(nc) AS n_cur,
+        |             floor(list_reduce(
+        |               list_prepend(0.0, list_transform(list_sort(list(bc)),
+        |                                                x -> x.c)),
+        |               (acc, v) -> acc + v) * 10000 + 0.5) / 10000 AS psi
+        |      FROM bc)
+        |SELECT n_base, n_cur, psi, psi >= 0.2 AS drifted FROM f""".stripMargin,
     // sim_ivf_topk: the Spark query PUBLISHES its trained centroids as a
     // parquet table and serves against exactly those values; the oracle
     // reads the same table (fixed path — Verify runs before the oracle,

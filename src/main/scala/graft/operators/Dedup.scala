@@ -358,26 +358,31 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.5,
       bucketCap: Int = Int.MaxValue): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // signatures feed banding AND both verify-join sides: materialize once
     // (the signature computation includes the shingle explode — recomputing
     // it 3× dominated the round-1 bench)
     val sigs = OpCache.materialize(minhashSignatures(docs, numHashes, k))
+    lshPairsFromSignatures(sigs, numHashes, bands, threshold, bucketCap)
+  }
 
-    val bandStructs = array((0 until bands).map { bnd =>
-      struct(
-        lit(bnd).as("band"),
-        xxhash64((0 until rows).map(r =>
-          element_at(col("sig"), bnd * rows + r + 1)): _*).as("bh"))
-    }: _*)
+  /** The LSH candidate/estimate path from an already-computed
+    * (doc_id, sig) signature frame — shared by [[minhashLshPairs]] and
+    * the streaming signature store
+    * ([[graft.streaming.StreamOps.minhashSink]]), whose merged state
+    * replays EXACTLY this plan and therefore exactly the batch
+    * operator's pair set.
+    */
+  private[graft] def lshPairsFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     // exact-dup floods collapse ALL bands to one bucket (identical
     // signatures), so the minhash band join has the same hot-bucket m²
     // failure mode as simhash — the shared salt bounds it; both sides of
     // the self-join scan the (materialized, when capped) salted frame
-    val bandedRaw = sigs
-      .select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val bandedRaw = bandedSignatures(sigs, numHashes, bands)
     val banded =
       if (bucketCap == Int.MaxValue) saltBanded(bandedRaw, bucketCap)
       else OpCache.materialize(saltBanded(bandedRaw, bucketCap))
@@ -388,7 +393,32 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    sigEstimatePairs(cands, sigs, numHashes, threshold)
+  }
 
+  /** Per-band bucket hashes of a (doc_id, sig) frame: one (doc_id, band,
+    * bh) row per band, bh = xxhash64 over the band's signature rows.
+    */
+  private[graft] def bandedSignatures(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandStructs = array((0 until bands).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        xxhash64((0 until rows).map(r =>
+          element_at(col("sig"), bnd * rows + r + 1)): _*).as("bh"))
+    }: _*)
+    sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Signature-estimate filter over a candidate pair frame: est_jaccard =
+    * matching signature positions / numHashes, thresholded.
+    */
+  private[graft] def sigEstimatePairs(
+      cands: DataFrame, sigs: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     cands.join(sa, "doc_a").join(sb, "doc_b")

@@ -131,6 +131,71 @@ object Similarity {
         graft.functions.OracleRound.round4(min(col("nrm"))).as("min_norm"),
         graft.functions.OracleRound.round4(max(col("nrm"))).as("max_norm"))
 
+  /** PSI of the cluster-assignment distribution between two (cluster,
+    * count) cohorts over a dense `nlist` grid — the shared core of
+    * [[centroidDriftPublished]] (batch cohorts) and
+    * [[graft.streaming.StreamOps.ivfDriftStats]] (rebase vs recent
+    * batches of a maintained index). Same exactness discipline as
+    * `Curation.driftPsi`: integer counts on the dense grid,
+    * Laplace-smoothed shares as single IEEE expressions, cluster-sorted
+    * sequential fold (init 0.0 ≡ the oracle's prepended 0.0), 4 dp —
+    * tolerance-free cross-engine. One row out: (n_base, n_cur, psi,
+    * drifted ≥ 0.2, the industry-standard "significant shift" cut).
+    * Scale: inputs are nlist-sized partial-agg results; everything here
+    * is constant-size work.
+    */
+  def psiOverClusterCounts(
+      base: DataFrame, cur: DataFrame, nlist: Int): DataFrame = {
+    val spark = base.sparkSession
+    val grid = spark.range(nlist)
+      .select(col("id").cast("int").as("cluster"))
+      .join(base.select(col("cluster"), col("n").as("cb")), Seq("cluster"), "left")
+      .join(cur.select(col("cluster"), col("n").as("cq")), Seq("cluster"), "left")
+      .na.fill(0L, Seq("cb", "cq"))
+    val tot = grid.agg(
+      sum(col("cb")).as("nb"), sum(col("cq")).as("nc"))
+    val p = (col("cb") + 1).cast("double") / (col("nb") + lit(nlist))
+    val q = (col("cq") + 1).cast("double") / (col("nc") + lit(nlist))
+    grid.crossJoin(broadcast(tot))
+      .select(col("nb"), col("nc"),
+        struct(col("cluster").as("band"), ((q - p) * log(q / p)).as("c")).as("bc"))
+      .agg(
+        max(col("nb")).as("n_base"), max(col("nc")).as("n_cur"),
+        graft.functions.OracleRound.roundN(
+          aggregate(sort_array(collect_list(col("bc"))), lit(0.0),
+            (acc, s) => acc + s.getField("c")), 4).as("psi"))
+      .withColumn("drifted", col("psi") >= 0.2)
+  }
+
+  /** PSI drift of the cluster-assignment distribution between two corpus
+    * cohorts, both assigned against the SAME published IVF centroids —
+    * the quantified "when to retrain" trigger for
+    * [[graft.streaming.StreamOps.rotateIvfIndex]]: centroids frozen at
+    * training time slowly mismatch a drifting corpus, and the first
+    * symptom is the assignment distribution walking away from the
+    * training-era one (hot lists overflow, probe recall decays). Cohorts
+    * here are the even/odd vec_id halves — the deterministic batch
+    * analog of training-era vs recent ingest (the streaming side,
+    * [[graft.streaming.StreamOps.ivfDriftStats]], compares the rebase
+    * partition against recent batch partitions of the live index).
+    * Scale: map-only assignment (nlist dots per vector) + one
+    * nlist-sized partial-agg; the PSI itself is constant-size work.
+    */
+  def centroidDriftPublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      nlist: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
+    val assigned = assignVectors(embeddings, cents)
+      .select(col("vec_id"), col("cluster"))
+    def cohort(rem: Int) = assigned
+      .where(col("vec_id") % 2 === rem)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    psiOverClusterCounts(cohort(0), cohort(1), cents.length)
+  }
+
   /** Nearest-centroid label agreement — the embedding-quality eval over
     * [[labelCentroids]]: every vector is classified by its most-cosine-
     * similar class prototype and scored against its true label, yielding

@@ -1517,6 +1517,39 @@ object StreamOps {
       .dropDuplicates("vec_id")
   }
 
+  /** The rotation TRIGGER for the live index: PSI of the cluster-
+    * assignment distribution between this version's rebase partition
+    * (the training-era corpus snapshot) and the batches ingested since
+    * (`sinceBatch` restricts to the recent window). A version with no
+    * rebase (v1) uses its earliest batch as the base cohort. Both
+    * cohorts are nlist-sized partial-agg counts off the partition
+    * columns — the corpus is never rescanned beyond one count per
+    * partition — and the PSI core is
+    * [[graft.operators.Similarity.psiOverClusterCounts]] (integer
+    * counts, Laplace smoothing, sorted fold, `drifted` at the standard
+    * 0.2 cut). `drifted = true` is the signal to retrain and
+    * [[rotateIvfIndex]].
+    */
+  def ivfDriftStats(
+      spark: SparkSession, indexRoot: String,
+      version: Option[Int] = None,
+      sinceBatch: Long = 0L): DataFrame = {
+    val v = version.getOrElse(currentIvfVersion(spark, indexRoot))
+    val state = spark.read.parquet(ivfVersionDir(indexRoot, v))
+    // partition discovery may infer batch_id as int — cast before the pull
+    val ids = state.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: one row per batch
+    require(ids.nonEmpty, s"version $v of $indexRoot holds no batches")
+    val baseId = ids.head
+    def cohort(cond: org.apache.spark.sql.Column) = state.where(cond)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val nlist = readIvfVersionCentroids(spark, indexRoot, Some(v)).length
+    graft.operators.Similarity.psiOverClusterCounts(
+      cohort(col("batch_id") === baseId),
+      cohort(col("batch_id") > baseId && col("batch_id") >= sinceBatch),
+      nlist)
+  }
+
   /** Retire old index versions, keeping the newest `keepLast` committed
     * ones (readers pinned to a vacuumed version fail loudly — its marker
     * is gone with the directory). Returns the number of versions removed.
@@ -1532,6 +1565,96 @@ object StreamOps {
       fs.delete(new org.apache.hadoop.fs.Path(ivfVersionDir(indexRoot, v)), true)
     }
     doomed.length.toLong
+  }
+
+  /** Streaming near-dup maintenance: each micro-batch of NEW documents
+    * lands its MinHash signatures (deterministic per document — md5-based
+    * permutation hashes over word shingles,
+    * [[graft.operators.Dedup.minhashSignatures]]) as a replay-idempotent
+    * `batch_id=N` partition. The signature store is the incremental
+    * dedup index: candidate pairs come from band-bucket joins over the
+    * STORED signatures — the corpus text is never re-shingled, and
+    * [[newMinhashPairsForBatch]] pairs each arriving batch against the
+    * accumulated store without ever re-joining old×old (the
+    * cross-corpus-dedup contract, continuously maintained). Per-batch
+    * work is O(batch); state is one numHashes-long array per document.
+    */
+  def minhashSink(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      numHashes: Int = 32,
+      k: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        graft.operators.Dedup.minhashSignatures(batch, numHashes, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** The accumulated signature store (doc_id, sig), deduplicated by
+    * doc_id — an at-least-once replay lands value-identical rows
+    * (signatures are a pure function of the text), so keeping either is
+    * exact. `asOfBatch` = the store as of batch N.
+    */
+  def readMinhashSignatures(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch).drop("batch_id")
+      .dropDuplicates("doc_id")
+
+  /** Whole-store near-dup pairs, merged on read: band-bucket candidates +
+    * signature-estimate threshold over the STORED signatures — the
+    * identical plan (and therefore the identical pair set) as the batch
+    * [[graft.operators.Dedup.minhashLshPairs]] over the full corpus,
+    * without re-reading any document text.
+    */
+  def readNearDupPairs(
+      spark: SparkSession, stateDir: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      asOfBatch: Option[Long] = None): DataFrame =
+    graft.operators.Dedup.lshPairsFromSignatures(
+      readMinhashSignatures(spark, stateDir, asOfBatch),
+      numHashes, bands, threshold)
+
+  /** The INCREMENTAL read: near-dup pairs with at least one endpoint in
+    * `batchId`, against everything ingested up to and including it. The
+    * band join is new×store — old×old is never recomputed, which is the
+    * whole point of maintaining the signature store: per batch the dedup
+    * cost is O(batch × collisions), not O(corpus²). Pairs are
+    * canonicalized (doc_a < doc_b), so the UNION of this read over all
+    * batches is exactly [[readNearDupPairs]]'s whole-store pair set,
+    * each pair surfacing once — when its later endpoint arrives
+    * (StreamOpsSpec proves the partition).
+    */
+  def newMinhashPairsForBatch(
+      spark: SparkSession, stateDir: String, batchId: Long,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val upTo = stateAsOf(spark, stateDir, Some(batchId))
+      .dropDuplicates("doc_id")
+    val newSigs = upTo.where(col("batch_id") === batchId).drop("batch_id")
+    val allSigs = upTo.drop("batch_id")
+    val bandedNew = graft.operators.Dedup
+      .bandedSignatures(newSigs, numHashes, bands)
+    val bandedAll = graft.operators.Dedup
+      .bandedSignatures(allSigs, numHashes, bands)
+    val cands = bandedNew.as("x").join(bandedAll.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    graft.operators.Dedup.sigEstimatePairs(
+      cands, allSigs, numHashes, threshold)
   }
 
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch

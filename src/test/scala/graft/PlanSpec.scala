@@ -74,6 +74,9 @@ class PlanSpec extends AnyFunSuite {
     "ts_anomaly", "ts_acf", "ts_cusum",
     // PSI drift: the 6-row band spine broadcast against the source side
     "pipeline_drift_psi",
+    // centroid drift: the single-row cohort-totals aggregate broadcast
+    // onto the nlist-row grid (the driftPsi totals shape)
+    "sim_centroid_drift",
     // collocations / keywords: the single-row token-total / doc-count
     // broadcast into the PMI / TF-IDF score (the text_tfidf shape)
     "text_collocations", "text_keywords",

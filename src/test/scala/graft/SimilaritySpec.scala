@@ -259,4 +259,23 @@ class SimilaritySpec extends AnyFunSuite {
     val ids = rows.map(_.getLong(2))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("centroid drift: cohorts conserve the corpus, identical cohorts give psi 0") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val row = Similarity.centroidDriftPublished(emb, base, "drift_spec").head()
+    // every vector lands in exactly one cohort: counts conserve the corpus
+    assert(row.getLong(0) + row.getLong(1) === emb.count())
+    // psi is finite and the flag matches the documented 0.2 cut
+    assert(!row.getDouble(2).isNaN && row.getDouble(2) >= 0.0 - 1e-9)
+    assert(row.getBoolean(3) === (row.getDouble(2) >= 0.2))
+    // identical cohorts: p == q in every cell, so every PSI term is
+    // exactly 0 — the fold and the rounding must preserve that
+    val cents = Similarity.publishedIvfCentroids(emb, base, "drift_spec")
+    val counts = Similarity.assignVectors(emb, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val self = Similarity.psiOverClusterCounts(counts, counts, cents.length).head()
+    assert(self.getDouble(2) === 0.0 && !self.getBoolean(3))
+  }
 }

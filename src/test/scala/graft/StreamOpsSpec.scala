@@ -347,6 +347,79 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf drift stats: uniform continuation undrifted, skewed ingest drifts and flags") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    // centroid VALUES are irrelevant to drift (it reads only the partition
+    // columns); their count fixes nlist = 4
+    val cents = Array.tabulate(4)(i => Array(i.toDouble, 1.0))
+    val v1Dir = StreamOps.initIvfIndex(spark, root, cents)
+    def land(batch: Long, perCluster: Seq[Int]): Unit =
+      perCluster.zipWithIndex.flatMap { case (n, c) =>
+        (0 until n).map(i => (batch * 1000 + c * 100 + i.toLong, batch, c))
+      }.toDF("vec_id", "batch_id", "cluster")
+        .write.mode("append").partitionBy("batch_id", "cluster").parquet(v1Dir)
+    land(0, Seq(10, 10, 10, 10)) // training-era base
+    land(1, Seq(10, 10, 10, 10)) // continuation with the same distribution
+    val calm = StreamOps.ivfDriftStats(spark, root).head()
+    // identical distribution ⇒ p == q in every cell ⇒ psi exactly 0
+    assert(calm.getLong(0) === 40L && calm.getLong(1) === 40L)
+    assert(calm.getDouble(2) === 0.0 && !calm.getBoolean(3))
+    land(2, Seq(40, 0, 0, 0)) // the corpus walks into one hot list
+    val drifted = StreamOps.ivfDriftStats(spark, root).head()
+    assert(drifted.getLong(1) === 80L)
+    assert(drifted.getDouble(2) > 0.2 && drifted.getBoolean(3),
+      s"skewed ingest must flag: psi=${drifted.getDouble(2)}")
+    // windowed check: only the newest batch as the current cohort is
+    // even more skewed
+    val recent = StreamOps.ivfDriftStats(spark, root, sinceBatch = 2L).head()
+    assert(recent.getLong(1) === 40L && recent.getBoolean(3))
+    assert(recent.getDouble(2) >= drifted.getDouble(2))
+  }
+
+  test("minhash sink: stored-signature pairs equal the batch operator; per-batch incremental reads partition the pair set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mh-src").toString
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val schema = docs.schema
+    def pump(where: org.apache.spark.sql.Column): Unit = {
+      docs.where(where).write.mode("append").json(srcDir)
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.minhashSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // three arrival windows; the second run is a checkpointed restart
+    pump(col("doc_id") < 150)
+    docs.where(col("doc_id") >= 150 && col("doc_id") < 300)
+      .write.mode("append").json(srcDir)
+    docs.where(col("doc_id") >= 300).write.mode("append").json(srcDir)
+    val fileDf = spark.readStream.schema(schema).json(srcDir)
+    val q = StreamOps.minhashSink(fileDf, s"$dir/state", s"$dir/chk")
+    try q.processAllAvailable() finally q.stop()
+
+    type Pair = (Long, Long, Double)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Pair] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the merged store replays the batch operator's exact pair set —
+    // values included — against the json-round-tripped corpus
+    val stored = toSet(StreamOps.readNearDupPairs(spark, s"$dir/state"))
+    val direct = toSet(graft.operators.Dedup.minhashLshPairs(
+      spark.read.schema(schema).json(srcDir)))
+    assert(stored === direct, "stored-signature pairs diverged from the batch operator")
+    assert(stored.nonEmpty, "fixture produced no near-dup pairs — nothing proven")
+    // incremental reads: each pair surfaces exactly once, when its later
+    // endpoint arrives — the union partitions the whole-store pair set
+    val perBatch = (0L to 2L).map(b =>
+      toSet(StreamOps.newMinhashPairsForBatch(spark, s"$dir/state", b)))
+    assert(perBatch.map(_.size).sum === stored.size,
+      s"incremental reads overlap or drop: ${perBatch.map(_.size)} vs ${stored.size}")
+    assert(perBatch.reduce(_ ++ _) === stored)
+    // and the store holds one signature row per document
+    val sigs = StreamOps.readMinhashSignatures(spark, s"$dir/state")
+    assert(sigs.count() === docs.count())
+  }
+
   test("inverted-index sink: merged postings equal the whole-corpus rebuild, across restart/compact/vacuum") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-stream").toString

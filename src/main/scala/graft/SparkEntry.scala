@@ -820,6 +820,12 @@ object SparkEntry {
       Graph.clusteringFromStats(
         Graph.sharedCopurchaseTriangleStats(Tables.lineitem(s, d), cacheKey = d))
         .orderBy("part_key")),
+    // Adamic-Adar link prediction on the support-2 basket graph:
+    // wedge enumeration + (u,w) partial-agg + anti-join vs edges;
+    // 9dp-rounded 1/ln(deg) terms, center-sorted fold, top-100 cut
+    "graph_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(
+        Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)))),
     // hop-bounded BFS from a customer cohort over the trade graph:
     // min-hop distance within 3 hops (supply-chain blast radius)
     "graph_reach" -> ((s, d) =>
@@ -3574,6 +3580,39 @@ object SparkEntry {
     },
     // k-core: the same 10 peel rounds, MATERIALIZED per round (the
     // doubly-referenced chain would inline exponentially)
+    // adamic-adar: same support-2 edge derivation as kcore; terms
+    // rounded to 9dp BEFORE the center-sorted fold (ln is 1-ulp across
+    // libms), score rounded 6dp, top-100 by (score desc, u, w)
+    "graph_adamic_adar" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS MATERIALIZED (
+        |  SELECT p1 AS v, p2 AS n FROM e
+        |  UNION ALL SELECT p2 AS v, p1 AS n FROM e),
+        |deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+        |ctr AS MATERIALIZED (
+        |  SELECT adj.v, adj.n, deg.d FROM adj JOIN deg ON deg.v = adj.v
+        |  WHERE deg.d BETWEEN 2 AND 128),
+        |wdg AS (SELECT a.n AS u, b.n AS w, a.v, a.d
+        |        FROM ctr a JOIN ctr b ON a.v = b.v AND a.n < b.n),
+        |s AS (SELECT u, w, count(*) AS n_common,
+        |             floor(list_reduce(
+        |               list_prepend(0.0, list_transform(
+        |                 list_sort(list({'v': v,
+        |                   't': floor(1.0 / ln(CAST(d AS DOUBLE)) * 1000000000 + 0.5)
+        |                        / 1000000000})),
+        |                 x -> x.t)),
+        |               (acc, t) -> acc + t) * 1000000 + 0.5) / 1000000 AS aa_score
+        |      FROM wdg GROUP BY u, w),
+        |nz AS (SELECT s.* FROM s
+        |       WHERE NOT EXISTS (SELECT 1 FROM e
+        |                         WHERE e.p1 = s.u AND e.p2 = s.w))
+        |SELECT u, w, n_common, aa_score
+        |FROM nz ORDER BY aa_score DESC, u, w LIMIT 100""".stripMargin,
     "graph_kcore" -> {
       val round = (r: Int) =>
         s"""k$r AS MATERIALIZED (

@@ -631,6 +631,59 @@ object Graph {
             (col("degree") * (col("degree") - 1)), 6))
         .otherwise(lit(0.0)).as("clustering_coeff"))
 
+  /** Adamic–Adar link prediction over an undirected (p1 < p2) edge list
+    * (Adamic & Adar, "Friends and neighbors on the Web", Social Networks
+    * 2003 — public literature): for each NON-adjacent pair (u, w),
+    * score = Σ_{v ∈ N(u) ∩ N(w)} 1/ln(deg v) — shared rare neighbors
+    * predict a future edge far better than shared hubs, which is what
+    * the inverse-log degree weight encodes ("parts these two parts will
+    * be co-bought with next" on the basket graph).
+    *
+    * Shape: wedge enumeration (the SAME Σ C(deg, 2) population as
+    * triangle counting) + one (u, w) partial-agg + an anti-join against
+    * the edge list; `maxDegree` caps hub centers (a hub's wedge fan-out
+    * is quadratic in its degree, and its 1/ln(deg) contribution is the
+    * noise the weight exists to suppress — the standard AA cap at
+    * scale), replayed identically by the oracle so the cut is part of
+    * the checked semantics. Determinism: each 1/ln(deg) term is rounded
+    * to 9 dp BEFORE the (center-sorted, zero-init) sequential fold —
+    * ln differs by 1 ulp across libms, so per-term rounding + fixed
+    * fold order is what makes the 6 dp score hash-exact — and the
+    * top-k cut orders by (rounded score desc, u, w), running as
+    * TakeOrderedAndProject (per-partition top-k), never a global sort.
+    */
+  def adamicAdar(
+      edges: DataFrame, maxDegree: Long = 128, k: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    val (e, freeE) = OpCache.checkpointWithHandle(edges.select(col("p1"), col("p2")))
+    val adj = e.select(col("p1").as("v"), col("p2").as("n"))
+      .unionByName(e.select(col("p2").as("v"), col("p1").as("n")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // d >= 2 guards ln(1) = 0 explicitly (a degree-1 center forms no
+    // wedge anyway); d <= maxDegree is the hub cap
+    val ctr = adj.join(
+      deg.where(col("d") <= maxDegree && col("d") >= 2), "v")
+    val wedges = ctr.as("a").join(ctr.as("b"),
+        col("a.v") === col("b.v") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("w"),
+        col("a.v").as("v"), col("a.d").as("d"))
+    val term = OracleRound.roundN(lit(1.0) / log(col("d").cast("double")), 9)
+    val scored = wedges
+      .select(col("u"), col("w"), struct(col("v"), term.as("t")).as("vt"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("n_common"),
+        OracleRound.roundN(
+          aggregate(sort_array(collect_list(col("vt"))), lit(0.0),
+            (acc, s) => acc + s.getField("t")), 6).as("aa_score"))
+    val out = scored
+      .join(e.select(col("p1").as("u"), col("p2").as("w")),
+        Seq("u", "w"), "left_anti")
+      .orderBy(col("aa_score").desc, col("u"), col("w"))
+      .limit(k)
+    OpCache.defer(spark)(freeE)
+    out
+  }
+
   private val triangleTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

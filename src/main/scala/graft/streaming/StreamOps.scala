@@ -1020,6 +1020,109 @@ object StreamOps {
   }
 
   /** One user session: contiguous activity with gaps < the timeout. */
+  /** Output row of [[asOfEnrich]]: the left event plus the latest
+    * reference row at-or-before its event time (None = no reference
+    * existed yet).
+    */
+  case class AsOfEnriched(
+      user_id: Long,
+      event_id: Long,
+      ts: Timestamp,
+      value: Double,
+      ref_ts: Option[Timestamp],
+      ref_value: Option[Double])
+
+  /** Internal tagged union row and per-key state for [[asOfEnrich]]
+    * (public: Catalyst's encoders generate Java that must reach the
+    * constructors).
+    */
+  case class AsOfTagged(
+      user_id: Long, is_ref: Boolean, event_id: Long, ts: Timestamp,
+      v: Double)
+  case class AsOfRef(ts: Long, v: Double)
+  case class AsOfPending(ts: Long, id: Long, v: Double)
+  case class AsOfState(refs: List[AsOfRef], pending: List[AsOfPending])
+
+  /** Streaming AS-OF enrichment join — each left event paired with the
+    * LATEST reference row at-or-before its event time ("enrich the trade
+    * with the quote in force"), correct under out-of-order arrival on
+    * BOTH sides. Spark's stream–stream joins express interval overlap,
+    * not as-of (a time-bounded equi-join returns ALL quotes in the
+    * window, and "latest" cannot be finalized row-wise in append mode),
+    * so this is a custom stateful operator: the two streams union under
+    * a side tag, group by key, and a flatMapGroupsWithState body holds
+    *
+    *  - the reference buffer: every ref above the watermark plus ONE
+    *    latest ref at-or-below it (any future left has ts > watermark,
+    *    and its as-of answer is either an above-watermark ref or exactly
+    *    that latest-below one — older refs are provably dead);
+    *  - pending left events (ts above the watermark): a ref with an
+    *    EARLIER event time can still arrive, so a left finalizes only
+    *    when the watermark passes its timestamp (event-time timeout
+    *    pinned to the earliest pending left).
+    *
+    * State per key is watermark-bounded on both buffers plus one
+    * persistent latest-ref row — the compacted-KTable contract of a
+    * keyed enrichment (S3's state lookup, with history semantics).
+    * Determinism: refs tie-break (ts, value) and the as-of pick is the
+    * max under that order; emission sorts (ts, event_id).
+    */
+  def asOfEnrich(
+      spark: SparkSession,
+      left: DataFrame,
+      ref: DataFrame,
+      watermark: String = "10 minutes"): Dataset[AsOfEnriched] = {
+    import spark.implicits._
+    val l = left.select(
+        col("user_id").cast("long"), lit(false),
+        col("event_id").cast("long"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .toDF("user_id", "is_ref", "event_id", "ts", "v")
+      .withWatermark("ts", watermark).as[AsOfTagged]
+    val r = ref.select(
+        col("user_id").cast("long"), lit(true), lit(-1L),
+        col("ts").cast("timestamp"), col("ref_value").cast("double"))
+      .toDF("user_id", "is_ref", "event_id", "ts", "v")
+      .withWatermark("ts", watermark).as[AsOfTagged]
+
+    l.unionByName(r)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[AsOfTagged],
+         state: GroupState[AsOfState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          var refs = prior.refs
+          var pending = prior.pending
+          if (!state.hasTimedOut) {
+            rows.foreach { t =>
+              if (t.is_ref) refs ::= AsOfRef(t.ts.getTime, t.v)
+              else pending ::= AsOfPending(t.ts.getTime, t.event_id, t.v)
+            }
+          }
+          val sortedRefs = refs.sortBy(r => (r.ts, r.v))
+          val (emit, stay) = pending.partition(_.ts <= wm)
+          val out = emit.sortBy(e => (e.ts, e.id)).map { e =>
+            // latest ts ≤ e.ts; equal-ts refs resolve to the max value
+            // (sortedRefs is ascending, lastOption takes the greatest)
+            val m = sortedRefs.takeWhile(_.ts <= e.ts).lastOption
+            AsOfEnriched(userId, e.id, new Timestamp(e.ts), e.v,
+              m.map(r => new Timestamp(r.ts)), m.map(_.v))
+          }
+          // prune: one latest-at-or-below-watermark ref + everything above
+          val below = sortedRefs.filter(_.ts <= wm)
+          val kept = below.lastOption.toList ::: sortedRefs.filter(_.ts > wm)
+          if (stay.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(kept, stay))
+            if (stay.nonEmpty)
+              state.setTimeoutTimestamp(stay.map(_.ts).min)
+          }
+          out.iterator
+      }
+  }
+
   case class SessionUpdate(
       user_id: Long,
       session_start: Timestamp,

@@ -237,6 +237,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("adamicAdar: hand fixtures — path, square, existing-edge exclusion, hub cap") {
+    import spark.implicits._
+    def aa(edges: Seq[(Long, Long)], maxDegree: Long = 128) =
+      Graph.adamicAdar(edges.toDF("p1", "p2"), maxDegree).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    // path 1-2-3: only (1,3) predicted, via center 2 (deg 2): 1/ln 2
+    val path = aa(Seq((1L, 2L), (2L, 3L)))
+    assert(path.keySet === Set((1L, 3L)))
+    assert(path((1L, 3L))._1 === 1L)
+    assert(math.abs(path((1L, 3L))._2 - 1.0 / math.log(2.0)) < 2e-6)
+    // square 1-2-3-4-1: (1,3) via centers 2 and 4, (2,4) via 1 and 3 —
+    // each 2/ln 2; adjacent pairs are excluded by the anti-join
+    val square = aa(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    assert(square.keySet === Set((1L, 3L), (2L, 4L)))
+    square.values.foreach { case (n, s) =>
+      assert(n === 2L)
+      assert(math.abs(s - 2.0 / math.log(2.0)) < 2e-6)
+    }
+    // hub cap: a star center above maxDegree contributes no wedges
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(aa(star, maxDegree = 3).isEmpty,
+      "capped hub must be suppressed")
+    assert(aa(star).nonEmpty, "uncapped star must predict leaf pairs")
+  }
+
   test("shared triangle stats equal the live computation and compute once") {
     val li = Tables.lineitem(spark, sf)
     def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =

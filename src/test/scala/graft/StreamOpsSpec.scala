@@ -377,6 +377,98 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(recent.getDouble(2) >= drifted.getDouble(2))
   }
 
+  test("asOfEnrich: latest-ref-at-or-before pairing survives out-of-order arrival on both sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // left: (user_id, event_id, ts, value); ref: (user_id, ts, ref_value)
+    val lStream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val rStream = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.asOfEnrich(spark,
+      lStream.toDF().toDF("user_id", "event_id", "ts", "value"),
+      rStream.toDF().toDF("user_id", "ts", "ref_value"),
+      watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_golden")
+      .outputMode("append").start()
+    try {
+      // trigger 1: a left arrives BEFORE any ref; a ref for user 2
+      lStream.addData((1L, 10L, ts("2024-01-01 10:05:00"), 5.0))
+      rStream.addData((2L, ts("2024-01-01 10:00:00"), 200.0))
+      q.processAllAvailable()
+      // trigger 2: the matching ref for user 1 arrives LATE but with an
+      // EARLIER event time (10:03 < 10:05) — the pending left must wait
+      // and then pair with it, not finalize as unmatched
+      rStream.addData((1L, ts("2024-01-01 10:03:00"), 100.0))
+      lStream.addData((2L, 20L, ts("2024-01-01 10:06:00"), 6.0))
+      q.processAllAvailable()
+      // trigger 3: a newer ref for user 1 (10:04) still at-or-before the
+      // pending left; then advance the watermark far past everything
+      rStream.addData((1L, ts("2024-01-01 10:04:00"), 101.0))
+      q.processAllAvailable()
+      lStream.addData((3L, 99L, ts("2024-01-01 10:30:00"), 1.0)) // wm pusher
+      rStream.addData((3L, ts("2024-01-01 10:30:00"), 0.0))
+      q.processAllAvailable()
+      lStream.addData((3L, 98L, ts("2024-01-01 11:30:00"), 1.0))
+      rStream.addData((3L, ts("2024-01-01 11:30:00"), 0.0))
+      q.processAllAvailable()
+      // one more cycle so the advanced watermark fires the timeouts
+      q.processAllAvailable()
+
+      val got = spark.table("asof_golden")
+        .select("user_id", "event_id", "ref_ts", "ref_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getTimestamp(2)).map(_.toString),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      // user 1 event 10 (ts 10:05): latest ref ≤ 10:05 is 10:04/101.0 —
+      // BOTH out-of-order refs arrived after the left did
+      assert(got.contains((1L, 10L, Some("2024-01-01 10:04:00.0"), Some(101.0))),
+        s"out-of-order refs not applied: $got")
+      // user 2 event 20 (ts 10:06): ref 10:00/200.0
+      assert(got.contains((2L, 20L, Some("2024-01-01 10:00:00.0"), Some(200.0))))
+      // user 3 event 99 (ts 10:30): its same-instant ref qualifies (≤)
+      assert(got.contains((3L, 99L, Some("2024-01-01 10:30:00.0"), Some(0.0))))
+      assert(got.map(t => (t._1, t._2)).count(_ == ((1L, 10L))) === 1,
+        "a left event must emit exactly once")
+    } finally q.stop()
+  }
+
+  test("asOfEnrich: left with no prior ref emits unmatched; equal-ts refs pick the max value") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lStream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val rStream = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.asOfEnrich(spark,
+      lStream.toDF().toDF("user_id", "event_id", "ts", "value"),
+      rStream.toDF().toDF("user_id", "ts", "ref_value"),
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("asof_golden2")
+      .outputMode("append").start()
+    try {
+      lStream.addData((7L, 70L, ts("2024-01-01 09:00:00"), 1.0))
+      rStream.addData(
+        (7L, ts("2024-01-01 09:30:00"), 1.0),  // AFTER the left: not eligible
+        (8L, ts("2024-01-01 09:10:00"), 5.0),
+        (8L, ts("2024-01-01 09:10:00"), 7.0))  // equal-ts tie → max value
+      q.processAllAvailable()
+      lStream.addData((8L, 80L, ts("2024-01-01 09:20:00"), 2.0))
+      q.processAllAvailable()
+      lStream.addData((9L, 90L, ts("2024-01-01 12:00:00"), 0.0)) // wm pusher
+      rStream.addData((9L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      lStream.addData((9L, 91L, ts("2024-01-01 13:00:00"), 0.0))
+      rStream.addData((9L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("asof_golden2")
+        .select("user_id", "event_id", "ref_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got.contains((7L, 70L, None)),
+        s"left before any eligible ref must emit unmatched: $got")
+      assert(got.contains((8L, 80L, Some(7.0))),
+        s"equal-ts refs must resolve to the max value: $got")
+    } finally q.stop()
+  }
+
   test("minhash sink: stored-signature pairs equal the batch operator; per-batch incremental reads partition the pair set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft-mh-src").toString

@@ -469,6 +469,80 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asOfEnrich: seeded randomized batches match the brute-force as-of oracle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch centers 8 min apart with ±4 min jitter under a 10 min
+    // watermark: rows overlap neighboring batches (out-of-order on both
+    // streams) but none ever falls below the watermark, so the
+    // brute-force expectation needs no drop model
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def jts(batch: Int): Timestamp =
+      new Timestamp(base + batch * 8 * 60000L + (rnd.nextInt(481) - 240) * 1000L)
+    val nBatches = 6
+    val lefts = scala.collection.mutable.ArrayBuffer[(Int, (Long, Long, Timestamp, Double))]()
+    val refs = scala.collection.mutable.ArrayBuffer[(Int, (Long, Timestamp, Double))]()
+    var nextId = 0L
+    (0 until nBatches).foreach { b =>
+      (0 until 8).foreach { _ =>
+        val key = 1L + rnd.nextInt(5)
+        if (rnd.nextBoolean()) {
+          nextId += 1
+          lefts += b -> ((key, nextId, jts(b), rnd.nextInt(100).toDouble))
+        } else refs += b -> ((key, jts(b), rnd.nextInt(1000).toDouble))
+      }
+    }
+    val lStream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val rStream = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.asOfEnrich(spark,
+      lStream.toDF().toDF("user_id", "event_id", "ts", "value"),
+      rStream.toDF().toDF("user_id", "ts", "ref_value"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_rand")
+      .outputMode("append").start()
+    try {
+      (0 until nBatches).foreach { b =>
+        val lb = lefts.filter(_._1 == b).map(_._2).toSeq
+        val rb = refs.filter(_._1 == b).map(_._2).toSeq
+        if (lb.nonEmpty) lStream.addData(lb)
+        if (rb.nonEmpty) rStream.addData(rb)
+        q.processAllAvailable()
+      }
+      // push the watermark far past everything on both streams
+      val far = new Timestamp(base + 6 * 3600000L)
+      nextId += 1
+      lStream.addData((99L, nextId, far, 0.0))
+      rStream.addData((99L, far, 0.0))
+      q.processAllAvailable()
+      val far2 = new Timestamp(base + 12 * 3600000L)
+      nextId += 1
+      lStream.addData((99L, nextId, far2, 0.0))
+      rStream.addData((99L, far2, 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+
+      // the far2 pusher left stays pending by design — the watermark
+      // never passes the newest event, so it cannot finalize yet
+      val allLefts = lefts.map(_._2).toSeq :+ ((99L, nextId - 1, far, 0.0))
+      val allRefs = refs.map(_._2).toSeq ++
+        Seq((99L, far, 0.0), (99L, far2, 0.0))
+      val expected = allLefts.map { case (k, id, t, v) =>
+        val m = allRefs.filter(r => r._1 == k && !r._2.after(t))
+          .sortBy(r => (r._2.getTime, r._3)).lastOption
+        (k, id, m.map(_._2.getTime), m.map(_._3))
+      }.toSet
+      val got = spark.table("asof_rand").collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          Option(r.getTimestamp(4)).map(_.getTime),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+      }.toSet
+      assert(got.size === allLefts.size, "exactly-once emission per left")
+      assert(got === expected,
+        s"diff: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+
   test("minhash sink: stored-signature pairs equal the batch operator; per-batch incremental reads partition the pair set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft-mh-src").toString

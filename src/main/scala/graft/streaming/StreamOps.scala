@@ -1713,6 +1713,38 @@ object StreamOps {
     stateAsOf(spark, stateDir, asOfBatch).drop("batch_id")
       .dropDuplicates("doc_id")
 
+  /** Fold the signature store's batch partitions into one compacted
+    * snapshot (distinct doc rows — the store's merge is set union, the
+    * simplest monoid) with the standard `through`-watermark sidecar:
+    * [[readMinhashSignaturesCompacted]] over (snapshot + batches above
+    * the watermark) equals [[readMinhashSignatures]] over the live
+    * table, which licenses [[vacuumStateTable]] on the covered
+    * partitions. Without periodic compaction a long-running sink grows
+    * one partition per micro-batch forever.
+    */
+  def compactMinhashSignatures(
+      spark: SparkSession, stateDir: String, outDir: String): Unit = {
+    val through = maxBatchId(spark, stateDir).getOrElse(throw
+      new IllegalStateException(s"no batch partitions to compact at $stateDir"))
+    spark.read.parquet(stateDir)
+      .where(col("batch_id") <= through).drop("batch_id")
+      .dropDuplicates("doc_id")
+      .write.mode("errorifexists").parquet(outDir)
+    writeCompactedThrough(spark, outDir, through)
+  }
+
+  /** [[readMinhashSignatures]] through a compacted snapshot plus the
+    * live batches above its watermark — the combined-reader contract.
+    */
+  def readMinhashSignaturesCompacted(
+      spark: SparkSession, compactedDir: String, stateDir: String): DataFrame = {
+    val through = readCompactedThrough(spark, compactedDir)
+    val live = spark.read.parquet(stateDir)
+      .where(col("batch_id") > through).drop("batch_id")
+    live.unionByName(spark.read.parquet(compactedDir))
+      .dropDuplicates("doc_id")
+  }
+
   /** Whole-store near-dup pairs, merged on read: band-bucket candidates +
     * signature-estimate threshold over the STORED signatures — the
     * identical plan (and therefore the identical pair set) as the batch

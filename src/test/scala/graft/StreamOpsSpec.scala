@@ -584,6 +584,23 @@ class StreamOpsSpec extends AnyFunSuite {
     // and the store holds one signature row per document
     val sigs = StreamOps.readMinhashSignatures(spark, s"$dir/state")
     assert(sigs.count() === docs.count())
+    // compaction + vacuum: the combined reader reproduces the live
+    // store, pairs included, after the covered partitions are retired
+    StreamOps.compactMinhashSignatures(spark, s"$dir/state", s"$dir/compact")
+    def sigSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet
+    val combined = StreamOps.readMinhashSignaturesCompacted(
+      spark, s"$dir/compact", s"$dir/state")
+    assert(sigSet(combined) === sigSet(sigs))
+    assert(StreamOps.vacuumStateTable(
+      spark, s"$dir/state", s"$dir/compact", keepLast = 1) >= 1L)
+    val afterVacuum = StreamOps.readMinhashSignaturesCompacted(
+      spark, s"$dir/compact", s"$dir/state")
+    assert(sigSet(afterVacuum) === sigSet(sigs),
+      "combined reader diverged after vacuum")
+    assert(toSet(graft.operators.Dedup.lshPairsFromSignatures(
+      afterVacuum, 32, 8, 0.5)) === stored,
+      "pairs from the compacted store diverged")
   }
 
   test("inverted-index sink: merged postings equal the whole-corpus rebuild, across restart/compact/vacuum") {

@@ -210,6 +210,16 @@ object SparkEntry {
     // the exact deterministic top-10 (the HLL/GK pattern for frequent items)
     "text_topk_sketch" -> ((s, d) =>
       TextAnalysis.topKSketchChecked(Tables.documents(s, d))),
+    // Heaps-law vocabulary growth: distinct vocab at 10 equal-count
+    // corpus prefixes — first-appearance min-agg + bounded cut joins,
+    // all integer math
+    "text_heaps_growth" -> ((s, d) =>
+      TextAnalysis.heapsGrowth(Tables.documents(s, d))),
+    // Zipf rank-frequency OLS fit over the top-200 terms: one term
+    // partial-agg + TakeOrdered cut, then a bounded single-row fold;
+    // 9dp-rounded lns, rank-ordered sums, 4dp slope/intercept
+    "text_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d))),
     // corpus-level document/collection frequency + per-(doc,term) TF-IDF
     "text_term_stats" -> ((s, d) =>
       TextAnalysis.termStats(Tables.documents(s, d)).orderBy("term")),
@@ -795,6 +805,11 @@ object SparkEntry {
     // batch sessionization (gaps-and-islands): the oracle-checked batch
     // truth for the streaming sessionize gap rule; exact integer micros
     "events_sessions" -> ((s, d) => Sequence.sessions(s, d)),
+    // RFM lifecycle segmentation: exact distributed quintiles (ntile via
+    // GlobalOrder, custkey tie-break) over recency/frequency/cents,
+    // rolled up to <=125 segments
+    "events_rfm_segments" -> ((s, d) =>
+      Sequence.rfmSegments(Tables.orders(s, d))),
     // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
     // sketches, every 7-day window a union of 7 sketches (distinct
     // counts don't add; registers merge) — exact side is the gate only
@@ -819,6 +834,13 @@ object SparkEntry {
     "graph_clustering_coeff" -> ((s, d) =>
       Graph.clusteringFromStats(
         Graph.sharedCopurchaseTriangleStats(Tables.lineitem(s, d), cacheKey = d))
+        .orderBy("part_key")),
+    // label-propagation communities on the support-2 basket graph:
+    // 5 synchronous rounds with self-vote damping and smallest-label
+    // ties — deterministic, so the oracle unrolls the rounds
+    "graph_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(
+        Graph.copurchaseEdgesSupported(Tables.lineitem(s, d)))
         .orderBy("part_key")),
     // Adamic-Adar link prediction on the support-2 basket graph:
     // wedge enumeration + (u,w) partial-agg + anti-join vs edges;
@@ -2325,6 +2347,63 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 3
         |ORDER BY source, doc_id""".stripMargin,
+    // zipf fit: identical top-200 cut, 9dp-rounded lns, rank-ordered
+    // prepended-0.0 folds, and the SAME IEEE tree for slope/intercept
+    // (intercept uses the UNROUNDED slope, as in Spark)
+    "text_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest($duckToks) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cf FROM tok
+         |      WHERE term <> '' GROUP BY term
+         |      ORDER BY cf DESC, term LIMIT 200),
+         |a AS (SELECT list({'ncf': -cf, 'term': term} ORDER BY -cf, term) AS l
+         |      FROM c),
+         |xy AS (SELECT len(l) AS n,
+         |              [{'x': floor(ln(CAST(i AS DOUBLE)) * 1000000000 + 0.5)
+         |                     / 1000000000,
+         |                'y': floor(ln(CAST(-(l[i].ncf) AS DOUBLE)) * 1000000000 + 0.5)
+         |                     / 1000000000}
+         |               for i in range(1, len(l) + 1)] AS v
+         |       FROM a),
+         |s AS (SELECT n,
+         |  list_reduce(list_prepend(0.0, list_transform(v, e -> e.x)),
+         |              (a, b) -> a + b) AS sx,
+         |  list_reduce(list_prepend(0.0, list_transform(v, e -> e.y)),
+         |              (a, b) -> a + b) AS sy,
+         |  list_reduce(list_prepend(0.0, list_transform(v, e -> e.x * e.y)),
+         |              (a, b) -> a + b) AS sxy,
+         |  list_reduce(list_prepend(0.0, list_transform(v, e -> e.x * e.x)),
+         |              (a, b) -> a + b) AS sxx
+         |  FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5)
+         |         / 10000 AS slope,
+         |       floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+         |             * 10000 + 0.5) / 10000 AS intercept
+         |FROM s""".stripMargin,
+    // heaps growth: identical ntile bucketing over doc_id, term first
+    // appearance, earliest covering cut, bucket-joined cumulative —
+    // all integers
+    "text_heaps_growth" ->
+      s"""WITH d AS (SELECT doc_id,
+         |                  ntile(10) OVER (ORDER BY doc_id) AS bucket
+         |           FROM documents),
+         |cuts AS (SELECT bucket, max(doc_id) AS cut, count(*) AS n_docs
+         |         FROM d GROUP BY bucket),
+         |tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |fst AS (SELECT term, min(doc_id) AS first_doc
+         |        FROM tok WHERE term <> '' GROUP BY term),
+         |fb AS (SELECT f.term, min(c.bucket) AS bucket
+         |       FROM fst f JOIN cuts c ON f.first_doc <= c.cut
+         |       GROUP BY f.term),
+         |nt AS (SELECT bucket, count(*) AS new_terms FROM fb GROUP BY bucket),
+         |nd AS (SELECT a.bucket, CAST(sum(b.n_docs) AS BIGINT) AS n_docs_cum
+         |       FROM cuts a JOIN cuts b ON b.bucket <= a.bucket
+         |       GROUP BY a.bucket)
+         |SELECT CAST(nd.bucket AS INTEGER) AS bucket, nd.n_docs_cum,
+         |       CAST(sum(nt.new_terms) AS BIGINT) AS vocab
+         |FROM nd JOIN nt ON nt.bucket <= nd.bucket
+         |GROUP BY nd.bucket, nd.n_docs_cum
+         |ORDER BY bucket""".stripMargin,
     "text_term_stats" ->
       s"""WITH c AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |f AS (SELECT doc_id, term, count(*) AS tf FROM c GROUP BY doc_id, term)
@@ -3474,6 +3553,24 @@ object SparkEntry {
         |       (end_us - start_us) // 1000000 AS duration_seconds,
         |       n_events, value_cents
         |FROM s ORDER BY user_id, session_idx""".stripMargin,
+    // rfm: three independent exact ntiles with the same (metric,
+    // custkey) total orders — DuckDB's single-reducer ntile equals
+    // GlobalOrder's distributed form exactly on integral orders
+    "events_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey AS custkey,
+        |                    max(CAST(o_orderdate AS DATE)) AS last_day,
+        |                    count(*) AS frequency,
+        |                    CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+        |             FROM orders GROUP BY 1),
+        |q AS (SELECT custkey, cents,
+        |             ntile(5) OVER (ORDER BY last_day, custkey) AS r_q,
+        |             ntile(5) OVER (ORDER BY frequency, custkey) AS f_q,
+        |             ntile(5) OVER (ORDER BY cents, custkey) AS m_q
+        |      FROM per)
+        |SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+        |       CAST(m_q AS INTEGER) AS m_q,
+        |       count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // multi-touch attribution: identical micro-cent integer credit math
     // (full credit cents*1e6; linear floor(cents*1e6/n) — one IEEE
     // division of exact integers), so the sums hash-match exactly
@@ -3580,6 +3677,35 @@ object SparkEntry {
     },
     // k-core: the same 10 peel rounds, MATERIALIZED per round (the
     // doubly-referenced chain would inline exponentially)
+    // label propagation: 5 unrolled MATERIALIZED rounds — per round the
+    // (neighbor-labels ∪ self-vote) mode with (count desc, label asc)
+    // tie-break, exactly the Spark loop's expression
+    "graph_label_prop" -> {
+      val round = (r: Int) =>
+        s"""c$r AS MATERIALIZED (
+           |  SELECT x.v, x.lab, count(*) AS c FROM (
+           |    SELECT adj.v, l.lab FROM adj JOIN l${r - 1} l ON l.v = adj.n
+           |    UNION ALL SELECT v, lab FROM l${r - 1}) x
+           |  GROUP BY x.v, x.lab),
+           |l$r AS MATERIALIZED (
+           |  SELECT v, lab FROM (
+           |    SELECT v, lab, row_number() OVER (PARTITION BY v
+           |      ORDER BY c DESC, lab) AS rn FROM c$r)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM op a JOIN op b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS MATERIALIZED (
+         |  SELECT p1 AS v, p2 AS n FROM e
+         |  UNION ALL SELECT p2 AS v, p1 AS n FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lab FROM adj),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT v AS part_key, lab AS community
+         |FROM l5 ORDER BY part_key""".stripMargin
+    },
     // adamic-adar: same support-2 edge derivation as kcore; terms
     // rounded to 9dp BEFORE the center-sorted fold (ln is 1-ulp across
     // libms), score rounded 6dp, top-100 by (score desc, u, w)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{OpCache, PublishGuard}
@@ -630,6 +631,51 @@ object Graph {
           lit(2.0) * col("triangles") /
             (col("degree") * (col("degree") - 1)), 6))
         .otherwise(lit(0.0)).as("clustering_coeff"))
+
+  /** Community detection by FIXED-iteration synchronous label
+    * propagation (Raghavan, Albert & Kumara, "Near linear time algorithm
+    * to detect community structures in large-scale networks", Phys. Rev.
+    * E 2007 — public literature, method re-derived): every node starts
+    * as its own label; each round it adopts the most frequent label
+    * among its neighbors PLUS its own current label (the self-vote damps
+    * the 2-coloring oscillation synchronous LPA is known for), ties
+    * broken by the smallest label — fully deterministic, so the DuckDB
+    * oracle can unroll the rounds exactly (the [[components]] recipe;
+    * random-order asynchronous LPA would be unverifiable).
+    *
+    * Scale shape: per round one |E|-sized label join + a (node, label)
+    * partial-agg + a node-partitioned window — the PageRank loop's cost
+    * envelope; `localCheckpoint` per round cuts the lineage (the frame
+    * is consumed twice per round — neighbor join + self-vote union — so
+    * lazy chaining would re-run earlier rounds quadratically, the
+    * recorded components fix). Communities REFINE connected components
+    * (co-labeled ⇒ connected; GraphSpec checks on real data).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val (e, freeE) = OpCache.checkpointWithHandle(edges.select(col("p1"), col("p2")))
+    val adj = e.select(col("p1").as("v"), col("p2").as("n"))
+      .unionByName(e.select(col("p2").as("v"), col("p1").as("n")))
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("lab", col("v"))
+    (1 to iters).foreach { _ =>
+      val votes = adj
+        .join(labels.select(col("v").as("n"), col("lab")), "n")
+        .select(col("v"), col("lab"))
+        .unionByName(labels.select(col("v"), col("lab")))
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("lab"))
+      val (cut, freeCut) = OpCache.checkpointWithHandle(
+        votes.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("v"), col("lab")))
+      labels = cut
+      OpCache.defer(spark)(freeCut)
+    }
+    OpCache.defer(spark)(freeE)
+    labels.select(col("v").as("part_key"), col("lab").as("community"))
+  }
 
   /** Adamic–Adar link prediction over an undirected (p1 < p2) edge list
     * (Adamic & Adar, "Friends and neighbors on the Web", Social Networks

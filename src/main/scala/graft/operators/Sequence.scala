@@ -311,4 +311,37 @@ object Sequence {
           col("attributed_micro").cast("double") / 1e8, 4).as("attributed_revenue"))
       .orderBy("model", "channel")
   }
+
+  /** RFM segmentation of the customer base: per-customer recency (last
+    * order day) / frequency (order count) / monetary (exact integer
+    * cents) scored into quintiles — quintile 5 = most recent / most
+    * frequent / highest spend — and rolled up to the ≤125 (r, f, m)
+    * segments with their customer counts and revenue mass. The classic
+    * lifecycle segmentation ("5-5-5 champions", "1-x-x churned") on the
+    * orders table.
+    *
+    * Exactness and scale: money snaps to cents per order BEFORE the
+    * customer sum (long math, order-independent); each quintile is the
+    * exact distributed ntile ([[graft.engine.GlobalOrder.withNtile]] —
+    * the range-exchange prefix-sum topology, never a single-reducer
+    * window) with the custkey tie-break making every boundary
+    * deterministic; the rollup is one ≤125-group partial-agg.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+    val r = graft.engine.GlobalOrder.withNtile(
+      per, Seq(col("last_day"), col("custkey")), 5, "r_q")
+    val f = graft.engine.GlobalOrder.withNtile(
+      r, Seq(col("frequency"), col("custkey")), 5, "f_q")
+    val m = graft.engine.GlobalOrder.withNtile(
+      f, Seq(col("cents"), col("custkey")), 5, "m_q")
+    m.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
 }

@@ -875,4 +875,92 @@ object TextAnalysis {
         concat_ws(",", transform(col("head"),
           p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))))
           .as("postings"))
+
+  /** Zipf-law rank–frequency fit: OLS slope/intercept of ln(count) on
+    * ln(rank) over the top `k` corpus terms — the companion diagnostic
+    * to [[heapsGrowth]] (natural text sits near slope −1; a much
+    * flatter slope flags template/boilerplate floods, a steeper one a
+    * collapsed vocabulary). The corpus contributes ONE term-count
+    * partial-agg; the top-k cut is (count desc, term asc) via
+    * TakeOrderedAndProject (never a global sort), and the k-row tail —
+    * rank assignment, the four OLS moment sums, the closed-form fit —
+    * folds over a single collected k-row array (bounded driver-side
+    * row, the life-table contract).
+    *
+    * Determinism: ranks come from the integer-exact (count, term)
+    * order; each ln is rounded to 9 dp; the moment sums are SEQUENTIAL
+    * folds in rank order (zero-init, ≡ the oracle's prepended 0.0), so
+    * the 4 dp slope/intercept hash-match despite ln's 1-ulp libm drift.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 200): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(k)
+    val r9 = (c: Column) => graft.functions.OracleRound.roundN(c, 9)
+    val arr = counts
+      .agg(sort_array(collect_list(struct((-col("cf")).as("ncf"), col("term"))))
+        .as("a"))
+      .select(size(col("a")).cast("long").as("n"),
+        transform(col("a"), (s, i) => struct(
+          r9(log((i + 1).cast("double"))).as("x"),
+          r9(log((-s.getField("ncf")).cast("double"))).as("y"))).as("xy"))
+    def fsum(f: Column => Column): Column =
+      aggregate(col("xy"), lit(0.0), (acc, s) => acc + f(s))
+    val sums = arr.select(col("n"),
+      fsum(_.getField("x")).as("sx"), fsum(_.getField("y")).as("sy"),
+      fsum(s => s.getField("x") * s.getField("y")).as("sxy"),
+      fsum(s => s.getField("x") * s.getField("x")).as("sxx"))
+    val nd = col("n").cast("double")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n").as("n_terms"),
+      graft.functions.OracleRound.roundN(slope, 4).as("slope"),
+      graft.functions.OracleRound.roundN(
+        (col("sy") - slope * col("sx")) / nd, 4).as("intercept"))
+  }
+
+  /** Heaps-law vocabulary growth: distinct-vocabulary size at corpus
+    * prefixes (doc_id order, `buckets` equal-count checkpoints) — the
+    * "is the corpus still teaching the tokenizer new words" telemetry
+    * that sizes vocabularies and spots corpus exhaustion (a flattening
+    * curve) or contamination (a late vocab spike). Entirely INTEGER
+    * math — counts and doc-id thresholds, no tolerance anywhere.
+    *
+    * Shape: docs get prefix buckets via the exact distributed ntile
+    * ([[graft.engine.GlobalOrder.withNtile]] — never a single-reducer
+    * window); each term contributes only its FIRST document (one
+    * min-agg), assigned to the earliest checkpoint covering it through
+    * a ≤`buckets`-row broadcast cut table (the bounded-BNLJ family);
+    * the cumulative curve folds over `buckets` rows, not the corpus.
+    */
+  def heapsGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val dDec = graft.engine.GlobalOrder.withNtile(
+      docs.select(col("doc_id")), Seq(col("doc_id")), buckets, "bucket")
+    val cuts = dDec.groupBy(col("bucket"))
+      .agg(max(col("doc_id")).as("cut"), count(lit(1)).as("n_docs"))
+    val first = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val firstBucket = first
+      .join(broadcast(cuts.select(col("bucket"), col("cut"))),
+        col("first_doc") <= col("cut"))
+      .groupBy(col("term")).agg(min(col("bucket")).as("bucket"))
+    val newTerms = firstBucket.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    // cumulative over the ≤buckets-row frame via a bounded self-join —
+    // no unpartitioned window, even a tiny one
+    cuts.as("a")
+      .join(broadcast(cuts.as("b")), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.n_docs")).as("n_docs_cum"))
+      .as("l")
+      .join(broadcast(newTerms.as("t")), col("t.bucket") <= col("l.bucket"))
+      .groupBy(col("l.bucket"), col("l.n_docs_cum"))
+      .agg(sum(col("t.new_terms")).as("vocab"))
+      .select(col("bucket"), col("n_docs_cum"), col("vocab"))
+      .orderBy(col("bucket"))
+  }
 }

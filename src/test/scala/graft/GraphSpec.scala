@@ -237,6 +237,34 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: bridged-triangles fixture + co-labeled ⇒ connected on real data") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge: LPA with self-vote and
+    // min-label ties settles each triangle on its own min id (hand-run:
+    // round 1 gives 1,1,1,3,4,4; round 2 gives 1,1,1,4,4,4; stable)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("p1", "p2")
+    val got = Graph.labelPropagation(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // real data: communities REFINE connected components — two nodes
+    // sharing a label must share a component
+    val edges = Graph.copurchaseEdgesSupported(Tables.lineitem(spark, sf))
+    val comm = Graph.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = Graph.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm.nonEmpty && comm.keySet === comp.keySet)
+    comm.groupBy(_._2).values.foreach { members =>
+      val comps = members.keys.map(comp).toSet
+      assert(comps.size === 1,
+        s"community spans components: ${members.keys.toSeq.sorted.take(5)}")
+    }
+    // and communities are a strict refinement signal, not a constant map
+    assert(comm.values.toSet.size >= comp.values.toSet.size)
+  }
+
   test("adamicAdar: hand fixtures — path, square, existing-edge exclusion, hub cap") {
     import spark.implicits._
     def aa(edges: Seq[(Long, Long)], maxDegree: Long = 128) =

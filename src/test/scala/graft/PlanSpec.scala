@@ -77,6 +77,10 @@ class PlanSpec extends AnyFunSuite {
     // centroid drift: the single-row cohort-totals aggregate broadcast
     // onto the nlist-row grid (the driftPsi totals shape)
     "sim_centroid_drift",
+    // heaps growth: the ≤10-row bucket-cut table broadcast into the
+    // first-appearance and cumulative non-equi joins — constant-size
+    // build at any SF
+    "text_heaps_growth",
     // collocations / keywords: the single-row token-total / doc-count
     // broadcast into the PMI / TF-IDF score (the text_tfidf shape)
     "text_collocations", "text_keywords",

@@ -810,6 +810,9 @@ object SparkEntry {
     // rolled up to <=125 segments
     "events_rfm_segments" -> ((s, d) =>
       Sequence.rfmSegments(Tables.orders(s, d))),
+    // top behavioral paths: sessions' islands rendered as capped
+    // event-type sequences, top-20 by (sessions desc, path asc)
+    "events_top_paths" -> ((s, d) => Sequence.topPaths(s, d)),
     // rolling distinct via MERGEABLE HLL sketches: one scan → per-day
     // sketches, every 7-day window a union of 7 sketches (distinct
     // counts don't add; registers merge) — exact side is the gate only
@@ -3553,6 +3556,31 @@ object SparkEntry {
         |       (end_us - start_us) // 1000000 AS duration_seconds,
         |       n_events, value_cents
         |FROM s ORDER BY user_id, session_idx""".stripMargin,
+    // top paths: identical islands, per-session (us, event_id)-ordered
+    // type list capped at 8, same (count desc, path asc) cut
+    "events_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, event_type, us,
+        |             CASE WHEN lag(us) OVER w IS NULL
+        |                    OR us - lag(us) OVER w > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, event_id, event_type, us,
+        |             sum(new_s) OVER (PARTITION BY user_id
+        |                              ORDER BY us, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                              AND CURRENT ROW) AS session_idx
+        |      FROM f),
+        |p AS (SELECT user_id, session_idx,
+        |             array_to_string(list_transform(
+        |               (list({'us': us, 'event_id': event_id,
+        |                      'event_type': event_type}
+        |                ORDER BY us, event_id))[1:8],
+        |               x -> x.event_type), '>') AS path
+        |      FROM g GROUP BY user_id, session_idx)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // rfm: three independent exact ntiles with the same (metric,
     // custkey) total orders — DuckDB's single-reducer ntile equals
     // GlobalOrder's distributed form exactly on integral orders

@@ -213,22 +213,30 @@ object Sequence {
     * partitions — no global sort) + one (user, session) partial-agg;
     * co-located end-to-end when events are bucketed by user.
     */
-  def sessions(
-      spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 30): DataFrame = {
+  /** Shared gaps-and-islands prefix of [[sessions]] and [[topPaths]]:
+    * per-event session index from the user-partitioned ordered lag flag
+    * + running island sum, in EXACT integer microseconds.
+    */
+  private def sessionIndexed(
+      spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val flagged = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"),
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_s",
         (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
           .cast("int"))
-    flagged
       .withColumn("session_idx", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessions(
+      spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    sessionIndexed(spark, sfDir, gapMinutes)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min(col("us")).as("start_us"),
@@ -242,6 +250,34 @@ object Sequence {
         col("n_events"), col("value_cents"))
       .orderBy("user_id", "session_idx")
   }
+
+  /** Top behavioral paths: the most common event-type sequences per
+    * session ("view→click→purchase beats view→view→exit") — the path
+    * mining that turns the [[sessions]] islands into product-analytics
+    * navigation patterns. Each session contributes its first `maxLen`
+    * events (ordered (ts, event_id) — exact, tie-free), rendered as one
+    * `a>b>c` path string; the result is the top `k` paths by
+    * (sessions desc, path asc), a deterministic cut.
+    *
+    * Scale shape: the islands window is user-partitioned (never
+    * global); per-session `collect_list` is bounded by the session
+    * cap — `slice` to `maxLen` keeps the carried state and the path
+    * domain bounded regardless of bot sessions; the path rollup is one
+    * partial-agg over ≤ |event_type|^maxLen keys and the cut is
+    * TakeOrderedAndProject.
+    */
+  def topPaths(
+      spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30, maxLen: Int = 8, k: Int = 20): DataFrame =
+    sessionIndexed(spark, sfDir, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(slice(sort_array(collect_list(struct(
+        col("us"), col("event_id"), col("event_type")))), 1, maxLen).as("head"))
+      .select(concat_ws(">",
+        transform(col("head"), e => e.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
 
   /** Multi-touch revenue attribution: every purchase's value is credited
     * to the user's preceding view/click touches inside a lookback

@@ -154,4 +154,24 @@ class SequenceSpec extends AnyFunSuite {
     val nones = rows.filter(_._2 == "none").map(t => (t._3, t._4)).distinct
     assert(nones.length === 1, s"models disagree on unattributed purchases: $nones")
   }
+
+  test("topPaths: paths are capped type sequences consistent with the session table") {
+    val paths = Sequence.topPaths(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(paths.nonEmpty)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    paths.foreach { case (p, n) =>
+      val segs = p.split(">")
+      assert(segs.nonEmpty && segs.length <= 8, s"path over cap: $p")
+      assert(segs.forall(types), s"unknown event type in path: $p")
+      assert(n >= 1L)
+    }
+    // counts are (desc, path asc)-ordered and bounded by the session count
+    val ns = paths.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val totalSessions = Sequence.sessions(spark, sf).count()
+    assert(ns.sum <= totalSessions)
+    // if the whole path domain fits in the cut, the counts partition it
+    if (paths.length < 20) assert(ns.sum === totalSessions)
+  }
 }

@@ -4170,7 +4170,7 @@ object SparkEntry {
         |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
         |w AS (SELECT priority, day, n,
         |             count(*) OVER (PARTITION BY priority) AS n_tot,
-        |             sum(n) OVER (PARTITION BY priority) AS s_tot,
+        |             CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS s_tot,
         |             list(n) OVER (PARTITION BY priority ORDER BY day
         |               ROWS UNBOUNDED PRECEDING) AS pre
         |      FROM f),

@@ -44,15 +44,22 @@ def dtype_key(dt) -> str:
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    only = set(q for arg in sys.argv[3:] for q in arg.split(",") if q)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        unknown = only - set(oracle)
+        if unknown:
+            print(f"FAIL unknown query names: {sorted(unknown)}")
+            sys.exit(1)
     failed = []
+    checked = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        checked += 1
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -105,7 +112,15 @@ def main():
             failed.append(name)
         else:
             print(f"OK   {name} ({len(g)} rows)")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} ok")
+    # Summary counts ONLY what this invocation actually compared: a
+    # subset run must never read as a full pass (round 10: a
+    # comma-separated name list silently matched nothing and printed
+    # the full N/N — two real failures hid behind it).
+    if only:
+        print(f"\n{checked - len(failed)}/{checked} checked ok "
+              f"({len(oracle) - checked} not checked)")
+    else:
+        print(f"\n{checked - len(failed)}/{checked} ok")
     sys.exit(1 if failed else 0)
 
 

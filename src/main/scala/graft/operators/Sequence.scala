@@ -260,24 +260,35 @@ object Sequence {
     * (sessions desc, path asc), a deterministic cut.
     *
     * Scale shape: the islands window is user-partitioned (never
-    * global); per-session `collect_list` is bounded by the session
-    * cap — `slice` to `maxLen` keeps the carried state and the path
-    * domain bounded regardless of bot sessions; the path rollup is one
-    * partial-agg over ≤ |event_type|^maxLen keys and the cut is
-    * TakeOrderedAndProject.
+    * global); the per-session head is cut BEFORE any aggregation by a
+    * (user_id, session_idx)-partitioned `row_number()` over
+    * (us, event_id) — so the `collect_list` buffer holds at most
+    * `maxLen` structs per session by construction, bot sessions
+    * included (a post-agg `slice` would bound only the output, not the
+    * TypedImperativeAggregate's state). The window order equals the
+    * `sort_array` order (us, event_id, event_type — event_id unique),
+    * so the pre-cut keeps the exact same rows the old slice kept. The
+    * path rollup is one partial-agg over ≤ |event_type|^maxLen keys
+    * and the cut is TakeOrderedAndProject.
     */
   def topPaths(
       spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 30, maxLen: Int = 8, k: Int = 20): DataFrame =
+      gapMinutes: Int = 30, maxLen: Int = 8, k: Int = 20): DataFrame = {
+    val headW = Window
+      .partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("us"), col("event_id"))
     sessionIndexed(spark, sfDir, gapMinutes)
+      .withColumn("rn", row_number().over(headW))
+      .where(col("rn") <= maxLen)
       .groupBy(col("user_id"), col("session_idx"))
-      .agg(slice(sort_array(collect_list(struct(
-        col("us"), col("event_id"), col("event_type")))), 1, maxLen).as("head"))
+      .agg(sort_array(collect_list(struct(
+        col("us"), col("event_id"), col("event_type")))).as("head"))
       .select(concat_ws(">",
         transform(col("head"), e => e.getField("event_type"))).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
+  }
 
   /** Multi-touch revenue attribution: every purchase's value is credited
     * to the user's preceding view/click touches inside a lookback

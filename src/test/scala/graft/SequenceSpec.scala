@@ -174,4 +174,42 @@ class SequenceSpec extends AnyFunSuite {
     // if the whole path domain fits in the cut, the counts partition it
     if (paths.length < 20) assert(ns.sum === totalSessions)
   }
+
+  test("topPaths: one giant bot session is pre-cut, result identical to the brute-force head") {
+    import spark.implicits._
+    // user 1: a 50k-event bot session (every event 1s apart — one
+    // island); users 2..4: small ordinary sessions. The row_number
+    // pre-cut must bound the collect_list buffer to maxLen structs per
+    // session while producing exactly the first-8-by-(us, event_id)
+    // path the unbounded slice form produced.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigsession").toString
+    val base = java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val bot = (0 until 50000).map { i =>
+      (i.toLong, 1L, types(i % types.length), new java.sql.Timestamp(base + i * 1000L))
+    }
+    val small = Seq(
+      (100000L, 2L, "view", new java.sql.Timestamp(base)),
+      (100001L, 2L, "click", new java.sql.Timestamp(base + 60000L)),
+      (100002L, 3L, "view", new java.sql.Timestamp(base)),
+      (100003L, 3L, "click", new java.sql.Timestamp(base + 60000L)),
+      (100004L, 4L, "signup", new java.sql.Timestamp(base)))
+    (bot ++ small).toDF("event_id", "user_id", "event_type", "ts")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .repartition(4) // scatter the giant session across input splits
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Sequence.topPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // brute-force expectation: first 8 events of each session by
+    // (us, event_id); the bot session's head is types cycled 8 long
+    val botPath = (0 until 8).map(i => types(i % types.length)).mkString(">")
+    val expect = Seq("view>click" -> 2L, botPath -> 1L, "signup" -> 1L)
+      .sortBy { case (p, n) => (-n, p) }
+    assert(got === expect, s"got ${got.mkString(", ")}")
+    // and the plan carries the pre-cut: a Filter on rn sits below the
+    // aggregate, so no unbounded per-session buffer exists
+    val plan = Sequence.topPaths(spark, dir).queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"), "pre-cut window missing from plan")
+  }
 }

@@ -164,8 +164,11 @@ object PublishGuard {
       if (baseDir.nonEmpty) baseDir
       else spark.conf.get("spark.graft.warehouse.dir", "")
     val paramsSlug = params.mkString("_")
+    // family is part of the memo key: two artifact families sharing one
+    // memo map (e.g. the weighted and unweighted trade-edge tables) must
+    // never alias each other's published path
     val dir = memo.computeIfAbsent(
-      (Seq(base, cacheKey) ++ params).mkString("|"), _ => {
+      (Seq(base, family, cacheKey) ++ params).mkString("|"), _ => {
         if (base.nonEmpty) {
           val keyHash = java.security.MessageDigest.getInstance("MD5")
             .digest(cacheKey.getBytes("UTF-8"))

@@ -766,4 +766,84 @@ object Graph {
         "triangle_stats", cacheKey, Nil, fp, "triangle stats table")(live)
     }
   }
+
+  private val edgeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook — drop the in-JVM edge-table memo (see
+    * [[clearTriangleTableMemo]]).
+    */
+  private[graft] def clearEdgeTableMemo(): Unit = edgeTableCache.clear()
+
+  /** Two-input fingerprint for the trade-edge publishers: both pruned
+    * input frames determine the edge set, so both must pin the sidecar.
+    * XOR of the per-frame order-independent hashes (the lineitem hash
+    * rotated so swapping the inputs can't cancel), rows summed — still
+    * stable under repartitioning, still data-determined.
+    */
+  private def tradeFingerprint(
+      orders: DataFrame, lineitem: DataFrame): PublishGuard.Fingerprint = {
+    val a = PublishGuard.fingerprint(
+      orders, Seq(col("o_orderkey"), col("o_custkey")))
+    val b = PublishGuard.fingerprint(
+      lineitem, Seq(col("l_orderkey"), col("l_suppkey")))
+    PublishGuard.Fingerprint(
+      a.rows + b.rows, a.hash ^ java.lang.Long.rotateLeft(b.hash, 1))
+  }
+
+  /** [[tradeEdges]] computed ONCE per cacheKey and PUBLISHED — the
+    * round-10 profile's top five queries (ppr 8.5 s, weighted pagerank
+    * 8.3, pagerank 7.7, hits 6.5, reach 6.1 at sf0.1) each re-derived
+    * the same symmetrizable edge list from the orders ⋈ lineitem join
+    * before their loops even started; with the edge list published once
+    * per data key, every consumer's first-principles cost drops to its
+    * loop. Same PublishGuard dance as
+    * [[sharedCopurchaseTriangleStats]]; `cacheKey` must encode the data
+    * version (pass `""` to compute live).
+    */
+  def sharedTradeEdges(
+      orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, baseDir: String = ""): DataFrame = {
+    def live() = tradeEdges(orders, lineitem)
+    if (cacheKey.isEmpty) live()
+    else PublishGuard.sharedTable(
+      orders.sparkSession, edgeTableCache, baseDir,
+      "trade_edges", cacheKey, Nil,
+      tradeFingerprint(orders, lineitem), "trade edge table")(live)
+  }
+
+  /** [[weightedTradeEdges]] published once per cacheKey — the
+    * weighted-PageRank sibling of [[sharedTradeEdges]] (the weight is a
+    * count over the same join, so it needs its own table, not a
+    * projection of the unweighted one).
+    */
+  def sharedWeightedTradeEdges(
+      orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, baseDir: String = ""): DataFrame = {
+    def live() = weightedTradeEdges(orders, lineitem)
+    if (cacheKey.isEmpty) live()
+    else PublishGuard.sharedTable(
+      orders.sparkSession, edgeTableCache, baseDir,
+      "trade_edges_weighted", cacheKey, Nil,
+      tradeFingerprint(orders, lineitem), "weighted trade edge table")(live)
+  }
+
+  /** [[copurchaseEdgesSupported]] published once per (cacheKey,
+    * minSupport) — components / k-core / label-propagation /
+    * Adamic–Adar all consume this same thresholded basket graph, and
+    * each previously re-ran the o-p self-join + support count.
+    * `minSupport` is a non-data parameter, so it rides the params slug.
+    */
+  def sharedCopurchaseEdgesSupported(
+      lineitem: DataFrame, minSupport: Long = 2,
+      cacheKey: String = "", baseDir: String = ""): DataFrame = {
+    def live() = copurchaseEdgesSupported(lineitem, minSupport)
+    if (cacheKey.isEmpty) live()
+    else PublishGuard.sharedTable(
+      lineitem.sparkSession, edgeTableCache, baseDir,
+      "copurchase_edges", cacheKey, Seq(s"sup$minSupport"),
+      PublishGuard.fingerprint(
+        lineitem, Seq(col("l_orderkey"), col("l_partkey"))),
+      "co-purchase edge table")(live)
+  }
 }

@@ -317,6 +317,39 @@ class GraphSpec extends AnyFunSuite {
     assert(viaShared == standalone)
   }
 
+  test("shared edge tables equal the live derivations and compute once") {
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val key = s"graphspec-edges-${System.nanoTime()}" // fresh memo entry
+    // trade edges: published table == live derivation, second consumer
+    // reads the SAME parquet files (the compute-once contract the five
+    // iterative trade-graph queries now share)
+    val t1 = Graph.sharedTradeEdges(o, li, cacheKey = key)
+    assert(pairs(t1) == pairs(Graph.tradeEdges(o, li)))
+    val t2 = Graph.sharedTradeEdges(o, li, cacheKey = key)
+    assert(t1.inputFiles.nonEmpty &&
+      t1.inputFiles.toSet == t2.inputFiles.toSet)
+    // weighted variant: own table, value-identical to live
+    val w1 = Graph.sharedWeightedTradeEdges(o, li, cacheKey = key)
+    assert(pairs(w1) == pairs(Graph.weightedTradeEdges(o, li)))
+    assert(w1.inputFiles.toSet !=  t1.inputFiles.toSet)
+    // co-purchase supported edges: minSupport rides the params slug, so
+    // different thresholds are different tables
+    val c1 = Graph.sharedCopurchaseEdgesSupported(li, 2, cacheKey = key)
+    assert(pairs(c1) == pairs(Graph.copurchaseEdgesSupported(li, 2)))
+    val c2 = Graph.sharedCopurchaseEdgesSupported(li, 2, cacheKey = key)
+    assert(c1.inputFiles.nonEmpty &&
+      c1.inputFiles.toSet == c2.inputFiles.toSet)
+    val c3 = Graph.sharedCopurchaseEdgesSupported(li, 3, cacheKey = key)
+    assert(c3.inputFiles.toSet != c1.inputFiles.toSet)
+    assert(pairs(c3) == pairs(Graph.copurchaseEdgesSupported(li, 3)))
+    // and a consumer over the published table equals the live-edge path
+    assert(pairs(Graph.degreeHistogram(t2)) ==
+      pairs(Graph.degreeHistogram(Graph.tradeEdges(o, li))))
+  }
+
   test("reach: path fixture — hop-bounded min distance, far end excluded") {
     import spark.implicits._
     // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out

@@ -132,6 +132,11 @@ object MediaHeaders {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = leU32(b, i + 4).toInt
+      // the size field is UNTRUSTED input: a 32-bit value like
+      // 0xFFFFFFF8 reads back as -8, making the walk advance by zero or
+      // backward — an infinite loop on a crafted blob. Any size outside
+      // [0, blob length] cannot be a real chunk: parse failure.
+      if (size < 0 || size > b.length) return None
       if (id == "fmt " && i + 8 + 16 <= b.length) {
         channels = leU16(b, i + 8 + 2)
         rate = leU32(b, i + 8 + 4).toInt
@@ -154,12 +159,18 @@ object MediaHeaders {
     if (isPng(b)) {
       val out = new ByteArrayOutputStream()
       var i = 8
-      while (i + 8 <= b.length) {
+      var ok = true
+      while (ok && i + 8 <= b.length) {
         val len = beU32(b, i).toInt
-        val typ = new String(b, i + 4, 4, "US-ASCII")
-        if (typ == "IDAT" && i + 8 + len <= b.length)
-          out.write(b, i + 8, len)
-        i += 12 + len
+        // untrusted length: negative (u32 high bit) or over-long values
+        // would stall or overshoot the walk — stop at the malformation
+        if (len < 0 || len > b.length) ok = false
+        else {
+          val typ = new String(b, i + 4, 4, "US-ASCII")
+          if (typ == "IDAT" && i + 8 + len <= b.length)
+            out.write(b, i + 8, len)
+          i += 12 + len
+        }
       }
       out.toByteArray
     } else if (isJpeg(b)) {
@@ -187,6 +198,8 @@ object MediaHeaders {
       var i = 12
       while (i + 8 <= b.length) {
         val size = leU32(b, i + 4).toInt
+        // same untrusted-size guard as parseWav: never walk backward
+        if (size < 0 || size > b.length) return Array.emptyByteArray
         if (new String(b, i, 4, "US-ASCII") == "data")
           return java.util.Arrays.copyOfRange(
             b, i + 8, math.min(i + 8 + size, b.length))

@@ -138,4 +138,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.parseJpeg(
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
   }
+
+  test("crafted 32-bit chunk sizes terminate, never hang the walkers") {
+    // WAV whose first chunk claims size 0xFFFFFFF8 (reads back as -8, a
+    // zero-or-backward advance): must be a parse failure, not a spin
+    val wav = new ByteArrayOutputStream()
+    wav.write("RIFF".getBytes("US-ASCII")); (0 until 4).foreach(_ => wav.write(0xff))
+    wav.write("WAVE".getBytes("US-ASCII"))
+    wav.write("junk".getBytes("US-ASCII"))
+    // LE f8 ff ff ff = 0xFFFFFFF8 → -8 as Int → advance 8 + (-8) + 0 = 0
+    wav.write(0xf8); wav.write(0xff); wav.write(0xff); wav.write(0xff)
+    wav.write(new Array[Byte](16))
+    val evilWav = wav.toByteArray
+    assert(MediaHeaders.parseWav(evilWav) === None)
+    assert(MediaHeaders.payloadSection(evilWav).isEmpty)
+    // ...and an over-long (but positive) size is equally malformed
+    val wav2 = MediaHeaders.buildWav(1, 8000, Array[Byte](1, 2, 3, 4))
+    wav2(19) = 0x7f // fmt chunk size (LE u32 at 16): high byte → huge
+    assert(MediaHeaders.parseWav(wav2) === None)
+    // PNG whose IHDR length field has the u32 high bit set (-12 as Int):
+    // the payload walk must stop at the malformation
+    val png = MediaHeaders.buildPng(3, 3, Array[Byte](9, 9, 9))
+    val evilPng = png.clone()
+    evilPng(8) = 0xff.toByte // IHDR length 0x FF 00 00 0D → negative Int
+    assert(MediaHeaders.payloadSection(evilPng).isEmpty)
+    // the untampered fixtures still parse (the guards reject nothing real)
+    assert(MediaHeaders.parseWav(
+      MediaHeaders.buildWav(1, 8000, Array[Byte](1, 2, 3, 4))).nonEmpty)
+    assert(MediaHeaders.payloadSection(png).toSeq === Seq[Byte](9, 9, 9))
+  }
 }

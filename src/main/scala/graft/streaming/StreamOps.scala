@@ -1118,6 +1118,17 @@ object StreamOps {
             state.update(AsOfState(kept, stay))
             if (stay.nonEmpty)
               state.setTimeoutTimestamp(stay.map(_.ts).min)
+            else {
+              // refs-only key: without a timeout, a key that goes quiet
+              // after a burst of refs would hold its above-watermark ref
+              // buffer forever (nothing re-invokes the group). Pin a
+              // timeout to the earliest above-watermark ref so a later
+              // invocation compacts the buffer down to the single
+              // latest-ref row once the watermark passes it.
+              val above = kept.filter(_.ts > wm)
+              if (above.nonEmpty)
+                state.setTimeoutTimestamp(above.map(_.ts).min)
+            }
           }
           out.iterator
       }
@@ -1465,9 +1476,29 @@ object StreamOps {
       spark: SparkSession, stateDir: String,
       clusters: Seq[Int] = Nil,
       asOfBatch: Option[Long] = None): DataFrame = {
+    requireIvfBatches(spark, stateDir)
     val all = stateAsOf(spark, stateDir, asOfBatch).drop("batch_id")
     if (clusters.isEmpty) all
     else all.where(col("cluster").isin(clusters: _*))
+  }
+
+  /** A version directory holding only underscore artifacts (centroids +
+    * commit marker, no `batch_id=` partitions) is a COMMITTED BUT EMPTY
+    * index — v1 before any ingest, or a rotation performed on an empty
+    * index. A raw parquet read of it dies with an opaque schema-inference
+    * error; fail with the operational story instead.
+    */
+  private def requireIvfBatches(spark: SparkSession, stateDir: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(dir) && fs.listStatus(dir)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasBatches)
+      throw new IllegalStateException(
+        s"index state at $stateDir holds no ingested batch partitions — " +
+          "the assign sink has not committed a batch yet (or the version " +
+          "was rotated from an empty index); ingest first or read a " +
+          "version that holds data")
   }
 
   // ── centroid-version rotation for the maintained ANN index ──────────
@@ -1638,6 +1669,7 @@ object StreamOps {
       version: Option[Int] = None,
       sinceBatch: Long = 0L): DataFrame = {
     val v = version.getOrElse(currentIvfVersion(spark, indexRoot))
+    requireIvfBatches(spark, ivfVersionDir(indexRoot, v))
     val state = spark.read.parquet(ivfVersionDir(indexRoot, v))
     // partition discovery may infer batch_id as int — cast before the pull
     val ids = state.select(col("batch_id").cast("long")).distinct()
@@ -1773,8 +1805,19 @@ object StreamOps {
       spark: SparkSession, stateDir: String, batchId: Long,
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // a doc_id that landed in TWO different batch partitions (source
+    // redelivery in a later micro-batch, not a same-batch replay) must
+    // resolve deterministically, or whether it counts as "new" in this
+    // batch depends on which duplicate dropDuplicates happened to keep —
+    // and the per-batch incremental reads could double- or never-surface
+    // its pairs. Keep the EARLIEST occurrence (min (batch_id, sig)
+    // struct): the doc is new exactly once, in the first batch that
+    // carried it.
     val upTo = stateAsOf(spark, stateDir, Some(batchId))
-      .dropDuplicates("doc_id")
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("batch_id"), col("sig"))).as("m"))
+      .select(col("doc_id"),
+        col("m.batch_id").as("batch_id"), col("m.sig").as("sig"))
     val newSigs = upTo.where(col("batch_id") === batchId).drop("batch_id")
     val allSigs = upTo.drop("batch_id")
     val bandedNew = graft.operators.Dedup

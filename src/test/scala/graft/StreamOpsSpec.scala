@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, date_format, explode, expr, length, min}
+import org.apache.spark.sql.functions.{col, date_format, explode, expr, length, lit, min}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
@@ -347,6 +347,59 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rotating an empty index yields a version readers refuse with the operational story") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    val cents = Array.tabulate(2)(i => Array(i.toDouble, 1.0))
+    StreamOps.initIvfIndex(spark, root, cents)
+    // rotation before ANY ingest: the new version is committed (marker +
+    // centroids) but holds no batch partitions — a raw read would die
+    // with an opaque parquet schema-inference error
+    val v2 = StreamOps.rotateIvfIndex(spark, root, cents)
+    assert(v2 === 2 && StreamOps.currentIvfVersion(spark, root) === 2)
+    val e = intercept[IllegalStateException] {
+      StreamOps.readIvfIndex(spark, root)
+    }
+    assert(e.getMessage.contains("no ingested batch"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      StreamOps.ivfDriftStats(spark, root)
+    }
+    assert(e2.getMessage.contains("no ingested batch"), e2.getMessage)
+    // the version's centroids still serve (bounded artifacts are intact)
+    assert(StreamOps.readIvfVersionCentroids(spark, root).length === 2)
+  }
+
+  test("minhash incremental reads resolve a redelivered doc_id to its first batch") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-mh-redeliver").toString
+    def land(batch: Long, rows: Seq[(Long, Seq[Long])]): Unit =
+      rows.toDF("doc_id", "sig").withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("batch_id").parquet(state)
+    // numHashes=4, bands=2 (band width 2): docs 1 and 7 identical sigs,
+    // doc 2 shares the first band with both (estimate 3/4)
+    land(0L, Seq(1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(1L, 2L, 3L, 9L)))
+    land(1L, Seq(7L -> Seq(1L, 2L, 3L, 4L)))
+    // REDELIVERY: doc 7 lands again in a LATER batch (source retry, not a
+    // same-batch-id replay). Whether 7 counts as "new" in batch 2 must
+    // not depend on which duplicate a dropDuplicates happened to keep.
+    land(2L, Seq(7L -> Seq(1L, 2L, 3L, 4L)))
+    def pairsAt(b: Long): Set[(Long, Long)] =
+      StreamOps.newMinhashPairsForBatch(spark, state, b,
+        numHashes = 4, bands = 2, threshold = 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(0L) === Set((1L, 2L)))
+    assert(pairsAt(1L) === Set((1L, 7L), (2L, 7L)))
+    // doc 7 is NOT new in batch 2: its pairs surfaced at batch 1 and must
+    // not double-surface here
+    assert(pairsAt(2L) === Set.empty[(Long, Long)])
+    // and the union of the incremental reads is exactly the whole store
+    val whole = StreamOps.readNearDupPairs(spark, state,
+        numHashes = 4, bands = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(0L) ++ pairsAt(1L) ++ pairsAt(2L) === whole)
+  }
+
   test("ivf drift stats: uniform continuation undrifted, skewed ingest drifts and flags") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
@@ -466,6 +519,50 @@ class StreamOpsSpec extends AnyFunSuite {
         s"left before any eligible ref must emit unmatched: $got")
       assert(got.contains((8L, 80L, Some(7.0))),
         s"equal-ts refs must resolve to the max value: $got")
+    } finally q.stop()
+  }
+
+  test("asOfEnrich: a refs-only key compacts on timeout and still answers a late left") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lStream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val rStream = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamOps.asOfEnrich(spark,
+      lStream.toDF().toDF("user_id", "event_id", "ts", "value"),
+      rStream.toDF().toDF("user_id", "ts", "ref_value"),
+      watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_refsonly")
+      .outputMode("append").start()
+    try {
+      // user 5 receives ONLY refs, then goes quiet — the refs-only
+      // timeout must re-invoke the group once the watermark passes them
+      // and compact the buffer to the single latest-ref row (without the
+      // timeout nothing would ever touch key 5 again until new data)
+      rStream.addData(
+        (5L, ts("2024-01-01 10:00:00"), 100.0),
+        (5L, ts("2024-01-01 10:10:00"), 110.0))
+      q.processAllAvailable()
+      // unrelated traffic pushes the watermark far past user 5's refs and
+      // gives the fired timeout a data-less invocation for key 5
+      lStream.addData((9L, 90L, ts("2024-01-01 11:00:00"), 0.0))
+      rStream.addData((9L, ts("2024-01-01 11:00:00"), 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the post-watermark batch
+      // a late left for user 5 must pair with the KEPT latest ref (the
+      // compaction may only discard the 10:00 row, never the 10:10 one)
+      lStream.addData((5L, 50L, ts("2024-01-01 11:05:00"), 1.0))
+      q.processAllAvailable()
+      // wm pushers on BOTH streams (the query watermark is their min)
+      lStream.addData((9L, 91L, ts("2024-01-01 12:00:00"), 0.0))
+      rStream.addData((9L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("asof_refsonly")
+        .select("user_id", "event_id", "ref_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got.contains((5L, 50L, Some(110.0))),
+        s"compaction must keep the latest ref for a quiet key: $got")
     } finally q.stop()
   }
 

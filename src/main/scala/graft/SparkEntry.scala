@@ -678,6 +678,19 @@ object SparkEntry {
       Multimodal.resizeImages(s,
         Multimodal.attachMedia(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    // pixel-level perceptual hash: REAL PNG pixel decode (zlib inflate +
+    // scanline unfilter) → integer luma grid → 56-bit dHash
+    "multimodal_phash" -> ((s, d) =>
+      Multimodal.imagePerceptualHash(s,
+        Multimodal.attachPixelImages(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    // image near-dup pairs: hamming-LSH bands (7×8-bit) over the dHash,
+    // refined by bit_count(xor) ≤ 6 — minhash-LSH's image analog,
+    // bucketed, never all-pairs
+    "multimodal_image_neardup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(s,
+        Multimodal.attachPixelImages(Tables.documents(s, d)))
+        .orderBy("doc_a", "doc_b")),
     // BM25 top-10 retrieval for the corpus's own head terms (scores
     // rounded BEFORE ranking so the rank order is cross-engine exact)
     "text_bm25" -> ((s, d) =>
@@ -3129,6 +3142,56 @@ object SparkEntry {
         |                  CAST(out_w * out_h AS DOUBLE) /
         |                  greatest(CAST(in_w * in_h AS DOUBLE), 1.0)) AS BIGINT) AS out_bytes
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the Spark side decodes ACTUAL PNG pixels (zlib inflate + scanline
+    // unfilter) and computes the dHash from the luma grid; the oracle
+    // replays the pixel GENERATOR's deterministic block formula — gray =
+    // first md5 byte of "seed_bx_by" mod 200 (strpos hex parsing, the
+    // simhashSql pattern), +40 on the one perturbed block — so any
+    // decode/grid/packing slip hash-mismatches.
+    // 56 bits (7 rows × 8 comparisons) keep every sum inside BIGINT.
+    "multimodal_phash" ->
+      """WITH img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS p
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (SELECT i.doc_id,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM img i, generate_series(0, 6) r(v), generate_series(0, 7) c(v))
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same banding scheme as the Spark side (7×8-bit bands, complete for
+    // hamming <= 6 by pigeonhole), pair set refined by bit_count(xor)
+    "multimodal_image_neardup" ->
+      """WITH img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS p
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (SELECT i.doc_id,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM img i, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, phash, b.v AS band, (phash >> (b.v*8)) & 255 AS bh
+        |  FROM ph, generate_series(0, 6) b(v)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.phash AS pa, y.phash AS pb
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bh = y.bh
+        |          AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |       CAST(byte_offset // 100 AS INTEGER) AS frame_idx,

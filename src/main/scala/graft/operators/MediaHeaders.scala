@@ -283,6 +283,140 @@ object MediaHeaders {
     out.toByteArray
   }
 
+  // ── pixel codec (real zlib IDAT, full PNG filter set) ──────────────
+  //
+  // The header parsers above are the 100 TB default (dimensions without
+  // codec CPU); the PIXEL codec below is the next rung — the decode an
+  // operator needs when it must see CONTENT, not envelope (perceptual-
+  // hash image dedup). Still map-only per blob; output is a fixed-size
+  // feature, never the pixels, so nothing pixel-sized ever shuffles.
+
+  /** Encode `rgb` (row-major, 3 bytes/pixel) as a REAL decodable
+    * truecolor PNG: filter-0 scanlines, zlib-deflated IDAT, CRC'd
+    * chunks. Independent decoders (javax.imageio) read it exactly —
+    * MultimodalSpec pins that — unlike [[buildPng]], whose IDAT is an
+    * opaque payload for header-parser fixtures.
+    */
+  def buildPixelPng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      // filter byte 0 (None) + the row verbatim
+      System.arraycopy(rgb, y * width * 3, raw, y * (1 + width * 3) + 1, width * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zipped = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new ByteArrayOutputStream(zipped.size() + 64)
+    out.write(PngSig, 0, 8)
+    val ihdr = new ByteArrayOutputStream(13)
+    writeBeU32(ihdr, width.toLong); writeBeU32(ihdr, height.toLong)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    pngChunk(out, "IHDR", ihdr.toByteArray)
+    pngChunk(out, "IDAT", zipped.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decoded pixel frame: `pixels` is row-major, `channels` bytes per
+    * pixel (1 gray / 3 RGB / 4 RGBA — 8-bit depth only).
+    */
+  final case class PixelFrame(
+      width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** REAL pixel decode of an 8-bit non-interlaced PNG: walk the chunks
+    * (with the untrusted-size guards), inflate the concatenated IDAT
+    * stream, and reverse the per-scanline filters — all five spec
+    * filter types (None/Sub/Up/Average/Paeth), so PNGs written by
+    * adaptive-filter encoders (javax.imageio picks per-row) decode
+    * byte-exactly. Returns None for non-PNG blobs, non-8-bit depths,
+    * palette/interlaced images, or malformed streams.
+    */
+  def decodePixelPng(b: Array[Byte]): Option[PixelFrame] = {
+    if (!isPng(b) || b.length < 33) return None
+    val width = beU32(b, 16).toInt
+    val height = beU32(b, 20).toInt
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // palette (3) needs PLTE indirection: out of scope
+    }
+    if (bitDepth != 8 || interlace != 0 || width <= 0 || height <= 0)
+      return None
+    // concatenate IDAT payloads (same guarded walk as payloadSection)
+    val idat = new ByteArrayOutputStream()
+    var i = 8
+    var ok = true
+    while (ok && i + 8 <= b.length) {
+      val len = beU32(b, i).toInt
+      if (len < 0 || len > b.length) ok = false
+      else {
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        if (typ == "IDAT" && i + 8 + len <= b.length)
+          idat.write(b, i + 8, len)
+        i += 12 + len
+      }
+    }
+    val rowBytes = width * channels
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val k = inflater.inflate(raw, off, raw.length - off)
+        if (k == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None // truncated stream or preset-dictionary zlib
+        off += k
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (off != raw.length) return None // wrong-size stream
+    // reverse the scanline filters in place into the pixel buffer
+    val px = new Array[Byte](height * rowBytes)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + rowBytes)) & 0xff
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(src + x) & 0xff
+        val a = if (x >= bpp) px(dst + x - bpp) & 0xff else 0 // left
+        val up = if (y > 0) px(dst - rowBytes + x) & 0xff else 0 // above
+        val c = if (x >= bpp && y > 0) px(dst - rowBytes + x - bpp) & 0xff
+                else 0 // upper-left
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + up
+          case 3 => f + (a + up) / 2
+          case 4 =>
+            // Paeth predictor (PNG spec §4.5.4)
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None // invalid filter type
+        }
+        px(dst + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelFrame(width, height, channels, px))
+  }
+
   /** Canonical 44-byte-header PCM WAV around `payload` as the `data`
     * chunk (16-bit samples; frames = bytes / (channels·2)).
     */

@@ -170,6 +170,200 @@ object Multimodal {
           .cast("long"))
   }
 
+  // ── image near-dup via perceptual hash (pixel-level decode) ────────
+
+  /** dHash grid geometry: 9 block columns × 7 block rows give 8×7 = 56
+    * horizontal-gradient bits — 56, not 64, so the packed hash and every
+    * aggregate over it stay comfortably inside signed BIGINT on both
+    * engines (the same reasoning as the 48-bit oracle SimHash,
+    * [[Dedup.simhashSqlSignatures]]).
+    */
+  val PhashCols = 9
+  val PhashRows = 7
+  val PhashBits: Int = (PhashCols - 1) * PhashRows // 56
+
+  /** Attach REAL decodable PNGs to the image-modality documents
+    * (doc_id % 3 == 0, [[attachMedia]]'s image slot): a 36×28 truecolor
+    * PNG of 4×4 constant gray blocks on the 9×7 dHash grid, zlib
+    * scanlines and CRC'd chunks ([[MediaHeaders.buildPixelPng]] —
+    * javax.imageio decodes them). Pixel values are a deterministic
+    * function of doc_id, which is what makes the pixel pipeline
+    * oracle-checkable (the attachMedia pattern at pixel level):
+    * block (bx, by) has gray `md5("seed_bx_by")[first byte] mod 200` —
+    * md5, not an arithmetic mix, because anything linear-ish (a
+    * gradient, or a linear congruence double-mod) leaves every seed's
+    * dHash within a few bits of every other's and the LSH degenerates
+    * toward all-pairs; md5 is the same SQL-replayable randomness the
+    * 48-bit oracle SimHash uses — with seed = doc_id mod 40, so docs
+    * sharing a seed render the same base image; plus +40 on the single
+    * block (p, p), p = (doc_id div 40) mod 5 — a per-doc perturbation
+    * INDEPENDENT of the seed (doc_id mod 5 would be determined by the
+    * seed, 5 | 40, leaving every same-seed pair identical).
+    * Same seed, different p ⇒ ≤ 2 blocks differ ⇒ ≤ 4 dHash bits
+    * differ (near-dups); different seeds ⇒ independent random grids
+    * (hamming ≈ 28 of 56, far outside the cut).
+    */
+  def attachPixelImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blk = 4
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .as[Long].map { id =>
+        val seed = (id % 40).toInt
+        val p = (id / 40 % 5).toInt
+        val w = PhashCols * blk; val h = PhashRows * blk
+        val grid = Array.tabulate(PhashRows, PhashCols)((by, bx) =>
+          blockGray(seed, bx, by, p))
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = grid(y / blk)(x / blk)
+            val o = (y * w + x) * 3
+            rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, MediaHeaders.buildPixelPng(w, h, rgb))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The synthetic generator's block value: first md5 byte of
+    * `"seed_bx_by"` mod 200 (+40 on the perturbed block) — exposed so
+    * the spec pins [[imagePerceptualHash]]'s decoded-pixel hash against
+    * the same formula the DuckDB oracle replays.
+    */
+  private[operators] def blockGray(
+      seed: Int, bx: Int, by: Int, p: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${seed}_${bx}_${by}".getBytes("UTF-8"))
+    (d(0) & 0xff) % 200 + (if (bx == p && by == p) 40 else 0)
+  }
+
+  /** 56-bit difference hash over a REAL pixel decode: inflate + unfilter
+    * the PNG ([[MediaHeaders.decodePixelPng]]), integer luma
+    * ((299R + 587G + 114B) / 1000 — exact for gray pixels), reduce to
+    * the 9×7 grid (exact integer block means when the dimensions divide
+    * the grid; deterministic center-point sampling otherwise), and set
+    * bit (by·8 + bx) when the right neighbor is strictly brighter — the
+    * standard dHash, brightness-shift invariant (a global +k moves no
+    * comparison). Map-only mapPartitions (binary codec work, the same
+    * justification as [[decodeFeatures]]); output is 8 bytes/blob.
+    * Undecodable blobs are dropped.
+    */
+  def imagePerceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaHeaders.decodePixelPng(bytes).map { f =>
+            val grid = lumaGrid(f, PhashCols, PhashRows)
+            var hash = 0L
+            var by = 0
+            while (by < PhashRows) {
+              var bx = 0
+              while (bx < PhashCols - 1) {
+                if (grid(by * PhashCols + bx + 1) > grid(by * PhashCols + bx))
+                  hash |= 1L << (by * (PhashCols - 1) + bx)
+                bx += 1
+              }
+              by += 1
+            }
+            (id, hash)
+          }
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Luma grid reduction: integer luma per pixel, then per-cell exact
+    * integer means when (width, height) divide the grid, else the cell
+    * center pixel — both deterministic on any input.
+    */
+  private def lumaGrid(
+      f: MediaHeaders.PixelFrame, cols: Int, rows: Int): Array[Int] = {
+    def lumaAt(x: Int, y: Int): Int = {
+      val o = (y * f.width + x) * f.channels
+      f.channels match {
+        case 1 | 2 => f.pixels(o) & 0xff // gray (+alpha ignored)
+        case _ =>
+          (299 * (f.pixels(o) & 0xff) + 587 * (f.pixels(o + 1) & 0xff) +
+            114 * (f.pixels(o + 2) & 0xff)) / 1000
+      }
+    }
+    val out = new Array[Int](cols * rows)
+    val exact = f.width % cols == 0 && f.height % rows == 0
+    var by = 0
+    while (by < rows) {
+      var bx = 0
+      while (bx < cols) {
+        out(by * cols + bx) =
+          if (exact) {
+            val bw = f.width / cols; val bh = f.height / rows
+            var s = 0
+            var y = by * bh
+            while (y < (by + 1) * bh) {
+              var x = bx * bw
+              while (x < (bx + 1) * bw) { s += lumaAt(x, y); x += 1 }
+              y += 1
+            }
+            s / (bw * bh)
+          } else lumaAt(
+            ((bx + 0.5) * f.width / cols).toInt,
+            ((by + 0.5) * f.height / rows).toInt)
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Image near-dup pairs over [[imagePerceptualHash]]: hamming-LSH
+    * band-bucket candidates (seven 8-bit bands of the 56-bit dHash)
+    * refined with bit_count(xor) ≤ `maxHamming` — the image analog of
+    * [[Dedup.simhashSqlPairs]], bucketed, never all-pairs. For
+    * maxHamming ≤ 6 the uncapped banding is COMPLETE by pigeonhole
+    * (≤ 6 differing bits dirty at most 6 of the 7 bands), so the banded
+    * equi-join provably equals the all-pairs filter the oracle runs.
+    * `bucketCap` opts into the shared [[Dedup.saltBanded]] skew cap for
+    * flood-prone corpora (identical-template images), at the documented
+    * hot-bucket recall cost — same contract as the SimHash pairs.
+    */
+  def imageNearDupPairs(
+      spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 6, "7x8-bit banding is only complete for hamming <= 6")
+    val nBands = PhashBits / 8 // 7
+    val sigs = graft.engine.OpCache.materialize(
+      imagePerceptualHash(spark, media))
+    val bandStructs = array((0 until nBands).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        shiftrightunsigned(col("phash"), bnd * 8).bitwiseAND(lit(0xFFL)).as("bh"))
+    }: _*)
+    val bandedRaw = sigs
+      .select(col("doc_id"), col("phash"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("phash"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded =
+      if (bucketCap == Int.MaxValue) Dedup.saltBanded(bandedRaw, bucketCap)
+      else graft.engine.OpCache.materialize(
+        Dedup.saltBanded(bandedRaw, bucketCap))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.salt") === col("y.salt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling stub for video payloads: every `stride` bytes is a
     * "frame" offset — demonstrates the explode-to-frames shape whose row
     * count is data-dependent (a real sampler emits keyframe offsets).

@@ -139,6 +139,99 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
   }
 
+  test("pixel decoder reads ImageIO's adaptive-filtered PNGs byte-exactly") {
+    // ImageIO's PNG writer picks per-row filters (Sub/Up/Average/Paeth),
+    // so decoding its output byte-exactly exercises ALL the unfilter
+    // paths against an independent encoder
+    val rnd = new scala.util.Random(7)
+    val (w, h) = (23, 17) // odd sizes: no accidental alignment
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rnd.nextInt(1 << 24))
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val f = MediaHeaders.decodePixelPng(out.toByteArray)
+      .getOrElse(fail("ImageIO PNG did not decode"))
+    assert(f.width === w && f.height === h && f.channels === 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((f.pixels(o) & 0xff) === ((argb >> 16) & 0xff), s"R at ($x,$y)")
+      assert((f.pixels(o + 1) & 0xff) === ((argb >> 8) & 0xff), s"G at ($x,$y)")
+      assert((f.pixels(o + 2) & 0xff) === (argb & 0xff), s"B at ($x,$y)")
+    }
+  }
+
+  test("ImageIO reads our zlib PNGs; the codec round-trips; opaque blobs refuse") {
+    val rnd = new scala.util.Random(11)
+    val (w, h) = (12, 5)
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val png = MediaHeaders.buildPixelPng(w, h, rgb)
+    // our own decode round-trips exactly
+    val f = MediaHeaders.decodePixelPng(png)
+      .getOrElse(fail("own PNG did not decode"))
+    assert(f.width === w && f.height === h && f.channels === 3)
+    assert(f.pixels.toSeq === rgb.toSeq)
+    // the INDEPENDENT decoder agrees pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO rejected our PNG")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val argb = img.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) === (rgb(o) & 0xff), s"R at ($x,$y)")
+      assert(((argb >> 8) & 0xff) === (rgb(o + 1) & 0xff), s"G at ($x,$y)")
+      assert((argb & 0xff) === (rgb(o + 2) & 0xff), s"B at ($x,$y)")
+    }
+    // header-fixture PNGs (opaque IDAT) and non-PNGs refuse cleanly
+    assert(MediaHeaders.decodePixelPng(
+      MediaHeaders.buildPng(3, 3, Array[Byte](1, 2, 3))) === None)
+    assert(MediaHeaders.decodePixelPng("not a png".getBytes) === None)
+  }
+
+  test("perceptual hashes match the generator formula; near-dup pairs equal brute force") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachPixelImages(docs)
+    val hashes = Multimodal.imagePerceptualHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.nonEmpty)
+    // the decoded-pixel dHash equals the generator's block formula
+    // (md5 recomputed HERE via MessageDigest — a second derivation, the
+    // oracle SQL being the third)
+    def formulaHash(id: Long): Long = {
+      val seed = (id % 40).toInt; val p = (id / 40 % 5).toInt
+      def g(bx: Int, by: Int) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${seed}_${bx}_${by}".getBytes("UTF-8"))
+        (d(0) & 0xff) % 200 + (if (bx == p && by == p) 40 else 0)
+      }
+      (for (by <- 0 until 7; bx <- 0 until 8 if g(bx + 1, by) > g(bx, by))
+        yield 1L << (by * 8 + bx)).sum
+    }
+    hashes.foreach { case (id, ph) =>
+      assert(ph === formulaHash(id), s"doc $id hash diverged from the pixels")
+    }
+    // pair operator == brute-force all-pairs hamming <= 6 (banding is
+    // complete by pigeonhole, so these must be EQUAL, not a subset)
+    val got = Multimodal.imageNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      hd = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j)))
+      if hd <= 6
+    } yield (ids(i), ids(j), hd)).toSet
+    assert(got === brute, s"banded pairs diverge from brute force " +
+      s"(got ${got.size}, brute ${brute.size})")
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs to check")
+    // same-seed same-perturb docs are exact dups (hamming 0)
+    val exact = got.filter(_._3 == 0)
+    exact.foreach { case (a, b, _) =>
+      assert(a % 40 === b % 40, "hamming-0 pair with different seeds")
+    }
+  }
+
   test("crafted 32-bit chunk sizes terminate, never hang the walkers") {
     // WAV whose first chunk claims size 0xFFFFFFF8 (reads back as -8, a
     // zero-or-backward advance): must be a parse failure, not a spin

@@ -11,8 +11,11 @@ cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 OUT=${1:-/tmp/graft_sf1}
 # default: the round-7 top profile + the newest dedup joins + the round-8
-# graph trio heavyweights and the substring-span dedup
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans}
+# graph trio heavyweights and the substring-span dedup + (round 11) the
+# remaining top-10-cost iterative-graph family, RFM's triple GlobalOrder,
+# and the new image-phash banded join (its quadratic risk is the bucket
+# self-join)
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths}
 sbt -batch compile >/dev/null 2>&1
 if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"

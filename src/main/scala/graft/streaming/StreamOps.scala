@@ -1254,6 +1254,177 @@ object StreamOps {
       }
   }
 
+  /** One event of a session's path head (public for the state encoder). */
+  case class PathEvent(us: Long, id: Long, tpe: String)
+  /** Per-user path-session state: interval (epoch MICROS — the testdata
+    * carries µs precision and the batch operator orders and gaps in µs,
+    * so ms-grain state would mis-order same-ms events and close sessions
+    * on different boundaries) + the first `maxLen` events by
+    * (us, event_id) — the buffer is CAPPED at maxLen by construction
+    * (insert-sort-truncate), the streaming twin of the batch operator's
+    * row_number pre-cut, so a bot session carries ≤ maxLen structs here
+    * too.
+    */
+  case class PathSessionState(start: Long, end: Long, head: List[PathEvent])
+  /** A closed session with its rendered `a>b>c` path. */
+  case class ClosedSessionPath(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      path: String)
+
+  /** Closed sessions WITH their behavioral path — the streaming feed for
+    * [[topPathsSink]]. Same gaps-and-islands session semantics (and the
+    * same straggler merge/split handling) as [[sessionize]], but the
+    * state additionally carries the session's first `maxLen` events by
+    * exact (µs, event_id) — out-of-order arrivals insert into the sorted
+    * capped buffer, so the rendered path equals the batch
+    * [[graft.operators.Sequence.topPaths]] head for the same events.
+    */
+  def sessionPaths(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes",
+      maxLen: Int = 8): Dataset[ClosedSessionPath] = {
+    import spark.implicits._
+    val typed = events
+      .select(
+        col("user_id").cast("long"),
+        col("event_id").cast("long"),
+        col("event_type").cast("string"),
+        col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, Timestamp)]
+
+    val gapUs = gapMs * 1000L
+    // local defs only (no object-method calls): the fMGWS closure must
+    // not capture the StreamOps module, which is not serializable
+    def epochUs(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    def usTimestamp(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def insert(head: List[PathEvent], e: PathEvent): List[PathEvent] =
+      ((e :: head).sortBy(x => (x.us, x.id))).take(maxLen)
+    def merge(a: List[PathEvent], b: List[PathEvent]): List[PathEvent] =
+      (a ::: b).sortBy(x => (x.us, x.id)).take(maxLen)
+    def render(userId: Long, s: PathSessionState): ClosedSessionPath =
+      ClosedSessionPath(userId, usTimestamp(s.start), usTimestamp(s.end),
+        s.head.map(_.tpe).mkString(">"))
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathSessionState, ClosedSessionPath](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, String, Timestamp)],
+         state: GroupState[PathSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(render(userId, s))
+          } else {
+            // sort by (µs, event_id) — the batch operator's exact order
+            val sorted = rows.toSeq.sortBy(r => (epochUs(r._4), r._2))
+            var closed = List.empty[ClosedSessionPath]
+            var cur = state.getOption
+            var strag: Option[PathSessionState] = None
+            def closeStrag(): Unit = strag.foreach { st =>
+              closed ::= render(userId, st)
+              strag = None
+            }
+            sorted.foreach { case (_, id, tpe, ts) =>
+              val t = epochUs(ts)
+              val e = PathEvent(t, id, tpe)
+              cur match {
+                case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
+                  strag match {
+                    case Some(st) if t - st.end <= gapUs =>
+                      cur = Some(PathSessionState(
+                        math.min(math.min(s.start, st.start), t),
+                        math.max(s.end, t),
+                        insert(merge(s.head, st.head), e)))
+                      strag = None
+                    case _ =>
+                      cur = Some(PathSessionState(
+                        math.min(s.start, t), math.max(s.end, t),
+                        insert(s.head, e)))
+                  }
+                case Some(s) if t < s.start - gapUs =>
+                  strag match {
+                    case Some(st) if t - st.end <= gapUs =>
+                      strag = Some(PathSessionState(
+                        st.start, math.max(st.end, t), insert(st.head, e)))
+                    case _ =>
+                      closeStrag()
+                      strag = Some(PathSessionState(t, t, List(e)))
+                  }
+                case Some(s) =>
+                  closed ::= render(userId, s)
+                  cur = Some(PathSessionState(t, t, List(e)))
+                case None =>
+                  cur = Some(PathSessionState(t, t, List(e)))
+              }
+            }
+            closeStrag()
+            cur.foreach { s =>
+              state.update(s)
+              // timeout is ms-grain: ceil so it never fires before the
+              // µs-exact gap boundary the batch operator closes on
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.end + gapUs + 999L, 1000L))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming top-paths maintenance: each micro-batch's CLOSED sessions
+    * ([[sessionPaths]]) roll up to per-path session counts landed as a
+    * replay-idempotent `batch_id=N` partition — path counts are ADDITIVE
+    * (the simplest monoid), so [[readTopPaths]] answers the whole-history
+    * ranking by one sum over a (paths × batches)-bounded table, never
+    * rescanning the stream. Same exactly-once contract as the other
+    * partitioned sinks (dynamic overwrite + continuation guard).
+    */
+  def topPathsSink(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes",
+      maxLen: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    sessionPaths(events.sparkSession, events, gapMs, watermark, maxLen)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        batch.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** Whole-history top paths, merged on read: per-path counts sum across
+    * the batch partitions (additive monoid), ranked (sessions desc, path
+    * asc), cut to `k` — the streaming answer to the batch
+    * [[graft.operators.Sequence.topPaths]] ranking over every session
+    * CLOSED so far. `asOfBatch` = the ranking as of batch N.
+    */
+  def readTopPaths(
+      spark: SparkSession, stateDir: String, k: Int = 20,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch)
+      .groupBy(col("path"))
+      .agg(sum(col("n_sessions")).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+
   /** Streaming Count-Min sink: each micro-batch's term stream folds
     * through the bounded [[graft.functions.CountMinAgg]] into ONE
     * counter-array row, landed as a replay-idempotent `batch_id=N`

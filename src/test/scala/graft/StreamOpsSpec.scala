@@ -700,6 +700,49 @@ class StreamOpsSpec extends AnyFunSuite {
       "pairs from the compacted store diverged")
   }
 
+  test("topPaths sink: merged path counts equal the batch operator across a checkpointed restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tp-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-tp-src").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-tp-batch").toString
+    val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    // batch truth: the (fixed) topPaths operator over the full event set
+    events.write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    val expect = graft.operators.Sequence.topPaths(spark, batchDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(expect.nonEmpty)
+    // stream in three TIME windows (arrival tracks event time, so nothing
+    // falls below the watermark); the second run restarts the checkpoint
+    val schema = events.schema
+    def pump(where: org.apache.spark.sql.Column): Unit = {
+      events.where(where).write.mode("append").parquet(srcDir)
+      val fileDf = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamOps.topPathsSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    val qs = events.selectExpr("unix_micros(ts) AS us")
+      .stat.approxQuantile("us", Array(0.4, 0.7), 0.0)
+    pump(expr("unix_micros(ts)") <= qs(0))
+    // windows 2+3 land as two micro-batches under ONE restarted query
+    events.where(expr("unix_micros(ts)") > qs(0) && expr("unix_micros(ts)") <= qs(1))
+      .write.mode("append").parquet(srcDir)
+    events.where(expr("unix_micros(ts)") > qs(1)).write.mode("append").parquet(srcDir)
+    // watermark pusher: a far-future lone event closes every real
+    // session; its own session stays open and never lands
+    import spark.implicits._
+    val maxTs = events.selectExpr("max(ts)").head().getTimestamp(0)
+    Seq((-1L, -1L, "view", new Timestamp(maxTs.getTime + 48L * 3600 * 1000), 0.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .select(schema.fieldNames.map(col): _*)
+      .write.mode("append").parquet(srcDir)
+    val fileDf = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamOps.topPathsSink(fileDf, s"$dir/state", s"$dir/chk")
+    try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    val got = StreamOps.readTopPaths(spark, s"$dir/state")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === expect,
+      s"streamed path ranking diverged: got $got\nexpect $expect")
+  }
+
   test("inverted-index sink: merged postings equal the whole-corpus rebuild, across restart/compact/vacuum") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-invidx-stream").toString

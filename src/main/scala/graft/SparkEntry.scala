@@ -691,6 +691,17 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(s,
         Multimodal.attachPixelImages(Tables.documents(s, d)))
         .orderBy("doc_a", "doc_b")),
+    // image dedup clusters: connected components over the phash pair
+    // graph (the shared min-label CC loop), min doc_id as the canonical
+    // label; singletons label themselves — completes pairs → clusters
+    // for the image modality exactly as the text/embedding dedups do
+    "multimodal_image_clusters" -> ((s, d) => {
+      val media = Multimodal.attachPixelImages(Tables.documents(s, d))
+      Dedup.clustersFromPairs(
+        media.select(col("doc_id")),
+        Multimodal.imageNearDupPairs(s, media).select("doc_a", "doc_b"))
+        .orderBy("doc_id")
+    }),
     // BM25 top-10 retrieval for the corpus's own head terms (scores
     // rounded BEFORE ranking so the rank order is cross-engine exact)
     "text_bm25" -> ((s, d) =>
@@ -3192,6 +3203,43 @@ object SparkEntry {
         |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components over the same pair graph via a recursive
+    // transitive closure (the embedding-clusters oracle pattern) — min
+    // reachable doc_id is the label, singletons label themselves
+    "multimodal_image_clusters" ->
+      """WITH RECURSIVE
+        |img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS p
+        |        FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (SELECT i.doc_id,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM img i, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, phash, b.v AS band, (phash >> (b.v*8)) & 255 AS bh
+        |  FROM ph, generate_series(0, 6) b(v)),
+        |pr AS MATERIALIZED (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.phash, y.phash)) <= 6),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u)
+        |SELECT i.doc_id, coalesce(min(r.v), i.doc_id) AS cluster_id
+        |FROM img i LEFT JOIN reach r ON r.u = i.doc_id
+        |GROUP BY i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |       CAST(byte_offset // 100 AS INTEGER) AS frame_idx,

@@ -232,6 +232,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image clusters: co-paired images co-cluster and labels are cluster minima") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachPixelImages(docs)
+    val pairs = Multimodal.imageNearDupPairs(spark, media)
+      .select("doc_a", "doc_b")
+    val clusters = graft.operators.Dedup
+      .clustersFromPairs(media.select("doc_id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every image doc labeled
+    assert(clusters.size === media.count())
+    // paired docs share a label
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // each label is its cluster's min member (and a member itself)
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min === lbl, s"cluster $lbl not labeled by its min")
+    }
+  }
+
   test("crafted 32-bit chunk sizes terminate, never hang the walkers") {
     // WAV whose first chunk claims size 0xFFFFFFF8 (reads back as -8, a
     // zero-or-backward advance): must be a parse failure, not a spin

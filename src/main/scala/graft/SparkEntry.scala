@@ -691,6 +691,20 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(s,
         Multimodal.attachPixelImages(Tables.documents(s, d)))
         .orderBy("doc_a", "doc_b")),
+    // content-level audio features: REAL 16-bit LE PCM decode of the
+    // WAV data chunk — sample count, total/peak |amplitude|, zero
+    // crossings, all integer-exact
+    "multimodal_audio_features" -> ((s, d) =>
+      Multimodal.audioContentFeatures(s,
+        Multimodal.attachMedia(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    // audio near-dup: 56-bit energy-envelope fingerprint (57 balanced
+    // windows, cross-multiplied mean comparisons — no floats) through
+    // the same 7×8-bit hamming-LSH band machinery as the image phash
+    "multimodal_audio_neardup" -> ((s, d) =>
+      Multimodal.audioNearDupPairs(s,
+        Multimodal.attachMedia(Tables.documents(s, d)))
+        .orderBy("doc_a", "doc_b")),
     // image dedup clusters: connected components over the phash pair
     // graph (the shared min-label CC loop), min doc_id as the canonical
     // label; singletons label themselves — completes pairs → clusters
@@ -3196,6 +3210,77 @@ object SparkEntry {
         |  FROM ph, generate_series(0, 6) b(v)),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |                x.phash AS pa, y.phash AS pb
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bh = y.bh
+        |          AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the WAV data chunk IS the text bytes (attachMedia), so the oracle
+    // re-derives the 16-bit LE signed samples from character codes and
+    // replays the integer feature arithmetic; Spark round-trips through
+    // the real container parse + PCM decode
+    "multimodal_audio_features" ->
+      """WITH a AS (SELECT doc_id, text, CAST(strlen(text) // 2 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, unnest(range(0, n)) AS i, text FROM a),
+        |v AS (SELECT doc_id, i,
+        |             ascii(text[CAST(2*i+1 AS INTEGER)])
+        |             + 256 * ascii(text[CAST(2*i+2 AS INTEGER)]) AS u
+        |      FROM s),
+        |sv AS (SELECT doc_id, i,
+        |              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+        |       FROM v),
+        |f AS (SELECT doc_id,
+        |             count(*) AS n_samples,
+        |             sum(abs(x)) AS sum_abs,
+        |             max(abs(x)) AS peak_abs,
+        |             sum(CASE WHEN prev IS NOT NULL
+        |                       AND (x >= 0) != (prev >= 0)
+        |                      THEN 1 ELSE 0 END) AS zero_crossings
+        |      FROM (SELECT doc_id, x,
+        |                   lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |            FROM sv)
+        |      GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       CAST(coalesce(f.n_samples, 0) AS BIGINT) AS n_samples,
+        |       CAST(coalesce(f.sum_abs, 0) AS BIGINT) AS sum_abs,
+        |       CAST(coalesce(f.peak_abs, 0) AS BIGINT) AS peak_abs,
+        |       CAST(coalesce(f.zero_crossings, 0) AS BIGINT) AS zero_crossings
+        |FROM a LEFT JOIN f ON f.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+    // energy-envelope fingerprint replayed in SQL: balanced windows via
+    // i*57 // n, cross-multiplied mean comparisons, same 7×8-bit bands
+    "multimodal_audio_neardup" ->
+      """WITH a AS (SELECT doc_id, text, CAST(strlen(text) // 2 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i, text FROM a),
+        |sv AS (SELECT doc_id,
+        |              CAST(i * 57 // n AS INTEGER) AS w,
+        |              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+        |       FROM (SELECT doc_id, n, i,
+        |                    ascii(text[CAST(2*i+1 AS INTEGER)])
+        |                    + 256 * ascii(text[CAST(2*i+2 AS INTEGER)]) AS u
+        |             FROM s)),
+        |g AS (SELECT doc_id, w, CAST(sum(abs(x)) AS BIGINT) AS sm,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM sv GROUP BY doc_id, w),
+        |bits AS (SELECT a.doc_id,
+        |                CASE WHEN coalesce(g2.sm, 0) * coalesce(g1.c, 0)
+        |                        > coalesce(g1.sm, 0) * coalesce(g2.c, 0)
+        |                     THEN 1::BIGINT << wq.v ELSE 0::BIGINT END AS bit
+        |         FROM a CROSS JOIN generate_series(0, 55) wq(v)
+        |         LEFT JOIN g g1 ON g1.doc_id = a.doc_id AND g1.w = wq.v
+        |         LEFT JOIN g g2 ON g2.doc_id = a.doc_id AND g2.w = wq.v + 1),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS afp
+        |  FROM bits GROUP BY doc_id),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, afp, b.v AS band, (afp >> (b.v*8)) & 255 AS bh
+        |  FROM ph, generate_series(0, 6) b(v)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                x.afp AS pa, y.afp AS pb
         |         FROM bands x JOIN bands y
         |           ON x.band = y.band AND x.bh = y.bh
         |          AND x.doc_id < y.doc_id)

@@ -334,19 +334,34 @@ object Multimodal {
   def imageNearDupPairs(
       spark: SparkSession, media: DataFrame,
       maxHamming: Int = 6,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
+      bucketCap: Int = Int.MaxValue): DataFrame =
+    bandedHammingPairs(
+      imagePerceptualHash(spark, media), "phash", maxHamming, bucketCap)
+
+  /** Shared hamming-LSH pair machinery over any `(doc_id, <sigCol>)`
+    * 56-bit signature frame: seven 8-bit band buckets (complete for
+    * hamming ≤ 6 by pigeonhole — ≤ 6 differing bits dirty at most 6 of
+    * the 7 bands, so every qualifying pair agrees exactly on ≥ 1 band),
+    * candidate equi-join, bit_count(xor) refine. The one generator
+    * behind the image AND audio near-dup operators; `bucketCap` opts
+    * into the shared [[Dedup.saltBanded]] skew cap at the documented
+    * hot-bucket recall cost.
+    */
+  private[operators] def bandedHammingPairs(
+      signatures: DataFrame, sigCol: String,
+      maxHamming: Int, bucketCap: Int): DataFrame = {
     require(maxHamming <= 6, "7x8-bit banding is only complete for hamming <= 6")
     val nBands = PhashBits / 8 // 7
     val sigs = graft.engine.OpCache.materialize(
-      imagePerceptualHash(spark, media))
+      signatures.select(col("doc_id"), col(sigCol).as("sig")))
     val bandStructs = array((0 until nBands).map { bnd =>
       struct(
         lit(bnd).as("band"),
-        shiftrightunsigned(col("phash"), bnd * 8).bitwiseAND(lit(0xFFL)).as("bh"))
+        shiftrightunsigned(col("sig"), bnd * 8).bitwiseAND(lit(0xFFL)).as("bh"))
     }: _*)
     val bandedRaw = sigs
-      .select(col("doc_id"), col("phash"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("phash"),
+      .select(col("doc_id"), col("sig"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.bh").as("bh"))
     val banded =
       if (bucketCap == Int.MaxValue) Dedup.saltBanded(bandedRaw, bucketCap)
@@ -358,11 +373,117 @@ object Multimodal {
           col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
           .cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  // ── audio content features + fingerprint (PCM-level decode) ────────
+
+  /** Audio fingerprint geometry: 57 energy windows → 56 gradient bits,
+    * the same 56-bit/7-band arithmetic as [[PhashBits]].
+    */
+  val AudioWindows: Int = PhashBits + 1 // 57
+
+  /** 16-bit LE signed PCM samples of a WAV blob's `data` chunk (an odd
+    * trailing byte is not a sample and is dropped). Empty for non-WAV
+    * blobs — [[MediaHeaders.payloadSection]] guards the chunk walk.
+    */
+  private def pcmSamples(payload: Array[Byte]): Array[Int] = {
+    val data =
+      if (MediaHeaders.isWav(payload)) MediaHeaders.payloadSection(payload)
+      else Array.emptyByteArray
+    val n = data.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val u = (data(2 * i) & 0xff) | ((data(2 * i + 1) & 0xff) << 8)
+      out(i) = if (u >= 32768) u - 65536 else u
+      i += 1
+    }
+    out
+  }
+
+  /** Content-level audio features from a REAL PCM decode of the WAV
+    * data chunk (16-bit LE signed samples): sample count, total and
+    * peak absolute amplitude, zero crossings — the loudness/activity
+    * telemetry an audio corpus publishes per blob, and all integer-
+    * exact (no floats anywhere). Map-only; 4 longs out per blob.
+    */
+  def audioContentFeatures(
+      spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .filter(_.media_type == "audio")
+      .map { r =>
+        val s = pcmSamples(r.payload)
+        var sum = 0L; var peak = 0L; var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val a = math.abs(s(i).toLong)
+          sum += a
+          if (a > peak) peak = a
+          if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        (r.doc_id, s.length.toLong, sum, peak, zc)
+      }
+      .toDF("doc_id", "n_samples", "sum_abs", "peak_abs", "zero_crossings")
+  }
+
+  /** 56-bit audio energy fingerprint: the PCM stream is cut into
+    * [[AudioWindows]] balanced windows (sample i → window i·57 / n —
+    * exact integer arithmetic both engines replay), and bit w is set
+    * when window w+1 carries strictly higher MEAN absolute amplitude
+    * than window w — compared by cross-multiplication
+    * (sum·cnt vs sum·cnt), so no division and no floats. The dHash idea
+    * on the energy envelope: gain-shift tolerant in the same way, and
+    * the image/audio fingerprints share the banded pair machinery.
+    * Overflow bound: sum ≤ 32768·n, so the cross product needs
+    * n² ≤ 2⁶³ / 32768 — fine beyond 10⁶-sample windows (documented;
+    * long-form audio would fold per-window means instead).
+    */
+  def audioFingerprint(
+      spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = AudioWindows
+    media.as[MediaRecord]
+      .filter(_.media_type == "audio")
+      .map { r =>
+        val s = pcmSamples(r.payload)
+        val n = s.length
+        val sums = new Array[Long](w); val cnts = new Array[Long](w)
+        var i = 0
+        while (i < n) {
+          val b = (i.toLong * w / n).toInt
+          sums(b) += math.abs(s(i).toLong); cnts(b) += 1
+          i += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < w - 1) {
+          if (sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1))
+            sig |= 1L << b
+          b += 1
+        }
+        (r.doc_id, sig)
+      }
+      .toDF("doc_id", "afp")
+  }
+
+  /** Audio near-dup pairs: the shared [[bandedHammingPairs]] machinery
+    * over [[audioFingerprint]] — bucketed hamming-LSH, complete for
+    * hamming ≤ 6, never all-pairs. Exact-duplicate audio (same PCM
+    * payload) lands at hamming 0; re-gained or lightly edited audio
+    * lands within the cut when its energy envelope shape survives.
+    */
+  def audioNearDupPairs(
+      spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6,
+      bucketCap: Int = Int.MaxValue): DataFrame =
+    bandedHammingPairs(
+      audioFingerprint(spark, media), "afp", maxHamming, bucketCap)
 
   /** Frame sampling stub for video payloads: every `stride` bytes is a
     * "frame" offset — demonstrates the explode-to-frames shape whose row

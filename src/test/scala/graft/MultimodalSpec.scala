@@ -253,6 +253,71 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio features equal an independent LE-short decode; JDK WAVs parse identically") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachMedia(docs)
+    val feats = Multimodal.audioContentFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(feats.nonEmpty)
+    // independent derivation: java.nio's little-endian short view over
+    // the RAW TEXT BYTES (the WAV data chunk is the text verbatim)
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    feats.foreach { case (id, (n, sum, peak, zc)) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val sb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      val samples = Array.tabulate(sb.remaining())(sb.get(_).toInt)
+      assert(n === samples.length.toLong, s"doc $id n_samples")
+      assert(sum === samples.map(s => math.abs(s.toLong)).sum, s"doc $id sum_abs")
+      assert(peak === (if (samples.isEmpty) 0L
+                       else samples.map(s => math.abs(s.toLong)).max), s"doc $id peak")
+      val expZc = samples.sliding(2).count {
+        case Array(a, b) => (a >= 0) != (b >= 0); case _ => false
+      }
+      assert(zc === expZc.toLong, s"doc $id zero_crossings")
+    }
+    // a WAV produced by the INDEPENDENT JDK encoder decodes to the same
+    // features as one of ours around the same PCM payload
+    import spark.implicits._
+    val pcm = Array.tabulate(400)(i => ((i * 37 % 251) - 125).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val two = Seq(
+      Multimodal.MediaRecord(1L, "audio", out.toByteArray),
+      Multimodal.MediaRecord(2L, "audio", MediaHeaders.buildWav(1, 8000, pcm)))
+      .toDF()
+    val rows = Multimodal.audioContentFeatures(spark, two).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(1L) === rows(2L), "JDK WAV and built WAV decode differently")
+  }
+
+  test("audio fingerprint pairs equal brute-force hamming; exact-dup audio lands at 0") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachMedia(docs)
+    val fps = Multimodal.audioFingerprint(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.nonEmpty)
+    val got = Multimodal.audioNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      hd = java.lang.Long.bitCount(fps(ids(i)) ^ fps(ids(j)))
+      if hd <= 6
+    } yield (ids(i), ids(j), hd)).toSet
+    assert(got === brute, s"banded audio pairs diverge from brute force " +
+      s"(got ${got.size}, brute ${brute.size})")
+    // identical texts → identical PCM → hamming-0 pairs must exist in
+    // this corpus (the dedup fixture ships exact dups)
+    assert(got.exists(_._3 == 0), "no exact-dup audio pair found")
+  }
+
   test("crafted 32-bit chunk sizes terminate, never hang the walkers") {
     // WAV whose first chunk claims size 0xFFFFFFF8 (reads back as -8, a
     // zero-or-backward advance): must be a parse failure, not a spin

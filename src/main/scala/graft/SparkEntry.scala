@@ -691,6 +691,14 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(s,
         Multimodal.attachPixelImages(Tables.documents(s, d)))
         .orderBy("doc_a", "doc_b")),
+    // query-by-image serving: three EXTERNAL query PNGs (perturbation
+    // blocks the store never uses) decoded through the same real pixel
+    // path, ranked top-5 against the stored hashes by (hamming, doc_id)
+    "multimodal_phash_search" -> ((s, d) =>
+      Multimodal.phashSearch(s,
+        Multimodal.attachPixelImages(Tables.documents(s, d)),
+        Multimodal.syntheticQueryImages(s, Seq((3, 5), (17, 6), (29, 5))))
+        .orderBy("query_id", "rank")),
     // content-level audio features: REAL 16-bit LE PCM decode of the
     // WAV data chunk — sample count, total/peak |amplitude|, zero
     // crossings, all integer-exact
@@ -3217,6 +3225,38 @@ object SparkEntry {
         |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // serving: query hashes replayed from the literal (seed, p) rows,
+    // store hashes from the generator formula, exact top-5 per query
+    "multimodal_phash_search" ->
+      """WITH img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS p
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |q(doc_id, seed, p) AS (
+        |  VALUES (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT)),
+        |         (1, 17, 6), (2, 29, 5)),
+        |allp AS (SELECT 's' AS side, doc_id, seed, p FROM img
+        |         UNION ALL SELECT 'q', doc_id, seed, p FROM q),
+        |bits AS (SELECT a.side, a.doc_id,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM allp a, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS MATERIALIZED (
+        |  SELECT side, doc_id, CAST(sum(bit) AS BIGINT) AS phash
+        |  FROM bits GROUP BY side, doc_id),
+        |scored AS (SELECT qs.doc_id AS query_id, st.doc_id,
+        |                  CAST(bit_count(xor(qs.phash, st.phash)) AS INTEGER) AS hamming
+        |           FROM (SELECT * FROM ph WHERE side = 'q') qs
+        |           CROSS JOIN (SELECT * FROM ph WHERE side = 's') st)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, hamming
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY hamming, doc_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // the WAV data chunk IS the text bytes (attachMedia), so the oracle
     // re-derives the 16-bit LE signed samples from character codes and
     // replays the integer feature arithmetic; Spark round-trips through

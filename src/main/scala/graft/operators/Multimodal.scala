@@ -379,6 +379,66 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Query-by-image serving: rank the stored images for EXTERNAL query
+    * blobs — decode each query PNG through the same real pixel path,
+    * hash it, and return the top-`k` stored images per query by
+    * (hamming asc, doc_id asc). The query set is request-sized, so it
+    * BROADCASTS and the scan is one map-only pass over the corpus
+    * hashes plus a per-query bounded top-k (window over query_id — as
+    * many partitions as queries, never a global sort); the banded index
+    * ([[imageNearDupPairs]]'s machinery) remains the pruned path when a
+    * hamming cut is acceptable — top-k serving must not miss a best
+    * match outside the cut, so the baseline scans.
+    */
+  def phashSearch(
+      spark: SparkSession, media: DataFrame,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val corpus = imagePerceptualHash(spark, media)
+    val q = imagePerceptualHash(spark, queries)
+      .select(col("doc_id").as("query_id"), col("phash").as("qhash"))
+    val scored = corpus.join(broadcast(q))
+      .select(col("query_id"), col("doc_id"),
+        bit_count(col("qhash").bitwiseXOR(col("phash")))
+          .cast("int").as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("hamming"))
+  }
+
+  /** Synthetic EXTERNAL query images: same deterministic generator as
+    * [[attachPixelImages]] but with perturbation blocks p ∈ {5, 6} —
+    * valid grid blocks the store never uses (its p ∈ 0..4), so queries
+    * are near, not identical, to their seed's stored images. One query
+    * per (seed, p) pair passed in.
+    */
+  def syntheticQueryImages(
+      spark: SparkSession, seedPerturbs: Seq[(Int, Int)]): DataFrame = {
+    import spark.implicits._
+    val blk = 4
+    seedPerturbs.zipWithIndex.map { case ((seed, p), qi) =>
+      require(p >= 5 && p <= 6, s"query perturbation must be 5 or 6, got $p")
+      val w = PhashCols * blk; val h = PhashRows * blk
+      val grid = Array.tabulate(PhashRows, PhashCols)((by, bx) =>
+        blockGray(seed, bx, by, p))
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = grid(y / blk)(x / blk)
+          val o = (y * w + x) * 3
+          rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
+          x += 1
+        }
+        y += 1
+      }
+      (qi.toLong, MediaHeaders.buildPixelPng(w, h, rgb))
+    }.toDF("doc_id", "payload")
+  }
+
   // ── audio content features + fingerprint (PCM-level decode) ────────
 
   /** Audio fingerprint geometry: 57 energy windows → 56 gradient bits,

@@ -253,6 +253,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash search: per-query top-k equals the brute-force ranking") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachPixelImages(docs)
+    val queries = Multimodal.syntheticQueryImages(
+      spark, Seq((3, 5), (17, 6), (29, 5)))
+    val got = Multimodal.phashSearch(spark, media, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    val store = Multimodal.imagePerceptualHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val qh = Multimodal.imagePerceptualHash(spark, queries).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expect = qh.flatMap { case (qid, h) =>
+      store.map { case (did, ph) =>
+        (qid, did, java.lang.Long.bitCount(h ^ ph)) }
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((q, d, hd), i) => (q, i + 1, d, hd) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got.toSeq === expect)
+    // ranked hammings are non-decreasing per query
+    got.groupBy(_._1).values.foreach { rs =>
+      val hs = rs.sortBy(_._2).map(_._4)
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("audio features equal an independent LE-short decode; JDK WAVs parse identically") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.attachMedia(docs)

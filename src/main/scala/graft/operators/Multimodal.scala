@@ -347,7 +347,7 @@ object Multimodal {
     * into the shared [[Dedup.saltBanded]] skew cap at the documented
     * hot-bucket recall cost.
     */
-  private[operators] def bandedHammingPairs(
+  private[graft] def bandedHammingPairs(
       signatures: DataFrame, sigCol: String,
       maxHamming: Int, bucketCap: Int): DataFrame = {
     require(maxHamming <= 6, "7x8-bit banding is only complete for hamming <= 6")
@@ -544,6 +544,41 @@ object Multimodal {
       bucketCap: Int = Int.MaxValue): DataFrame =
     bandedHammingPairs(
       audioFingerprint(spark, media), "afp", maxHamming, bucketCap)
+
+  /** The INCREMENTAL form of [[bandedHammingPairs]]: canonicalized
+    * pairs with at least one endpoint in `newSigs`, against `allSigs` —
+    * new×store only, old×old never recomputed (the cross-corpus-dedup
+    * contract the streaming phash sink maintains). Uncapped banding,
+    * like the minhash incremental read: the salt cap's hot-bucket
+    * detection is per-frame and would misalign between the two sides.
+    */
+  private[graft] def bandedHammingPairsBetween(
+      newSigs: DataFrame, allSigs: DataFrame, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6, "7x8-bit banding is only complete for hamming <= 6")
+    val nBands = PhashBits / 8
+    def banded(df: DataFrame): DataFrame = {
+      val bandStructs = array((0 until nBands).map { bnd =>
+        struct(
+          lit(bnd).as("band"),
+          shiftrightunsigned(col("sig"), bnd * 8).bitwiseAND(lit(0xFFL)).as("bh"))
+      }: _*)
+      df.select(col("doc_id"), col(sigCol).as("sig"))
+        .select(col("doc_id"), col("sig"), explode(bandStructs).as("b"))
+        .select(col("doc_id"), col("sig"),
+          col("b.band").as("band"), col("b.bh").as("bh"))
+    }
+    banded(newSigs).as("x").join(banded(allSigs).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** Frame sampling stub for video payloads: every `stride` bytes is a
     * "frame" offset — demonstrates the explode-to-frames shape whose row

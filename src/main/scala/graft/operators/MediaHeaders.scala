@@ -366,8 +366,19 @@ object MediaHeaders {
         i += 12 + len
       }
     }
+    // IHDR dimensions are as untrusted as the chunk sizes guarded above:
+    // validate with LONG arithmetic BEFORE allocating — a crafted
+    // width 2^30 × RGB int-overflows `height * (1 + width*channels)` to
+    // a NegativeArraySizeException (escaping the Option contract), and
+    // merely-huge dims force multi-GB buffers. zlib expands at most
+    // ~1032× (1 literal byte per 2 stored bits, RFC 1951), so a raw
+    // size beyond that bound of the IDAT bytes actually present cannot
+    // inflate anyway and is rejected on the same line.
+    val rawLen = (1L + width.toLong * channels) * height
+    if (rawLen > Int.MaxValue.toLong || rawLen > 1032L * idat.size() + 64L)
+      return None
     val rowBytes = width * channels
-    val raw = new Array[Byte](height * (1 + rowBytes))
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var off = 0

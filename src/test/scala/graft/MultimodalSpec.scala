@@ -372,4 +372,23 @@ class MultimodalSpec extends AnyFunSuite {
       MediaHeaders.buildWav(1, 8000, Array[Byte](1, 2, 3, 4))).nonEmpty)
     assert(MediaHeaders.payloadSection(png).toSeq === Seq[Byte](9, 9, 9))
   }
+
+  test("crafted IHDR dimensions refuse cleanly, never overflow the allocation") {
+    val rnd = new scala.util.Random(23)
+    val good = MediaHeaders.buildPixelPng(6, 4, Array.fill(6 * 4 * 3)(rnd.nextInt(256).toByte))
+    // width 2^30, RGB: height*(1+width*3) int-overflows NEGATIVE — before
+    // the long-arithmetic guard this threw NegativeArraySizeException
+    // (escaping the Option contract) instead of returning None
+    val evilWide = good.clone()
+    evilWide(16) = 0x40; evilWide(17) = 0; evilWide(18) = 0; evilWide(19) = 0
+    assert(MediaHeaders.decodePixelPng(evilWide) === None)
+    // merely-huge dims (fits Int, but a ~1.2 GB buffer no IDAT this size
+    // could fill): rejected by the zlib max-expansion bound, not allocated
+    val evilBig = good.clone()
+    evilBig(16) = 0; evilBig(17) = 0; evilBig(18) = 0x4e.toByte; evilBig(19) = 0x20.toByte // 20000
+    evilBig(20) = 0; evilBig(21) = 0; evilBig(22) = 0x4e.toByte; evilBig(23) = 0x20.toByte
+    assert(MediaHeaders.decodePixelPng(evilBig) === None)
+    // the untampered blob still decodes (the guard rejects nothing real)
+    assert(MediaHeaders.decodePixelPng(good).nonEmpty)
+  }
 }

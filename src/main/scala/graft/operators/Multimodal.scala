@@ -548,9 +548,11 @@ object Multimodal {
   /** The INCREMENTAL form of [[bandedHammingPairs]]: canonicalized
     * pairs with at least one endpoint in `newSigs`, against `allSigs` —
     * new×store only, old×old never recomputed (the cross-corpus-dedup
-    * contract the streaming phash sink maintains). Uncapped banding,
-    * like the minhash incremental read: the salt cap's hot-bucket
-    * detection is per-frame and would misalign between the two sides.
+    * contract [[graft.streaming.StreamOps.newHammingPairsForBatch]]
+    * serves over the `phashSink`/`audioFingerprintSink` signature
+    * stores). Uncapped banding, like the minhash incremental read: the
+    * salt cap's hot-bucket detection is per-frame and would misalign
+    * between the two sides.
     */
   private[graft] def bandedHammingPairsBetween(
       newSigs: DataFrame, allSigs: DataFrame, sigCol: String,

@@ -2006,6 +2006,165 @@ object StreamOps {
       cands, allSigs, numHashes, threshold)
   }
 
+  // ── streaming multimodal fingerprint maintenance ───────────────────
+  // The image/audio twin of the minhash near-dup maintenance above: the
+  // stored signature is one 56-bit hamming fingerprint per blob instead
+  // of a minhash array, and the pair machinery is the shared 7×8-bit
+  // banded join ([[graft.operators.Multimodal.bandedHammingPairs]]).
+
+  /** Shared sink body for the hamming-fingerprint stores: each
+    * micro-batch of NEW media blobs lands its `(doc_id, sig)` 56-bit
+    * signatures (a pure function of the payload, so an at-least-once
+    * replay lands value-identical rows) as a replay-idempotent
+    * `batch_id=N` partition. Per-batch work is O(batch); state is
+    * 8 bytes per blob — the raw media bytes are decoded exactly once,
+    * at ingest, and never re-read by any pair read below.
+    */
+  private def hammingSigSink(
+      media: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      sigOf: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        sigOf(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** Streaming IMAGE near-dup maintenance: lands the 56-bit perceptual
+    * hash of each arriving blob (REAL pixel decode —
+    * [[graft.operators.Multimodal.imagePerceptualHash]]; undecodable
+    * blobs are dropped at ingest, exactly as the batch operator drops
+    * them) into the signature store consumed by [[readHammingNearDupPairs]]
+    * / [[newHammingPairsForBatch]]. Input rows need `(doc_id, payload)`.
+    */
+  def phashSink(
+      media: DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hammingSigSink(media, stateDir, checkpointDir, b =>
+      graft.operators.Multimodal.imagePerceptualHash(b.sparkSession, b)
+        .select(col("doc_id"), col("phash").as("sig")))
+
+  /** Streaming AUDIO near-dup maintenance: lands the 56-bit
+    * energy-envelope fingerprint (REAL 16-bit PCM decode —
+    * [[graft.operators.Multimodal.audioFingerprint]]) of each arriving
+    * audio blob. Input rows need the [[graft.operators.Multimodal.MediaRecord]]
+    * shape (`doc_id`, `media_type`, `payload`); non-audio rows are
+    * filtered at ingest, as in the batch operator. Shares the store
+    * schema (and every reader) with [[phashSink]] — keep the two
+    * modalities in SEPARATE state tables, the signature spaces are
+    * unrelated.
+    */
+  def audioFingerprintSink(
+      media: DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hammingSigSink(media, stateDir, checkpointDir, b =>
+      graft.operators.Multimodal.audioFingerprint(b.sparkSession, b)
+        .select(col("doc_id"), col("afp").as("sig")))
+
+  /** The accumulated fingerprint store `(doc_id, sig)`. Signatures are
+    * a pure function of the payload, so duplicate rows from replays are
+    * value-identical and keeping either is exact; a doc_id REDELIVERED
+    * in a later batch resolves to its earliest occurrence (min
+    * (batch_id, sig) struct — the [[newMinhashPairsForBatch]]
+    * determinism rule), so whole-store and incremental reads agree on
+    * which batch owns each document. `asOfBatch` = the store as of
+    * batch N.
+    */
+  def readHammingSignatures(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("batch_id"), col("sig"))).as("m"))
+      .select(col("doc_id"), col("m.sig").as("sig"))
+
+  /** Whole-store near-dup pairs, merged on read: the IDENTICAL banded
+    * plan (and therefore the identical pair set) as the batch
+    * [[graft.operators.Multimodal.imageNearDupPairs]] /
+    * `audioNearDupPairs` over the full corpus — without ever re-decoding
+    * a blob. Uncapped banding, complete for `maxHamming` ≤ 6 by the
+    * 7-band pigeonhole.
+    */
+  def readHammingNearDupPairs(
+      spark: SparkSession, stateDir: String,
+      maxHamming: Int = 6,
+      asOfBatch: Option[Long] = None): DataFrame =
+    graft.operators.Multimodal.bandedHammingPairs(
+      readHammingSignatures(spark, stateDir, asOfBatch), "sig",
+      maxHamming, Int.MaxValue)
+
+  /** The INCREMENTAL read: canonicalized near-dup pairs with at least
+    * one endpoint NEW in `batchId`, against everything ingested up to
+    * and including it ([[graft.operators.Multimodal.bandedHammingPairsBetween]]
+    * — new×store only, old×old never recomputed). Per batch the dedup
+    * cost is O(batch × band collisions), not O(corpus²), and because a
+    * pair surfaces exactly when its LATER endpoint arrives, the union
+    * of this read over all batches partitions [[readHammingNearDupPairs]]'s
+    * whole-store pair set (StreamOpsSpec proves the partition for both
+    * modalities).
+    */
+  def newHammingPairsForBatch(
+      spark: SparkSession, stateDir: String, batchId: Long,
+      maxHamming: Int = 6): DataFrame = {
+    // same redelivery rule as newMinhashPairsForBatch: a doc_id landing
+    // in two batch partitions is "new" exactly once, in its first batch
+    val upTo = stateAsOf(spark, stateDir, Some(batchId))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("batch_id"), col("sig"))).as("m"))
+      .select(col("doc_id"),
+        col("m.batch_id").as("batch_id"), col("m.sig").as("sig"))
+    val newSigs = upTo.where(col("batch_id") === batchId).drop("batch_id")
+    val allSigs = upTo.drop("batch_id")
+    graft.operators.Multimodal.bandedHammingPairsBetween(
+      newSigs, allSigs, "sig", maxHamming)
+  }
+
+  /** Fold the fingerprint store's batch partitions into one compacted
+    * snapshot with the standard `through`-watermark sidecar — the
+    * [[compactMinhashSignatures]] contract: the combined reader below
+    * over (snapshot + batches above the watermark) equals
+    * [[readHammingSignatures]] over the live table, which licenses
+    * [[vacuumStateTable]] on the covered partitions.
+    */
+  def compactHammingSignatures(
+      spark: SparkSession, stateDir: String, outDir: String): Unit = {
+    val through = maxBatchId(spark, stateDir).getOrElse(throw
+      new IllegalStateException(s"no batch partitions to compact at $stateDir"))
+    spark.read.parquet(stateDir)
+      .where(col("batch_id") <= through)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("batch_id"), col("sig"))).as("m"))
+      .select(col("doc_id"), col("m.sig").as("sig"))
+      .write.mode("errorifexists").parquet(outDir)
+    writeCompactedThrough(spark, outDir, through)
+  }
+
+  /** [[readHammingSignatures]] through a compacted snapshot plus the
+    * live batches above its watermark — the combined-reader contract.
+    * (Signatures are payload-pure, so the snapshot's batch-blind rows
+    * and the live rows for the same doc_id are value-identical and
+    * dropDuplicates is exact.)
+    */
+  def readHammingSignaturesCompacted(
+      spark: SparkSession, compactedDir: String, stateDir: String): DataFrame = {
+    val through = readCompactedThrough(spark, compactedDir)
+    val live = spark.read.parquet(stateDir)
+      .where(col("batch_id") > through).drop("batch_id")
+    live.unionByName(spark.read.parquet(compactedDir))
+      .dropDuplicates("doc_id")
+  }
+
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
     * per event type as a replay-idempotent `batch_id=N` partition.
     * Distinct counts are the canonical NON-additive statistic — per-batch

@@ -1759,4 +1759,114 @@ class StreamOpsSpec extends AnyFunSuite {
         s"$dir/changes", "k", asOfBatch = Some(1))) === applied(b0 ++ b1),
       "vacuum must not disturb the at-watermark as-of read")
   }
+
+  test("phash sink: stored pairs equal batch imageNearDupPairs; incremental reads partition the pair set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ph-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ph-src").toString
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = graft.operators.Multimodal.attachPixelImages(docs)
+    val schema = media.schema
+    def pump(): Unit = {
+      val fileDf = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamOps.phashSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // three arrival windows; the last run is a checkpointed restart that
+    // picks up two windows at once
+    media.where(col("doc_id") < 200).write.mode("append").parquet(srcDir)
+    pump()
+    media.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .write.mode("append").parquet(srcDir)
+    media.where(col("doc_id") >= 400).write.mode("append").parquet(srcDir)
+    pump()
+
+    type Pair = (Long, Long, Int)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Pair] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // merged store replays the batch operator's exact pair set, hamming
+    // values included, with no blob ever decoded twice
+    val stored = toSet(StreamOps.readHammingNearDupPairs(spark, s"$dir/state"))
+    val direct = toSet(graft.operators.Multimodal.imageNearDupPairs(spark, media))
+    assert(stored === direct, "stored phash pairs diverged from the batch operator")
+    assert(stored.nonEmpty, "fixture produced no image near-dup pairs — nothing proven")
+    // incremental reads: each pair surfaces exactly once, when its later
+    // endpoint arrives — the union partitions the whole-store pair set
+    val perBatch = (0L to 1L).map(b =>
+      toSet(StreamOps.newHammingPairsForBatch(spark, s"$dir/state", b)))
+    assert(perBatch.map(_.size).sum === stored.size,
+      s"incremental reads overlap or drop: ${perBatch.map(_.size)} vs ${stored.size}")
+    assert(perBatch.reduce(_ ++ _) === stored)
+    // one signature row per decodable blob
+    val sigs = StreamOps.readHammingSignatures(spark, s"$dir/state")
+    assert(sigs.count() === media.count())
+    // compaction + vacuum: the combined reader reproduces the live store
+    def sigSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    StreamOps.compactHammingSignatures(spark, s"$dir/state", s"$dir/compact")
+    assert(sigSet(StreamOps.readHammingSignaturesCompacted(
+      spark, s"$dir/compact", s"$dir/state")) === sigSet(sigs))
+    assert(StreamOps.vacuumStateTable(
+      spark, s"$dir/state", s"$dir/compact", keepLast = 1) >= 1L)
+    val afterVacuum = StreamOps.readHammingSignaturesCompacted(
+      spark, s"$dir/compact", s"$dir/state")
+    assert(sigSet(afterVacuum) === sigSet(sigs),
+      "combined reader diverged after vacuum")
+    assert(toSet(graft.operators.Multimodal.bandedHammingPairs(
+      afterVacuum, "sig", 6, Int.MaxValue)) === stored,
+      "pairs from the compacted store diverged")
+  }
+
+  test("audio fingerprint sink: stored pairs equal batch audioNearDupPairs across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-afp-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-afp-src").toString
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = graft.operators.Multimodal.attachMedia(docs)
+    val schema = media.schema
+    def pump(): Unit = {
+      val fileDf = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamOps.audioFingerprintSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    media.where(col("doc_id") < 300).write.mode("append").parquet(srcDir)
+    pump()
+    media.where(col("doc_id") >= 300).write.mode("append").parquet(srcDir)
+    pump() // checkpointed restart
+    type Pair = (Long, Long, Int)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Pair] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stored = toSet(StreamOps.readHammingNearDupPairs(spark, s"$dir/state"))
+    val direct = toSet(graft.operators.Multimodal.audioNearDupPairs(spark, media))
+    assert(stored === direct, "stored audio pairs diverged from the batch operator")
+    assert(stored.nonEmpty, "fixture produced no audio near-dup pairs — nothing proven")
+    val perBatch = (0L to 1L).map(b =>
+      toSet(StreamOps.newHammingPairsForBatch(spark, s"$dir/state", b)))
+    assert(perBatch.map(_.size).sum === stored.size &&
+      perBatch.reduce(_ ++ _) === stored,
+      s"incremental reads overlap or drop: ${perBatch.map(_.size)} vs ${stored.size}")
+  }
+
+  test("hamming incremental reads resolve a redelivered doc_id to its first batch") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-ph-redeliver").toString
+    def land(batch: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "sig").withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("batch_id").parquet(state)
+    // docs 1 and 7 identical sigs (hamming 0); doc 2 one bit off (hamming 1)
+    land(0L, Seq(1L -> 0x0102030405060708L, 2L -> 0x0102030405060709L))
+    land(1L, Seq(7L -> 0x0102030405060708L))
+    // REDELIVERY: doc 7 lands again in a LATER batch
+    land(2L, Seq(7L -> 0x0102030405060708L))
+    def pairsAt(b: Long): Set[(Long, Long)] =
+      StreamOps.newHammingPairsForBatch(spark, state, b)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(0L) === Set((1L, 2L)))
+    assert(pairsAt(1L) === Set((1L, 7L), (2L, 7L)))
+    // doc 7 is NOT new in batch 2: its pairs surfaced at batch 1
+    assert(pairsAt(2L) === Set.empty[(Long, Long)])
+    val whole = StreamOps.readHammingNearDupPairs(spark, state)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(0L) ++ pairsAt(1L) ++ pairsAt(2L) === whole)
+  }
 }

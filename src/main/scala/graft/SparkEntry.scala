@@ -724,6 +724,20 @@ object SparkEntry {
         Multimodal.imageNearDupPairs(s, media).select("doc_a", "doc_b"))
         .orderBy("doc_id")
     }),
+    // REAL video containers: 4 concatenated pixel-PNG frames per video
+    // doc, split back out (guarded chunk walk), each frame through the
+    // same real pixel decode as the stills → per-frame 56-bit dHash
+    "multimodal_video_frames" -> ((s, d) =>
+      Multimodal.videoFrameHashes(s,
+        Multimodal.attachVideoFrames(Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx")),
+    // video near-dup via frame-hash overlap: distinct (video, fhash)
+    // equi-joined on the exact hash (bucketed, never all-pairs) with a
+    // hot-frame df cut, pairs sharing >= 2 distinct frames
+    "multimodal_video_neardup" -> ((s, d) =>
+      Multimodal.videoNearDupPairs(s,
+        Multimodal.attachVideoFrames(Tables.documents(s, d)))
+        .orderBy("doc_a", "doc_b")),
     // BM25 top-10 retrieval for the corpus's own head terms (scores
     // rounded BEFORE ranking so the rank order is cross-engine exact)
     "text_bm25" -> ((s, d) =>
@@ -3365,6 +3379,61 @@ object SparkEntry {
         |FROM img i LEFT JOIN reach r ON r.u = i.doc_id
         |GROUP BY i.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+    // per-frame generator replayed in SQL: video u = doc_id//3 renders
+    // frames f=0..3 as (seed, p) = (u % 24, ((u//24) % 7 + f) % 7) with
+    // the SAME md5 block formula as the stills; Spark genuinely splits
+    // the concatenated-PNG container and pixel-decodes every frame
+    "multimodal_video_frames" ->
+      """WITH vid AS (SELECT doc_id, (doc_id // 3) % 24 AS seed,
+        |                    ((doc_id // 3) // 24) % 7 AS off
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, seed, f.v AS frame_idx, (off + f.v) % 7 AS p
+        |       FROM vid, generate_series(0, 3) f(v)),
+        |bits AS (SELECT fr.doc_id, fr.frame_idx,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM fr, generate_series(0, 6) r(v), generate_series(0, 7) c(v))
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(36 AS INTEGER) AS width, CAST(28 AS INTEGER) AS height,
+        |       CAST(sum(bit) AS BIGINT) AS fhash
+        |FROM bits GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // frame-hash overlap replayed: distinct (video, fhash), df cut at
+    // 1024, exact-hash self-join, pairs with >= 2 shared frames
+    "multimodal_video_neardup" ->
+      """WITH vid AS (SELECT doc_id, (doc_id // 3) % 24 AS seed,
+        |                    ((doc_id // 3) // 24) % 7 AS off
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, seed, f.v AS frame_idx, (off + f.v) % 7 AS p
+        |       FROM vid, generate_series(0, 3) f(v)),
+        |bits AS (SELECT fr.doc_id, fr.frame_idx,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM fr, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx, CAST(sum(bit) AS BIGINT) AS fhash
+        |  FROM bits GROUP BY doc_id, frame_idx),
+        |fh AS MATERIALIZED (SELECT DISTINCT doc_id, fhash FROM ph),
+        |keep AS (SELECT fhash FROM fh GROUP BY fhash HAVING count(*) <= 1024),
+        |fhk AS MATERIALIZED (
+        |  SELECT fh.doc_id, fh.fhash FROM fh JOIN keep USING (fhash))
+        |SELECT doc_a, doc_b, CAST(n AS BIGINT) AS shared_frames
+        |FROM (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n
+        |      FROM fhk x JOIN fhk y
+        |        ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |WHERE n >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |       CAST(byte_offset // 100 AS INTEGER) AS frame_idx,

@@ -428,6 +428,43 @@ object MediaHeaders {
     Some(PixelFrame(width, height, channels, px))
   }
 
+  /** Split a concatenated-PNG container into its member blobs: at each
+    * cursor expect the 8-byte PNG signature, walk the chunk list (the
+    * standard untrusted-size guards — negative or past-the-end lengths
+    * stop the walk) to the IEND chunk, slice, repeat. Returns the
+    * frames parsed BEFORE the first malformation — a truncated or
+    * corrupted tail yields the clean prefix, never a spin or a throw.
+    * This is the deterministic multi-frame "video" container the
+    * synthetic corpus uses ([[graft.operators.Multimodal.attachVideoFrames]]):
+    * real codecs differ, but the per-frame decode downstream is the
+    * same real PNG pixel path either way.
+    */
+  def splitConcatenatedPngs(b: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var start = 0
+    var ok = true
+    while (ok && start + 8 <= b.length &&
+        (0 until 8).forall(i => b(start + i) == PngSig(i))) {
+      var i = start + 8
+      var end = -1
+      while (ok && end < 0 && i + 8 <= b.length) {
+        val len = beU32(b, i).toInt
+        if (len < 0 || len > b.length - i - 12) ok = false
+        else {
+          val typ = new String(b, i + 4, 4, "US-ASCII")
+          i += 12 + len
+          if (typ == "IEND") end = i
+        }
+      }
+      if (end < 0) ok = false
+      else {
+        out += java.util.Arrays.copyOfRange(b, start, end)
+        start = end
+      }
+    }
+    out.result()
+  }
+
   /** Canonical 44-byte-header PCM WAV around `payload` as the `data`
     * chunk (16-bit samples; frames = bytes / (channels·2)).
     */

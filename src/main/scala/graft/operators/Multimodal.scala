@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -206,28 +208,35 @@ object Multimodal {
   def attachPixelImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val blk = 4
     docs.select(col("doc_id")).where(col("doc_id") % 3 === 0)
       .as[Long].map { id =>
-        val seed = (id % 40).toInt
-        val p = (id / 40 % 5).toInt
-        val w = PhashCols * blk; val h = PhashRows * blk
-        val grid = Array.tabulate(PhashRows, PhashCols)((by, bx) =>
-          blockGray(seed, bx, by, p))
-        val rgb = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val g = grid(y / blk)(x / blk)
-            val o = (y * w + x) * 3
-            rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
-            x += 1
-          }
-          y += 1
-        }
-        (id, MediaHeaders.buildPixelPng(w, h, rgb))
+        (id, renderGrayPng((id % 40).toInt, (id / 40 % 5).toInt))
       }.toDF("doc_id", "payload")
+  }
+
+  /** Render the deterministic 36×28 block-gray PNG for one
+    * `(seed, perturbation)` pair — the single frame generator behind
+    * [[attachPixelImages]], [[syntheticQueryImages]], and the
+    * per-frame video container ([[attachVideoFrames]]).
+    */
+  private def renderGrayPng(seed: Int, p: Int): Array[Byte] = {
+    val blk = 4
+    val w = PhashCols * blk; val h = PhashRows * blk
+    val grid = Array.tabulate(PhashRows, PhashCols)((by, bx) =>
+      blockGray(seed, bx, by, p))
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grid(y / blk)(x / blk)
+        val o = (y * w + x) * 3
+        rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    MediaHeaders.buildPixelPng(w, h, rgb)
   }
 
   /** The synthetic generator's block value: first md5 byte of
@@ -259,23 +268,29 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          MediaHeaders.decodePixelPng(bytes).map { f =>
-            val grid = lumaGrid(f, PhashCols, PhashRows)
-            var hash = 0L
-            var by = 0
-            while (by < PhashRows) {
-              var bx = 0
-              while (bx < PhashCols - 1) {
-                if (grid(by * PhashCols + bx + 1) > grid(by * PhashCols + bx))
-                  hash |= 1L << (by * (PhashCols - 1) + bx)
-                bx += 1
-              }
-              by += 1
-            }
-            (id, hash)
-          }
+          MediaHeaders.decodePixelPng(bytes).map(f => (id, dHash56(f)))
         }
       }.toDF("doc_id", "phash")
+  }
+
+  /** The 56-bit dHash of one decoded frame — the packing
+    * [[imagePerceptualHash]] documents, shared with the per-frame
+    * video hashes ([[videoFrameHashes]]).
+    */
+  private def dHash56(f: MediaHeaders.PixelFrame): Long = {
+    val grid = lumaGrid(f, PhashCols, PhashRows)
+    var hash = 0L
+    var by = 0
+    while (by < PhashRows) {
+      var bx = 0
+      while (bx < PhashCols - 1) {
+        if (grid(by * PhashCols + bx + 1) > grid(by * PhashCols + bx))
+          hash |= 1L << (by * (PhashCols - 1) + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
   }
 
   /** Luma grid reduction: integer luma per pixel, then per-cell exact
@@ -417,25 +432,9 @@ object Multimodal {
   def syntheticQueryImages(
       spark: SparkSession, seedPerturbs: Seq[(Int, Int)]): DataFrame = {
     import spark.implicits._
-    val blk = 4
     seedPerturbs.zipWithIndex.map { case ((seed, p), qi) =>
       require(p >= 5 && p <= 6, s"query perturbation must be 5 or 6, got $p")
-      val w = PhashCols * blk; val h = PhashRows * blk
-      val grid = Array.tabulate(PhashRows, PhashCols)((by, bx) =>
-        blockGray(seed, bx, by, p))
-      val rgb = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val g = grid(y / blk)(x / blk)
-          val o = (y * w + x) * 3
-          rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
-          x += 1
-        }
-        y += 1
-      }
-      (qi.toLong, MediaHeaders.buildPixelPng(w, h, rgb))
+      (qi.toLong, renderGrayPng(seed, p))
     }.toDF("doc_id", "payload")
   }
 
@@ -582,9 +581,11 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Frame sampling stub for video payloads: every `stride` bytes is a
-    * "frame" offset — demonstrates the explode-to-frames shape whose row
-    * count is data-dependent (a real sampler emits keyframe offsets).
+  /** Frame sampling over RAW (unrecognized) video payloads: every
+    * `stride` bytes is a "frame" offset — the explode-to-frames shape
+    * whose row count is data-dependent, for blobs with no parseable
+    * container. The REAL container path is [[videoFrameHashes]]:
+    * actual per-frame pixel decodes over the multi-frame container.
     */
   def sampleFrames(
       spark: SparkSession,
@@ -600,5 +601,106 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "byte_offset", "frame_bytes")
+  }
+
+  // ── video: real multi-frame container + frame-hash near-dup ────────
+
+  /** Frames per synthetic video container. */
+  val VideoFrames = 4
+
+  /** Video generator geometry: base-image seeds and the perturbation
+    * ring the per-frame window slides over (7 = the valid diagonal
+    * blocks of the 9×7 grid).
+    */
+  val VideoSeeds = 24
+  val VideoOffsets: Int = PhashRows // 7
+
+  /** Attach a REAL multi-frame video container to the video-modality
+    * documents (doc_id % 3 == 2): [[VideoFrames]] concatenated
+    * pixel-PNG frames (each a full zlib/CRC PNG the round-11 generator
+    * renders — [[MediaHeaders.splitConcatenatedPngs]] walks them back
+    * out), standing in for a keyframe track. Frame f of video
+    * u = doc_id/3 renders `(seed, p)` = (u % 24, (off + f) % 7) with
+    * off = (u / 24) % 7 — a perturbation WINDOW sliding on a 7-ring, so
+    * same-seed videos whose windows overlap share byte-identical frames
+    * (window distance d on the ring shares 4−d frames for d ≤ 3, plus
+    * the wraparound overlap) while different seeds share none: exactly
+    * the shared-scene structure frame-hash video dedup exists to catch,
+    * and deterministic enough for the DuckDB oracle to replay per
+    * frame. Off-videos with equal (seed, off) are full duplicates.
+    */
+  def attachVideoFrames(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .as[Long].map { id =>
+        val u = id / 3
+        val seed = (u % VideoSeeds).toInt
+        val off = (u / VideoSeeds % VideoOffsets).toInt
+        val out = new ByteArrayOutputStream()
+        var f = 0
+        while (f < VideoFrames) {
+          val png = renderGrayPng(seed, (off + f) % VideoOffsets)
+          out.write(png, 0, png.length)
+          f += 1
+        }
+        (id, out.toByteArray)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL per-frame decode of the video containers: split the
+    * concatenated-PNG track ([[MediaHeaders.splitConcatenatedPngs]] —
+    * guarded walk, clean-prefix on malformation), run each frame
+    * through the same real pixel decode as the still images, and emit
+    * the frame's dimensions plus its 56-bit dHash. Map-only
+    * mapPartitions (binary codec work); output is a few longs per
+    * frame, never pixels — the video analog of [[imagePerceptualHash]].
+    */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaHeaders.splitConcatenatedPngs(bytes).iterator.zipWithIndex
+            .flatMap { case (frame, idx) =>
+              MediaHeaders.decodePixelPng(frame)
+                .map(f => (id, idx, f.width, f.height, dHash56(f)))
+            }
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height", "fhash")
+  }
+
+  /** Video near-dup pairs by frame-hash overlap: two videos are near
+    * dups when they share ≥ `minShared` distinct frame hashes —
+    * shared-scene containment, computed as an EQUI-JOIN on the exact
+    * frame hash (bucketed by hash value — never all-pairs; candidate
+    * cost is Σ bucket², the postings-join shape every text dedup here
+    * uses). Rows are distinct `(doc_id, fhash)` before the join, so the
+    * per-pair `count` IS the distinct shared-hash count with no
+    * count-distinct Expand. `hotCap` drops frame hashes present in more
+    * than that many videos (template intro/outro frames — the df cut
+    * every containment join here applies), bounding any bucket's join
+    * fan-out at the documented recall cost on flood frames.
+    */
+  def videoNearDupPairs(
+      spark: SparkSession, media: DataFrame,
+      minShared: Int = 2,
+      hotCap: Int = 1024): DataFrame = {
+    val fh = graft.engine.OpCache.materialize(
+      videoFrameHashes(spark, media)
+        .select(col("doc_id"), col("fhash")).distinct())
+    val keep = fh.groupBy(col("fhash"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= hotCap)
+      .select(col("fhash"))
+    val kept = fh.join(keep, "fhash")
+    kept.as("x").join(kept.as("y"),
+        col("x.fhash") === col("y.fhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
   }
 }

@@ -373,6 +373,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.payloadSection(png).toSeq === Seq[Byte](9, 9, 9))
   }
 
+  test("video containers split + decode; per-frame dHash matches the generator formula") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachVideoFrames(docs)
+    val frames = Multimodal.videoFrameHashes(spark, media).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(frames.nonEmpty)
+    val nVideos = media.count()
+    assert(frames.size === nVideos * Multimodal.VideoFrames,
+      "every video must decode all its frames")
+    // the per-frame dHash equals the generator's (seed, p) formula —
+    // md5 recomputed HERE via MessageDigest, a second derivation (the
+    // oracle SQL being the third)
+    def g(seed: Int, p: Int)(bx: Int, by: Int) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${seed}_${bx}_${by}".getBytes("UTF-8"))
+      (d(0) & 0xff) % 200 + (if (bx == p && by == p) 40 else 0)
+    }
+    def formulaHash(seed: Int, p: Int): Long =
+      (for (by <- 0 until 7; bx <- 0 until 8
+            if g(seed, p)(bx + 1, by) > g(seed, p)(bx, by))
+        yield 1L << (by * 8 + bx)).sum
+    frames.foreach { case ((id, f), (w, h, fhash)) =>
+      assert(w === 36 && h === 28, s"frame dims diverged at ($id,$f)")
+      val u = id / 3
+      val seed = (u % Multimodal.VideoSeeds).toInt
+      val p = ((u / Multimodal.VideoSeeds % Multimodal.VideoOffsets).toInt + f) %
+        Multimodal.VideoOffsets
+      assert(fhash === formulaHash(seed, p),
+        s"frame hash diverged from the pixels at ($id,$f)")
+    }
+    // ...and the split walker returns exactly the member blobs, each an
+    // independently decodable PNG
+    val onePayload = media.limit(1).collect()(0).getAs[Array[Byte]]("payload")
+    val split = MediaHeaders.splitConcatenatedPngs(onePayload)
+    assert(split.size === Multimodal.VideoFrames)
+    split.foreach(fr => assert(MediaHeaders.decodePixelPng(fr).nonEmpty))
+    // a truncated container yields the clean prefix, never a throw
+    val truncated = java.util.Arrays.copyOfRange(
+      onePayload, 0, onePayload.length - 7)
+    assert(MediaHeaders.splitConcatenatedPngs(truncated).size ===
+      Multimodal.VideoFrames - 1)
+    assert(MediaHeaders.splitConcatenatedPngs(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("video near-dup pairs equal brute-force frame-set intersection") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachVideoFrames(docs)
+    val frameSets = Multimodal.videoFrameHashes(spark, media).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(4)).toSet }
+    val got = Multimodal.videoNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = frameSets.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      shared = (frameSets(ids(i)) intersect frameSets(ids(j))).size
+      if shared >= 2
+    } yield (ids(i), ids(j), shared.toLong)).toSet
+    assert(got === brute, s"frame-overlap pairs diverge from brute force " +
+      s"(got ${got.size}, brute ${brute.size})")
+    assert(brute.nonEmpty, "fixture produced no video near-dups to check")
+    // full duplicates (same seed, same offset) must surface with all
+    // frames shared
+    assert(got.exists(_._3 == Multimodal.VideoFrames),
+      "no full-duplicate video pair found")
+    // the hot-frame df cut drops flood hashes: with hotCap=1 nothing
+    // can pair (every shared frame is by definition in >= 2 videos)
+    assert(Multimodal.videoNearDupPairs(spark, media, hotCap = 1).count() === 0)
+  }
+
   test("crafted IHDR dimensions refuse cleanly, never overflow the allocation") {
     val rnd = new scala.util.Random(23)
     val good = MediaHeaders.buildPixelPng(6, 4, Array.fill(6 * 4 * 3)(rnd.nextInt(256).toByte))

@@ -319,6 +319,22 @@ object SparkEntry {
       Curation.releaseGate(docs, Dedup.sharedNearDupClusters(docs, cacheKey = d),
         docs.where(col("doc_id") % 50 === 0)).orderBy("doc_id")
     }),
+    // the MULTIMODAL release gate: the text gate (dedup-canonical +
+    // lang + quality over the shared text cluster table) composed with
+    // image-canonical selection over the phash cluster table — a doc
+    // with an image releases only as its image cluster's canonical
+    // copy, so near-dup images ship once even when their surrounding
+    // text dodges the text dedup
+    "pipeline_multimodal_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.attachPixelImages(docs)
+      val imgClusters = Dedup.clustersFromPairs(
+        media.select(col("doc_id")),
+        Multimodal.imageNearDupPairs(s, media).select("doc_a", "doc_b"))
+      Curation.multimodalReleaseGate(docs,
+        Dedup.sharedNearDupClusters(docs, cacheKey = d), imgClusters)
+        .orderBy("doc_id")
+    }),
     // sliding-window passage chunking (RAG / training-window split);
     // map-only explode, zero shuffle
     "pipeline_chunk_docs" -> ((s, d) =>
@@ -1946,6 +1962,53 @@ object SparkEntry {
          |LEFT JOIN ov ON ov.doc_id = c.doc_id
          |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en' AND qq.quality >= 0.5
          |  AND coalesce(ov.n_overlap, 0) < 10
+         |ORDER BY c.doc_id""".stripMargin),
+    // the text-gate CTEs plus the image phash-cluster chain (the
+    // multimodal_image_clusters oracle, i-prefixed to dodge the prefix's
+    // own edges/reach names): canonical text copy AND canonical image
+    // copy, has_image from the left join
+    "pipeline_multimodal_gate" -> (curationCtePrefix +
+      s""",
+         |img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS ip
+         |        FROM documents WHERE doc_id % 3 = 0),
+         |ibits AS (SELECT i.doc_id,
+         |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+         |            + CASE WHEN c.v+1 = ip AND r.v = ip THEN 40 ELSE 0 END
+         |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+         |            + CASE WHEN c.v = ip AND r.v = ip THEN 40 ELSE 0 END
+         |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+         |  FROM img i, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+         |iph AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+         |  FROM ibits GROUP BY doc_id),
+         |ibands AS MATERIALIZED (
+         |  SELECT doc_id, phash, b.v AS band, (phash >> (b.v*8)) & 255 AS bh
+         |  FROM iph, generate_series(0, 6) b(v)),
+         |ipr AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM ibands x JOIN ibands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.phash, y.phash)) <= 6),
+         |iedges AS (SELECT doc_a AS u, doc_b AS v FROM ipr
+         |           UNION ALL SELECT doc_b, doc_a FROM ipr),
+         |ireach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM iedges)
+         |  UNION
+         |  SELECT e2.u, r.v FROM iedges e2 JOIN ireach r ON e2.v = r.u),
+         |icl AS (SELECT i.doc_id, coalesce(min(r.v), i.doc_id) AS cluster_id
+         |        FROM img i LEFT JOIN ireach r ON r.u = i.doc_id
+         |        GROUP BY i.doc_id)
+         |SELECT c.doc_id, lp.lang_pred, qq.quality, qq.n_tokens,
+         |       (icl.doc_id IS NOT NULL) AS has_image
+         |FROM clus c
+         |JOIN lp ON lp.doc_id = c.doc_id
+         |JOIN qq ON qq.doc_id = c.doc_id
+         |LEFT JOIN icl ON icl.doc_id = c.doc_id
+         |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en'
+         |  AND qq.quality >= 0.5
+         |  AND (icl.doc_id IS NULL OR icl.cluster_id = c.doc_id)
          |ORDER BY c.doc_id""".stripMargin),
     "text_top_terms" ->
       s"""WITH c AS (

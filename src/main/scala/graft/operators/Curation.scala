@@ -62,6 +62,35 @@ object Curation {
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
   }
 
+  /** The MULTIMODAL release gate: the doc-level text gate
+    * ([[curatedCorpusFromClusters]] — near-dup canonical + language +
+    * quality over the dedup-once TEXT cluster table) composed with
+    * per-modality canonical selection over the IMAGE cluster table
+    * ([[Dedup.clustersFromPairs]] over the phash pair graph,
+    * `multimodal_image_clusters`). A doc with an attached image passes
+    * only when it is its phash cluster's canonical (min-doc_id) copy —
+    * near-duplicate images are released exactly once even when their
+    * surrounding text differs enough to dodge the text dedup; docs
+    * without an image pass the modality check trivially. Scale shape:
+    * both cluster tables are dedup-once inputs and the gate adds one
+    * doc_id equi-join per modality — nothing here rescans text or
+    * pixels.
+    */
+  def multimodalReleaseGate(
+      docs: DataFrame,
+      textClusters: DataFrame,
+      imageClusters: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val curated = curatedCorpusFromClusters(docs, textClusters, minQuality)
+    val img = imageClusters.select(
+      col("doc_id"), col("cluster_id").as("image_cluster_id"))
+    curated.join(img, Seq("doc_id"), "left")
+      .where(col("image_cluster_id").isNull ||
+        col("image_cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        col("n_tokens"), col("image_cluster_id").isNotNull.as("has_image"))
+  }
+
   /** [[curatedCorpusFromClusters]] with quality-argmax canonicalization:
     * each near-dup cluster keeps its HIGHEST-quality member (doc_id
     * tie-break) instead of the smallest doc_id — "keep the best copy,

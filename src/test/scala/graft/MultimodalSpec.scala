@@ -444,6 +444,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.videoNearDupPairs(spark, media, hotCap = 1).count() === 0)
   }
 
+  test("multimodal release gate = text gate minus non-canonical images") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachPixelImages(docs)
+    val imgClusters = graft.operators.Dedup.clustersFromPairs(
+      media.select("doc_id"),
+      Multimodal.imageNearDupPairs(spark, media).select("doc_a", "doc_b"))
+    val textClusters = graft.operators.Dedup.nearDupClusters(docs)
+    val gate = graft.operators.Curation
+      .multimodalReleaseGate(docs, textClusters, imgClusters)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val curated = graft.operators.Curation
+      .curatedCorpusFromClusters(docs, textClusters)
+      .collect().map(_.getLong(0)).toSet
+    val imgLabel = imgClusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the gate is EXACTLY the text gate minus docs whose image is a
+    // non-canonical near-dup copy
+    val expected = curated.filter(id =>
+      imgLabel.get(id).forall(_ == id))
+    assert(gate.keySet === expected)
+    assert(gate.nonEmpty, "empty gate proves nothing")
+    // has_image reflects the image modality; both kinds must appear
+    gate.foreach { case (id, hasImg) =>
+      assert(hasImg === imgLabel.contains(id), s"has_image wrong for $id")
+    }
+    assert(gate.values.exists(identity) && gate.values.exists(!_))
+    // and at least one curated doc was actually dropped for carrying a
+    // non-canonical image (otherwise the modality check proved nothing)
+    assert((curated -- gate.keySet).nonEmpty,
+      "no doc was gated on image canonicality — fixture too weak")
+  }
+
   test("crafted IHDR dimensions refuse cleanly, never overflow the allocation") {
     val rnd = new scala.util.Random(23)
     val good = MediaHeaders.buildPixelPng(6, 4, Array.fill(6 * 4 * 3)(rnd.nextInt(256).toByte))

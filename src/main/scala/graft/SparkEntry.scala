@@ -700,6 +700,16 @@ object SparkEntry {
       Multimodal.imagePerceptualHash(s,
         Multimodal.attachPixelImages(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    // the SAME hashes over MIXED containers: odd image slots re-render
+    // the identical grid as a REAL baseline grayscale JPEG, decoded
+    // through the full Huffman + dequant + IDCT path (block-constant
+    // content is lossless under the flat-8 quant table, which is what
+    // keeps this oracle digit-exact) — proves the JPEG pixel decode
+    // end to end with the same md5 formula as multimodal_phash
+    "multimodal_phash_mixed" -> ((s, d) =>
+      Multimodal.imagePerceptualHash(s,
+        Multimodal.attachPixelImagesMixed(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // image near-dup pairs: hamming-LSH bands (7×8-bit) over the dHash,
     // refined by bit_count(xor) ≤ 6 — minhash-LSH's image analog,
     // bucketed, never all-pairs
@@ -3260,6 +3270,23 @@ object SparkEntry {
     // decode/grid/packing slip hash-mismatches.
     // 56 bits (7 rows × 8 comparisons) keep every sum inside BIGINT.
     "multimodal_phash" ->
+      """WITH img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS p
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (SELECT i.doc_id,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM img i, generate_series(0, 6) r(v), generate_series(0, 7) c(v))
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // IDENTICAL formula to multimodal_phash: the mixed corpus renders
+    // the same grid per doc (PNG at 4-px blocks, lossless baseline
+    // JPEG at 8-px blocks), so only the Spark-side decode path differs
+    "multimodal_phash_mixed" ->
       """WITH img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS p
         |             FROM documents WHERE doc_id % 3 = 0),
         |bits AS (SELECT i.doc_id,

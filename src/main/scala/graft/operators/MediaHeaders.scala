@@ -428,6 +428,462 @@ object MediaHeaders {
     Some(PixelFrame(width, height, channels, px))
   }
 
+  // ── baseline JPEG pixel codec (real Huffman/DCT entropy path) ──────
+  //
+  // The JPEG rung of the pixel story: a REAL baseline sequential codec —
+  // canonical Huffman tables read from the file's own DHT segments,
+  // run-length AC decoding, dequantization, full 2-D IDCT — scoped to
+  // 8-bit GRAYSCALE with no subsampling (the synthetic corpus is
+  // gray-rendered; 3-component 4:2:0 adds chroma upsampling without
+  // exercising any new entropy machinery, and is documented out of
+  // scope in SURVEY §8). The ENCODER quantizes with a flat table of 8s:
+  // a constant 8×8 block has only a DC coefficient 8·(g−128), exactly
+  // divisible by the step, so block-constant images round-trip
+  // LOSSLESSLY through the genuinely general lossy path — which is what
+  // keeps the md5 block-formula oracle digit-exact over JPEG blobs.
+
+  /** Natural-order index of each zigzag position (ISO/IEC 10918-1
+    * Figure A.6 — the public scan order every JPEG file uses).
+    */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Encoder quant table: flat 8s (see the section comment — DC step 8
+    * makes block-constant images lossless; a real pipeline would ship
+    * per-quality tables through the same DQT plumbing).
+    */
+  private val PixelJpegQuant: Array[Int] = Array.fill(64)(8)
+
+  // Encoder Huffman spec: VALID canonical tables built from counts, not
+  // the Annex K defaults — 12 DC categories at length 4 (12 ≤ 16 codes,
+  // none all-ones) and all 162 AC run/size symbols at length 8
+  // (162 ≤ 256). Deliberately suboptimal but spec-legal; the DECODER
+  // reads whatever tables the file declares, so it handles these AND
+  // the standard tables other encoders (javax.imageio) write.
+  private val DcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = Array.tabulate(12)(identity)
+  private val AcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals: Array[Int] =
+    ((0x00 +: 0xF0 +: (for (r <- 0 to 15; s <- 1 to 10)
+      yield (r << 4) | s)).sorted).toArray
+
+  /** Canonical code assignment (code, length) per symbol — the JPEG
+    * BITS/HUFFVAL convention: codes count up within a length, shift
+    * left moving to the next.
+    */
+  private def canonicalCodes(
+      bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = Map.newBuilder[Int, (Int, Int)]
+    var code = 0; var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        m += vals(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1; len += 1
+    }
+    m.result()
+  }
+
+  /** Bit-serial writer with JPEG byte stuffing (0xFF → 0xFF 0x00) and
+    * 1-padding on flush.
+    */
+  private final class JpegBitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(bits: Int, count: Int): Unit = {
+      var i = count - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >>> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) {
+      val pad = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(pad)
+      if (pad == 0xff) out.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  /** Magnitude category: bits needed for |v| (JPEG SSSS). */
+  private def magCat(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Exact separable double-precision FDCT (natural-order output). */
+  private def fdct8(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += block(y * 8 + x) * CosTab(x * 8 + v) * CosTab(y * 8 + u)
+            x += 1
+          }
+          y += 1
+        }
+        out(u * 8 + v) = 0.25 * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** cos((2x+1)·u·π/16) scaled by 1/√2 at u = 0 — shared FDCT/IDCT
+    * basis (ct(x·8+u)).
+    */
+  private val CosTab: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16) *
+          (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Encode `gray` (row-major, 1 byte/pixel) as a REAL baseline
+    * sequential grayscale JFIF: DQT/SOF0/DHT/SOS segments, per-block
+    * FDCT + quantization + canonical-Huffman entropy coding with byte
+    * stuffing, edge-replicated padding for non-multiple-of-8 dims.
+    * Independent decoders (javax.imageio) read it exactly for
+    * block-constant content — MultimodalSpec pins that.
+    */
+  def buildPixelJpeg(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height,
+      s"need ${width * height} gray bytes, got ${gray.length}")
+    val out = new ByteArrayOutputStream(gray.length / 2 + 512)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    segment(0xdb, 0 +: Zigzag.map(PixelJpegQuant)) // DQT id 0, zigzag order
+    segment(0xc0, Array(8, height >> 8, height & 0xff, width >> 8,
+      width & 0xff, 1, 1, 0x11, 0)) // SOF0: 1 component, 1x1 sampling
+    segment(0xc4, 0x00 +: (DcBits ++ DcVals)) // DHT DC 0
+    segment(0xc4, 0x10 +: (AcBits ++ AcVals)) // DHT AC 0
+    segment(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    val bw = new JpegBitWriter(out)
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val bw8 = (width + 7) / 8; val bh8 = (height + 7) / 8
+    var dcPred = 0
+    val blk = new Array[Double](64)
+    var byi = 0
+    while (byi < bh8) {
+      var bxi = 0
+      while (bxi < bw8) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bxi * 8 + x, width - 1)
+            val sy = math.min(byi * 8 + y, height - 1)
+            blk(y * 8 + x) = (gray(sy * width + sx) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val coef = fdct8(blk)
+        val q = new Array[Int](64)
+        var j = 0
+        while (j < 64) {
+          q(j) = math.round(coef(j) / PixelJpegQuant(j)).toInt
+          j += 1
+        }
+        val diff = q(0) - dcPred; dcPred = q(0)
+        val t = magCat(diff)
+        require(t <= 11, s"DC category $t out of table range")
+        val (dc, dl) = dcCodes(t); bw.write(dc, dl)
+        if (t > 0) bw.write(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val v = q(Zigzag(k))
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
+            }
+            val s = magCat(v)
+            require(s <= 10, s"AC size $s out of table range")
+            val (ac, al) = acCodes((run << 4) | s); bw.write(ac, al)
+            bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) }
+        bxi += 1
+      }
+      byi += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Canonical Huffman DECODER table from a DHT segment's BITS/HUFFVAL
+    * (mincode/maxcode/valptr walk — ISO 10918-1 F.2.2.3).
+    */
+  private final class JpegHuffDec(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k; minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = code - 1
+        code <<= 1; l += 1
+      }
+    }
+    def decode(r: JpegBitReader): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        code = (code << 1) | r.readBit()
+        l += 1
+        if (bits(l - 1) > 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+      }
+      throw new IllegalArgumentException("invalid huffman code")
+    }
+  }
+
+  /** Bit-serial reader over the entropy segment: un-stuffs 0xFF 0x00,
+    * throws on EOF or a bare marker mid-symbol (malformed stream — the
+    * decoder's try/catch maps it to None), byte-aligns + consumes RSTn
+    * at restart boundaries.
+    */
+  private final class JpegBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) throw new IllegalArgumentException("eof")
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          val nx = if (pos < b.length) b(pos) & 0xff else -1
+          if (nx == 0x00) pos += 1
+          else throw new IllegalArgumentException("marker inside symbol")
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def readBits(k: Int): Int = {
+      var v = 0; var j = 0
+      while (j < k) { v = (v << 1) | readBit(); j += 1 }
+      v
+    }
+    def restartSync(): Unit = {
+      n = 0 // discard pad bits
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xf8) != 0xd0)
+        throw new IllegalArgumentException("expected restart marker")
+      pos += 2
+    }
+  }
+
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** REAL pixel decode of a baseline sequential GRAYSCALE JPEG: marker
+    * walk (untrusted-length guards), DQT/DHT tables read from the file,
+    * canonical-Huffman entropy decode with byte unstuffing and restart
+    * markers, dequantization, full double-precision IDCT, edge crop.
+    * Returns None for non-JPEG blobs, color/subsampled/progressive/
+    * arithmetic streams (documented grayscale-baseline scope), crafted
+    * dimensions (the PNG guard's long-arithmetic discipline), or any
+    * malformed segment — never throws, never spins.
+    */
+  def decodePixelJpeg(b: Array[Byte]): Option[PixelFrame] = {
+    if (!isJpeg(b)) return None
+    try decodePixelJpegImpl(b)
+    catch { case _: RuntimeException => None }
+  }
+
+  private def decodePixelJpegImpl(b: Array[Byte]): Option[PixelFrame] = {
+    val quant = Array.ofDim[Int](4, 64) // natural order
+    val qSeen = new Array[Boolean](4)
+    val dcTabs = new Array[JpegHuffDec](4)
+    val acTabs = new Array[JpegHuffDec](4)
+    var width = 0; var height = 0
+    var compQ = 0
+    var restart = 0
+    var i = 2
+    while (i + 2 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else {
+        if (i + 4 > b.length) return None
+        val len = beU16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4; val segEnd = i + 2 + len
+        m match {
+          case 0xdb => // DQT (possibly several tables per segment)
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) >> 4) & 0xf; val tq = b(p) & 0xf
+              if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+              var k = 0
+              while (k < 64) {
+                quant(tq)(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1
+              }
+              qSeen(tq) = true
+              p += 65
+            }
+          case 0xc4 => // DHT (possibly several tables per segment)
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) >> 4) & 0xf; val th = b(p) & 0xf
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val bits = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
+              val total = bits.sum
+              if (total > 256 || p + 17 + total > segEnd) return None
+              val vals = Array.tabulate(total)(j => b(p + 17 + j) & 0xff)
+              val t = new JpegHuffDec(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + total
+            }
+          case 0xc0 => // SOF0: baseline sequential only
+            if (segEnd < seg + 9 || b(seg) != 8) return None
+            height = beU16(b, seg + 1); width = beU16(b, seg + 3)
+            // untrusted dims: long-arithmetic bound BEFORE any allocation
+            if (width <= 0 || height <= 0 ||
+                width.toLong * height > (1L << 26)) return None
+            if ((b(seg + 5) & 0xff) != 1) return None // grayscale scope
+            if ((b(seg + 7) & 0xff) != 0x11) return None // no subsampling
+            compQ = b(seg + 8) & 0xf
+          case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
+            return None // progressive/arithmetic/non-baseline SOF
+          case 0xdd =>
+            if (segEnd < seg + 2) return None
+            restart = beU16(b, seg)
+          case 0xda =>
+            if (segEnd < seg + 6 || (b(seg) & 0xff) != 1) return None
+            val td = (b(seg + 1 + 1) >> 4) & 0xf
+            val ta = b(seg + 1 + 1) & 0xf
+            if (width <= 0 || height <= 0 || !qSeen(compQ) ||
+                dcTabs(td) == null || acTabs(ta) == null) return None
+            return decodeJpegScanGray(
+              b, segEnd, width, height, quant(compQ),
+              dcTabs(td), acTabs(ta), restart)
+          case 0xd9 => return None // EOI before any scan
+          case _ => () // APPn / COM: skip by length
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def decodeJpegScanGray(
+      b: Array[Byte], start: Int, w: Int, h: Int,
+      quant: Array[Int], dc: JpegHuffDec, ac: JpegHuffDec,
+      restart: Int): Option[PixelFrame] = {
+    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    val px = new Array[Byte](w * h)
+    val r = new JpegBitReader(b, start)
+    val coef = new Array[Int](64)
+    var dcPred = 0
+    var mcu = 0
+    var byi = 0
+    while (byi < bh8) {
+      var bxi = 0
+      while (bxi < bw8) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+          r.restartSync(); dcPred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = dc.decode(r)
+        if (t > 11) return None
+        val diff = if (t == 0) 0 else jpegExtend(r.readBits(t), t)
+        dcPred += diff
+        coef(0) = dcPred * quant(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = ac.decode(r)
+          val run = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (run == 15) k += 16 else eob = true
+          } else {
+            k += run
+            if (k > 63) return None
+            coef(Zigzag(k)) = jpegExtend(r.readBits(s), s) * quant(Zigzag(k))
+            k += 1
+          }
+        }
+        // IDCT into the (cropped) pixel buffer
+        var y = 0
+        while (y < 8) {
+          val yy = byi * 8 + y
+          var x = 0
+          while (x < 8) {
+            val xx = bxi * 8 + x
+            if (xx < w && yy < h) {
+              var s = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val c = coef(u * 8 + v)
+                  if (c != 0) s += c * CosTab(x * 8 + v) * CosTab(y * 8 + u)
+                  v += 1
+                }
+                u += 1
+              }
+              val p = math.round(s / 4 + 128).toInt
+              px(yy * w + xx) = math.max(0, math.min(255, p)).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        mcu += 1
+        bxi += 1
+      }
+      byi += 1
+    }
+    Some(PixelFrame(w, h, 1, px))
+  }
+
   /** Split a concatenated-PNG container into its member blobs: at each
     * cursor expect the 8-byte PNG signature, walk the chunk list (the
     * standard untrusted-size guards — negative or past-the-end lengths

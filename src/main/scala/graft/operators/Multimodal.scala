@@ -239,6 +239,50 @@ object Multimodal {
     MediaHeaders.buildPixelPng(w, h, rgb)
   }
 
+  /** The same grid as [[renderGrayPng]] rendered as a REAL baseline
+    * grayscale JPEG at 8-pixel blocks (72×56): each grid cell IS one
+    * JPEG 8×8 block, constant, so it carries only a DC coefficient and
+    * the flat-8 quant table round-trips it LOSSLESSLY — the decoded
+    * pixels equal the generator grid digit-exactly, the same oracle
+    * contract as the PNG render (and the two renders reduce to the
+    * SAME luma grid, hence the same dHash).
+    */
+  private def renderGrayJpeg(seed: Int, p: Int): Array[Byte] = {
+    val blk = 8
+    val w = PhashCols * blk; val h = PhashRows * blk
+    val grid = Array.tabulate(PhashRows, PhashCols)((by, bx) =>
+      blockGray(seed, bx, by, p))
+    val gray = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) = grid(y / blk)(x / blk).toByte
+        x += 1
+      }
+      y += 1
+    }
+    MediaHeaders.buildPixelJpeg(w, h, gray)
+  }
+
+  /** [[attachPixelImages]] with MIXED container formats: even image
+    * slots (by u = doc_id/3) render the PNG, odd ones the baseline
+    * grayscale JPEG — both from the identical block grid, so every
+    * doc's dHash (and therefore the whole near-dup structure and the
+    * md5-formula oracle) is UNCHANGED while half the corpus exercises
+    * the real JPEG entropy decode end to end.
+    */
+  def attachPixelImagesMixed(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .as[Long].map { id =>
+        val seed = (id % 40).toInt; val p = (id / 40 % 5).toInt
+        (id, if (id / 3 % 2 == 0) renderGrayPng(seed, p)
+             else renderGrayJpeg(seed, p))
+      }.toDF("doc_id", "payload")
+  }
+
   /** The synthetic generator's block value: first md5 byte of
     * `"seed_bx_by"` mod 200 (+40 on the perturbed block) — exposed so
     * the spec pins [[imagePerceptualHash]]'s decoded-pixel hash against
@@ -268,10 +312,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          MediaHeaders.decodePixelPng(bytes).map(f => (id, dHash56(f)))
+          decodePixelImage(bytes).map(f => (id, dHash56(f)))
         }
       }.toDF("doc_id", "phash")
   }
+
+  /** Format-sniffed pixel decode: PNG ([[MediaHeaders.decodePixelPng]])
+    * or baseline grayscale JPEG ([[MediaHeaders.decodePixelJpeg]],
+    * round 12) — the two real codecs behind the phash path; anything
+    * else (undecodable or out-of-scope streams) is None.
+    */
+  private def decodePixelImage(
+      bytes: Array[Byte]): Option[MediaHeaders.PixelFrame] =
+    if (MediaHeaders.isPng(bytes)) MediaHeaders.decodePixelPng(bytes)
+    else MediaHeaders.decodePixelJpeg(bytes)
 
   /** The 56-bit dHash of one decoded frame — the packing
     * [[imagePerceptualHash]] documents, shared with the per-frame

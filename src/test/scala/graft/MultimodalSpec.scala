@@ -476,6 +476,93 @@ class MultimodalSpec extends AnyFunSuite {
       "no doc was gated on image canonicality — fixture too weak")
   }
 
+  test("baseline JPEG codec: lossless on block-constant images, ImageIO pins both directions") {
+    val rnd = new scala.util.Random(31)
+    val (w, h) = (24, 16) // 3x2 JPEG blocks
+    val gray = new Array[Byte](w * h)
+    val blocks = Array.fill(6)(rnd.nextInt(256))
+    for (y <- 0 until h; x <- 0 until w)
+      gray(y * w + x) = blocks((y / 8) * 3 + (x / 8)).toByte
+    val jpg = MediaHeaders.buildPixelJpeg(w, h, gray)
+    // block-constant content carries only DC coefficients, and the
+    // flat-8 quant step divides 8*(g-128) exactly: LOSSLESS round-trip
+    val f = MediaHeaders.decodePixelJpeg(jpg)
+      .getOrElse(fail("own JPEG did not decode"))
+    assert(f.width === w && f.height === h && f.channels === 1)
+    assert(f.pixels.toSeq === gray.toSeq)
+    // the INDEPENDENT decoder reads our file to the same bytes
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO rejected our JPEG")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === (gray(y * w + x) & 0xff),
+        s"ImageIO diverged at ($x,$y)")
+    // NOISY content (real ACs, runs, ZRL, odd dims → edge-padded
+    // blocks): same file through both decoders — two conforming IDCTs
+    // may differ by at most ±1 (ISO 10918-1 decoder accuracy)
+    val (nw, nh) = (21, 13)
+    val noisy = Array.fill(nw * nh)(rnd.nextInt(256).toByte)
+    val jn = MediaHeaders.buildPixelJpeg(nw, nh, noisy)
+    val fn = MediaHeaders.decodePixelJpeg(jn)
+      .getOrElse(fail("noisy JPEG did not decode"))
+    val in2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jn))
+    assert(in2 != null && in2.getWidth === nw && in2.getHeight === nh)
+    for (y <- 0 until nh; x <- 0 until nw) {
+      val d = math.abs((fn.pixels(y * nw + x) & 0xff) -
+        in2.getRaster.getSample(x, y, 0))
+      assert(d <= 1, s"decoders diverged by $d at ($x,$y)")
+    }
+    // the REVERSE pin: an ImageIO-ENCODED grayscale JPEG (standard
+    // Annex K tables, real quality-75 quantization) through our decoder
+    // vs ImageIO's own decode of the same bytes — ±1 again
+    val src = new java.awt.image.BufferedImage(
+      23, 17, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 17; x <- 0 until 23)
+      src.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", out))
+    val ioJpg = out.toByteArray
+    val fio = MediaHeaders.decodePixelJpeg(ioJpg)
+      .getOrElse(fail("ImageIO JPEG did not decode"))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ioJpg))
+    assert(fio.width === 23 && fio.height === 17)
+    for (y <- 0 until 17; x <- 0 until 23) {
+      val d = math.abs((fio.pixels(y * 23 + x) & 0xff) -
+        ref.getRaster.getSample(x, y, 0))
+      assert(d <= 1, s"our decode diverged from ImageIO by $d at ($x,$y)")
+    }
+    // header-fixture JPEGs (text bytes as entropy data) and garbage
+    // refuse cleanly — the phash path just drops them, as before
+    assert(MediaHeaders.decodePixelJpeg(
+      MediaHeaders.buildJpeg(3, 3, Array[Byte](1, 2, 3))) === None)
+    assert(MediaHeaders.decodePixelJpeg("not a jpeg".getBytes) === None)
+  }
+
+  test("mixed PNG/JPEG corpus hashes to the same generator formula") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachPixelImagesMixed(docs)
+    val hashes = Multimodal.imagePerceptualHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // EVERY image doc hashes — the JPEG half is not dropped
+    assert(hashes.size === media.count())
+    def g(seed: Int, p: Int)(bx: Int, by: Int) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${seed}_${bx}_${by}".getBytes("UTF-8"))
+      (d(0) & 0xff) % 200 + (if (bx == p && by == p) 40 else 0)
+    }
+    hashes.foreach { case (id, ph) =>
+      val seed = (id % 40).toInt; val p = (id / 40 % 5).toInt
+      val want = (for (by <- 0 until 7; bx <- 0 until 8
+                       if g(seed, p)(bx + 1, by) > g(seed, p)(bx, by))
+        yield 1L << (by * 8 + bx)).sum
+      assert(ph === want,
+        s"doc $id (${if (id / 3 % 2 == 0) "png" else "jpeg"}) hash diverged")
+    }
+    // both container formats are actually present in the fixture
+    assert(hashes.keys.exists(id => id / 3 % 2 == 0) &&
+      hashes.keys.exists(id => id / 3 % 2 != 0))
+  }
+
   test("crafted IHDR dimensions refuse cleanly, never overflow the allocation") {
     val rnd = new scala.util.Random(23)
     val good = MediaHeaders.buildPixelPng(6, 4, Array.fill(6 * 4 * 3)(rnd.nextInt(256).toByte))

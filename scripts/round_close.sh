@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-close bench recording + coverage GATE (round-11 verdict item 1).
+#
+# Round 11 shipped no builder-side full-bench artifact while its notes
+# claimed one existed — the third form of end-of-round drift in three
+# rounds. This script turns the checklist rule into an assertion:
+#  1. records the FULL per-query bench (every SparkEntry.queries key,
+#     3 interleaved runs, probe bracket — graft.Bench's standard output)
+#     to BENCH_full_r<N>.json, and
+#  2. FAILS unless the artifact covers the live query surface exactly
+#     (queries ∪ errors == graft.QueryNames), so a truncated recording
+#     or a post-notes query can never ship silently again.
+#
+# usage: scripts/round_close.sh <round>       # e.g. scripts/round_close.sh 12
+set -e
+cd "$(dirname "$0")/.."
+N=${1:?usage: round_close.sh <round number>}
+OUT="BENCH_full_r${N}.json"
+sbt -batch compile >/dev/null 2>&1
+echo "[round_close] recording full bench to $OUT (every query, 3 runs + probe)"
+SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+  scripts/run_verify.sh graft.Bench 2>/dev/null | tail -1 > "$OUT"
+scripts/run_verify.sh graft.QueryNames 2>/dev/null > /tmp/graft_query_names.txt
+python3 - "$OUT" /tmp/graft_query_names.txt <<'EOF'
+import json, sys
+bench = json.load(open(sys.argv[1]))
+covered = set(bench.get("queries", {})) | set(bench.get("errors", {}))
+live = set(l.strip() for l in open(sys.argv[2]) if l.strip())
+missing = sorted(live - covered)
+extra = sorted(covered - live)
+if missing or extra:
+    print(f"[round_close] COVERAGE GATE FAILED: missing={missing} extra={extra}")
+    sys.exit(1)
+errs = bench.get("errors", {})
+print(f"[round_close] gate OK: {len(covered)} queries covered, "
+      f"{len(errs)} errors{': ' + str(errs) if errs else ''}, "
+      f"total {bench.get('value')}s, probe {bench.get('probe', {}).get('median')}s")
+EOF

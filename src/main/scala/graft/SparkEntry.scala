@@ -764,6 +764,34 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(s,
         Multimodal.attachVideoFrames(Tables.documents(s, d)))
         .orderBy("doc_a", "doc_b")),
+    // video dedup clusters: connected components over the frame-hash
+    // overlap pair graph (the shared min-label CC loop) — pairs →
+    // clusters for video exactly as the image/text/embedding modalities
+    "multimodal_video_clusters" -> ((s, d) => {
+      val media = Multimodal.attachVideoFrames(Tables.documents(s, d))
+      Dedup.clustersFromPairs(
+        media.select(col("doc_id")),
+        Multimodal.videoNearDupPairs(s, media).select("doc_a", "doc_b"))
+        .orderBy("doc_id")
+    }),
+    // query-by-audio serving: three EXTERNAL query WAVs from a
+    // closed-form PCM generator (amplitudes the oracle replays
+    // digit-exact), decoded + fingerprinted through the same real PCM
+    // path as the store, ranked top-5 by (hamming, doc_id)
+    "multimodal_audio_search" -> ((s, d) =>
+      Multimodal.audioSearch(s,
+        Multimodal.attachMedia(Tables.documents(s, d)),
+        Multimodal.syntheticQueryAudio(s, Seq(11, 23, 42)))
+        .orderBy("query_id", "rank")),
+    // query-by-video serving: three EXTERNAL 2-keyframe query
+    // containers, split + pixel-decoded through the ingest path,
+    // ranked top-5 by DISTINCT shared frame hashes — candidates from
+    // the frame-hash equi-join (bucketed, never a corpus scan)
+    "multimodal_video_search" -> ((s, d) =>
+      Multimodal.videoSearch(s,
+        Multimodal.attachVideoFrames(Tables.documents(s, d)),
+        Multimodal.syntheticQueryVideos(s, Seq((3, 0), (9, 5), (17, 2))))
+        .orderBy("query_id", "rank")),
     // BM25 top-10 retrieval for the corpus's own head terms (scores
     // rounded BEFORE ranking so the rank order is cross-engine exact)
     "text_bm25" -> ((s, d) =>
@@ -3524,6 +3552,142 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |WHERE n >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the video pair chain + the recursive transitive closure (the
+    // image-clusters pattern): min reachable doc_id labels the cluster,
+    // singleton videos label themselves
+    "multimodal_video_clusters" ->
+      """WITH RECURSIVE
+        |vid AS (SELECT doc_id, (doc_id // 3) % 24 AS seed,
+        |               ((doc_id // 3) // 24) % 7 AS off
+        |        FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, seed, f.v AS frame_idx, (off + f.v) % 7 AS p
+        |       FROM vid, generate_series(0, 3) f(v)),
+        |bits AS (SELECT fr.doc_id, fr.frame_idx,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM fr, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx, CAST(sum(bit) AS BIGINT) AS fhash
+        |  FROM bits GROUP BY doc_id, frame_idx),
+        |fh AS MATERIALIZED (SELECT DISTINCT doc_id, fhash FROM ph),
+        |keep AS (SELECT fhash FROM fh GROUP BY fhash HAVING count(*) <= 1024),
+        |fhk AS MATERIALIZED (
+        |  SELECT fh.doc_id, fh.fhash FROM fh JOIN keep USING (fhash)),
+        |pr AS MATERIALIZED (
+        |  SELECT doc_a, doc_b
+        |  FROM (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n
+        |        FROM fhk x JOIN fhk y
+        |          ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+        |        GROUP BY 1, 2)
+        |  WHERE n >= 2),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u)
+        |SELECT vi.doc_id, coalesce(min(r.v), vi.doc_id) AS cluster_id
+        |FROM vid vi LEFT JOIN reach r ON r.u = vi.doc_id
+        |GROUP BY vi.doc_id
+        |ORDER BY vi.doc_id""".stripMargin,
+    // query-by-audio serving: the store fingerprints re-derived from
+    // character codes (the audio_neardup chain) + the query PCM's
+    // closed-form generator replayed digit-exact — 570 samples, so
+    // every one of the 57 balanced windows holds exactly 10
+    "multimodal_audio_search" ->
+      """WITH a AS (SELECT doc_id, text, CAST(strlen(text) // 2 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i, text FROM a),
+        |sv AS (SELECT doc_id,
+        |              CAST(i * 57 // n AS INTEGER) AS w,
+        |              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+        |       FROM (SELECT doc_id, n, i,
+        |                    ascii(text[CAST(2*i+1 AS INTEGER)])
+        |                    + 256 * ascii(text[CAST(2*i+2 AS INTEGER)]) AS u
+        |             FROM s)),
+        |g AS (SELECT doc_id, w, CAST(sum(abs(x)) AS BIGINT) AS sm,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM sv GROUP BY doc_id, w),
+        |bits AS (SELECT a.doc_id,
+        |                CASE WHEN coalesce(g2.sm, 0) * coalesce(g1.c, 0)
+        |                        > coalesce(g1.sm, 0) * coalesce(g2.c, 0)
+        |                     THEN 1::BIGINT << wq.v ELSE 0::BIGINT END AS bit
+        |         FROM a CROSS JOIN generate_series(0, 55) wq(v)
+        |         LEFT JOIN g g1 ON g1.doc_id = a.doc_id AND g1.w = wq.v
+        |         LEFT JOIN g g2 ON g2.doc_id = a.doc_id AND g2.w = wq.v + 1),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS afp
+        |  FROM bits GROUP BY doc_id),
+        |q(query_id, seed) AS (
+        |  VALUES (CAST(0 AS BIGINT), CAST(11 AS BIGINT)), (1, 23), (2, 42)),
+        |qs AS (SELECT query_id,
+        |              CAST(i.v * 57 // 570 AS INTEGER) AS w,
+        |              abs(((seed * 7919 + i.v * 104729 + i.v * i.v * 31)
+        |                   % 4001) - 2000) AS ax
+        |       FROM q, generate_series(0, 569) i(v)),
+        |qg AS (SELECT query_id, w, CAST(sum(ax) AS BIGINT) AS sm,
+        |              CAST(count(*) AS BIGINT) AS c
+        |       FROM qs GROUP BY query_id, w),
+        |qbits AS (SELECT q.query_id,
+        |                 CASE WHEN g2.sm * g1.c > g1.sm * g2.c
+        |                      THEN 1::BIGINT << wq.v ELSE 0::BIGINT END AS bit
+        |          FROM q CROSS JOIN generate_series(0, 55) wq(v)
+        |          JOIN qg g1 ON g1.query_id = q.query_id AND g1.w = wq.v
+        |          JOIN qg g2 ON g2.query_id = q.query_id AND g2.w = wq.v + 1),
+        |qph AS (SELECT query_id, CAST(sum(bit) AS BIGINT) AS qfp
+        |        FROM qbits GROUP BY query_id),
+        |scored AS (SELECT qph.query_id, ph.doc_id,
+        |                  CAST(bit_count(xor(qph.qfp, ph.afp)) AS INTEGER) AS hamming
+        |           FROM qph CROSS JOIN ph)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, hamming
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY hamming, doc_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // query frames replayed through the same per-frame md5 formula as
+    // the store; candidates = exact-hash join, rank by shared desc
+    "multimodal_video_search" ->
+      """WITH vid AS (SELECT doc_id, (doc_id // 3) % 24 AS seed,
+        |                    ((doc_id // 3) // 24) % 7 AS off
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT 's' AS side, doc_id, seed, (off + f.v) % 7 AS p
+        |       FROM vid, generate_series(0, 3) f(v)),
+        |q(query_id, seed, o) AS (
+        |  VALUES (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |         (1, 9, 5), (2, 17, 2)),
+        |qfr AS (SELECT 'q' AS side, query_id AS doc_id, seed, (o + f.v) % 7 AS p
+        |        FROM q, generate_series(0, 1) f(v)),
+        |allfr AS (SELECT * FROM fr UNION ALL SELECT * FROM qfr),
+        |bits AS (SELECT a.side, a.doc_id, a.p,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM allfr a, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS MATERIALIZED (
+        |  SELECT side, doc_id, CAST(sum(bit) AS BIGINT) AS fhash
+        |  FROM bits GROUP BY side, doc_id, p),
+        |fh AS (SELECT DISTINCT doc_id, fhash FROM ph WHERE side = 's'),
+        |qfh AS (SELECT DISTINCT doc_id AS query_id, fhash FROM ph WHERE side = 'q'),
+        |scored AS (SELECT qfh.query_id, fh.doc_id,
+        |                  CAST(count(*) AS BIGINT) AS shared_frames
+        |           FROM fh JOIN qfh USING (fhash)
+        |           GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, shared_frames
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY shared_frames DESC, doc_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id,
         |       CAST(byte_offset // 100 AS INTEGER) AS frame_idx,

@@ -598,6 +598,64 @@ object Multimodal {
     bandedHammingPairs(
       audioFingerprint(spark, media), "afp", maxHamming, bucketCap)
 
+  /** Synthetic EXTERNAL query audio for [[audioSearch]]: `nSamples`
+    * 16-bit PCM samples from a closed-form integer generator
+    * (`((seed·7919 + i·104729 + i²·31) mod 4001) − 2000`, amplitudes
+    * the oracle replays digit-exact), packed LE into a real WAV
+    * container — the query blobs then run the SAME container parse +
+    * PCM decode + fingerprint path as the stored corpus. The default
+    * 570 samples make every one of the 57 energy windows exactly
+    * 10 samples, so the balanced-window math is trivially replayable.
+    */
+  def syntheticQueryAudio(
+      spark: SparkSession, seeds: Seq[Int],
+      nSamples: Int = 570): DataFrame = {
+    import spark.implicits._
+    seeds.zipWithIndex.map { case (seed, qi) =>
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val x = ((seed * 7919 + i * 104729 + i * i * 31) % 4001) - 2000
+        val u = if (x < 0) x + 65536 else x
+        pcm(2 * i) = (u & 0xff).toByte
+        pcm(2 * i + 1) = ((u >> 8) & 0xff).toByte
+        i += 1
+      }
+      MediaRecord(qi.toLong, "audio",
+        MediaHeaders.buildWav(channels = 1, sampleRate = 8000, pcm))
+    }.toDF()
+  }
+
+  /** Query-by-audio serving: rank the stored audio corpus for EXTERNAL
+    * query WAVs — decode each query through the same real PCM path,
+    * fingerprint it ([[audioFingerprint]]), and return the top-`k`
+    * stored docs per query by (hamming asc, doc_id asc). Identical
+    * serving shape to [[phashSearch]]: the request-sized query set
+    * BROADCASTS, the scan is one map-only pass over the corpus
+    * fingerprints, and the per-query top-k is a window over query_id
+    * (as many partitions as queries — never a global sort). The banded
+    * index remains the pruned path when a hamming cut is acceptable;
+    * exact top-k must not miss a best match outside the cut, so the
+    * baseline scans.
+    */
+  def audioSearch(
+      spark: SparkSession, media: DataFrame,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val corpus = audioFingerprint(spark, media)
+    val q = audioFingerprint(spark, queries)
+      .select(col("doc_id").as("query_id"), col("afp").as("qfp"))
+    val scored = corpus.join(broadcast(q))
+      .select(col("query_id"), col("doc_id"),
+        bit_count(col("qfp").bitwiseXOR(col("afp")))
+          .cast("int").as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("hamming"))
+  }
+
   /** The INCREMENTAL form of [[bandedHammingPairs]]: canonicalized
     * pairs with at least one endpoint in `newSigs`, against `allSigs` —
     * new×store only, old×old never recomputed (the cross-corpus-dedup
@@ -740,10 +798,76 @@ object Multimodal {
   def videoNearDupPairs(
       spark: SparkSession, media: DataFrame,
       minShared: Int = 2,
-      hotCap: Int = 1024): DataFrame = {
-    val fh = graft.engine.OpCache.materialize(
-      videoFrameHashes(spark, media)
-        .select(col("doc_id"), col("fhash")).distinct())
+      hotCap: Int = 1024): DataFrame =
+    frameOverlapPairs(
+      graft.engine.OpCache.materialize(
+        videoFrameHashes(spark, media)
+          .select(col("doc_id"), col("fhash")).distinct()),
+      minShared, hotCap)
+
+  /** Synthetic EXTERNAL query videos for [[videoSearch]]: a 2-keyframe
+    * container per `(seed, startOff)` spec — frames render `(seed,
+    * (startOff + f) % 7)` for f ∈ {0, 1} through the SAME generator as
+    * the stored containers, so a query shares byte-identical frames
+    * with exactly the stored videos whose 4-frame window overlaps its
+    * 2-frame window on the same seed. Shorter than any stored video,
+    * so no query container equals a stored one.
+    */
+  def syntheticQueryVideos(
+      spark: SparkSession, specs: Seq[(Int, Int)]): DataFrame = {
+    import spark.implicits._
+    specs.zipWithIndex.map { case ((seed, startOff), qi) =>
+      val out = new ByteArrayOutputStream()
+      var f = 0
+      while (f < 2) {
+        val png = renderGrayPng(seed, (startOff + f) % VideoOffsets)
+        out.write(png, 0, png.length)
+        f += 1
+      }
+      (qi.toLong, out.toByteArray)
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Query-by-video serving: rank the stored videos for EXTERNAL query
+    * containers by DISTINCT shared frame hashes (desc, then doc_id asc),
+    * top-`k` per query — the video sibling of [[phashSearch]] /
+    * [[audioSearch]], but bucketed instead of scanned: candidates come
+    * from an EQUI-JOIN on the exact frame hash (only videos sharing ≥ 1
+    * frame with the query are candidates — a video sharing nothing
+    * cannot outrank one sharing something, so the equi-join loses no
+    * top-k member and the corpus is never cross-joined). Query frames
+    * decode through the same container split + pixel path as ingest;
+    * the per-query top-k is a window over query_id.
+    */
+  def videoSearch(
+      spark: SparkSession, media: DataFrame,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val corpus = videoFrameHashes(spark, media)
+      .select(col("doc_id"), col("fhash")).distinct()
+    val q = videoFrameHashes(spark, queries)
+      .select(col("doc_id").as("query_id"), col("fhash")).distinct()
+    val scored = corpus.join(q, "fhash")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared_frames"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("shared_frames").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("shared_frames"))
+  }
+
+  /** The shared frame-overlap pair former over DISTINCT `(doc_id,
+    * fhash)` rows — the plan both [[videoNearDupPairs]] and the
+    * streaming frame-hash store's merged read
+    * ([[graft.streaming.StreamOps.readVideoNearDupPairs]]) run, so
+    * stored and batch pair sets are identical by construction. `fh`
+    * must already be distinct and cheap to rescan (materialized frame
+    * hashes or a parquet state table — it is referenced three times).
+    */
+  private[graft] def frameOverlapPairs(
+      fh: DataFrame, minShared: Int, hotCap: Int): DataFrame = {
     val keep = fh.groupBy(col("fhash"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= hotCap)

@@ -2165,6 +2165,139 @@ object StreamOps {
       .dropDuplicates("doc_id")
   }
 
+  // ── streaming VIDEO frame-hash maintenance ─────────────────────────
+  // The video twin of the hamming-fingerprint maintenance above: the
+  // stored signature is a SET of per-frame 56-bit dHashes per container
+  // (multi-row), and the pair machinery is the shared frame-overlap
+  // equi-join ([[graft.operators.Multimodal.frameOverlapPairs]]).
+
+  /** Streaming VIDEO near-dup maintenance: each micro-batch of NEW video
+    * containers lands its DISTINCT `(doc_id, fhash)` per-frame hashes
+    * (REAL per-frame pixel decode —
+    * [[graft.operators.Multimodal.videoFrameHashes]]; the frame-hash
+    * set is a pure function of the payload, so at-least-once replays
+    * land value-identical rows) as a replay-idempotent `batch_id=N`
+    * partition. Per-batch work is O(batch); state is 8 bytes × frames
+    * per container — the container is decoded exactly once, at ingest,
+    * and never re-read by any pair read below. Input rows need
+    * `(doc_id, payload)`.
+    */
+  def videoFrameHashSink(
+      media: DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        graft.operators.Multimodal.videoFrameHashes(batch.sparkSession, batch)
+          .select(col("doc_id"), col("fhash")).distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** The accumulated frame-hash store, ownership-resolved: a doc_id
+    * REDELIVERED in a later batch resolves to its EARLIEST batch's rows
+    * (min batch_id per doc — the multi-row form of the hamming store's
+    * min-(batch_id, sig) rule; rows are value-identical across replays,
+    * ownership only fixes which batch the incremental read treats as
+    * "new"). `asOfBatch` = the store as of batch N.
+    */
+  def readVideoFrameHashes(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame =
+    ownedVideoFrameHashes(spark, stateDir, asOfBatch)
+      .select(col("doc_id"), col("fhash")).distinct()
+
+  private def ownedVideoFrameHashes(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long]): DataFrame = {
+    val upTo = stateAsOf(spark, stateDir, asOfBatch)
+    val own = upTo.groupBy(col("doc_id"))
+      .agg(min(col("batch_id")).as("batch_id"))
+    upTo.join(own, Seq("doc_id", "batch_id"))
+      .select(col("doc_id"), col("batch_id"), col("fhash")).distinct()
+  }
+
+  /** Whole-store video near-dup pairs, merged on read: the IDENTICAL
+    * frame-overlap plan (and therefore the identical pair set) as the
+    * batch [[graft.operators.Multimodal.videoNearDupPairs]] over the
+    * full corpus — without ever re-decoding a container.
+    */
+  def readVideoNearDupPairs(
+      spark: SparkSession, stateDir: String,
+      minShared: Int = 2, hotCap: Int = 1024,
+      asOfBatch: Option[Long] = None): DataFrame =
+    graft.operators.Multimodal.frameOverlapPairs(
+      readVideoFrameHashes(spark, stateDir, asOfBatch), minShared, hotCap)
+
+  /** The INCREMENTAL read: frame-overlap pairs with at least one
+    * endpoint NEW in `batchId`, against everything ingested up to and
+    * including it — new×store only, old×old never recomputed. UNCAPPED
+    * (no hot-frame df cut), the minhash/hamming incremental precedent:
+    * the df cut is corpus-wide batch-analysis pruning, and a frame
+    * crossing the cap in a LATER batch would retroactively disagree
+    * with pairs already surfaced. Containers arrive whole, so a pair's
+    * shared-frame count is final the moment its later endpoint lands —
+    * the union of this read over all batches partitions the uncapped
+    * [[readVideoNearDupPairs]] pair set (StreamOpsSpec proves it).
+    * The canonicalized `(doc_a, doc_b, fhash)` rows are DISTINCT before
+    * the count, so a both-endpoints-new pair (emitted once per side by
+    * the new×all join) still counts each shared frame exactly once.
+    */
+  def newVideoPairsForBatch(
+      spark: SparkSession, stateDir: String, batchId: Long,
+      minShared: Int = 2): DataFrame = {
+    val rows = ownedVideoFrameHashes(spark, stateDir, Some(batchId))
+    val newRows = rows.where(col("batch_id") === batchId).drop("batch_id")
+    val allRows = rows.drop("batch_id")
+    newRows.as("x").join(allRows.as("y"),
+        col("x.fhash") === col("y.fhash") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        col("x.fhash").as("fhash"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
+  /** Fold the frame-hash store's batch partitions into one compacted
+    * snapshot with the standard `through`-watermark sidecar — the
+    * [[compactHammingSignatures]] contract for the multi-row store
+    * (rows are payload-pure, so batch-blind distinct is exact).
+    */
+  def compactVideoFrameHashes(
+      spark: SparkSession, stateDir: String, outDir: String): Unit = {
+    val through = maxBatchId(spark, stateDir).getOrElse(throw
+      new IllegalStateException(s"no batch partitions to compact at $stateDir"))
+    spark.read.parquet(stateDir)
+      .where(col("batch_id") <= through)
+      .select(col("doc_id"), col("fhash")).distinct()
+      .write.mode("errorifexists").parquet(outDir)
+    writeCompactedThrough(spark, outDir, through)
+  }
+
+  /** [[readVideoFrameHashes]] through a compacted snapshot plus the
+    * live batches above its watermark — the combined-reader contract
+    * that licenses [[vacuumStateTable]] on the covered partitions.
+    */
+  def readVideoFrameHashesCompacted(
+      spark: SparkSession, compactedDir: String, stateDir: String): DataFrame = {
+    val through = readCompactedThrough(spark, compactedDir)
+    val live = spark.read.parquet(stateDir)
+      .where(col("batch_id") > through)
+      .select(col("doc_id"), col("fhash"))
+    live.unionByName(spark.read.parquet(compactedDir)).distinct()
+  }
+
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
     * per event type as a replay-idempotent `batch_id=N` partition.
     * Distinct counts are the canonical NON-additive statistic — per-batch

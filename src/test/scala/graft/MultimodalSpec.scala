@@ -581,4 +581,103 @@ class MultimodalSpec extends AnyFunSuite {
     // the untampered blob still decodes (the guard rejects nothing real)
     assert(MediaHeaders.decodePixelPng(good).nonEmpty)
   }
+
+  test("video clusters equal union-find over the brute-force pair set") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachVideoFrames(docs)
+    val got = graft.operators.Dedup.clustersFromPairs(
+      media.select(org.apache.spark.sql.functions.col("doc_id")),
+      Multimodal.videoNearDupPairs(spark, media).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find over the (already brute-force-verified) pair set
+    val ids = media.select("doc_id").collect().map(_.getLong(0)).sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    Multimodal.videoNearDupPairs(spark, media).collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val expect = ids.map { i =>
+      i -> ids.filter(j => find(j) == find(i)).min
+    }.toMap
+    assert(got === expect)
+    // full-duplicate videos (same seed+offset) must co-cluster, and at
+    // least one non-trivial cluster exists in the fixture
+    assert(expect.values.toSet.size < ids.length,
+      "fixture produced no non-trivial video cluster")
+  }
+
+  test("video search: per-query top-k equals brute-force shared-frame ranking") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachVideoFrames(docs)
+    val queries = Multimodal.syntheticQueryVideos(
+      spark, Seq((3, 0), (9, 5), (17, 2)))
+    // the query container is REAL: it splits into 2 decodable frames
+    val qBlob = queries.collect().head.getAs[Array[Byte]]("payload")
+    val qFrames = MediaHeaders.splitConcatenatedPngs(qBlob)
+    assert(qFrames.length === 2)
+    assert(qFrames.forall(f => MediaHeaders.decodePixelPng(f).nonEmpty))
+    val got = Multimodal.videoSearch(spark, media, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val store = Multimodal.videoFrameHashes(spark, media).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(4)).toSet }
+    val qh = Multimodal.videoFrameHashes(spark, queries).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(4)).toSet }
+    val expect = qh.toSeq.sortBy(_._1).flatMap { case (qid, qset) =>
+      store.toSeq
+        .map { case (did, fset) => (did, (qset intersect fset).size.toLong) }
+        .filter(_._2 >= 1)
+        .sortBy { case (did, n) => (-n, did) }.take(5).zipWithIndex
+        .map { case ((did, n), i) => (qid, i + 1, did, n) }
+    }
+    assert(got.toSeq === expect)
+    // queries share 2 frames with same-seed stores whose window covers
+    // both query offsets — the top rank must reflect that
+    assert(got.count(_._4 == 2L) > 0, "no 2-frame overlap surfaced")
+  }
+
+  test("audio search: per-query top-k equals brute force; query decode is real") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachMedia(docs)
+    val queries = Multimodal.syntheticQueryAudio(spark, Seq(11, 23, 42))
+    // the query WAV is a REAL container: the JDK's own WAV reader
+    // agrees on its geometry (1 channel, 8000 Hz, 570 frames)
+    val qBlob = queries.collect().head.getAs[Array[Byte]]("payload")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(qBlob))
+    assert(ais.getFormat.getChannels === 1)
+    assert(ais.getFormat.getSampleRate === 8000f)
+    assert(ais.getFrameLength === 570L)
+    val got = Multimodal.audioSearch(spark, media, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    val store = Multimodal.audioFingerprint(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val qh = Multimodal.audioFingerprint(spark, queries).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(qh.length === 3)
+    val expect = qh.flatMap { case (qid, h) =>
+      store.map { case (did, fp) =>
+        (qid, did, java.lang.Long.bitCount(h ^ fp)) }
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((q, d, hd), i) => (q, i + 1, d, hd) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got.toSeq === expect)
+    // the fingerprint really derives from the generator: recompute one
+    // query's 56 bits directly from the closed-form samples
+    val seed = 11
+    val samples = Array.tabulate(570)(i =>
+      ((seed * 7919 + i * 104729 + i * i * 31) % 4001) - 2000)
+    val sums = new Array[Long](57); val cnts = new Array[Long](57)
+    samples.zipWithIndex.foreach { case (x, i) =>
+      val b = i * 57 / 570; sums(b) += math.abs(x.toLong); cnts(b) += 1 }
+    var sig = 0L
+    (0 until 56).foreach { b =>
+      if (sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)) sig |= 1L << b }
+    assert(qh.toMap.apply(0L) === sig)
+  }
 }

@@ -34,9 +34,10 @@ class PlanSpec extends AnyFunSuite {
     // external-query serving: the same bounded query set (a held-out id
     // subset) on the same theta candidate join as sim_ivf_topk
     "sim_ivf_external_topk",
-    // query-by-image serving: the 3-row external query-hash set
-    // broadcast against the corpus hashes (the sim_bruteforce shape)
-    "multimodal_phash_search",
+    // query-by-image/audio serving: the 3-row external query-hash set
+    // broadcast against the corpus fingerprints (the sim_bruteforce
+    // shape; exact top-k must scan, the banded index is the cut path)
+    "multimodal_phash_search", "multimodal_audio_search",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;

@@ -1869,4 +1869,89 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsAt(0L) ++ pairsAt(1L) ++ pairsAt(2L) === whole)
   }
+
+  test("video frame-hash sink: stored pairs equal batch videoNearDupPairs; incremental reads partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vfh-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-vfh-src").toString
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = graft.operators.Multimodal.attachVideoFrames(docs)
+    val schema = media.schema
+    def pump(): Unit = {
+      val fileDf = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamOps.videoFrameHashSink(fileDf, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // two arrival windows; the second run is a checkpointed restart
+    media.where(col("doc_id") < 300).write.mode("append").parquet(srcDir)
+    pump()
+    media.where(col("doc_id") >= 300).write.mode("append").parquet(srcDir)
+    pump()
+    type Pair = (Long, Long, Long)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Pair] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // merged store replays the batch operator's exact pair set,
+    // shared-frame counts included, with no container decoded twice
+    val stored = toSet(StreamOps.readVideoNearDupPairs(spark, s"$dir/state"))
+    val direct = toSet(graft.operators.Multimodal.videoNearDupPairs(spark, media))
+    assert(stored === direct, "stored video pairs diverged from the batch operator")
+    assert(stored.nonEmpty, "fixture produced no video near-dups — nothing proven")
+    // incremental reads partition the UNCAPPED whole-store pair set (the
+    // df cut is batch-analysis pruning, excluded from increments)
+    val uncapped = toSet(StreamOps.readVideoNearDupPairs(
+      spark, s"$dir/state", hotCap = Int.MaxValue))
+    val perBatch = (0L to 1L).map(b =>
+      toSet(StreamOps.newVideoPairsForBatch(spark, s"$dir/state", b)))
+    assert(perBatch.map(_.size).sum === uncapped.size,
+      s"incremental reads overlap or drop: ${perBatch.map(_.size)} vs ${uncapped.size}")
+    assert(perBatch.reduce(_ ++ _) === uncapped)
+    // a cross-window pair exists (surfaced by batch 1), or the restart
+    // path proved nothing
+    assert(perBatch(1).nonEmpty, "no pair surfaced at the later endpoint")
+    // one frame-hash row per (video, distinct frame hash)
+    val fh = StreamOps.readVideoFrameHashes(spark, s"$dir/state")
+    val directFh = graft.operators.Multimodal.videoFrameHashes(spark, media)
+      .select("doc_id", "fhash").distinct()
+    assert(fh.count() === directFh.count())
+    // compaction + vacuum: the combined reader reproduces the live store
+    def fhSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    StreamOps.compactVideoFrameHashes(spark, s"$dir/state", s"$dir/compact")
+    assert(fhSet(StreamOps.readVideoFrameHashesCompacted(
+      spark, s"$dir/compact", s"$dir/state")) === fhSet(fh))
+    assert(StreamOps.vacuumStateTable(
+      spark, s"$dir/state", s"$dir/compact", keepLast = 1) >= 1L)
+    val afterVacuum = StreamOps.readVideoFrameHashesCompacted(
+      spark, s"$dir/compact", s"$dir/state")
+    assert(fhSet(afterVacuum) === fhSet(fh),
+      "combined reader diverged after vacuum")
+    assert(toSet(graft.operators.Multimodal.frameOverlapPairs(
+      afterVacuum, 2, 1024)) === stored,
+      "pairs from the compacted store diverged")
+  }
+
+  test("video incremental reads resolve a redelivered video to its first batch") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft-vfh-redeliver").toString
+    def land(batch: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "fhash").withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("batch_id").parquet(state)
+    // videos 1 and 7 share frames {10, 11}; video 2 shares only {10} with them
+    land(0L, Seq(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 12L))
+    land(1L, Seq(7L -> 10L, 7L -> 11L))
+    // REDELIVERY: video 7 lands again in a LATER batch
+    land(2L, Seq(7L -> 10L, 7L -> 11L))
+    def pairsAt(b: Long): Set[(Long, Long)] =
+      StreamOps.newVideoPairsForBatch(spark, state, b)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0: 1 and 2 share only frame 10 — below minShared, no pair
+    assert(pairsAt(0L) === Set.empty[(Long, Long)])
+    assert(pairsAt(1L) === Set((1L, 7L)))
+    // video 7 is NOT new in batch 2: its pair surfaced at batch 1
+    assert(pairsAt(2L) === Set.empty[(Long, Long)])
+    val whole = StreamOps.readVideoNearDupPairs(spark, state)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(0L) ++ pairsAt(1L) ++ pairsAt(2L) === whole)
+  }
 }

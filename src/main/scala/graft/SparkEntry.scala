@@ -335,6 +335,28 @@ object SparkEntry {
         Dedup.sharedNearDupClusters(docs, cacheKey = d), imgClusters)
         .orderBy("doc_id")
     }),
+    // the FULL multimodal gate: text + image + audio + video cluster
+    // tables composed in one release decision — every near-dup blob in
+    // every modality ships exactly once
+    "pipeline_multimodal_gate_full" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val img = Multimodal.attachPixelImages(docs)
+      val med = Multimodal.attachMedia(docs)
+      val vid = Multimodal.attachVideoFrames(docs)
+      val imgClusters = Dedup.clustersFromPairs(
+        img.select(col("doc_id")),
+        Multimodal.imageNearDupPairs(s, img).select("doc_a", "doc_b"))
+      val audClusters = Dedup.clustersFromPairs(
+        med.where(col("media_type") === "audio").select(col("doc_id")),
+        Multimodal.audioNearDupPairs(s, med).select("doc_a", "doc_b"))
+      val vidClusters = Dedup.clustersFromPairs(
+        vid.select(col("doc_id")),
+        Multimodal.videoNearDupPairs(s, vid).select("doc_a", "doc_b"))
+      Curation.multimodalReleaseGateFull(docs,
+        Dedup.sharedNearDupClusters(docs, cacheKey = d),
+        imgClusters, audClusters, vidClusters)
+        .orderBy("doc_id")
+    }),
     // sliding-window passage chunking (RAG / training-window split);
     // map-only explode, zero shuffle
     "pipeline_chunk_docs" -> ((s, d) =>
@@ -2047,6 +2069,135 @@ object SparkEntry {
          |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en'
          |  AND qq.quality >= 0.5
          |  AND (icl.doc_id IS NULL OR icl.cluster_id = c.doc_id)
+         |ORDER BY c.doc_id""".stripMargin),
+    // the text-gate CTEs plus ALL THREE modality cluster chains (the
+    // image phash, audio energy-fingerprint, and video frame-hash
+    // oracles, i-/a-/v-prefixed): one release decision per doc
+    "pipeline_multimodal_gate_full" -> (curationCtePrefix +
+      s""",
+         |img AS (SELECT doc_id, doc_id % 40 AS seed, (doc_id // 40) % 5 AS ip
+         |        FROM documents WHERE doc_id % 3 = 0),
+         |ibits AS (SELECT i.doc_id,
+         |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+         |            + CASE WHEN c.v+1 = ip AND r.v = ip THEN 40 ELSE 0 END
+         |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+         |            + CASE WHEN c.v = ip AND r.v = ip THEN 40 ELSE 0 END
+         |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+         |  FROM img i, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+         |iph AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+         |  FROM ibits GROUP BY doc_id),
+         |ibands AS MATERIALIZED (
+         |  SELECT doc_id, phash, b.v AS band, (phash >> (b.v*8)) & 255 AS bh
+         |  FROM iph, generate_series(0, 6) b(v)),
+         |ipr AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM ibands x JOIN ibands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.phash, y.phash)) <= 6),
+         |iedges AS (SELECT doc_a AS u, doc_b AS v FROM ipr
+         |           UNION ALL SELECT doc_b, doc_a FROM ipr),
+         |ireach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM iedges)
+         |  UNION
+         |  SELECT e2.u, r.v FROM iedges e2 JOIN ireach r ON e2.v = r.u),
+         |icl AS (SELECT i.doc_id, coalesce(min(r.v), i.doc_id) AS cluster_id
+         |        FROM img i LEFT JOIN ireach r ON r.u = i.doc_id
+         |        GROUP BY i.doc_id),
+         |aud AS (SELECT doc_id, text, CAST(strlen(text) // 2 AS BIGINT) AS n
+         |        FROM documents WHERE doc_id % 3 = 1),
+         |asmp AS (SELECT doc_id, n, unnest(range(0, n)) AS i, text FROM aud),
+         |asv AS (SELECT doc_id,
+         |               CAST(i * 57 // n AS INTEGER) AS w,
+         |               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+         |        FROM (SELECT doc_id, n, i,
+         |                     ascii(text[CAST(2*i+1 AS INTEGER)])
+         |                     + 256 * ascii(text[CAST(2*i+2 AS INTEGER)]) AS u
+         |              FROM asmp)),
+         |ag AS (SELECT doc_id, w, CAST(sum(abs(x)) AS BIGINT) AS sm,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM asv GROUP BY doc_id, w),
+         |abits AS (SELECT aud.doc_id,
+         |                 CASE WHEN coalesce(g2.sm, 0) * coalesce(g1.c, 0)
+         |                         > coalesce(g1.sm, 0) * coalesce(g2.c, 0)
+         |                      THEN 1::BIGINT << wq.v ELSE 0::BIGINT END AS bit
+         |          FROM aud CROSS JOIN generate_series(0, 55) wq(v)
+         |          LEFT JOIN ag g1 ON g1.doc_id = aud.doc_id AND g1.w = wq.v
+         |          LEFT JOIN ag g2 ON g2.doc_id = aud.doc_id AND g2.w = wq.v + 1),
+         |aph AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS afp
+         |  FROM abits GROUP BY doc_id),
+         |abands AS MATERIALIZED (
+         |  SELECT doc_id, afp, b.v AS band, (afp >> (b.v*8)) & 255 AS bh
+         |  FROM aph, generate_series(0, 6) b(v)),
+         |apr AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM abands x JOIN abands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.afp, y.afp)) <= 6),
+         |aedges AS (SELECT doc_a AS u, doc_b AS v FROM apr
+         |           UNION ALL SELECT doc_b, doc_a FROM apr),
+         |areach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM aedges)
+         |  UNION
+         |  SELECT e2.u, r.v FROM aedges e2 JOIN areach r ON e2.v = r.u),
+         |acl AS (SELECT a2.doc_id, coalesce(min(r.v), a2.doc_id) AS cluster_id
+         |        FROM aud a2 LEFT JOIN areach r ON r.u = a2.doc_id
+         |        GROUP BY a2.doc_id),
+         |vvid AS (SELECT doc_id, (doc_id // 3) % 24 AS seed,
+         |                ((doc_id // 3) // 24) % 7 AS voff
+         |         FROM documents WHERE doc_id % 3 = 2),
+         |vfr AS (SELECT doc_id, seed, f.v AS frame_idx, (voff + f.v) % 7 AS vp
+         |        FROM vvid, generate_series(0, 3) f(v)),
+         |vbits AS (SELECT vfr.doc_id, vfr.frame_idx,
+         |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+         |            + CASE WHEN c.v+1 = vp AND r.v = vp THEN 40 ELSE 0 END
+         |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+         |            + CASE WHEN c.v = vp AND r.v = vp THEN 40 ELSE 0 END
+         |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+         |  FROM vfr, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+         |vph AS MATERIALIZED (
+         |  SELECT doc_id, frame_idx, CAST(sum(bit) AS BIGINT) AS fhash
+         |  FROM vbits GROUP BY doc_id, frame_idx),
+         |vfh AS MATERIALIZED (SELECT DISTINCT doc_id, fhash FROM vph),
+         |vkeep AS (SELECT fhash FROM vfh GROUP BY fhash HAVING count(*) <= 1024),
+         |vfhk AS MATERIALIZED (
+         |  SELECT vfh.doc_id, vfh.fhash FROM vfh JOIN vkeep USING (fhash)),
+         |vpr AS MATERIALIZED (
+         |  SELECT doc_a, doc_b
+         |  FROM (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n
+         |        FROM vfhk x JOIN vfhk y
+         |          ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+         |        GROUP BY 1, 2)
+         |  WHERE n >= 2),
+         |vedges AS (SELECT doc_a AS u, doc_b AS v FROM vpr
+         |           UNION ALL SELECT doc_b, doc_a FROM vpr),
+         |vreach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM vedges)
+         |  UNION
+         |  SELECT e2.u, r.v FROM vedges e2 JOIN vreach r ON e2.v = r.u),
+         |vcl AS (SELECT vi.doc_id, coalesce(min(r.v), vi.doc_id) AS cluster_id
+         |        FROM vvid vi LEFT JOIN vreach r ON r.u = vi.doc_id
+         |        GROUP BY vi.doc_id)
+         |SELECT c.doc_id, lp.lang_pred, qq.quality, qq.n_tokens,
+         |       (icl.doc_id IS NOT NULL) AS has_image,
+         |       (acl.doc_id IS NOT NULL) AS has_audio,
+         |       (vcl.doc_id IS NOT NULL) AS has_video
+         |FROM clus c
+         |JOIN lp ON lp.doc_id = c.doc_id
+         |JOIN qq ON qq.doc_id = c.doc_id
+         |LEFT JOIN icl ON icl.doc_id = c.doc_id
+         |LEFT JOIN acl ON acl.doc_id = c.doc_id
+         |LEFT JOIN vcl ON vcl.doc_id = c.doc_id
+         |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en'
+         |  AND qq.quality >= 0.5
+         |  AND (icl.doc_id IS NULL OR icl.cluster_id = c.doc_id)
+         |  AND (acl.doc_id IS NULL OR acl.cluster_id = c.doc_id)
+         |  AND (vcl.doc_id IS NULL OR vcl.cluster_id = c.doc_id)
          |ORDER BY c.doc_id""".stripMargin),
     "text_top_terms" ->
       s"""WITH c AS (

@@ -91,6 +91,42 @@ object Curation {
         col("n_tokens"), col("image_cluster_id").isNotNull.as("has_image"))
   }
 
+  /** The FULL multimodal release gate: [[multimodalReleaseGate]]
+    * extended to EVERY fingerprinted modality — a doc releases only as
+    * the canonical (min-doc_id) copy of its image, audio, AND video
+    * near-dup cluster (absent modalities pass trivially). One doc_id
+    * equi-join per modality over dedup-once cluster tables; nothing
+    * rescans text, pixels, or PCM — the end-to-end curation story for
+    * a corpus whose blobs span all three modalities.
+    */
+  def multimodalReleaseGateFull(
+      docs: DataFrame,
+      textClusters: DataFrame,
+      imageClusters: DataFrame,
+      audioClusters: DataFrame,
+      videoClusters: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val curated = curatedCorpusFromClusters(docs, textClusters, minQuality)
+    def canon(cl: DataFrame, idCol: String): DataFrame =
+      cl.select(col("doc_id"), col("cluster_id").as(idCol))
+    curated
+      .join(canon(imageClusters, "image_cluster_id"), Seq("doc_id"), "left")
+      .join(canon(audioClusters, "audio_cluster_id"), Seq("doc_id"), "left")
+      .join(canon(videoClusters, "video_cluster_id"), Seq("doc_id"), "left")
+      .where(
+        (col("image_cluster_id").isNull ||
+          col("image_cluster_id") === col("doc_id")) &&
+        (col("audio_cluster_id").isNull ||
+          col("audio_cluster_id") === col("doc_id")) &&
+        (col("video_cluster_id").isNull ||
+          col("video_cluster_id") === col("doc_id")))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        col("n_tokens"),
+        col("image_cluster_id").isNotNull.as("has_image"),
+        col("audio_cluster_id").isNotNull.as("has_audio"),
+        col("video_cluster_id").isNotNull.as("has_video"))
+  }
+
   /** [[curatedCorpusFromClusters]] with quality-argmax canonicalization:
     * each near-dup cluster keeps its HIGHEST-quality member (doc_id
     * tie-break) instead of the smallest doc_id — "keep the best copy,

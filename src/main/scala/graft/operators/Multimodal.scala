@@ -461,13 +461,27 @@ object Multimodal {
     */
   def phashSearch(
       spark: SparkSession, media: DataFrame,
-      queries: DataFrame, k: Int = 5): DataFrame = {
-    val corpus = imagePerceptualHash(spark, media)
-    val q = imagePerceptualHash(spark, queries)
-      .select(col("doc_id").as("query_id"), col("phash").as("qhash"))
-    val scored = corpus.join(broadcast(q))
+      queries: DataFrame, k: Int = 5): DataFrame =
+    rankByHamming(
+      imagePerceptualHash(spark, media)
+        .select(col("doc_id"), col("phash").as("sig")),
+      imagePerceptualHash(spark, queries)
+        .select(col("doc_id").as("query_id"), col("phash").as("qsig")),
+      k)
+
+  /** The shared hamming top-k ranker over `(doc_id, sig)` corpus rows
+    * and `(query_id, qsig)` query rows — the serving plan
+    * [[phashSearch]], [[audioSearch]], and the streaming stores'
+    * serving reads ([[graft.streaming.StreamOps.phashSearchStored]])
+    * all run: request-sized query set broadcast, one map-only pass
+    * over the corpus signatures, per-query bounded top-k via a window
+    * over query_id.
+    */
+  private[graft] def rankByHamming(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
       .select(col("query_id"), col("doc_id"),
-        bit_count(col("qhash").bitwiseXOR(col("phash")))
+        bit_count(col("qsig").bitwiseXOR(col("sig")))
           .cast("int").as("hamming"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -640,21 +654,13 @@ object Multimodal {
     */
   def audioSearch(
       spark: SparkSession, media: DataFrame,
-      queries: DataFrame, k: Int = 5): DataFrame = {
-    val corpus = audioFingerprint(spark, media)
-    val q = audioFingerprint(spark, queries)
-      .select(col("doc_id").as("query_id"), col("afp").as("qfp"))
-    val scored = corpus.join(broadcast(q))
-      .select(col("query_id"), col("doc_id"),
-        bit_count(col("qfp").bitwiseXOR(col("afp")))
-          .cast("int").as("hamming"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("hamming"), col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("hamming"))
-  }
+      queries: DataFrame, k: Int = 5): DataFrame =
+    rankByHamming(
+      audioFingerprint(spark, media)
+        .select(col("doc_id"), col("afp").as("sig")),
+      audioFingerprint(spark, queries)
+        .select(col("doc_id").as("query_id"), col("afp").as("qsig")),
+      k)
 
   /** The INCREMENTAL form of [[bandedHammingPairs]]: canonicalized
     * pairs with at least one endpoint in `newSigs`, against `allSigs` —
@@ -841,12 +847,26 @@ object Multimodal {
     */
   def videoSearch(
       spark: SparkSession, media: DataFrame,
-      queries: DataFrame, k: Int = 5): DataFrame = {
-    val corpus = videoFrameHashes(spark, media)
-      .select(col("doc_id"), col("fhash")).distinct()
-    val q = videoFrameHashes(spark, queries)
-      .select(col("doc_id").as("query_id"), col("fhash")).distinct()
-    val scored = corpus.join(q, "fhash")
+      queries: DataFrame, k: Int = 5): DataFrame =
+    rankBySharedFrames(
+      videoFrameHashes(spark, media)
+        .select(col("doc_id"), col("fhash")).distinct(),
+      videoFrameHashes(spark, queries)
+        .select(col("doc_id").as("query_id"), col("fhash")).distinct(),
+      k)
+
+  /** The shared shared-frame top-k ranker over DISTINCT `(doc_id,
+    * fhash)` corpus rows and `(query_id, fhash)` query rows — the plan
+    * [[videoSearch]] and the streaming store's serving read
+    * ([[graft.streaming.StreamOps.videoSearchStored]]) both run:
+    * candidates from the exact frame-hash equi-join (bucketed — a video
+    * sharing zero frames cannot outrank one sharing any, so no top-k
+    * member is lost and the corpus is never cross-joined), per-query
+    * bounded top-k via a window over query_id.
+    */
+  private[graft] def rankBySharedFrames(
+      corpusFh: DataFrame, queryFh: DataFrame, k: Int): DataFrame = {
+    val scored = corpusFh.join(queryFh, "fhash")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared_frames"))
     val w = org.apache.spark.sql.expressions.Window

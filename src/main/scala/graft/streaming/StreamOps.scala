@@ -2298,6 +2298,57 @@ object StreamOps {
     live.unionByName(spark.read.parquet(compactedDir)).distinct()
   }
 
+  // ── serving straight off the fingerprint stores ────────────────────
+  // Query-by-example against the continuously-maintained state tables:
+  // the IDENTICAL ranking plans as the batch serving operators
+  // (Multimodal.phashSearch/audioSearch/videoSearch), with the corpus
+  // side read from the store — raw media is decoded once at ingest and
+  // NEVER re-decoded to serve a query. The request decodes only its own
+  // blobs.
+
+  /** [[graft.operators.Multimodal.phashSearch]] against the
+    * [[phashSink]] store: external query images are pixel-decoded and
+    * hashed; stored corpus hashes rank by (hamming asc, doc_id asc).
+    */
+  def phashSearchStored(
+      spark: SparkSession, stateDir: String,
+      queries: DataFrame, k: Int = 5,
+      asOfBatch: Option[Long] = None): DataFrame =
+    graft.operators.Multimodal.rankByHamming(
+      readHammingSignatures(spark, stateDir, asOfBatch),
+      graft.operators.Multimodal.imagePerceptualHash(spark, queries)
+        .select(col("doc_id").as("query_id"), col("phash").as("qsig")),
+      k)
+
+  /** [[graft.operators.Multimodal.audioSearch]] against the
+    * [[audioFingerprintSink]] store. The two hamming stores share a
+    * schema but NOT a signature space — point this at the audio store.
+    */
+  def audioSearchStored(
+      spark: SparkSession, stateDir: String,
+      queries: DataFrame, k: Int = 5,
+      asOfBatch: Option[Long] = None): DataFrame =
+    graft.operators.Multimodal.rankByHamming(
+      readHammingSignatures(spark, stateDir, asOfBatch),
+      graft.operators.Multimodal.audioFingerprint(spark, queries)
+        .select(col("doc_id").as("query_id"), col("afp").as("qsig")),
+      k)
+
+  /** [[graft.operators.Multimodal.videoSearch]] against the
+    * [[videoFrameHashSink]] store: ranked by DISTINCT shared frame
+    * hashes via the exact-hash equi-join — bucketed, never a corpus
+    * scan, exactly as the batch operator.
+    */
+  def videoSearchStored(
+      spark: SparkSession, stateDir: String,
+      queries: DataFrame, k: Int = 5,
+      asOfBatch: Option[Long] = None): DataFrame =
+    graft.operators.Multimodal.rankBySharedFrames(
+      readVideoFrameHashes(spark, stateDir, asOfBatch),
+      graft.operators.Multimodal.videoFrameHashes(spark, queries)
+        .select(col("doc_id").as("query_id"), col("fhash")).distinct(),
+      k)
+
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
     * per event type as a replay-idempotent `batch_id=N` partition.
     * Distinct counts are the canonical NON-additive statistic — per-batch

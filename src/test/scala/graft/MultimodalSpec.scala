@@ -582,6 +582,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.decodePixelPng(good).nonEmpty)
   }
 
+  test("full multimodal gate = text gate minus non-canonical copies in ANY modality") {
+    val docs = Tables.documents(spark, sf)
+    val img = Multimodal.attachPixelImages(docs)
+    val med = Multimodal.attachMedia(docs)
+    val vid = Multimodal.attachVideoFrames(docs)
+    def labels(cl: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val imgCl = labels(graft.operators.Dedup.clustersFromPairs(
+      img.select("doc_id"),
+      Multimodal.imageNearDupPairs(spark, img).select("doc_a", "doc_b")))
+    val audCl = labels(graft.operators.Dedup.clustersFromPairs(
+      med.where(org.apache.spark.sql.functions.col("media_type") === "audio")
+        .select("doc_id"),
+      Multimodal.audioNearDupPairs(spark, med).select("doc_a", "doc_b")))
+    val vidCl = labels(graft.operators.Dedup.clustersFromPairs(
+      vid.select("doc_id"),
+      Multimodal.videoNearDupPairs(spark, vid).select("doc_a", "doc_b")))
+    val textClusters = graft.operators.Dedup.nearDupClusters(docs)
+    import spark.implicits._
+    val gate = graft.operators.Curation.multimodalReleaseGateFull(
+      docs, textClusters,
+      imgCl.toSeq.toDF("doc_id", "cluster_id"),
+      audCl.toSeq.toDF("doc_id", "cluster_id"),
+      vidCl.toSeq.toDF("doc_id", "cluster_id"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    val curated = graft.operators.Curation
+      .curatedCorpusFromClusters(docs, textClusters)
+      .collect().map(_.getLong(0)).toSet
+    val expected = curated.filter { id =>
+      imgCl.get(id).forall(_ == id) &&
+        audCl.get(id).forall(_ == id) && vidCl.get(id).forall(_ == id)
+    }
+    assert(gate.keySet === expected)
+    assert(gate.nonEmpty, "empty gate proves nothing")
+    gate.foreach { case (id, (hi, ha, hv)) =>
+      assert(hi === imgCl.contains(id) && ha === audCl.contains(id) &&
+        hv === vidCl.contains(id), s"modality flags wrong for $id")
+    }
+    // every modality flag appears somewhere, and at least one curated
+    // doc is gated by a NON-image modality (else audio/video composition
+    // proved nothing beyond the image-only gate)
+    assert(gate.values.exists(_._1) && gate.values.exists(_._2) &&
+      gate.values.exists(_._3))
+    assert((curated -- gate.keySet).exists(id =>
+      audCl.get(id).exists(_ != id) || vidCl.get(id).exists(_ != id)),
+      "no doc gated on audio/video canonicality — fixture too weak")
+  }
+
   test("video clusters equal union-find over the brute-force pair set") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.attachVideoFrames(docs)

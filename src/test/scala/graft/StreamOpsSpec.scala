@@ -1799,6 +1799,16 @@ class StreamOpsSpec extends AnyFunSuite {
     // one signature row per decodable blob
     val sigs = StreamOps.readHammingSignatures(spark, s"$dir/state")
     assert(sigs.count() === media.count())
+    // serving straight off the store == the batch serving operator
+    // (query decoded fresh, corpus never re-decoded)
+    val queries = graft.operators.Multimodal.syntheticQueryImages(
+      spark, Seq((3, 5), (17, 6)))
+    def rankRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    assert(rankRows(StreamOps.phashSearchStored(spark, s"$dir/state", queries))
+      === rankRows(graft.operators.Multimodal.phashSearch(spark, media, queries)),
+      "stored-serving ranking diverged from the batch operator")
     // compaction + vacuum: the combined reader reproduces the live store
     def sigSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1843,6 +1853,15 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(perBatch.map(_.size).sum === stored.size &&
       perBatch.reduce(_ ++ _) === stored,
       s"incremental reads overlap or drop: ${perBatch.map(_.size)} vs ${stored.size}")
+    // serving straight off the store == the batch serving operator
+    val queries = graft.operators.Multimodal.syntheticQueryAudio(
+      spark, Seq(11, 42))
+    def rankRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    assert(rankRows(StreamOps.audioSearchStored(spark, s"$dir/state", queries))
+      === rankRows(graft.operators.Multimodal.audioSearch(spark, media, queries)),
+      "stored-serving ranking diverged from the batch operator")
   }
 
   test("hamming incremental reads resolve a redelivered doc_id to its first batch") {
@@ -1912,6 +1931,15 @@ class StreamOpsSpec extends AnyFunSuite {
     val directFh = graft.operators.Multimodal.videoFrameHashes(spark, media)
       .select("doc_id", "fhash").distinct()
     assert(fh.count() === directFh.count())
+    // serving straight off the store == the batch serving operator
+    val queries = graft.operators.Multimodal.syntheticQueryVideos(
+      spark, Seq((3, 0), (9, 5)))
+    def rankRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    assert(rankRows(StreamOps.videoSearchStored(spark, s"$dir/state", queries))
+      === rankRows(graft.operators.Multimodal.videoSearch(spark, media, queries)),
+      "stored-serving ranking diverged from the batch operator")
     // compaction + vacuum: the combined reader reproduces the live store
     def fhSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

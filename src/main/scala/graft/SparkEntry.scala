@@ -72,6 +72,10 @@ object SparkEntry {
     "agg_distinct_brand_suppliers" -> ((s, d) => Relational.brandSupplierCounts(s, d)),
     // non-equi EXISTS (semi join with a shipdate inequality inside)
     "tpch_q4_late_orders" -> ((s, d) => Relational.latePriorityCounts(s, d)),
+    // segment star with date cuts on both fact sides, top-k by rounded
+    // revenue (Q3 shape; o_orderpriority stands in for shippriority)
+    "tpch_q3_shipping_priority" -> ((s, d) =>
+      Relational.shippingPriorityRevenue(s, d)),
     // scan-only scalar aggregate: every predicate pushed to parquet
     "tpch_q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
     // conditional aggregation over a fact⋈fact join (Q12 shape)
@@ -130,6 +134,14 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshVerifiedPairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")),
+    // text query-by-example: EXTERNAL query docs (every 97th doc minus
+    // its first token, ids at bit 43) probe the corpus through the
+    // minhash band index, candidates verified by EXACT shingle jaccard
+    "dedup_minhash_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashSearch(docs, Dedup.syntheticQueryDocs(docs))
+        .orderBy("query_id", "doc_id")
+    }),
     // exact Levenshtein ≤ 2 join via PassJoin segment blocking (never
     // all-pairs): originals' 24-char prefixes plus a first-char-mutated
     // copy of every 5th doc — distance-1 pairs by construction, exact
@@ -786,6 +798,24 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(s,
         Multimodal.attachVideoFrames(Tables.documents(s, d)))
         .orderBy("doc_a", "doc_b")),
+    // scene-change detection: per-frame dHash hamming vs predecessor
+    // over 6-frame scene containers (two 3-frame scenes, never sharing
+    // a seed); boundary where hamming > 8 — a threshold the generator
+    // separates EXHAUSTIVELY (within-scene <= 3, cross-seed >= 16)
+    "multimodal_video_scenes" -> ((s, d) =>
+      Multimodal.videoSceneBoundaries(s,
+        Multimodal.attachSceneVideos(Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx")),
+    // audio dedup clusters: connected components over the
+    // energy-fingerprint pair graph — completing pairs → clusters for
+    // the audio modality as for image/video/text/embedding
+    "multimodal_audio_clusters" -> ((s, d) => {
+      val media = Multimodal.attachMedia(Tables.documents(s, d))
+      Dedup.clustersFromPairs(
+        media.where(col("media_type") === "audio").select(col("doc_id")),
+        Multimodal.audioNearDupPairs(s, media).select("doc_a", "doc_b"))
+        .orderBy("doc_id")
+    }),
     // video dedup clusters: connected components over the frame-hash
     // overlap pair graph (the shared min-label CC loop) — pairs →
     // clusters for video exactly as the image/text/embedding modalities
@@ -1053,6 +1083,10 @@ object SparkEntry {
     // μ/2, threshold 4S) scaled to 2n units so every value is a long —
     // the sustained-shift alarm beside ts_anomaly's pointwise MAD flags
     "ts_cusum" -> ((s, d) => TimeSeries.cusum(s, d)),
+    // Holt linear-trend smoothing (α=.5, β=.25 dyadic): running
+    // (level, trend) state + one-step-ahead forecast per day — the
+    // short-horizon capacity forecast beside ts_ewma's level smoother
+    "ts_holt" -> ((s, d) => TimeSeries.holt(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1518,6 +1552,23 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q3_shipping_priority" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |         floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+        |           / 100 AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1997-03-15'
+        |    AND l_shipdate > TIMESTAMP '1997-03-15'
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority, revenue
+        |FROM j
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
     "tpch_q6_forecast_revenue" ->
       """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
@@ -1840,6 +1891,37 @@ object SparkEntry {
     // recall is 1.0 on this corpus (DedupSpec) — so the exact pair set IS
     // the expected value
     "dedup_minhash_lsh" -> exactJaccardOracle,
+    // query-by-example replayed exactly: query q = doc (doc_id % 97 = 3)
+    // with its first token dropped, id + 2^43; the expected result is the
+    // EXACT query-shingles × corpus-shingles jaccard at >= 0.5 — equal to
+    // the operator's band-index + exact-verify output wherever banding
+    // recall is 1.0 (this corpus; the near-1 query→seed jaccard regime)
+    "dedup_minhash_search" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                   for i in range(1, len(toks) - 1)])) AS sh
+         |      FROM t),
+         |qt AS (SELECT doc_id + (1::BIGINT << 43) AS query_id,
+         |              toks[2:] AS toks
+         |       FROM t WHERE doc_id % 97 = 3),
+         |qs AS (SELECT query_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                                    for i in range(1, len(toks) - 1)])) AS sh
+         |       FROM qt),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |qz AS (SELECT query_id, count(*) AS n FROM qs GROUP BY query_id),
+         |p AS (SELECT q.query_id, b.doc_id, count(*) AS inter
+         |      FROM qs q JOIN s b ON q.sh = b.sh
+         |      GROUP BY q.query_id, b.doc_id)
+         |SELECT * FROM (
+         |  SELECT p.query_id, p.doc_id,
+         |         CAST(inter AS DOUBLE) / CAST(qa.n + nb.n - inter AS DOUBLE) AS jaccard
+         |  FROM p
+         |  JOIN qz qa ON qa.query_id = p.query_id
+         |  JOIN sz nb ON nb.doc_id = p.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY query_id, doc_id""".stripMargin,
     "dedup_cross_corpus" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |s AS (SELECT doc_id,
@@ -3703,6 +3785,85 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |WHERE n >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the scene-container generator replayed per frame (frames 0-2 =
+    // (seedA, f), 3-5 = (seedB, f-3), seedB offset 1 + u % 23 on the
+    // 24-ring) + lag/xor/bit_count and the running boundary count
+    "multimodal_video_scenes" ->
+      """WITH vid AS (SELECT doc_id,
+        |                    (doc_id // 3) % 24 AS sa,
+        |                    ((doc_id // 3) % 24 + 1 + (doc_id // 3) % 23) % 24 AS sb
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, f.v AS frame_idx,
+        |              CASE WHEN f.v < 3 THEN sa ELSE sb END AS seed,
+        |              f.v % 3 AS p
+        |       FROM vid, generate_series(0, 5) f(v)),
+        |bits AS (SELECT fr.doc_id, fr.frame_idx,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM fr, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS (SELECT doc_id, frame_idx, CAST(sum(bit) AS BIGINT) AS fhash
+        |       FROM bits GROUP BY doc_id, frame_idx),
+        |lg AS (SELECT doc_id, frame_idx, fhash,
+        |              lag(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |       FROM ph)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(bit_count(xor(fhash, prev)) AS INTEGER) AS hamming_prev,
+        |       coalesce(bit_count(xor(fhash, prev)) > 8, FALSE) AS is_boundary,
+        |       CAST(sum(CASE WHEN coalesce(bit_count(xor(fhash, prev)) > 8, FALSE)
+        |                     THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
+        |FROM lg
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the audio fingerprint chain + the recursive transitive closure:
+    // min reachable doc_id labels the cluster, singletons self-label
+    "multimodal_audio_clusters" ->
+      """WITH RECURSIVE
+        |a AS (SELECT doc_id, text, CAST(strlen(text) // 2 AS BIGINT) AS n
+        |      FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i, text FROM a),
+        |sv AS (SELECT doc_id,
+        |              CAST(i * 57 // n AS INTEGER) AS w,
+        |              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+        |       FROM (SELECT doc_id, n, i,
+        |                    ascii(text[CAST(2*i+1 AS INTEGER)])
+        |                    + 256 * ascii(text[CAST(2*i+2 AS INTEGER)]) AS u
+        |             FROM s)),
+        |g AS (SELECT doc_id, w, CAST(sum(abs(x)) AS BIGINT) AS sm,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM sv GROUP BY doc_id, w),
+        |bits AS (SELECT a.doc_id,
+        |                CASE WHEN coalesce(g2.sm, 0) * coalesce(g1.c, 0)
+        |                        > coalesce(g1.sm, 0) * coalesce(g2.c, 0)
+        |                     THEN 1::BIGINT << wq.v ELSE 0::BIGINT END AS bit
+        |         FROM a CROSS JOIN generate_series(0, 55) wq(v)
+        |         LEFT JOIN g g1 ON g1.doc_id = a.doc_id AND g1.w = wq.v
+        |         LEFT JOIN g g2 ON g2.doc_id = a.doc_id AND g2.w = wq.v + 1),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS afp
+        |  FROM bits GROUP BY doc_id),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, afp, b.v AS band, (afp >> (b.v*8)) & 255 AS bh
+        |  FROM ph, generate_series(0, 6) b(v)),
+        |pr AS MATERIALIZED (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.afp, y.afp)) <= 6),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u)
+        |SELECT a.doc_id, coalesce(min(r.v), a.doc_id) AS cluster_id
+        |FROM a LEFT JOIN reach r ON r.u = a.doc_id
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     // the video pair chain + the recursive transitive closure (the
     // image-clusters pattern): min reachable doc_id labels the cluster,
     // singleton videos label themselves
@@ -4796,6 +4957,46 @@ object SparkEntry {
          |       trend, seasonal,
          |       ${OracleRound.duck("n - trend - seasonal", 6)} AS resid
          |FROM w ORDER BY priority, day""".stripMargin,
+    // Holt's recurrence replayed as a RECURSIVE CTE marching the
+    // calendar day by day — row-wise evaluation with the identical IEEE
+    // tree (the level update is spelled out twice inside the trend
+    // update on both engines). NOT list_reduce: DuckDB 1.0.0 evaluates
+    // struct-lambda fields sequentially with the accumulator mutated in
+    // place, so a trend expression referencing acc.l reads the
+    // already-updated level — the recursive join has no such hazard.
+    "ts_holt" -> {
+      val lNew = "0.5 * f.n + 0.5 * (hr.l + hr.b)"
+      s"""WITH RECURSIVE o AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day
+         |           FROM orders
+         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+         |s AS (SELECT priority, day, count(*) AS n FROM o GROUP BY priority, day),
+         |k AS (SELECT DISTINCT priority FROM o),
+         |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+         |                                    DATE '1997-02-28',
+         |                                    INTERVAL 1 DAY))::DATE AS day),
+         |f AS MATERIALIZED (
+         |      SELECT k.priority, d.day, coalesce(s.n, 0)::BIGINT AS n
+         |      FROM k CROSS JOIN d
+         |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
+         |hr(priority, day, l, b) AS (
+         |  SELECT priority, day, CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)
+         |  FROM f WHERE day = DATE '1997-01-01'
+         |  UNION ALL
+         |  SELECT f.priority, f.day,
+         |         $lNew,
+         |         0.25 * (($lNew) - hr.l) + 0.75 * hr.b
+         |  FROM hr JOIN f ON f.priority = hr.priority
+         |             AND f.day = CAST(hr.day + INTERVAL 1 DAY AS DATE))
+         |SELECT hr.priority, strftime(hr.day, '%Y-%m-%d') AS day,
+         |       f.n AS n_orders,
+         |       ${OracleRound.duck("hr.l", 6)} AS level,
+         |       ${OracleRound.duck("hr.b", 6)} AS trend,
+         |       ${OracleRound.duck("hr.l + hr.b", 6)} AS forecast_next
+         |FROM hr JOIN f ON f.priority = hr.priority AND f.day = hr.day
+         |ORDER BY hr.priority, hr.day""".stripMargin
+    },
     // rolling-MAD anomalies: the trailing frame as a sorted integer list;
     // m2 = 2·median and mad4 = 4·MAD stay integers, the 3.5-MAD flag is
     // pure integer comparison — mirrors the engine bit-for-bit

@@ -495,6 +495,116 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ── text query-by-example: near-dup search against the minhash index ─
+
+  /** Synthetic EXTERNAL query documents for [[minhashSearch]]: every
+    * 97th document (doc_id % 97 == 3) re-issued with its FIRST token
+    * dropped — near-but-not-identical to its seed (the shingle set loses
+    * at most one element), the text twin of the image/audio/video query
+    * generators ("a new document arrives: is it already in the corpus?").
+    * Query ids sit at bit 43 (the edit-distance synthetics hold bits
+    * 40–42), disjoint from any real doc_id at any SF. The rebuilt text
+    * is the normalized tail re-joined on single spaces, so re-tokenizing
+    * it yields exactly `tokens(text)[2:]` — which is what the DuckDB
+    * oracle replays.
+    */
+  def syntheticQueryDocs(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.where(col("doc_id") % 97 === 3)
+      .select((col("doc_id") + (1L << 43)).as("doc_id"),
+        array_join(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))), " ")
+          .as("text"))
+  }
+
+  /** Band-bucket candidates for a query set against a signature store:
+    * the query bands equi-join the store bands on `(band, bh)` — the
+    * SAME index probe the pair formers run, so serving cost is
+    * O(queries × collisions), never a corpus scan. No salt cap: the
+    * query side is request-sized, so a hot bucket costs queries×cap at
+    * worst, and capping would cost store-side recall.
+    */
+  private[graft] def searchCandidates(
+      storeSigs: DataFrame, querySigs: DataFrame,
+      numHashes: Int, bands: Int): DataFrame = {
+    val bq = bandedSignatures(querySigs, numHashes, bands)
+      .select(col("doc_id").as("query_id"), col("band"), col("bh"))
+    bq.join(bandedSignatures(storeSigs, numHashes, bands), Seq("band", "bh"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+  }
+
+  /** Signature-only search: band-bucket candidates scored by the
+    * signature-estimate jaccard (matching components / numHashes) — the
+    * form the STREAMING store serves ([[graft.streaming.StreamOps
+    * .minhashSearchStored]]), because the store holds signatures, not
+    * text: a query is answered without re-reading (or ever having kept)
+    * any document body. The estimate is the xxhash64 production form —
+    * spec-anchored ([[minhashSearch]] is the oracle-exact sibling).
+    */
+  def minhashSearchEstimated(
+      storeSigs: DataFrame, querySigs: DataFrame,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = searchCandidates(storeSigs, querySigs, numHashes, bands)
+    val sq = querySigs.select(col("doc_id").as("query_id"), col("sig").as("sig_q"))
+    val ss = storeSigs.select(col("doc_id"), col("sig").as("sig_s"))
+    cands.join(sq, "query_id").join(ss, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (size(filter(zip_with(col("sig_q"), col("sig_s"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Text near-dup SEARCH with exact verification: EXTERNAL query
+    * documents probe the corpus through the minhash band index
+    * (signatures both sides, `(band, bh)` equi-join — bucketed, never a
+    * corpus scan), then every candidate is verified by the EXACT
+    * shingle-set jaccard, so the output is provably
+    * `exactMatches ∩ bandCandidates`. Wherever banding recall is 1.0
+    * (the ≥ threshold regime these parameters target — DedupSpec
+    * measures it on the planted corpus, and the query generator's
+    * one-token perturbation keeps query→seed jaccard near 1), the
+    * result is value-identical to the exact all-pairs search and the
+    * DuckDB oracle checks it EXACTLY — the [[minhashLshVerifiedPairs]]
+    * discipline applied to serving. Completes query-by-example across
+    * all four modalities (image/audio/video serve by fingerprint; text
+    * serves by the same index its dedup maintains).
+    */
+  def minhashSearch(
+      docs: DataFrame, queries: DataFrame,
+      numHashes: Int = 32, bands: Int = 8,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame) = OpCache.materialize(
+      Partitioning.ensureParallelism(df, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(transform(shinglesOf(col("toks"), k),
+            s => xxhash64(s))).as("shs")))
+    def sigsOf(base: DataFrame) = {
+      val minCols = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      base.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    }
+    val baseS = shingled(docs)
+    val baseQ = shingled(queries)
+    val cands = searchCandidates(sigsOf(baseS), sigsOf(baseQ), numHashes, bands)
+    cands
+      .join(baseQ.select(col("doc_id").as("query_id"), col("shs").as("sa")),
+        "query_id")
+      .join(baseS.select(col("doc_id"), col("shs").as("sb")), "doc_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(
+        col("query_id"), col("doc_id"),
+        (col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash signatures: per-token xxhash64, each bit votes ±1
     * weighted by term frequency; the signature bit is the vote's sign.
     * Explode + 64 partial-agg sums — one pass, map-side combinable.

@@ -886,6 +886,67 @@ object Multimodal {
     * must already be distinct and cheap to rescan (materialized frame
     * hashes or a parquet state table — it is referenced three times).
     */
+  /** Attach 6-frame SCENE containers to the video-modality documents:
+    * frames 0–2 render `(seedA, f)` and frames 3–5 render
+    * `(seedB, f−3)` with seedA = u % 24 and
+    * seedB = (seedA + 1 + u % 23) % 24 (offset ∈ 1..23, so the two
+    * scenes NEVER share a seed) — a hard cut at frame 3 with gentle
+    * within-scene motion (the perturbation block walks), the structure
+    * scene detection exists to find. The separation is exhaustive over
+    * the generator domain, not statistical: within-scene consecutive
+    * dHash hamming ≤ 3 and cross-seed boundary hamming ≥ 16 across all
+    * 24 seeds × 7 perturbations × 24×23 seed pairs, so any threshold in
+    * (3, 16) classifies every possible video correctly at any SF.
+    */
+  def attachSceneVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .as[Long].map { id =>
+        val u = id / 3
+        val seedA = (u % VideoSeeds).toInt
+        val seedB = ((seedA + 1 + (u % (VideoSeeds - 1))).toInt) % VideoSeeds
+        val out = new ByteArrayOutputStream()
+        var f = 0
+        while (f < 6) {
+          val png =
+            if (f < 3) renderGrayPng(seedA, f) else renderGrayPng(seedB, f - 3)
+          out.write(png, 0, png.length)
+          f += 1
+        }
+        (id, out.toByteArray)
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Scene-change detection over the per-frame dHash track: per video,
+    * the hamming distance between each frame's 56-bit dHash and its
+    * predecessor's; a SCENE BOUNDARY where that distance exceeds `tau`;
+    * `scene_id` = running boundary count — the primitive behind
+    * scene-balanced frame sampling for video training data (sample per
+    * scene_id instead of per raw frame index, so long static shots
+    * don't dominate). Shape: one window partitioned by doc_id over the
+    * per-video frame track (bounded by container length — frames per
+    * video never grows with corpus size), on hashes the ingest decode
+    * already produced; videos scale out, nothing global.
+    */
+  def videoSceneBoundaries(
+      spark: SparkSession, media: DataFrame, tau: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    videoFrameHashes(spark, media)
+      .withColumn("prev", lag(col("fhash"), 1).over(w))
+      .withColumn("hamming_prev",
+        bit_count(col("fhash").bitwiseXOR(col("prev"))).cast("int"))
+      .withColumn("is_boundary",
+        coalesce(col("hamming_prev") > tau, lit(false)))
+      .withColumn("scene_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("frame_idx"), col("hamming_prev"),
+        col("is_boundary"), col("scene_id"))
+  }
+
   private[graft] def frameOverlapPairs(
       fh: DataFrame, minShared: Int, hotCap: Int): DataFrame = {
     val keep = fh.groupBy(col("fhash"))

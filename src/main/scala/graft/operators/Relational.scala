@@ -830,6 +830,43 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q3 shape: unshipped-order revenue for one market segment —
+    * the classic customer×orders×lineitem star with date predicates on
+    * BOTH fact sides (ordered before the cutoff, shipped after), top-k
+    * orders by revenue. Revenue is rounded BEFORE the ranking (the
+    * cross-engine rank-order discipline) and ties break on
+    * (o_orderdate, l_orderkey). The testdata carries no o_shippriority
+    * column, so o_orderpriority stands in for the output attribute.
+    * Scale shape: segment + date filters reach the scans, the
+    * orders⋈lineitem join shuffles on the order key, the aggregate is
+    * per-order (map-side partial), and the top-k is a TakeOrdered —
+    * never a global sort.
+    */
+  def shippingPriorityRevenue(
+      spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val cutoff = lit("1997-03-15").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(OracleRound.roundN(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+  }
+
   /** TPC-H Q15 shape: the supplier(s) with the maximum 3-month revenue —
     * a per-supplier aggregate joined against its own one-row max (the
     * broadcast-scalar pattern; never a driver-side collect). The equality

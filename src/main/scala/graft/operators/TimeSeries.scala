@@ -406,4 +406,52 @@ object TimeSeries {
 
   def cusum(spark: SparkSession, sfDir: String): DataFrame =
     cusumFromSeries(zeroFilledDaily(spark, sfDir))
+
+  /** Holt's linear-trend smoothing over the zero-filled daily
+    * order-count series (α = 0.5, β = 0.25 — dyadic literals, exact in
+    * binary64): per day the running (level, trend) state and the
+    * one-step-ahead forecast ℓ + b — the short-horizon capacity
+    * forecast beside [[ewma]]'s level-only smoother. Recurrence
+    * `ℓ_t = α·y_t + (1−α)(ℓ_{t−1} + b_{t−1})`,
+    * `b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}`, initialized
+    * {ℓ = y_1, b = 0}.
+    *
+    * Exactness: the fold runs over the per-key ordered prefix (the
+    * [[ewma]] machinery — explicitly sorted struct array,
+    * calendar-bounded ≤ 59 elements) and the oracle's list_reduce
+    * replays the IDENTICAL IEEE expression tree — ℓ_t is spelled out
+    * twice inside the trend update on BOTH engines rather than bound
+    * to a local, so the doubles stay bit-identical and 6-dp rounding
+    * hash-matches. Shape: per-key ordered windows over
+    * calendar-bounded frames — series count scales out, frames never
+    * grow with data volume.
+    */
+  def holt(spark: SparkSession, sfDir: String): DataFrame = {
+    val filled = zeroFilledDaily(spark, sfDir)
+    val wPrefix = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = array_sort(
+      collect_list(struct(col("day").as("d"), col("n").cast("double").as("v")))
+        .over(wPrefix))
+    def lNew(acc: Column, s: Column): Column =
+      lit(0.5) * s.getField("v") +
+        lit(0.5) * (acc.getField("l") + acc.getField("b"))
+    val folded = aggregate(
+      slice(prefix, lit(2), greatest(size(prefix) - 1, lit(0))),
+      struct(element_at(prefix, 1).getField("v").as("l"), lit(0.0).as("b")),
+      (acc, s) => struct(
+        lNew(acc, s).as("l"),
+        (lit(0.25) * (lNew(acc, s) - acc.getField("l")) +
+          lit(0.75) * acc.getField("b")).as("b")))
+    filled
+      .select(col("priority"), col("day"), col("n"), folded.as("st"))
+      .select(
+        col("priority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_orders"),
+        OracleRound.roundN(col("st.l"), 6).as("level"),
+        OracleRound.roundN(col("st.b"), 6).as("trend"),
+        OracleRound.roundN(col("st.l") + col("st.b"), 6).as("forecast_next"))
+      .orderBy("priority", "day")
+  }
 }

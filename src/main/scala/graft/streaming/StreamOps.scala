@@ -2349,6 +2349,26 @@ object StreamOps {
         .select(col("doc_id").as("query_id"), col("fhash")).distinct(),
       k)
 
+  /** Text query-by-example against the [[minhashSink]] signature store:
+    * EXTERNAL query documents are shingled + signed once, then probe
+    * the STORED signatures through the band index
+    * ([[graft.operators.Dedup.minhashSearchEstimated]] — the identical
+    * plan the batch form runs from freshly-computed signatures, so
+    * stored == batch by construction). The corpus text is never
+    * re-read: the store answers "is this new document already in the
+    * corpus?" from 32 longs per document — the text modality's sibling
+    * of [[phashSearchStored]]/[[audioSearchStored]]/[[videoSearchStored]].
+    */
+  def minhashSearchStored(
+      spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      asOfBatch: Option[Long] = None): DataFrame =
+    graft.operators.Dedup.minhashSearchEstimated(
+      readMinhashSignatures(spark, stateDir, asOfBatch),
+      graft.operators.Dedup.minhashSignatures(queries, numHashes),
+      numHashes, bands, threshold)
+
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch
     * per event type as a replay-idempotent `batch_id=N` partition.
     * Distinct counts are the canonical NON-additive statistic — per-batch

@@ -38,6 +38,35 @@ class DedupSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty, s"LSH false positives: ${lsh -- exact}")
   }
 
+  test("minhash search equals brute-force exact jaccard; every query finds its seed") {
+    val docs = Tables.documents(spark, sf)
+    val queries = Dedup.syntheticQueryDocs(docs)
+    val got = Dedup.minhashSearch(docs, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force truth: exact shingle jaccard of every query against
+    // every document (the quadratic small-SF verifier)
+    def shingleSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      df.select(org.apache.spark.sql.functions.col("doc_id"),
+          Dedup.shingles(org.apache.spark.sql.functions.col("text")))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val qs = shingleSets(queries)
+    val ds = shingleSets(docs)
+    val expect = (for {
+      (qid, sa) <- qs.toSeq; (did, sb) <- ds.toSeq
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (qid, did, j)).toSet
+    assert(got === expect,
+      s"band-index search diverged from brute force (missing=${expect -- got})")
+    // the one-token perturbation keeps every query >= 0.5 to its seed
+    qs.keys.foreach { qid =>
+      assert(got.exists(t => t._1 == qid && t._2 == qid - (1L << 43)),
+        s"query $qid did not find its seed")
+    }
+  }
+
   test("simhash candidate pairs overlap the true near-dups") {
     val exact = truePairs
     val sim = Dedup.simhashPairs(Tables.documents(spark, sf))

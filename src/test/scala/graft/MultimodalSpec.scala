@@ -418,6 +418,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.splitConcatenatedPngs(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("video scenes: imperative recompute agrees; every scene video cuts exactly at frame 3") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachSceneVideos(docs)
+    val got = Multimodal.videoSceneBoundaries(spark, media).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getBoolean(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // imperative recompute from the (independently pinned) frame hashes
+    val hashes = Multimodal.videoFrameHashes(spark, media).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(4))).toMap
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0 until 6), s"frame track gap at $id")
+      var scene = 0L
+      sorted.foreach { case (_, f, hp, bound, sid) =>
+        if (f == 0) {
+          assert(hp.isEmpty && !bound, s"first frame of $id must not cut")
+        } else {
+          val expect = java.lang.Long.bitCount(
+            hashes((id, f)) ^ hashes((id, f - 1)))
+          assert(hp.contains(expect), s"hamming at ($id,$f)")
+          assert(bound === (expect > 8), s"boundary at ($id,$f)")
+        }
+        if (bound) scene += 1
+        assert(sid === scene, s"scene_id at ($id,$f)")
+      }
+      // the fixture's hard cut: exactly one boundary, at frame 3 — the
+      // generator separates exhaustively (within-scene <= 3, cross >= 16)
+      assert(sorted.map(t => (t._2, t._4)).filter(_._2).map(_._1).toSeq
+        === Seq(3), s"video $id must cut exactly at frame 3")
+      assert(sorted.last._5 === 1L, s"video $id must have exactly 2 scenes")
+    }
+  }
+
   test("video near-dup pairs equal brute-force frame-set intersection") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.attachVideoFrames(docs)

@@ -75,7 +75,7 @@ class PlanSpec extends AnyFunSuite {
     // seasonal decomposition, MAD anomalies, ACF and CUSUM fill the
     // same spine (zeroFilledDaily)
     "ts_interpolate", "ts_seasonal_decompose",
-    "ts_anomaly", "ts_acf", "ts_cusum",
+    "ts_anomaly", "ts_acf", "ts_cusum", "ts_holt",
     // PSI drift: the 6-row band spine broadcast against the source side
     "pipeline_drift_psi",
     // centroid drift: the single-row cohort-totals aggregate broadcast
@@ -207,6 +207,15 @@ class PlanSpec extends AnyFunSuite {
     assert(Dedup.ccLoopPartitions(1L << 40, 32) === 32,
       "a huge edge set must cap at the session default, not explode")
     assert(Dedup.ccLoopPartitions(1L << 40, 1000) === 1000)
+  }
+
+  test("tpch_q3's top-k is TakeOrderedAndProject, never a global sort") {
+    val plan = SparkEntry.queries("tpch_q3_shipping_priority")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"Q3 top-k must be a per-partition TakeOrdered:\n$plan")
+    assert(!plan.contains("GlobalLimit"),
+      "Q3 must not sort the full aggregate globally")
   }
 
   test("column pruning reaches the parquet scan") {

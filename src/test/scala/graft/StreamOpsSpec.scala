@@ -681,6 +681,20 @@ class StreamOpsSpec extends AnyFunSuite {
     // and the store holds one signature row per document
     val sigs = StreamOps.readMinhashSignatures(spark, s"$dir/state")
     assert(sigs.count() === docs.count())
+    // serving straight off the store == the estimate-form batch search
+    // over freshly-signed corpus signatures (the corpus text is never
+    // re-read by the stored path)
+    val corpus = spark.read.schema(schema).json(srcDir)
+    val queries = graft.operators.Dedup.syntheticQueryDocs(corpus)
+    def searchRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val storedServe = searchRows(
+      StreamOps.minhashSearchStored(spark, s"$dir/state", queries))
+    assert(storedServe === searchRows(graft.operators.Dedup.minhashSearchEstimated(
+      graft.operators.Dedup.minhashSignatures(corpus),
+      graft.operators.Dedup.minhashSignatures(queries))),
+      "stored-serving search diverged from the batch estimate form")
+    assert(storedServe.nonEmpty, "query set matched nothing — nothing proven")
     // compaction + vacuum: the combined reader reproduces the live
     // store, pairs included, after the covered partitions are retired
     StreamOps.compactMinhashSignatures(spark, s"$dir/state", s"$dir/compact")

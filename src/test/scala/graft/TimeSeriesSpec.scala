@@ -206,6 +206,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!crashRows.exists(_._3), "up alarm on a pure collapse")
   }
 
+  test("holt: imperative (level, trend) recurrence agrees row-for-row") {
+    val rows = TimeSeries.holt(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      assert(sorted.length === 59, s"spine not dense for $p")
+      var l = 0.0; var b = 0.0
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val y = r.getLong(2).toDouble
+        if (i == 0) { l = y; b = 0.0 }
+        else {
+          val lNew = 0.5 * y + 0.5 * (l + b)
+          b = 0.25 * (lNew - l) + 0.75 * b
+          l = lNew
+        }
+        // inputs are integer counts and α/β are dyadic, so the fold is
+        // exact in binary64 — only the 6-dp output rounding separates us
+        assert(math.abs(r.getDouble(3) - l) < 1e-5,
+          s"level at ($p, ${r.getString(1)}): got ${r.getDouble(3)}, want $l")
+        assert(math.abs(r.getDouble(4) - b) < 1e-5,
+          s"trend at ($p, ${r.getString(1)}): got ${r.getDouble(4)}, want $b")
+        assert(math.abs(r.getDouble(5) - (l + b)) < 1e-5,
+          s"forecast at ($p, ${r.getString(1)})")
+      }
+    }
+  }
+
   test("seasonal decomposition: identity, dense spine, mass-balanced seasonal") {
     val rows = TimeSeries.seasonalDecompose(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

@@ -586,6 +586,13 @@ object SparkEntry {
     // ── similarity search (LLM-pipeline operators) ──────────────────────
     "sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rank")),
+    // radius (range) search: every corpus vector with cosine >= 0.3 to
+    // each query — the range complement of top-k serving; exact scan by
+    // design (a radius answer may not miss), blocked/IVF stay the
+    // approximate cut
+    "sim_radius_search" -> ((s, d) =>
+      Similarity.radiusSearch(Tables.embeddings(s, d))
+        .orderBy("query_id", "vec_id")),
     // k-NN majority-label vote over the exact top-k (embedding eval)
     "sim_knn_label" -> ((s, d) =>
       Similarity.knnLabel(Tables.embeddings(s, d)).orderBy("query_id")),
@@ -806,6 +813,13 @@ object SparkEntry {
       Multimodal.videoSceneBoundaries(s,
         Multimodal.attachSceneVideos(Tables.documents(s, d)))
         .orderBy("doc_id", "frame_idx")),
+    // scene-balanced keyframe sampling: one keyframe per (video, scene)
+    // with the scene's frame count — per-scene sampling so long static
+    // shots don't dominate a frame budget
+    "multimodal_scene_keyframes" -> ((s, d) =>
+      Multimodal.sceneKeyframes(s,
+        Multimodal.attachSceneVideos(Tables.documents(s, d)))
+        .orderBy("doc_id", "scene_id")),
     // audio dedup clusters: connected components over the
     // energy-fingerprint pair graph — completing pairs → clusters for
     // the audio modality as for image/video/text/embedding
@@ -1087,6 +1101,10 @@ object SparkEntry {
     // (level, trend) state + one-step-ahead forecast per day — the
     // short-horizon capacity forecast beside ts_ewma's level smoother
     "ts_holt" -> ((s, d) => TimeSeries.holt(s, d)),
+    // Holt-Winters additive weekly seasonality (period 7, γ=.25): the
+    // (level, trend, seasonal[7]) recurrence + one-step forecast —
+    // completes the forecast family (ewma -> holt -> holt_winters)
+    "ts_holt_winters" -> ((s, d) => TimeSeries.holtWinters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2883,6 +2901,22 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // the bruteforce scoring chain with a threshold cut instead of a
+    // rank cut — the sequential-fold cosine is bit-identical on both
+    // engines, so the 0.3 threshold selects the same set
+    "sim_radius_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM n JOIN q ON n.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, cosine FROM s
+        |WHERE cosine >= 0.3
+        |ORDER BY query_id, vec_id""".stripMargin,
     // sim_lsh_topk: hyperplane component (t,b,i) = 2u−1, u = (first 13 hex
     // digits of md5('hp:t:b:i') as base-16) / 2^52 — 52 bits is exactly
     // double-representable, so both engines hold the same component, the
@@ -3819,6 +3853,39 @@ object SparkEntry {
         |            OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
         |FROM lg
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the scenes chain grouped to one keyframe per (video, scene)
+    "multimodal_scene_keyframes" ->
+      """WITH vid AS (SELECT doc_id,
+        |                    (doc_id // 3) % 24 AS sa,
+        |                    ((doc_id // 3) % 24 + 1 + (doc_id // 3) % 23) % 24 AS sb
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, f.v AS frame_idx,
+        |              CASE WHEN f.v < 3 THEN sa ELSE sb END AS seed,
+        |              f.v % 3 AS p
+        |       FROM vid, generate_series(0, 5) f(v)),
+        |bits AS (SELECT fr.doc_id, fr.frame_idx,
+        |  CASE WHEN ((strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || (c.v+1) || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v+1 = p AND r.v = p THEN 40 ELSE 0 END
+        |          > ((strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 1, 1)) - 1) * 16
+        |             + strpos('0123456789abcdef', substr(md5(seed || '_' || c.v || '_' || r.v), 2, 1)) - 1) % 200
+        |            + CASE WHEN c.v = p AND r.v = p THEN 40 ELSE 0 END
+        |       THEN 1::BIGINT << (r.v*8 + c.v) ELSE 0::BIGINT END AS bit
+        |  FROM fr, generate_series(0, 6) r(v), generate_series(0, 7) c(v)),
+        |ph AS (SELECT doc_id, frame_idx, CAST(sum(bit) AS BIGINT) AS fhash
+        |       FROM bits GROUP BY doc_id, frame_idx),
+        |lg AS (SELECT doc_id, frame_idx, fhash,
+        |              lag(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |       FROM ph),
+        |sc AS (SELECT doc_id, frame_idx,
+        |              CAST(sum(CASE WHEN coalesce(bit_count(xor(fhash, prev)) > 8, FALSE)
+        |                            THEN 1 ELSE 0 END)
+        |                   OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
+        |       FROM lg)
+        |SELECT doc_id, scene_id, CAST(min(frame_idx) AS INTEGER) AS keyframe_idx,
+        |       CAST(count(*) AS BIGINT) AS scene_frames
+        |FROM sc GROUP BY doc_id, scene_id
+        |ORDER BY doc_id, scene_id""".stripMargin,
     // the audio fingerprint chain + the recursive transitive closure:
     // min reachable doc_id labels the cluster, singletons self-label
     "multimodal_audio_clusters" ->
@@ -4994,6 +5061,51 @@ object SparkEntry {
          |       ${OracleRound.duck("hr.l", 6)} AS level,
          |       ${OracleRound.duck("hr.b", 6)} AS trend,
          |       ${OracleRound.duck("hr.l + hr.b", 6)} AS forecast_next
+         |FROM hr JOIN f ON f.priority = hr.priority AND f.day = hr.day
+         |ORDER BY hr.priority, hr.day""".stripMargin
+    },
+    // Holt-Winters replayed as the ts_holt recursive CTE carrying the
+    // 7-slot seasonal state as a LIST(DOUBLE) (list comprehension per
+    // step — row-wise recursion, no struct-mutation hazard); lNew is
+    // spelled out in full inside the trend AND seasonal updates on both
+    // engines so the IEEE trees stay bit-identical before 6-dp rounding
+    "ts_holt_winters" -> {
+      val lNew = "0.5 * (f.n - hr.sv[f.dow + 1]) + 0.5 * (hr.l + hr.b)"
+      s"""WITH RECURSIVE o AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day
+         |           FROM orders
+         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+         |s AS (SELECT priority, day, count(*) AS n FROM o GROUP BY priority, day),
+         |k AS (SELECT DISTINCT priority FROM o),
+         |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+         |                                    DATE '1997-02-28',
+         |                                    INTERVAL 1 DAY))::DATE AS day),
+         |f AS MATERIALIZED (
+         |      SELECT k.priority, d.day, coalesce(s.n, 0)::BIGINT AS n,
+         |             CAST((d.day - DATE '1997-01-01') % 7 AS INTEGER) AS dow
+         |      FROM k CROSS JOIN d
+         |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
+         |hr(priority, day, l, b, sv) AS (
+         |  SELECT priority, day, CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE),
+         |         [CAST(0.0 AS DOUBLE) for i in range(0, 7)]
+         |  FROM f WHERE day = DATE '1997-01-01'
+         |  UNION ALL
+         |  SELECT f.priority, f.day,
+         |         $lNew,
+         |         0.25 * (($lNew) - hr.l) + 0.75 * hr.b,
+         |         [CASE WHEN i = f.dow
+         |               THEN 0.25 * (f.n - ($lNew)) + 0.75 * hr.sv[f.dow + 1]
+         |               ELSE hr.sv[CAST(i + 1 AS INTEGER)] END
+         |          for i in range(0, 7)]
+         |  FROM hr JOIN f ON f.priority = hr.priority
+         |             AND f.day = CAST(hr.day + INTERVAL 1 DAY AS DATE))
+         |SELECT hr.priority, strftime(hr.day, '%Y-%m-%d') AS day,
+         |       f.n AS n_orders,
+         |       ${OracleRound.duck("hr.l", 6)} AS level,
+         |       ${OracleRound.duck("hr.b", 6)} AS trend,
+         |       ${OracleRound.duck("hr.sv[f.dow + 1]", 6)} AS seasonal,
+         |       ${OracleRound.duck("hr.l + hr.b + hr.sv[((f.dow + 1) % 7) + 1]", 6)} AS forecast_next
          |FROM hr JOIN f ON f.priority = hr.priority AND f.day = hr.day
          |ORDER BY hr.priority, hr.day""".stripMargin
     },

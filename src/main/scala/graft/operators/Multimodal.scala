@@ -947,6 +947,22 @@ object Multimodal {
         col("is_boundary"), col("scene_id"))
   }
 
+  /** Scene-balanced keyframe selection: one keyframe (the scene's first
+    * frame) per `(video, scene)` — the sampling [[videoSceneBoundaries]]
+    * exists to enable: a training pipeline that samples per SCENE
+    * instead of per raw frame index stops long static shots from
+    * dominating the frame budget. Output carries the scene's frame
+    * count so downstream budgeting can weight by shot length. Shape:
+    * one partial-agg groupBy over the per-frame scene labels — map-side
+    * combinable, no second window.
+    */
+  def sceneKeyframes(
+      spark: SparkSession, media: DataFrame, tau: Int = 8): DataFrame =
+    videoSceneBoundaries(spark, media, tau)
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("keyframe_idx"),
+        count(lit(1)).as("scene_frames"))
+
   private[graft] def frameOverlapPairs(
       fh: DataFrame, minShared: Int, hotCap: Int): DataFrame = {
     val keep = fh.groupBy(col("fhash"))

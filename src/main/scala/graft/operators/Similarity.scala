@@ -74,6 +74,37 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Radius (range) similarity search: ALL corpus vectors with cosine ≥
+    * `threshold` to each query — the range-query complement of the
+    * top-k serving surface ("everything semantically this close", the
+    * form dedup-before-ingest and contamination checks ask, where top-k
+    * would silently cap the answer). Scoring is EXACTLY
+    * [[bruteForceTopK]]'s sequential-fold cosine (bit-identical to the
+    * oracle's list_reduce, so the threshold cuts the same set on both
+    * engines); the bounded query set broadcasts and the corpus scans
+    * once — deliberate: an EXACT radius answer may not miss a vector,
+    * so no approximate index can prune it, and the grid-blocked /
+    * IVF paths remain the scale cut for the approximate regime
+    * ([[embeddingCosinePairsBlocked]] is this query's self-join twin).
+    */
+  def radiusSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      threshold: Double = 0.3,
+      queryTable: Option[DataFrame] = None): DataFrame = {
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val queries = queryBase(e, numQueries, queryTable)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** k-NN label vote — the consumer side of the ANN surface: each query's
     * predicted label is the majority label among its exact top-k
     * neighbors (vote ties broken by the smaller label; the neighbor set

@@ -426,6 +426,68 @@ object TimeSeries {
     * calendar-bounded frames — series count scales out, frames never
     * grow with data volume.
     */
+  /** Holt–Winters additive seasonal smoothing (period 7, α = 0.5,
+    * β = γ = 0.25 — all dyadic, exact in binary64) over the zero-filled
+    * daily series: per day the running (level, trend, seasonal[7])
+    * state and the one-step-ahead forecast ℓ + b + s[next dow] — the
+    * weekly-seasonality capacity forecast completing the family
+    * ([[ewma]] level → [[holt]] level+trend → this). Recurrence
+    * `ℓ_t = α(y_t − s_{t−7}[dow]) + (1−α)(ℓ_{t−1} + b_{t−1})`,
+    * `b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}`,
+    * `s_t[dow] = γ(y_t − ℓ_t) + (1−γ)s_{t−7}[dow]`, initialized
+    * {ℓ = y_1, b = 0, s = 0⃗} with dow = days since 1997-01-01 mod 7.
+    *
+    * Exactness: the [[holt]] discipline with a 7-slot seasonal array in
+    * the accumulator — ℓ_t spelled out in full inside BOTH the trend
+    * and seasonal updates on BOTH engines (the oracle is a recursive
+    * CTE carrying a LIST(DOUBLE); DuckDB 1.0 list_reduce mutates struct
+    * accumulators field-by-field, so the row-wise recursion is the safe
+    * replay). Shape: per-key calendar-bounded prefix folds — series
+    * scale out, frames never grow with data volume.
+    */
+  def holtWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    val filled = zeroFilledDaily(spark, sfDir)
+    val epoch = lit("1997-01-01").cast("date")
+    val wPrefix = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = array_sort(
+      collect_list(struct(col("day").as("d"),
+        col("n").cast("double").as("v"),
+        (datediff(col("day"), epoch) % 7).as("w")))
+        .over(wPrefix))
+    def lNew(acc: Column, e: Column): Column =
+      lit(0.5) * (e.getField("v") -
+        element_at(acc.getField("s"), e.getField("w") + 1)) +
+        lit(0.5) * (acc.getField("l") + acc.getField("b"))
+    val folded = aggregate(
+      slice(prefix, lit(2), greatest(size(prefix) - 1, lit(0))),
+      struct(element_at(prefix, 1).getField("v").as("l"),
+        lit(0.0).as("b"),
+        array_repeat(lit(0.0), 7).as("s")),
+      (acc, e) => struct(
+        lNew(acc, e).as("l"),
+        (lit(0.25) * (lNew(acc, e) - acc.getField("l")) +
+          lit(0.75) * acc.getField("b")).as("b"),
+        transform(acc.getField("s"), (x, i) =>
+          when(i === e.getField("w"),
+            lit(0.25) * (e.getField("v") - lNew(acc, e)) + lit(0.75) * x)
+            .otherwise(x)).as("s")))
+    val dow = datediff(col("day"), epoch) % 7
+    filled
+      .select(col("priority"), col("day"), col("n"), folded.as("st"))
+      .select(
+        col("priority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").as("n_orders"),
+        OracleRound.roundN(col("st.l"), 6).as("level"),
+        OracleRound.roundN(col("st.b"), 6).as("trend"),
+        OracleRound.roundN(element_at(col("st.s"), dow + 1), 6).as("seasonal"),
+        OracleRound.roundN(col("st.l") + col("st.b") +
+          element_at(col("st.s"), pmod(dow + 1, lit(7)) + 1), 6)
+          .as("forecast_next"))
+      .orderBy("priority", "day")
+  }
+
   def holt(spark: SparkSession, sfDir: String): DataFrame = {
     val filled = zeroFilledDaily(spark, sfDir)
     val wPrefix = Window.partitionBy(col("priority")).orderBy(col("day"))

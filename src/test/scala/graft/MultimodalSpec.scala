@@ -453,6 +453,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("scene keyframes: one keyframe per scene, derived exactly from the boundary labels") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.attachSceneVideos(docs)
+    val kf = Multimodal.sceneKeyframes(spark, media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+      .toMap
+    // recompute the grouping from the (already-verified) scene labels
+    val scenes = Multimodal.videoSceneBoundaries(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getInt(1)))
+    val expect = scenes.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      k -> (rows.map(_._3).min, rows.length.toLong)
+    }
+    assert(kf === expect, "keyframe selection diverged from the scene labels")
+    // the fixture shape: every video yields keyframes 0 and 3, 3 frames each
+    kf.groupBy(_._1._1).foreach { case (id, perVideo) =>
+      assert(perVideo.values.toSet === Set((0, 3L), (3, 3L)),
+        s"video $id keyframes diverged from the two-scene fixture")
+    }
+  }
+
   test("video near-dup pairs equal brute-force frame-set intersection") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.attachVideoFrames(docs)

@@ -31,6 +31,9 @@ class PlanSpec extends AnyFunSuite {
     */
   private val boundedNestedLoop = Set(
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+    // radius search: the bruteForceTopK bounded query-set theta join
+    // with a threshold cut instead of a rank cut
+    "sim_radius_search",
     // external-query serving: the same bounded query set (a held-out id
     // subset) on the same theta candidate join as sim_ivf_topk
     "sim_ivf_external_topk",
@@ -75,7 +78,7 @@ class PlanSpec extends AnyFunSuite {
     // seasonal decomposition, MAD anomalies, ACF and CUSUM fill the
     // same spine (zeroFilledDaily)
     "ts_interpolate", "ts_seasonal_decompose",
-    "ts_anomaly", "ts_acf", "ts_cusum", "ts_holt",
+    "ts_anomaly", "ts_acf", "ts_cusum", "ts_holt", "ts_holt_winters",
     // PSI drift: the 6-row band spine broadcast against the source side
     "pipeline_drift_psi",
     // centroid drift: the single-row cohort-totals aggregate broadcast

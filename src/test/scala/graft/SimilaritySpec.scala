@@ -29,6 +29,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("radius search equals a driver-side brute-force threshold scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val tau = 0.3
+    val got = Similarity.radiusSearch(emb, threshold = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cosines = (for {
+      (q, qv) <- vecs.toSeq if q < 10
+      (v, vv) <- vecs.toSeq if v != q
+    } yield (q, v) -> cos(qv, vv)).toMap
+    val expect = cosines.filter(_._2 >= tau).keySet
+    // membership must match exactly away from the cut; pairs within 1e-9
+    // of tau are excused from the SET check (fold-order at the boundary
+    // is the oracle's bit-exact job, not this recompute's)
+    val borderline = cosines.filter(t => math.abs(t._2 - tau) <= 1e-9).keySet
+    assert((got -- borderline) === (expect -- borderline),
+      s"radius set diverged (missing=${expect -- got})")
+    assert(got.nonEmpty, "threshold matched nothing — nothing proven")
+    // every returned cosine clears the threshold
+    Similarity.radiusSearch(emb, threshold = tau).collect()
+      .foreach(r => assert(r.getDouble(2) >= tau))
+  }
+
   test("IVF ANN recall@5 vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -233,6 +233,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holt-winters: imperative (level, trend, seasonal[7]) recurrence agrees row-for-row") {
+    val rows = TimeSeries.holtWinters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      assert(sorted.length === 59, s"spine not dense for $p")
+      var l = 0.0; var b = 0.0
+      val s = Array.fill(7)(0.0)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val y = r.getLong(2).toDouble
+        val dow = i % 7 // spine starts 1997-01-01, the dow epoch
+        if (i == 0) { l = y; b = 0.0 }
+        else {
+          val lNew = 0.5 * (y - s(dow)) + 0.5 * (l + b)
+          b = 0.25 * (lNew - l) + 0.75 * b
+          s(dow) = 0.25 * (y - lNew) + 0.75 * s(dow)
+          l = lNew
+        }
+        assert(math.abs(r.getDouble(3) - l) < 1e-5,
+          s"level at ($p, ${r.getString(1)}): got ${r.getDouble(3)}, want $l")
+        assert(math.abs(r.getDouble(4) - b) < 1e-5,
+          s"trend at ($p, ${r.getString(1)})")
+        assert(math.abs(r.getDouble(5) - s(dow)) < 1e-5,
+          s"seasonal at ($p, ${r.getString(1)})")
+        assert(math.abs(r.getDouble(6) - (l + b + s((dow + 1) % 7))) < 1e-5,
+          s"forecast at ($p, ${r.getString(1)})")
+      }
+    }
+  }
+
   test("seasonal decomposition: identity, dense spine, mass-balanced seasonal") {
     val rows = TimeSeries.seasonalDecompose(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

@@ -15,9 +15,12 @@ OUT=${1:-/tmp/graft_sf1}
 # remaining top-10-cost iterative-graph family, RFM's triple GlobalOrder,
 # and the new image-phash banded join (its quadratic risk is the bucket
 # self-join) + (round 12) the audio banded join, query-by-image serving
-# (deliberate exact scan — should stay linear in the corpus), and the
-# video frame-hash self-join (its quadratic risk is a hot frame bucket)
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup}
+# (deliberate exact scan — should stay linear in the corpus), the
+# video frame-hash self-join (its quadratic risk is a hot frame bucket),
+# text query-by-example (query count AND band buckets both grow with the
+# corpus), video scene windows (per-video frame tracks), and the radius
+# search corpus scan
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search}
 sbt -batch compile >/dev/null 2>&1
 if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"

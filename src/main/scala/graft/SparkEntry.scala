@@ -1105,6 +1105,11 @@ object SparkEntry {
     // (level, trend, seasonal[7]) recurrence + one-step forecast —
     // completes the forecast family (ewma -> holt -> holt_winters)
     "ts_holt_winters" -> ((s, d) => TimeSeries.holtWinters(s, d)),
+    // rolling-origin one-step backtest: MAE/RMSE of holt vs holt-winters
+    // forecasts against next-day actuals (warm-up skipped) — the eval
+    // that picks the smoother, the ts sibling of the embedding evals
+    "ts_forecast_eval" -> ((s, d) =>
+      TimeSeries.forecastEval(s, d).orderBy("model", "priority")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5108,6 +5113,79 @@ object SparkEntry {
          |       ${OracleRound.duck("hr.l + hr.b + hr.sv[((f.dow + 1) % 7) + 1]", 6)} AS forecast_next
          |FROM hr JOIN f ON f.priority = hr.priority AND f.day = hr.day
          |ORDER BY hr.priority, hr.day""".stripMargin
+    },
+    // both forecast chains (the ts_holt and ts_holt_winters recursive
+    // CTEs) in one WITH RECURSIVE, their 6dp-rounded one-step forecasts
+    // joined to next-day actuals, errors folded day-ordered via
+    // list_reduce(list_prepend(0.0, ...)) ≡ Spark's zero-init aggregate
+    "ts_forecast_eval" -> {
+      val lNewH = "0.5 * f.n + 0.5 * (h1.l + h1.b)"
+      val lNewW = "0.5 * (f.n - h2.sv[f.dow + 1]) + 0.5 * (h2.l + h2.b)"
+      s"""WITH RECURSIVE o AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day
+         |           FROM orders
+         |           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |             AND o_orderdate < TIMESTAMP '1997-03-01'),
+         |s AS (SELECT priority, day, count(*) AS n FROM o GROUP BY priority, day),
+         |k AS (SELECT DISTINCT priority FROM o),
+         |d AS (SELECT unnest(generate_series(DATE '1997-01-01',
+         |                                    DATE '1997-02-28',
+         |                                    INTERVAL 1 DAY))::DATE AS day),
+         |f AS MATERIALIZED (
+         |      SELECT k.priority, d.day, coalesce(s.n, 0)::BIGINT AS n,
+         |             CAST((d.day - DATE '1997-01-01') % 7 AS INTEGER) AS dow
+         |      FROM k CROSS JOIN d
+         |      LEFT JOIN s ON s.priority = k.priority AND s.day = d.day),
+         |h1(priority, day, l, b) AS (
+         |  SELECT priority, day, CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)
+         |  FROM f WHERE day = DATE '1997-01-01'
+         |  UNION ALL
+         |  SELECT f.priority, f.day,
+         |         $lNewH,
+         |         0.25 * (($lNewH) - h1.l) + 0.75 * h1.b
+         |  FROM h1 JOIN f ON f.priority = h1.priority
+         |             AND f.day = CAST(h1.day + INTERVAL 1 DAY AS DATE)),
+         |h2(priority, day, l, b, sv) AS (
+         |  SELECT priority, day, CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE),
+         |         [CAST(0.0 AS DOUBLE) for i in range(0, 7)]
+         |  FROM f WHERE day = DATE '1997-01-01'
+         |  UNION ALL
+         |  SELECT f.priority, f.day,
+         |         $lNewW,
+         |         0.25 * (($lNewW) - h2.l) + 0.75 * h2.b,
+         |         [CASE WHEN i = f.dow
+         |               THEN 0.25 * (f.n - ($lNewW)) + 0.75 * h2.sv[f.dow + 1]
+         |               ELSE h2.sv[CAST(i + 1 AS INTEGER)] END
+         |          for i in range(0, 7)]
+         |  FROM h2 JOIN f ON f.priority = h2.priority
+         |             AND f.day = CAST(h2.day + INTERVAL 1 DAY AS DATE)),
+         |fc AS (
+         |  SELECT 'holt' AS model, priority, day,
+         |         ${OracleRound.duck("l + b", 6)} AS fc
+         |  FROM h1
+         |  UNION ALL
+         |  SELECT 'holt_winters', h2.priority, h2.day,
+         |         ${OracleRound.duck("h2.l + h2.b + h2.sv[((f.dow + 1) % 7) + 1]", 6)}
+         |  FROM h2 JOIN f ON f.priority = h2.priority AND f.day = h2.day),
+         |e AS (
+         |  SELECT model, fc.priority, fc.day,
+         |         fc.fc - CAST(fn.n AS DOUBLE) AS err,
+         |         row_number() OVER (PARTITION BY model, fc.priority
+         |                            ORDER BY fc.day) AS rn
+         |  FROM fc JOIN f fn ON fn.priority = fc.priority
+         |                   AND fn.day = CAST(fc.day + INTERVAL 1 DAY AS DATE)),
+         |g AS (
+         |  SELECT model, priority,
+         |         CAST(count(*) AS BIGINT) AS n_eval,
+         |         list_reduce(list_prepend(0.0, list(abs(err) ORDER BY day)),
+         |                     (x, y) -> x + y) AS abs_sum,
+         |         list_reduce(list_prepend(0.0, list(err * err ORDER BY day)),
+         |                     (x, y) -> x + y) AS sq_sum
+         |  FROM e WHERE rn > 7 GROUP BY model, priority)
+         |SELECT model, priority, n_eval,
+         |       ${OracleRound.duck("abs_sum / n_eval", 6)} AS mae,
+         |       ${OracleRound.duck("sqrt(sq_sum / n_eval)", 6)} AS rmse
+         |FROM g ORDER BY model, priority""".stripMargin
     },
     // rolling-MAD anomalies: the trailing frame as a sorted integer list;
     // m2 = 2·median and mad4 = 4·MAD stay integers, the 3.5-MAD flag is

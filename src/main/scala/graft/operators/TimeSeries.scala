@@ -488,6 +488,55 @@ object TimeSeries {
       .orderBy("priority", "day")
   }
 
+  /** Rolling-origin one-step forecast backtest: per (model, priority),
+    * the MAE and RMSE of `forecast_next` against the next day's actual
+    * count, for the [[holt]] and [[holtWinters]] smoothers — the eval
+    * that tells a capacity planner WHICH smoother to trust, the
+    * time-series sibling of the embedding evals
+    * ([[Similarity.knnLabel]] / centroidAgreement). Warm-up aware: the
+    * first `skip` forecasts per series are excluded (both models
+    * initialize from the first observation, so day-1 errors measure
+    * initialization, not the model).
+    *
+    * Exactness: errors are computed from the models' already-6dp-ROUNDED
+    * forecast columns against exact integer actuals, then folded over
+    * the day-sorted error array (zero-init sequential fold — the same
+    * tree as the oracle's `list_reduce(list_prepend(0.0, …))`), so both
+    * engines sum the identical doubles in the identical order; the
+    * mean/sqrt on top are single ops on identical inputs. Shape:
+    * per-key lead + one calendar-bounded fold — series scale out.
+    */
+  def forecastEval(
+      spark: SparkSession, sfDir: String, skip: Int = 7): DataFrame = {
+    def evalOf(model: String, out: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+      val scored = out
+        .withColumn("actual_next",
+          lead(col("n_orders"), 1).over(w).cast("double"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("actual_next").isNotNull && col("rn") > skip)
+        .select(col("priority"), col("day"),
+          (col("forecast_next") - col("actual_next")).as("err"))
+      scored
+        .groupBy(col("priority"))
+        .agg(sort_array(collect_list(struct(col("day").as("d"),
+          col("err").as("e")))).as("errs"))
+        .select(
+          lit(model).as("model"),
+          col("priority"),
+          size(col("errs")).cast("long").as("n_eval"),
+          aggregate(col("errs"), lit(0.0),
+            (acc, s) => acc + abs(s.getField("e"))).as("abs_sum"),
+          aggregate(col("errs"), lit(0.0),
+            (acc, s) => acc + s.getField("e") * s.getField("e")).as("sq_sum"))
+        .select(col("model"), col("priority"), col("n_eval"),
+          OracleRound.roundN(col("abs_sum") / col("n_eval"), 6).as("mae"),
+          OracleRound.roundN(sqrt(col("sq_sum") / col("n_eval")), 6).as("rmse"))
+    }
+    evalOf("holt", holt(spark, sfDir))
+      .unionByName(evalOf("holt_winters", holtWinters(spark, sfDir)))
+  }
+
   def holt(spark: SparkSession, sfDir: String): DataFrame = {
     val filled = zeroFilledDaily(spark, sfDir)
     val wPrefix = Window.partitionBy(col("priority")).orderBy(col("day"))

@@ -79,6 +79,7 @@ class PlanSpec extends AnyFunSuite {
     // same spine (zeroFilledDaily)
     "ts_interpolate", "ts_seasonal_decompose",
     "ts_anomaly", "ts_acf", "ts_cusum", "ts_holt", "ts_holt_winters",
+    "ts_forecast_eval",
     // PSI drift: the 6-row band spine broadcast against the source side
     "pipeline_drift_psi",
     // centroid drift: the single-row cohort-totals aggregate broadcast

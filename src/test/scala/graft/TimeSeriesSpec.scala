@@ -263,6 +263,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("forecast eval: MAE/RMSE recomputed from the model outputs agree") {
+    val got = TimeSeries.forecastEval(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    def recompute(model: String, out: Array[org.apache.spark.sql.Row]): Unit =
+      out.groupBy(_.getString(0)).foreach { case (p, rs) =>
+        val sorted = rs.sortBy(_.getString(1))
+        val errs = sorted.dropRight(1).zipWithIndex.collect {
+          // forecast_next is the LAST column of both model outputs
+          case (r, i) if i + 1 > 7 =>
+            r.getDouble(r.length - 1) - sorted(i + 1).getLong(2).toDouble
+        }
+        val (n, mae, rmse) = got((model, p))
+        assert(n === errs.length.toLong, s"n_eval for ($model, $p)")
+        assert(math.abs(mae - errs.map(math.abs).sum / errs.length) < 1e-5,
+          s"mae for ($model, $p)")
+        assert(math.abs(rmse -
+          math.sqrt(errs.map(e => e * e).sum / errs.length)) < 1e-5,
+          s"rmse for ($model, $p)")
+      }
+    recompute("holt", TimeSeries.holt(spark, sf).collect())
+    recompute("holt_winters", TimeSeries.holtWinters(spark, sf).collect())
+    assert(got.keySet.map(_._1) === Set("holt", "holt_winters"))
+  }
+
   test("seasonal decomposition: identity, dense spine, mass-balanced seasonal") {
     val rows = TimeSeries.seasonalDecompose(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

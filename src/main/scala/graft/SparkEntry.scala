@@ -339,12 +339,9 @@ object SparkEntry {
     // text dodges the text dedup
     "pipeline_multimodal_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val media = Multimodal.attachPixelImages(docs)
-      val imgClusters = Dedup.clustersFromPairs(
-        media.select(col("doc_id")),
-        Multimodal.imageNearDupPairs(s, media).select("doc_a", "doc_b"))
       Curation.multimodalReleaseGate(docs,
-        Dedup.sharedNearDupClusters(docs, cacheKey = d), imgClusters)
+        Dedup.sharedNearDupClusters(docs, cacheKey = d),
+        Multimodal.sharedImageClusters(s, docs, cacheKey = d))
         .orderBy("doc_id")
     }),
     // the FULL multimodal gate: text + image + audio + video cluster
@@ -352,21 +349,11 @@ object SparkEntry {
     // every modality ships exactly once
     "pipeline_multimodal_gate_full" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val img = Multimodal.attachPixelImages(docs)
-      val med = Multimodal.attachMedia(docs)
-      val vid = Multimodal.attachVideoFrames(docs)
-      val imgClusters = Dedup.clustersFromPairs(
-        img.select(col("doc_id")),
-        Multimodal.imageNearDupPairs(s, img).select("doc_a", "doc_b"))
-      val audClusters = Dedup.clustersFromPairs(
-        med.where(col("media_type") === "audio").select(col("doc_id")),
-        Multimodal.audioNearDupPairs(s, med).select("doc_a", "doc_b"))
-      val vidClusters = Dedup.clustersFromPairs(
-        vid.select(col("doc_id")),
-        Multimodal.videoNearDupPairs(s, vid).select("doc_a", "doc_b"))
       Curation.multimodalReleaseGateFull(docs,
         Dedup.sharedNearDupClusters(docs, cacheKey = d),
-        imgClusters, audClusters, vidClusters)
+        Multimodal.sharedImageClusters(s, docs, cacheKey = d),
+        Multimodal.sharedAudioClusters(s, docs, cacheKey = d),
+        Multimodal.sharedVideoClusters(s, docs, cacheKey = d))
         .orderBy("doc_id")
     }),
     // sliding-window passage chunking (RAG / training-window split);
@@ -783,14 +770,11 @@ object SparkEntry {
     // image dedup clusters: connected components over the phash pair
     // graph (the shared min-label CC loop), min doc_id as the canonical
     // label; singletons label themselves — completes pairs → clusters
-    // for the image modality exactly as the text/embedding dedups do
-    "multimodal_image_clusters" -> ((s, d) => {
-      val media = Multimodal.attachPixelImages(Tables.documents(s, d))
-      Dedup.clustersFromPairs(
-        media.select(col("doc_id")),
-        Multimodal.imageNearDupPairs(s, media).select("doc_a", "doc_b"))
-        .orderBy("doc_id")
-    }),
+    // for the image modality exactly as the text/embedding dedups do.
+    // Compute-once PUBLISHED (round 12): the gates read the same table
+    "multimodal_image_clusters" -> ((s, d) =>
+      Multimodal.sharedImageClusters(s, Tables.documents(s, d), cacheKey = d)
+        .orderBy("doc_id")),
     // REAL video containers: 4 concatenated pixel-PNG frames per video
     // doc, split back out (guarded chunk walk), each frame through the
     // same real pixel decode as the stills → per-frame 56-bit dHash
@@ -823,23 +807,17 @@ object SparkEntry {
     // audio dedup clusters: connected components over the
     // energy-fingerprint pair graph — completing pairs → clusters for
     // the audio modality as for image/video/text/embedding
-    "multimodal_audio_clusters" -> ((s, d) => {
-      val media = Multimodal.attachMedia(Tables.documents(s, d))
-      Dedup.clustersFromPairs(
-        media.where(col("media_type") === "audio").select(col("doc_id")),
-        Multimodal.audioNearDupPairs(s, media).select("doc_a", "doc_b"))
-        .orderBy("doc_id")
-    }),
+    // (compute-once published; the full gate reads the same table)
+    "multimodal_audio_clusters" -> ((s, d) =>
+      Multimodal.sharedAudioClusters(s, Tables.documents(s, d), cacheKey = d)
+        .orderBy("doc_id")),
     // video dedup clusters: connected components over the frame-hash
     // overlap pair graph (the shared min-label CC loop) — pairs →
     // clusters for video exactly as the image/text/embedding modalities
-    "multimodal_video_clusters" -> ((s, d) => {
-      val media = Multimodal.attachVideoFrames(Tables.documents(s, d))
-      Dedup.clustersFromPairs(
-        media.select(col("doc_id")),
-        Multimodal.videoNearDupPairs(s, media).select("doc_a", "doc_b"))
-        .orderBy("doc_id")
-    }),
+    // (compute-once published; the full gate reads the same table)
+    "multimodal_video_clusters" -> ((s, d) =>
+      Multimodal.sharedVideoClusters(s, Tables.documents(s, d), cacheKey = d)
+        .orderBy("doc_id")),
     // query-by-audio serving: three EXTERNAL query WAVs from a
     // closed-form PCM generator (amplitudes the oracle replays
     // digit-exact), decoded + fingerprinted through the same real PCM

@@ -886,6 +886,77 @@ object Multimodal {
     * must already be distinct and cheap to rescan (materialized frame
     * hashes or a parquet state table — it is referenced three times).
     */
+  // ── dedup-once published modality cluster tables ────────────────────
+
+  private val modalityClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: drop the in-JVM publish memo (the
+    * [[graft.operators.Dedup.clearClusterTableMemo]] contract).
+    */
+  private[graft] def clearModalityClusterMemo(): Unit =
+    modalityClusterCache.clear()
+
+  /** The [[graft.operators.Dedup.sharedNearDupClusters]] publish contract
+    * for the modality cluster tables: computed ONCE per `cacheKey` and
+    * published as a parquet table every consumer reads (the per-modality
+    * `multimodal_*_clusters` queries AND both release gates previously
+    * re-derived the same synthesize→decode→pair→CC chain per query —
+    * the round-3 text-cluster lesson applied to the three media
+    * modalities). The fingerprint covers `doc_id` alone because every
+    * synthetic payload is a pure function of doc_id — the clustering
+    * input IS the id set; with real media the fingerprint column set
+    * would include the payload digest. Same stale-key detection: every
+    * reuse re-fingerprints and compares against the published sidecar.
+    */
+  private def sharedClusters(
+      docs: DataFrame, cacheKey: String, baseDir: String,
+      family: String, what: String)(
+      compute: () => DataFrame): DataFrame =
+    if (cacheKey.isEmpty) compute()
+    else {
+      val fp = graft.engine.PublishGuard.fingerprint(docs, Seq(col("doc_id")))
+      graft.engine.PublishGuard.sharedTable(
+        docs.sparkSession, modalityClusterCache, baseDir, family,
+        cacheKey, Nil, fp, what)(compute)
+    }
+
+  /** Image phash dedup clusters, compute-once published (see
+    * [[sharedClusters]]). Live (unpublished) form: `cacheKey = ""`.
+    */
+  def sharedImageClusters(
+      spark: SparkSession, docs: DataFrame,
+      cacheKey: String, baseDir: String = ""): DataFrame =
+    sharedClusters(docs, cacheKey, baseDir,
+      "image_phash_clusters", "image phash cluster table") { () =>
+      val img = attachPixelImages(docs)
+      Dedup.clustersFromPairs(img.select(col("doc_id")),
+        imageNearDupPairs(spark, img).select("doc_a", "doc_b"))
+    }
+
+  /** Audio energy-fingerprint dedup clusters, compute-once published. */
+  def sharedAudioClusters(
+      spark: SparkSession, docs: DataFrame,
+      cacheKey: String, baseDir: String = ""): DataFrame =
+    sharedClusters(docs, cacheKey, baseDir,
+      "audio_fp_clusters", "audio fingerprint cluster table") { () =>
+      val media = attachMedia(docs)
+      Dedup.clustersFromPairs(
+        media.where(col("media_type") === "audio").select(col("doc_id")),
+        audioNearDupPairs(spark, media).select("doc_a", "doc_b"))
+    }
+
+  /** Video frame-hash dedup clusters, compute-once published. */
+  def sharedVideoClusters(
+      spark: SparkSession, docs: DataFrame,
+      cacheKey: String, baseDir: String = ""): DataFrame =
+    sharedClusters(docs, cacheKey, baseDir,
+      "video_fh_clusters", "video frame-hash cluster table") { () =>
+      val vid = attachVideoFrames(docs)
+      Dedup.clustersFromPairs(vid.select(col("doc_id")),
+        videoNearDupPairs(spark, vid).select("doc_a", "doc_b"))
+    }
+
   /** Attach 6-frame SCENE containers to the video-modality documents:
     * frames 0–2 render `(seedA, f)` and frames 3–5 render
     * `(seedB, f−3)` with seedA = u % 24 and

@@ -473,6 +473,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("modality cluster tables are compute-once published with stale-key detection") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mm-warehouse").toString
+    val key = s"mmclusters-${System.nanoTime()}"
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // published == the live (unpublished) computation, per modality
+    val livePairs = Seq(
+      ("image", toMap(Multimodal.sharedImageClusters(spark, docs, "", base)),
+        () => Multimodal.sharedImageClusters(spark, docs, key, base)),
+      ("audio", toMap(Multimodal.sharedAudioClusters(spark, docs, "", base)),
+        () => Multimodal.sharedAudioClusters(spark, docs, key, base)),
+      ("video", toMap(Multimodal.sharedVideoClusters(spark, docs, "", base)),
+        () => Multimodal.sharedVideoClusters(spark, docs, key, base)))
+    livePairs.foreach { case (m, live, shared) =>
+      assert(toMap(shared()) === live, s"$m published clusters diverged")
+    }
+    // fresh session: the result must come from the PUBLISHED tables
+    Multimodal.clearModalityClusterMemo()
+    livePairs.foreach { case (m, live, shared) =>
+      val reread = shared()
+      assert(reread.inputFiles.nonEmpty &&
+        reread.inputFiles.forall(_.contains("_clusters")),
+        s"$m fresh-session reuse did not read the published table")
+      assert(toMap(reread) === live)
+    }
+    // stale key: same key, different data ⇒ loud error, never stale serves
+    Multimodal.clearModalityClusterMemo()
+    val err = intercept[IllegalStateException] {
+      Multimodal.sharedImageClusters(spark, docs.limit(10), key, base).count()
+    }
+    assert(err.getMessage.contains("DIFFERENT input"))
+  }
+
   test("video near-dup pairs equal brute-force frame-set intersection") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.attachVideoFrames(docs)

@@ -797,6 +797,14 @@ object SparkEntry {
       Multimodal.videoSceneBoundaries(s,
         Multimodal.attachSceneVideos(Tables.documents(s, d)))
         .orderBy("doc_id", "frame_idx")),
+    // silence segmentation: per audio doc the quiet-window count,
+    // merged quiet segments, and longest quiet run over planted
+    // speech/silence WAVs — integer-exact cross-multiplied quiet cut,
+    // the trim/VAD accounting before audio feature extraction
+    "multimodal_audio_segments" -> ((s, d) =>
+      Multimodal.audioSilenceSegments(s,
+        Multimodal.attachSegmentedAudio(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // scene-balanced keyframe sampling: one keyframe per (video, scene)
     // with the scene's frame count — per-scene sampling so long static
     // shots don't dominate a frame budget
@@ -3836,6 +3844,43 @@ object SparkEntry {
         |            OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_id
         |FROM lg
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the segmented-audio generator replayed (quiet ranges + closed-form
+    // amplitudes as integer formulas of doc_id and sample index), the
+    // cross-multiplied quiet cut, and gaps-and-islands run merging
+    "multimodal_audio_segments" ->
+      """WITH a AS (SELECT doc_id, doc_id // 3 AS u
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |sv AS (SELECT doc_id, u, i.v AS i, CAST(i.v // 10 AS INTEGER) AS w
+        |       FROM a, generate_series(0, 569) i(v)),
+        |amp AS (SELECT doc_id, w,
+        |          CASE WHEN ((u % 5) > 0 AND w >= (u % 20) AND w < (u % 20) + (u % 5))
+        |                 OR (w >= 30 + (u % 15) AND w < 30 + (u % 15) + 2 + (u % 4))
+        |               THEN 0::BIGINT
+        |               ELSE abs((u * 7919 + i * 104729 + i * i * 31) % 4001 - 2000)
+        |          END AS aa
+        |        FROM sv),
+        |g AS (SELECT doc_id, w, CAST(sum(aa) AS BIGINT) AS sm,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM amp GROUP BY doc_id, w),
+        |tot AS (SELECT doc_id, CAST(sum(sm) AS BIGINT) AS smtot,
+        |               CAST(sum(c) AS BIGINT) AS n
+        |        FROM g GROUP BY doc_id),
+        |q AS (SELECT g.doc_id, g.w,
+        |             (g.sm * 4 * t.n < t.smtot * g.c) AS quiet
+        |      FROM g JOIN tot t ON t.doc_id = g.doc_id),
+        |r AS (SELECT doc_id, w, quiet,
+        |             w - row_number() OVER (PARTITION BY doc_id, quiet
+        |                                    ORDER BY w) AS grp
+        |      FROM q),
+        |seg AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+        |        FROM r WHERE quiet GROUP BY doc_id, grp)
+        |SELECT a.doc_id,
+        |       coalesce(CAST(sum(seg.len) AS BIGINT), 0) AS quiet_windows,
+        |       CAST(count(seg.grp) AS BIGINT) AS quiet_segments,
+        |       coalesce(CAST(max(seg.len) AS BIGINT), 0) AS longest_quiet_run
+        |FROM a LEFT JOIN seg ON seg.doc_id = a.doc_id
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     // the scenes chain grouped to one keyframe per (video, scene)
     "multimodal_scene_keyframes" ->
       """WITH vid AS (SELECT doc_id,

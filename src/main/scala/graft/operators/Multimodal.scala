@@ -640,6 +640,94 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Attach SEGMENTED audio to the audio-modality documents: 570-sample
+    * WAVs (windows of exactly 10) with planted silence — amplitude 0 in
+    * up to two doc-dependent window runs (run A: start u % 20, length
+    * u % 5 — absent when 0; run B: start 30 + u % 15, length 2 + u % 4;
+    * the ranges can never meet: A ends ≤ 25, B starts ≥ 30) and the
+    * [[syntheticQueryAudio]] closed-form integer PCM elsewhere — the
+    * speech/silence structure silence segmentation exists to find, and
+    * exactly replayable in SQL (the quiet ranges and amplitudes are
+    * integer formulas of doc_id and sample index).
+    */
+  def attachSegmentedAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nSamples = 570
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 1)
+      .as[Long].map { id =>
+        val u = id / 3
+        val qa = u % 20; val la = u % 5
+        val qb = 30 + u % 15; val lb = 2 + u % 4
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val w = i / 10
+          val quiet = (la > 0 && w >= qa && w < qa + la) ||
+            (w >= qb && w < qb + lb)
+          val x =
+            if (quiet) 0L
+            else (u * 7919L + i * 104729L + i.toLong * i * 31L) % 4001L - 2000L
+          val v = if (x < 0) (x + 65536L).toInt else x.toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        MediaRecord(id, "audio",
+          MediaHeaders.buildWav(channels = 1, sampleRate = 8000, pcm))
+      }.toDF()
+  }
+
+  /** Silence segmentation over the energy-window track: a window is
+    * QUIET when its mean |amplitude| falls below 1/`denom` of the
+    * whole-stream mean (cross-multiplied — `sm_w·denom·n <
+    * sm_tot·c_w` — so the cut is exact integer arithmetic on both
+    * engines, the [[audioFingerprint]] discipline); consecutive quiet
+    * windows merge into segments. Per doc: quiet-window count, segment
+    * count, and the longest quiet run — the trim/segment accounting an
+    * audio ingest runs before feature extraction (silence-trimmed
+    * duration, VAD-style chunk boundaries), the audio sibling of
+    * [[videoSceneBoundaries]]. Map-only typed lambda (binary codec
+    * work), 4 longs out per blob. Overflow bound: sm_w ≤ 32768·c_w and
+    * the cross products stay under 2⁶³ beyond 10⁶-sample streams
+    * (long-form audio would fold per-window means instead).
+    */
+  def audioSilenceSegments(
+      spark: SparkSession, media: DataFrame, denom: Int = 4): DataFrame = {
+    import spark.implicits._
+    val w = AudioWindows
+    media.as[MediaRecord]
+      .filter(_.media_type == "audio")
+      .map { r =>
+        val s = pcmSamples(r.payload)
+        val n = s.length
+        val sums = new Array[Long](w); val cnts = new Array[Long](w)
+        var i = 0
+        while (i < n) {
+          val b = (i.toLong * w / n).toInt
+          sums(b) += math.abs(s(i).toLong); cnts(b) += 1
+          i += 1
+        }
+        var smTot = 0L
+        var b = 0
+        while (b < w) { smTot += sums(b); b += 1 }
+        var nQuiet = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+        b = 0
+        while (b < w) {
+          val quiet = cnts(b) > 0 &&
+            sums(b) * denom * n < smTot * cnts(b)
+          if (quiet) {
+            nQuiet += 1; run += 1
+            if (run == 1) nSeg += 1
+            if (run > longest) longest = run
+          } else run = 0
+          b += 1
+        }
+        (r.doc_id, nQuiet, nSeg, longest)
+      }
+      .toDF("doc_id", "quiet_windows", "quiet_segments", "longest_quiet_run")
+  }
+
   /** Query-by-audio serving: rank the stored audio corpus for EXTERNAL
     * query WAVs — decode each query through the same real PCM path,
     * fingerprint it ([[audioFingerprint]]), and return the top-`k`

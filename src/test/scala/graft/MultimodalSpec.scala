@@ -508,6 +508,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(err.getMessage.contains("DIFFERENT input"))
   }
 
+  test("audio silence segments: generator-formula recompute agrees; planted runs are found") {
+    val docs = Tables.documents(spark, sf)
+    val got = Multimodal.audioSilenceSegments(
+      spark, Multimodal.attachSegmentedAudio(docs)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (nQuiet, nSeg, longest)) =>
+      val u = id / 3
+      val qa = u % 20; val la = u % 5
+      val qb = 30 + u % 15; val lb = 2 + u % 4
+      // third derivation of the window math (the WAV path and the
+      // oracle SQL being the others): amplitudes straight from the
+      // generator formula, the same integer cross-multiplied cut
+      val sums = new Array[Long](57); val cnts = new Array[Long](57)
+      for (i <- 0 until 570) {
+        val w = i / 10
+        val quietRange = (la > 0 && w >= qa && w < qa + la) ||
+          (w >= qb && w < qb + lb)
+        val x = if (quietRange) 0L
+          else (u * 7919L + i * 104729L + i.toLong * i * 31L) % 4001L - 2000L
+        sums(w) += math.abs(x); cnts(w) += 1
+      }
+      val smTot = sums.sum
+      var eq = 0L; var es = 0L; var el = 0L; var run = 0L
+      for (b <- 0 until 57) {
+        if (sums(b) * 4 * 570 < smTot * cnts(b)) {
+          eq += 1; run += 1; if (run == 1) es += 1; if (run > el) el = run
+        } else run = 0
+      }
+      assert((nQuiet, nSeg, longest) === ((eq, es, el)),
+        s"segments diverged from the formula recompute at doc $id")
+      // planted structure is a LOWER bound: the zeroed runs are always
+      // quiet; a low-energy speech window may legitimately join them
+      assert(nQuiet >= la + lb && longest >= math.max(la, lb) && nSeg >= 1,
+        s"planted silence not found at doc $id")
+    }
+  }
+
   test("video near-dup pairs equal brute-force frame-set intersection") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.attachVideoFrames(docs)

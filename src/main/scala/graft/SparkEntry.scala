@@ -1906,15 +1906,17 @@ object SparkEntry {
     // the operator's band-index + exact-verify output wherever banding
     // recall is 1.0 (this corpus; the near-1 query→seed jaccard regime)
     "dedup_minhash_search" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |s AS (SELECT doc_id,
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS MATERIALIZED (
+         |      SELECT doc_id,
          |             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
          |                                   for i in range(1, len(toks) - 1)])) AS sh
          |      FROM t),
          |qt AS (SELECT doc_id + (1::BIGINT << 43) AS query_id,
          |              toks[2:] AS toks
          |       FROM t WHERE doc_id % 97 = 3),
-         |qs AS (SELECT query_id,
+         |qs AS MATERIALIZED (
+         |       SELECT query_id,
          |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
          |                                    for i in range(1, len(toks) - 1)])) AS sh
          |       FROM qt),

@@ -573,12 +573,16 @@ object Dedup {
   def minhashSearch(
       docs: DataFrame, queries: DataFrame,
       numHashes: Int = 32, bands: Int = 8,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // named shingleK, not the dedup family's bare `k`: in the serving
+    // APIs (phashSearch/audioSearch/videoSearch) `k` means result count,
+    // and a caller passing k=5 for "top 5" must not silently re-width
+    // the shingles into a foreign signature space
     def shingled(df: DataFrame) = OpCache.materialize(
       Partitioning.ensureParallelism(df, col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          array_distinct(transform(shinglesOf(col("toks"), k),
+          array_distinct(transform(shinglesOf(col("toks"), shingleK),
             s => xxhash64(s))).as("shs")))
     def sigsOf(base: DataFrame) = {
       val minCols = (0 until numHashes).map(i =>

@@ -577,8 +577,13 @@ object MediaHeaders {
     * block-constant content — MultimodalSpec pins that.
     */
   def buildPixelJpeg(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
-    require(gray.length == width * height,
-      s"need ${width * height} gray bytes, got ${gray.length}")
+    // SOF0 carries 16-bit dims; reject what the container cannot express
+    // (and size the pixel check in Long so width*height cannot overflow
+    // Int and let a wrong-sized array through)
+    require(width >= 1 && width <= 0xffff && height >= 1 && height <= 0xffff,
+      s"JPEG SOF0 dims must be 1..65535, got ${width}x$height")
+    require(gray.length.toLong == width.toLong * height,
+      s"need ${width.toLong * height} gray bytes, got ${gray.length}")
     val out = new ByteArrayOutputStream(gray.length / 2 + 512)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def segment(m: Int, body: Array[Int]): Unit = {

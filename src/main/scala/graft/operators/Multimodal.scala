@@ -629,7 +629,10 @@ object Multimodal {
       val pcm = new Array[Byte](nSamples * 2)
       var i = 0
       while (i < nSamples) {
-        val x = ((seed * 7919 + i * 104729 + i * i * 31) % 4001) - 2000
+        // Long arithmetic: i*i*31 overflows Int past ~8323 samples and
+        // would silently break the documented closed-form/oracle contract
+        val x = ((seed * 7919L + i * 104729L + i.toLong * i * 31L) % 4001L
+          - 2000L).toInt
         val u = if (x < 0) x + 65536 else x
         pcm(2 * i) = (u & 0xff).toByte
         pcm(2 * i + 1) = ((u >> 8) & 0xff).toByte

@@ -407,25 +407,6 @@ object TimeSeries {
   def cusum(spark: SparkSession, sfDir: String): DataFrame =
     cusumFromSeries(zeroFilledDaily(spark, sfDir))
 
-  /** Holt's linear-trend smoothing over the zero-filled daily
-    * order-count series (α = 0.5, β = 0.25 — dyadic literals, exact in
-    * binary64): per day the running (level, trend) state and the
-    * one-step-ahead forecast ℓ + b — the short-horizon capacity
-    * forecast beside [[ewma]]'s level-only smoother. Recurrence
-    * `ℓ_t = α·y_t + (1−α)(ℓ_{t−1} + b_{t−1})`,
-    * `b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}`, initialized
-    * {ℓ = y_1, b = 0}.
-    *
-    * Exactness: the fold runs over the per-key ordered prefix (the
-    * [[ewma]] machinery — explicitly sorted struct array,
-    * calendar-bounded ≤ 59 elements) and the oracle's list_reduce
-    * replays the IDENTICAL IEEE expression tree — ℓ_t is spelled out
-    * twice inside the trend update on BOTH engines rather than bound
-    * to a local, so the doubles stay bit-identical and 6-dp rounding
-    * hash-matches. Shape: per-key ordered windows over
-    * calendar-bounded frames — series count scales out, frames never
-    * grow with data volume.
-    */
   /** Holt–Winters additive seasonal smoothing (period 7, α = 0.5,
     * β = γ = 0.25 — all dyadic, exact in binary64) over the zero-filled
     * daily series: per day the running (level, trend, seasonal[7])
@@ -537,6 +518,27 @@ object TimeSeries {
       .unionByName(evalOf("holt_winters", holtWinters(spark, sfDir)))
   }
 
+  /** Holt's linear-trend smoothing over the zero-filled daily
+    * order-count series (α = 0.5, β = 0.25 — dyadic literals, exact in
+    * binary64): per day the running (level, trend) state and the
+    * one-step-ahead forecast ℓ + b — the short-horizon capacity
+    * forecast beside [[ewma]]'s level-only smoother. Recurrence
+    * `ℓ_t = α·y_t + (1−α)(ℓ_{t−1} + b_{t−1})`,
+    * `b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}`, initialized
+    * {ℓ = y_1, b = 0}.
+    *
+    * Exactness: the fold runs over the per-key ordered prefix (the
+    * [[ewma]] machinery — explicitly sorted struct array,
+    * calendar-bounded ≤ 59 elements) and the oracle replays the
+    * IDENTICAL IEEE expression tree as a recursive CTE marching the
+    * calendar (NOT list_reduce: DuckDB 1.0 mutates struct accumulators
+    * field-by-field, so a trend expression reading acc.l would see the
+    * already-updated level) — ℓ_t is spelled out twice inside the
+    * trend update on BOTH engines rather than bound to a local, so the
+    * doubles stay bit-identical and 6-dp rounding hash-matches. Shape:
+    * per-key ordered windows over calendar-bounded frames — series
+    * count scales out, frames never grow with data volume.
+    */
   def holt(spark: SparkSession, sfDir: String): DataFrame = {
     val filled = zeroFilledDaily(spark, sfDir)
     val wPrefix = Window.partitionBy(col("priority")).orderBy(col("day"))

@@ -2363,14 +2363,15 @@ object StreamOps {
       spark: SparkSession, stateDir: String,
       queries: DataFrame,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      k: Int = 3,
+      shingleK: Int = 3,
       asOfBatch: Option[Long] = None): DataFrame =
-    // (numHashes, k) must match the sink that built the store — a query
-    // signed with a different shingle width probes a foreign space and
-    // finds nothing; the defaults mirror minhashSink's
+    // (numHashes, shingleK) must match the sink that built the store — a
+    // query signed with a different shingle width probes a foreign space
+    // and finds nothing; the defaults mirror minhashSink's (named
+    // shingleK because `k` means result count in the serving APIs)
     graft.operators.Dedup.minhashSearchEstimated(
       readMinhashSignatures(spark, stateDir, asOfBatch),
-      graft.operators.Dedup.minhashSignatures(queries, numHashes, k),
+      graft.operators.Dedup.minhashSignatures(queries, numHashes, shingleK),
       numHashes, bands, threshold)
 
   /** Streaming distinct-users sink: each micro-batch lands one HLL sketch

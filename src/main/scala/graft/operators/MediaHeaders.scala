@@ -781,6 +781,17 @@ object MediaHeaders {
               val bits = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
               val total = bits.sum
               if (total > 256 || p + 17 + total > segEnd) return None
+              // canonical validity: assigning bits(l) codes at each
+              // length must never overflow the code space (running
+              // code count ≤ 2^len after each length) — an overfull
+              // BITS array builds a table whose decode returns garbage
+              // values in-bounds, breaking the malformed→None contract
+              var code = 0; var l = 1
+              while (l <= 16) {
+                code += bits(l - 1)
+                if (code > (1 << l)) return None
+                code <<= 1; l += 1
+              }
               val vals = Array.tabulate(total)(j => b(p + 17 + j) & 0xff)
               val t = new JpegHuffDec(bits, vals)
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t

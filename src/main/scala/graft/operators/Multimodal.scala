@@ -2,7 +2,7 @@ package graft.operators
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for a training-data pipeline: media as opaque
@@ -994,19 +994,25 @@ object Multimodal {
     * `multimodal_*_clusters` queries AND both release gates previously
     * re-derived the same synthesize→decode→pair→CC chain per query —
     * the round-3 text-cluster lesson applied to the three media
-    * modalities). The fingerprint covers `doc_id` alone because every
-    * synthetic payload is a pure function of doc_id — the clustering
-    * input IS the id set; with real media the fingerprint column set
-    * would include the payload digest. Same stale-key detection: every
-    * reuse re-fingerprints and compares against the published sidecar.
+    * modalities). The fingerprint covers exactly the columns the
+    * modality's synthetic payload is a function of: `doc_id` alone for
+    * image/video (frames render from doc_id-derived seeds), but
+    * `(doc_id, text)` for audio — [[attachMedia]] builds the WAV data
+    * chunk from the TEXT bytes, so an unchanged id set over changed
+    * text MUST fail the stale-key check, not silently serve old
+    * clusters (the [[graft.operators.Dedup.sharedNearDupClusters]]
+    * discipline; with real media the column set would be a payload
+    * digest). Same stale-key detection: every reuse re-fingerprints
+    * and compares against the published sidecar.
     */
   private def sharedClusters(
       docs: DataFrame, cacheKey: String, baseDir: String,
-      family: String, what: String)(
+      family: String, what: String,
+      fpCols: Seq[Column] = Seq(col("doc_id")))(
       compute: () => DataFrame): DataFrame =
     if (cacheKey.isEmpty) compute()
     else {
-      val fp = graft.engine.PublishGuard.fingerprint(docs, Seq(col("doc_id")))
+      val fp = graft.engine.PublishGuard.fingerprint(docs, fpCols)
       graft.engine.PublishGuard.sharedTable(
         docs.sparkSession, modalityClusterCache, baseDir, family,
         cacheKey, Nil, fp, what)(compute)
@@ -1025,12 +1031,17 @@ object Multimodal {
         imageNearDupPairs(spark, img).select("doc_a", "doc_b"))
     }
 
-  /** Audio energy-fingerprint dedup clusters, compute-once published. */
+  /** Audio energy-fingerprint dedup clusters, compute-once published.
+    * The fingerprint includes `text` — audio payloads are built FROM
+    * the text bytes (see [[sharedClusters]]), unlike the doc_id-pure
+    * image/video generators.
+    */
   def sharedAudioClusters(
       spark: SparkSession, docs: DataFrame,
       cacheKey: String, baseDir: String = ""): DataFrame =
     sharedClusters(docs, cacheKey, baseDir,
-      "audio_fp_clusters", "audio fingerprint cluster table") { () =>
+      "audio_fp_clusters", "audio fingerprint cluster table",
+      fpCols = Seq(col("doc_id"), col("text"))) { () =>
       val media = attachMedia(docs)
       Dedup.clustersFromPairs(
         media.where(col("media_type") === "audio").select(col("doc_id")),

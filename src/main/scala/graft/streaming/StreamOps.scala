@@ -2152,17 +2152,26 @@ object StreamOps {
 
   /** [[readHammingSignatures]] through a compacted snapshot plus the
     * live batches above its watermark — the combined-reader contract.
-    * (Signatures are payload-pure, so the snapshot's batch-blind rows
-    * and the live rows for the same doc_id are value-identical and
-    * dropDuplicates is exact.)
+    * Duplicate doc_ids resolve by the SAME deterministic
+    * min-(batch_id, sig) rule as the live reader, with the snapshot's
+    * batch-blind rows ranked as batch −1 (they fold batches ≤ the
+    * watermark, all below any live batch — so the combined reader and
+    * [[readHammingSignatures]] agree even if a redelivered doc_id ever
+    * carried a DIFFERENT sig, where an arbitrary dropDuplicates pick
+    * would diverge nondeterministically between the two readers).
     */
   def readHammingSignaturesCompacted(
       spark: SparkSession, compactedDir: String, stateDir: String): DataFrame = {
     val through = readCompactedThrough(spark, compactedDir)
     val live = spark.read.parquet(stateDir)
-      .where(col("batch_id") > through).drop("batch_id")
-    live.unionByName(spark.read.parquet(compactedDir))
-      .dropDuplicates("doc_id")
+      .where(col("batch_id") > through)
+      .select(col("doc_id"), col("batch_id"), col("sig"))
+    val snapshot = spark.read.parquet(compactedDir)
+      .select(col("doc_id"), lit(-1L).as("batch_id"), col("sig"))
+    live.unionByName(snapshot)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("batch_id"), col("sig"))).as("m"))
+      .select(col("doc_id"), col("m.sig").as("sig"))
   }
 
   // ── streaming VIDEO frame-hash maintenance ─────────────────────────
@@ -2225,13 +2234,19 @@ object StreamOps {
   }
 
   /** Whole-store video near-dup pairs, merged on read: the IDENTICAL
-    * frame-overlap plan (and therefore the identical pair set) as the
-    * batch [[graft.operators.Multimodal.videoNearDupPairs]] over the
-    * full corpus — without ever re-decoding a container.
+    * frame-overlap plan as the batch
+    * [[graft.operators.Multimodal.videoNearDupPairs]] over the full
+    * corpus — without ever re-decoding a container. Default UNCAPPED
+    * (`hotCap = Int.MaxValue`) so the whole-store read is exactly what
+    * the union of [[newVideoPairsForBatch]] increments partitions — the
+    * increments are uncapped by contract (a frame crossing a df cap in
+    * a later batch would retroactively disagree with pairs already
+    * surfaced). Pass the batch operator's cap (1024) to reproduce its
+    * hot-frame-pruned pair set instead.
     */
   def readVideoNearDupPairs(
       spark: SparkSession, stateDir: String,
-      minShared: Int = 2, hotCap: Int = 1024,
+      minShared: Int = 2, hotCap: Int = Int.MaxValue,
       asOfBatch: Option[Long] = None): DataFrame =
     graft.operators.Multimodal.frameOverlapPairs(
       readVideoFrameHashes(spark, stateDir, asOfBatch), minShared, hotCap)

@@ -508,6 +508,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(err.getMessage.contains("DIFFERENT input"))
   }
 
+  test("audio cluster publish goes stale when text changes under an unchanged doc_id set") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mm-stale-audio").toString
+    val keyA = s"audiofp-${System.nanoTime()}"
+    val keyI = s"imgfp-${System.nanoTime()}"
+    Multimodal.sharedAudioClusters(spark, docs, keyA, base).count()
+    Multimodal.sharedImageClusters(spark, docs, keyI, base).count()
+    // same doc_id set, DIFFERENT text: audio WAVs are built from the
+    // text bytes, so the published audio clusters are stale — the reuse
+    // must fail loudly, not silently serve old clusters
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val changed = docs.withColumn(
+      "text", concat(col("text"), lit(" drifted")))
+    Multimodal.clearModalityClusterMemo()
+    val err = intercept[IllegalStateException] {
+      Multimodal.sharedAudioClusters(spark, changed, keyA, base).count()
+    }
+    assert(err.getMessage.contains("DIFFERENT input"))
+    // image payloads are a pure function of doc_id: the SAME text change
+    // leaves the published image clusters valid, and reuse still serves
+    Multimodal.clearModalityClusterMemo()
+    val reread = Multimodal.sharedImageClusters(spark, changed, keyI, base)
+    assert(reread.inputFiles.nonEmpty &&
+      reread.inputFiles.forall(_.contains("_clusters")),
+      "image reuse under a text-only change did not read the published table")
+  }
+
+  test("JPEG DHT: an overfull BITS array is rejected, not decoded in-bounds to garbage") {
+    val (w, h) = (16, 8)
+    val gray = Array.tabulate(w * h)(i => (i * 7 % 256).toByte)
+    val jpg = MediaHeaders.buildPixelJpeg(w, h, gray)
+    assert(MediaHeaders.decodePixelJpeg(jpg).isDefined)
+    // find a DHT table with ≥ 3 codes and pile ALL its counts onto code
+    // length 1 — more than 2 codes of length 1 overflows the 1-bit code
+    // space while keeping total count and segment length intact, so the
+    // ONLY invalidity is canonical (pre-fix this decoded to garbage
+    // pixels via in-bounds table lookups and returned Some)
+    def dhtBitsOffsets(b: Array[Byte]): Seq[Int] =
+      (0 until b.length - 1).filter(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc4).map(_ + 5)
+    val off = dhtBitsOffsets(jpg).find { o =>
+      (0 until 16).map(j => jpg(o + j) & 0xff).sum >= 3
+    }.getOrElse(fail("no DHT table with ≥ 3 codes in our own JPEG"))
+    val total = (0 until 16).map(j => jpg(off + j) & 0xff).sum
+    assert(total <= 255)
+    val bad = jpg.clone()
+    (0 until 16).foreach(j => bad(off + j) = 0)
+    bad(off) = total.toByte
+    assert(MediaHeaders.decodePixelJpeg(bad) === None,
+      "overfull Huffman BITS array was not rejected")
+  }
+
   test("audio silence segments: generator-formula recompute agrees; planted runs are found") {
     val docs = Tables.documents(spark, sf)
     val got = Multimodal.audioSilenceSegments(

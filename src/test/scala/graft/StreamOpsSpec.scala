@@ -1903,6 +1903,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(pairsAt(0L) ++ pairsAt(1L) ++ pairsAt(2L) === whole)
   }
 
+  test("compacted hamming reader resolves differing-sig redelivery by the live min-(batch_id, sig) rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ph-compact-det").toString
+    val state = s"$dir/state"; val compact = s"$dir/compact"
+    def land(batch: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "sig").withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("batch_id").parquet(state)
+    // doc 5 is redelivered in a LIVE batch with a DIFFERENT sig — an
+    // updated payload. The live reader resolves to its first batch's
+    // sig; the combined reader must agree (an arbitrary duplicate pick
+    // would make the two readers diverge nondeterministically).
+    land(0L, Seq(5L -> 100L, 1L -> 7L))
+    land(1L, Seq(2L -> 8L))
+    StreamOps.compactHammingSignatures(spark, state, compact) // through = 1
+    land(2L, Seq(5L -> 999L, 3L -> 9L))
+    def sigMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val live = sigMap(StreamOps.readHammingSignatures(spark, state))
+    val combined = sigMap(
+      StreamOps.readHammingSignaturesCompacted(spark, compact, state))
+    assert(live(5L) === 100L, "live reader lost the min-batch rule")
+    assert(combined === live,
+      "combined reader diverged from the live reader on a differing-sig redelivery")
+  }
+
   test("video frame-hash sink: stored pairs equal batch videoNearDupPairs; incremental reads partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vfh-stream").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft-vfh-src").toString
@@ -1922,16 +1947,17 @@ class StreamOpsSpec extends AnyFunSuite {
     type Pair = (Long, Long, Long)
     def toSet(df: org.apache.spark.sql.DataFrame): Set[Pair] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // merged store replays the batch operator's exact pair set,
-    // shared-frame counts included, with no container decoded twice
-    val stored = toSet(StreamOps.readVideoNearDupPairs(spark, s"$dir/state"))
+    // merged store at the batch operator's cap replays its exact pair
+    // set, shared-frame counts included, with no container decoded twice
+    val stored = toSet(StreamOps.readVideoNearDupPairs(
+      spark, s"$dir/state", hotCap = 1024))
     val direct = toSet(graft.operators.Multimodal.videoNearDupPairs(spark, media))
     assert(stored === direct, "stored video pairs diverged from the batch operator")
     assert(stored.nonEmpty, "fixture produced no video near-dups — nothing proven")
-    // incremental reads partition the UNCAPPED whole-store pair set (the
-    // df cut is batch-analysis pruning, excluded from increments)
-    val uncapped = toSet(StreamOps.readVideoNearDupPairs(
-      spark, s"$dir/state", hotCap = Int.MaxValue))
+    // the DEFAULT whole-store read is uncapped, so it is exactly what
+    // the incremental reads partition (the df cut is batch-analysis
+    // pruning, excluded from increments)
+    val uncapped = toSet(StreamOps.readVideoNearDupPairs(spark, s"$dir/state"))
     val perBatch = (0L to 1L).map(b =>
       toSet(StreamOps.newVideoPairsForBatch(spark, s"$dir/state", b)))
     assert(perBatch.map(_.size).sum === uncapped.size,

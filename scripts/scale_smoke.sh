@@ -19,8 +19,17 @@ OUT=${1:-/tmp/graft_sf1}
 # video frame-hash self-join (its quadratic risk is a hot frame bucket),
 # text query-by-example (query count AND band buckets both grow with the
 # corpus), video scene windows (per-video frame tracks), and the radius
-# search corpus scan
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search}
+# search corpus scan + (round 13) random walks (per-step frontier joins
+# over the ranked-neighbor table), path NLL (user-windowed lead +
+# collect_list fold), and the skew profile (per-key counts + GlobalOrder
+# rank). sim_semantic_prune is deliberately NOT smoked: the 10x fixture
+# replicates vectors under the FROZEN published 16-centroid table, so
+# within-cluster density (and the pair join) grows quadratically BY
+# CONSTRUCTION of the fixture, not of the operator — the production
+# contract is nlist ∝ corpus (bounded cluster population; see the
+# operator scaladoc), and at nlist beyond a few hundred the
+# centroid-literal assignment hands off to the IVF partition-pruned path.
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile}
 sbt -batch compile >/dev/null 2>&1
 if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"

@@ -626,6 +626,14 @@ object SparkEntry {
         queryTable = Some(Tables.embeddings(s, d)
           .where(col("vec_id") % 97 === 1).select("vec_id", "embedding")))
         .orderBy("query_id", "rank")),
+    // SemDeDup semantic prune: within-cluster cosine groups over the
+    // SAME published centroid artifact, one representative kept per
+    // group — the pair former is cluster-bucketed, never corpus²
+    "sim_semantic_prune" -> ((s, d) =>
+      Similarity.semanticPrunePublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}")
+        .orderBy("vec_id")),
     // the retrain trigger: PSI of the cluster-assignment distribution
     // between the even/odd vec_id cohorts against the SAME published
     // centroids — map-only assignment + nlist-sized partial-aggs, the
@@ -876,6 +884,21 @@ object SparkEntry {
     "pipeline_weighted_sample" -> ((s, d) =>
       Curation.weightedSample(Tables.documents(s, d), k = 64)
         .orderBy(col("sample_key").desc, col("doc_id"))),
+    // leakage-safe split: train/validation/test assigned per NEAR-DUP
+    // CLUSTER (the published cluster table), deterministic md5 rule —
+    // a test doc can never have a near-dup in train
+    "pipeline_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.leakageSafeSplit(docs,
+        Dedup.sharedNearDupClusters(docs, cacheKey = d))
+        .orderBy("doc_id")
+    }),
+    // join-key skew profile: exact per-key count distribution stats
+    // (GlobalOrder rank percentiles) — the pre-flight shuffle telemetry
+    "pipeline_skew_profile" -> ((s, d) =>
+      Curation.keySkewProfile(Tables.events(s, d),
+        Seq("user_id", "event_type"))
+        .orderBy("key_name")),
     // cross-source shingle-overlap matrix: jaccard + both directional
     // containments per source pair (ingest double-count telemetry)
     "pipeline_source_overlap" -> ((s, d) =>
@@ -904,6 +927,17 @@ object SparkEntry {
         Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
           cacheKey = d))
         .orderBy("side", "degree")),
+    // deterministic hash-seeded random walks (DeepWalk corpus): one
+    // 4-step walk per customer node over the published trade edges;
+    // each step is one frontier-sized equi-join on the ranked-neighbor
+    // table, neighbor choice = md5 hex fold mod degree
+    "graph_random_walks" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.randomWalks(edges,
+        edges.select(col("u").as("walk_id")).distinct())
+        .orderBy("walk_id", "step")
+    }),
     // 5-iteration damped PageRank on the symmetrized trade graph
     // (checkpointed contributions loop — one |E| join + sum per round)
     "graph_pagerank" -> ((s, d) =>
@@ -965,6 +999,10 @@ object SparkEntry {
     // first-order transition matrix: per-user ordered lead + one
     // partial-agg; the normalizer windows over the 5×5 matrix only
     "events_transitions" -> ((s, d) => Sequence.transitions(s, d)),
+    // per-user Markov path NLL (behavioral perplexity): MLE transition
+    // model over the (row_number pre-cut) first 256 transitions per
+    // user, per-user sequential-fold sum — the session-quality filter
+    "events_path_nll" -> ((s, d) => Sequence.pathNll(s, d)),
     // cohort retention: first-event-day cohorts × week offsets, all
     // partial-agg; offset-0 counts ARE the cohort sizes
     "events_retention" -> ((s, d) => Sequence.retention(s, d)),
@@ -2953,6 +2991,56 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // sim_semantic_prune: the sim_ivf assignment chain against the SAME
+    // published centroid table, then within-cluster sequential-fold
+    // cosine pairs at 0.45 and the recursive-CTE component collapse
+    // (rep = min vec_id) — SemDeDup replayed end to end
+    "sim_semantic_prune" ->
+      """WITH RECURSIVE
+        |c AS (SELECT list_id, centroid
+        |      FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS MATERIALIZED (
+        |  SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+        |d AS (SELECT nn.vec_id, c.list_id,
+        |             list_reduce([nn.nv[i] * c.centroid[i]
+        |                          for i in range(1, 1 + len(nn.nv))],
+        |                         (x, y) -> x + y) AS dt
+        |      FROM nn CROSS JOIN c),
+        |a AS MATERIALIZED (
+        |  SELECT vec_id, list_id AS cluster FROM (
+        |    SELECT vec_id, list_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dt DESC, list_id DESC) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |av AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cluster, nn.nv
+        |  FROM a JOIN nn ON nn.vec_id = a.vec_id),
+        |pr AS MATERIALIZED (
+        |  SELECT p1.vec_id AS doc_a, p2.vec_id AS doc_b
+        |  FROM av p1 JOIN av p2
+        |    ON p1.cluster = p2.cluster AND p1.vec_id < p2.vec_id
+        |  WHERE list_reduce([p1.nv[i] * p2.nv[i]
+        |                     for i in range(1, 1 + len(p1.nv))],
+        |                    (x, y) -> x + y) >= 0.45),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS u, doc_b AS v FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u),
+        |rep AS (SELECT a.vec_id, coalesce(min(r.v), a.vec_id) AS rep_id
+        |        FROM a LEFT JOIN reach r ON r.u = a.vec_id
+        |        GROUP BY a.vec_id)
+        |SELECT a.vec_id, a.cluster, rep.rep_id,
+        |       (a.vec_id = rep.rep_id) AS kept
+        |FROM a JOIN rep ON rep.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     // sim_centroid_drift: replays the sim_ivf assignment chain against
     // the published centroid table, then the driftPsi math (Laplace-
     // smoothed shares, cluster-sorted fold with prepended 0.0 ≡ the
@@ -4220,6 +4308,65 @@ object SparkEntry {
     },
     // weighted sample: the same md5 52-bit uniform fold, ln-key, 9 dp
     // pre-rank rounding, and (key desc, doc_id) cut — bit-reproducible
+    // leakage-safe split: the shared cluster-closure prefix (clus), then
+    // the deterministic 52-bit md5 fold of 'split:<cluster_id>' cut at
+    // 0.8 / 0.9 — cluster members share a split by construction
+    "pipeline_leakage_split" -> (curationCtePrefix +
+      s""",
+         |su AS (SELECT doc_id, cluster_id,
+         |         CAST(list_reduce(
+         |           [CAST(strpos('0123456789abcdef',
+         |                        substr(md5('split:' || cluster_id), hd, 1)) - 1 AS BIGINT)
+         |            for hd in range(1, 14)],
+         |           (a, cc) -> a * 16 + cc) AS DOUBLE)
+         |           / 4503599627370496.0 AS uu
+         |       FROM clus)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN uu < 0.8 THEN 'train'
+         |            WHEN uu < 0.9 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM su
+         |ORDER BY doc_id""".stripMargin),
+    // skew profile: per-key counts, exact global rank by (n, key), pure
+    // integer percentile ranks ((n_keys·q+99) div 100), one summary row
+    // per profiled key column
+    "pipeline_skew_profile" -> {
+      def block(keyName: String) =
+        s"""SELECT '$keyName' AS key_name,
+           |       CAST(t.n_rows AS BIGINT) AS n_rows, t.n_keys, t.max_n,
+           |       p.p50_n, p.p90_n, p.p99_n,
+           |       floor((CAST(t.max_n AS DOUBLE) * t.n_keys / t.n_rows)
+           |             * 10000 + 0.5) / 10000 AS skew_ratio,
+           |       floor((t.max_n / CAST(t.n_rows AS DOUBLE))
+           |             * 1000000 + 0.5) / 1000000 AS top1_share
+           |FROM (SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n
+           |      FROM ${keyName}_c) t
+           |CROSS JOIN (
+           |  SELECT max(CASE WHEN r.rnk = (t2.n_keys * 50 + 99) // 100
+           |                  THEN r.n END) AS p50_n,
+           |         max(CASE WHEN r.rnk = (t2.n_keys * 90 + 99) // 100
+           |                  THEN r.n END) AS p90_n,
+           |         max(CASE WHEN r.rnk = (t2.n_keys * 99 + 99) // 100
+           |                  THEN r.n END) AS p99_n
+           |  FROM ${keyName}_r r
+           |  CROSS JOIN (SELECT count(*) AS n_keys FROM ${keyName}_c) t2) p"""
+      s"""WITH user_id_c AS MATERIALIZED (
+         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |user_id_r AS (
+         |  SELECT key, n, row_number() OVER (ORDER BY n, key) AS rnk
+         |  FROM user_id_c),
+         |event_type_c AS MATERIALIZED (
+         |  SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |event_type_r AS (
+         |  SELECT key, n, row_number() OVER (ORDER BY n, key) AS rnk
+         |  FROM event_type_c)
+         |${block("user_id")}
+         |UNION ALL
+         |${block("event_type")}
+         |ORDER BY key_name""".stripMargin
+    },
     "pipeline_weighted_sample" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,
@@ -4272,6 +4419,43 @@ object SparkEntry {
         |SELECT substr(u, 1, 1) AS side, deg AS degree, count(*) AS n_nodes
         |FROM dg GROUP BY side, deg
         |ORDER BY side, degree""".stripMargin,
+    // random walks: the oracle unrolls the SAME fixed 4 steps — ranked
+    // undirected neighbors (row_number by id, count as degree), neighbor
+    // choice = 52-bit md5 hex fold of 'rw:walk:step' mod degree
+    "graph_random_walks" -> {
+      def hex(expr: String) =
+        s"""CAST(list_reduce(
+           |           [CAST(strpos('0123456789abcdef',
+           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
+           |            for hd in range(1, 14)],
+           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      val steps = (1 to 4).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT w.walk_id, $t AS step, r.v AS node
+           |  FROM w${t - 1} w JOIN rk r ON r.u = w.node
+           |   AND r.rnk = ${hex(s"'rw:' || w.walk_id || ':$t'")} % r.outdeg)"""
+      }.mkString(",\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |rk AS MATERIALIZED (
+         |  SELECT u, v,
+         |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+         |         count(*) OVER (PARTITION BY u) AS outdeg
+         |  FROM sym),
+         |w0 AS MATERIALIZED (
+         |  SELECT u AS walk_id, 0 AS step, u AS node
+         |  FROM (SELECT DISTINCT u FROM base)),
+         |$steps
+         |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
+         |  SELECT * FROM w0
+         |  UNION ALL SELECT * FROM w1
+         |  UNION ALL SELECT * FROM w2
+         |  UNION ALL SELECT * FROM w3
+         |  UNION ALL SELECT * FROM w4)
+         |ORDER BY walk_id, step""".stripMargin
+    },
     // PageRank: the oracle unrolls the SAME fixed 5 damped iterations the
     // Spark loop runs; 6 dp rounding absorbs cross-engine sum-order float
     // noise (~1e-15 relative — the iteration is a contraction)
@@ -4450,6 +4634,36 @@ object SparkEntry {
         |         / 1000000 AS p
         |FROM c
         |ORDER BY from_type, to_type""".stripMargin,
+    // path NLL: the identical pre-cut (row_number ≤ 256) feeds BOTH the
+    // MLE model and the scoring set; per-user terms folded in idx order
+    // (list_reduce's first-element init == the Spark fold's 0.0 init —
+    // 0.0 + t1 is bitwise t1), rounded at the edge
+    "events_path_nll" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS idx
+        |  FROM events),
+        |tr AS MATERIALIZED (
+        |  SELECT * FROM p WHERE to_type IS NOT NULL AND idx <= 256),
+        |c AS (SELECT from_type, to_type, count(*) AS n_ft
+        |      FROM tr GROUP BY from_type, to_type),
+        |f AS (SELECT from_type, sum(n_ft) AS n_f FROM c GROUP BY from_type),
+        |m AS (SELECT c.from_type, c.to_type,
+        |             ln(CAST(c.n_ft AS DOUBLE) / f.n_f) AS term
+        |      FROM c JOIN f ON c.from_type = f.from_type),
+        |u AS (SELECT tr.user_id, count(*) AS n_trans,
+        |             list(m.term ORDER BY tr.idx) AS terms
+        |      FROM tr JOIN m ON tr.from_type = m.from_type
+        |                    AND tr.to_type = m.to_type
+        |      GROUP BY tr.user_id)
+        |SELECT user_id, n_trans,
+        |       floor(((-list_reduce(terms, (a, b) -> a + b)) / n_trans)
+        |             * 1000000 + 0.5) / 1000000 AS nll
+        |FROM u
+        |ORDER BY user_id""".stripMargin,
     // KM survival: at-risk via exclusive cumulative sums (exact integer
     // math); the survival product as a per-row prefix fold over
     // duration-sorted factors — list_reduce's first-element init and

@@ -158,6 +158,93 @@ object Curation {
         col("quality"), col("n_tokens"))
   }
 
+  /** Leakage-safe train/validation/test split: the unit of assignment
+    * is the NEAR-DUP CLUSTER, not the document — every member of a
+    * cluster lands in the same split by construction, so a test
+    * document can never have a near-duplicate in train (the
+    * contamination that silently inflates held-out scores; splitting
+    * uniformly over doc_id guarantees it for every cluster that spans
+    * the cut). The split is the deterministic hash rule: u = the
+    * 52-bit md5 hex fold of `salt:cluster_id` (the [[weightedSample]]
+    * trick) scaled to (0,1]; u < train% → train, < train%+val% →
+    * validation, else test — reproducible bit-for-bit on any engine,
+    * no RNG state to ship.
+    *
+    * Scale shape: one doc_id equi-join against the dedup-once
+    * published cluster table ([[graft.operators.Dedup.sharedNearDupClusters]])
+    * + a map-only hash — the split of a 100 TB corpus costs one
+    * co-partitioned join, and re-runs land every doc in the same split
+    * forever (stable under corpus append: untouched clusters never
+    * move).
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      clusters: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"split percentages must partition 100, got $trainPct/$valPct")
+    val u = conv(substring(
+        md5(concat(lit(s"$salt:"), col("cluster_id").cast("string"))),
+        1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    docs.select(col("doc_id"))
+      .join(clusters, "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        when(u < trainPct / 100.0, "train")
+          .when(u < (trainPct + valPct) / 100.0, "validation")
+          .otherwise("test").as("split"))
+  }
+
+  /** Join-key skew profile: the pre-flight telemetry that predicts
+    * whether a shuffle on `key` will hot-spot before the job runs —
+    * per-key row counts summarized as exact distribution stats (max,
+    * exact p50/p90/p99 of the per-key count, max/mean skew ratio,
+    * heaviest key's share of all rows). One row per profiled key
+    * column; `skew_ratio` >> 1 with a fat `top1_share` is the signal
+    * to salt ([[graft.operators.Relational]]'s salted join) or to
+    * broadcast the other side.
+    *
+    * Scale shape: one partial-agg shuffle per key column (the per-key
+    * count) + the distributed exact-rank topology
+    * ([[graft.engine.GlobalOrder.withGlobalRank]] — range-partitioned
+    * prefix sums, never a global single-reducer window) to read the
+    * percentiles; everything after the rank is a single-row aggregate.
+    * Percentile ranks use pure integer arithmetic
+    * (⌈n_keys·q⌉ = (n_keys·q_pct + 99) div 100), so both engines cut
+    * the same rank.
+    */
+  def keySkewProfile(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.map { k =>
+      val counts = df.groupBy(col(k).cast("string").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = graft.engine.GlobalOrder.withGlobalRank(
+        counts, Seq(col("n"), col("key")), "rnk")
+      val tot = ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"))
+      def pctRank(pct: Int): Column =
+        ((col("n_keys") * pct + 99) / 100).cast("long")
+      ranked.crossJoin(broadcast(tot))
+        .groupBy(col("n_keys"), col("n_rows"), col("max_n"))
+        .agg(
+          max(when(col("rnk") === pctRank(50), col("n"))).as("p50_n"),
+          max(when(col("rnk") === pctRank(90), col("n"))).as("p90_n"),
+          max(when(col("rnk") === pctRank(99), col("n"))).as("p99_n"))
+        .select(
+          lit(k).as("key_name"),
+          col("n_rows"), col("n_keys"), col("max_n"),
+          col("p50_n"), col("p90_n"), col("p99_n"),
+          graft.functions.OracleRound.round4(
+            col("max_n").cast("double") * col("n_keys") / col("n_rows"))
+            .as("skew_ratio"),
+          graft.functions.OracleRound.roundN(
+            col("max_n") / col("n_rows").cast("double"), 6)
+            .as("top1_share"))
+    }.reduce(_ unionByName _)
+
   /** The release gate: every check a corpus snapshot must pass before
     * training, composed as ONE declarative plan — near-dup canonical
     * selection + language + quality ([[curatedCorpusFromClusters]]),

@@ -67,6 +67,57 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Deterministic hash-seeded random walks over the symmetrized edge
+    * list — the DeepWalk/node2vec corpus generator (Perozzi et al.,
+    * "DeepWalk", KDD'14; public literature, no code consulted): graph
+    * neighborhoods rendered as node sequences that downstream embedding
+    * training consumes exactly like sentences. One walk starts at every
+    * node of `starts`; at step t the walk at node u moves to the
+    * neighbor whose dense rank (neighbors ordered by id) equals
+    * `H(walk_id, t) mod degree(u)`, with H the 52-bit md5 hex fold —
+    * fully deterministic, so the "random" walks replay bit-identically
+    * on any engine (the hyperplane/weighted-sample trick applied to
+    * neighbor choice). Undirected symmetrization means every reached
+    * node has degree ≥ 1: walks never dead-end.
+    *
+    * Scale shape: the ranked-neighbor table is built once (two
+    * edge-partitioned windows — per-node rank and degree, never a
+    * global window) and materialized; each step is ONE |starts|-sized
+    * equi-join against it on the node key. Step t's frontier is exactly
+    * |starts| rows, so `steps` steps cost `steps` bounded joins — at
+    * 1000 executors the walk table and the frontier co-partition on the
+    * node key and nothing grows beyond |starts| × steps output rows.
+    */
+  def randomWalks(
+      edges: DataFrame, starts: DataFrame,
+      steps: Int = 4, salt: String = "rw"): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+      .distinct()
+    val wRank = Window.partitionBy(col("u")).orderBy(col("v"))
+    val ranked = OpCache.materialize(
+      sym
+        .withColumn("rank", row_number().over(wRank) - 1)
+        .withColumn("outdeg",
+          count(lit(1)).over(Window.partitionBy(col("u")))))
+    val w0 = starts.select(col("walk_id"))
+      .withColumn("step", lit(0))
+      .withColumn("node", col("walk_id"))
+    var frontier = w0
+    var out = w0
+    (1 to steps).foreach { t =>
+      val h = conv(substring(md5(concat(
+          lit(s"$salt:"), col("walk_id"), lit(s":$t"))), 1, 13), 16, 10)
+        .cast("long")
+      val next = frontier.join(ranked, frontier("node") === ranked("u"))
+        .where(col("rank") === h % col("outdeg"))
+        .select(col("walk_id"), lit(t).as("step"), col("v").as("node"))
+      out = out.unionByName(next)
+      frontier = next
+    }
+    out
+  }
+
   /** Damped PageRank over the symmetrized edge list, a FIXED number of
     * iterations (fixed so the result is deterministic and
     * oracle-replayable; convergence-probe variants belong to monitoring,

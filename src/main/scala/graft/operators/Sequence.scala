@@ -198,6 +198,57 @@ object Sequence {
       .orderBy("from_type", "to_type")
   }
 
+  /** Per-user path negative log-likelihood under the corpus's own
+    * first-order Markov model — the behavioral analog of
+    * [[graft.operators.TextAnalysis]]'s bigram NLL: score each user's
+    * event sequence against the MLE transition matrix (every scored
+    * transition is observed, so no smoothing mass is needed) and
+    * surface the per-user average −ln P(next | current). Low NLL =
+    * stereotypical navigation (bots, loops); high NLL = surprising
+    * paths — the session-quality signal a behavioral-data curation
+    * pass filters on, exactly as perplexity filters text.
+    *
+    * Determinism at scale: transitions are ordered (ts, event_id)
+    * (tie-free); each user's term list is CUT to the first `maxTrans`
+    * transitions by a user-partitioned `row_number()` BEFORE
+    * `collect_list` (the [[topPaths]] buffer-bound discipline — ≤
+    * `maxTrans` structs per user under any bot-stream skew), sorted by
+    * the same order, and summed with a SEQUENTIAL `aggregate` fold, so
+    * the IEEE sum is bit-identical on any engine. The model side is
+    * two partial-agg shuffles over the TYPE×TYPE matrix; the scoring
+    * join broadcasts that matrix (|event_type|² rows).
+    */
+  def pathNll(
+      spark: SparkSession, sfDir: String, maxTrans: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("idx", row_number().over(w))
+      .where(col("to_type").isNotNull && col("idx") <= maxTrans)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_ft"))
+    val fromTotals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n_ft")).as("n_f"))
+    val model = counts.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"),
+        log(col("n_ft").cast("double") / col("n_f")).as("term"))
+    pairs.join(broadcast(model), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sort_array(collect_list(struct(col("idx"), col("term"))))
+          .as("terms"))
+      .select(col("user_id"), col("n_trans"),
+        OracleRound.roundN(
+          -aggregate(col("terms"), lit(0.0),
+            (acc, t) => acc + t.getField("term")) / col("n_trans"),
+          6).as("nll"))
+      .orderBy("user_id")
+  }
+
   /** Batch sessionization — the oracle-checked batch truth for
     * [[graft.streaming.StreamOps.sessionize]]'s gap rule: per user,
     * events ordered by (ts, event_id) split into sessions wherever the

@@ -679,6 +679,62 @@ object Similarity {
     }
   }
 
+  /** Semantic deduplication over the published IVF clustering — the
+    * SemDeDup recipe (Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", 2023 — public
+    * literature, no code consulted): k-means-cluster the embedding
+    * corpus, compare pairs only WITHIN a cluster, and keep one
+    * representative (min vec_id) per cosine-≥`tau` connected group.
+    * Near-duplicate *meanings* — paraphrases, boilerplate variants —
+    * collapse even when no token-level dedup fires; the pruned corpus
+    * trains faster at equal quality, which is the whole point of the
+    * method.
+    *
+    * Output: (vec_id, cluster, rep_id, kept) — `cluster` the coarse
+    * k-means cell, `rep_id` the semantic-group representative, `kept`
+    * whether this row survives the prune.
+    *
+    * Scale shape: assignment is map-only against the PUBLISHED
+    * centroid table ([[publishedIvfCentroids]] — train once, serve
+    * everywhere; the DuckDB oracle replays assignment + prune from the
+    * same table bit-for-bit). The pair former is an equi-join on the
+    * cluster id — bucketed, never corpus²: with nlist scaled ∝ corpus
+    * size (the SemDeDup deployment), per-cluster population stays
+    * bounded and the join's per-key fan-out with it. Component
+    * collapse reuses the CC loop ([[Dedup.clustersFromPairs]]), whose
+    * shuffle width is tied to the (tiny) pair-graph size. Every cosine
+    * is the sequential-fold dot of L2-normalized vectors — exact
+    * cross-engine threshold semantics, the [[bruteForceTopK]]
+    * discipline.
+    */
+  def semanticPrunePublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      nlist: Int = 16,
+      iters: Int = 3,
+      tau: Double = 0.45): DataFrame = {
+    val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
+    val assigned = OpCache.materialize(
+      assignVectors(embeddings, cents)
+        .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+        .select(col("vec_id"), col("cluster"), col("nv")))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(VectorOps.dot(col("a.nv"), col("b.nv")) >= tau)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val comps = Dedup.clustersFromPairs(
+      embeddings.select(col("vec_id").as("doc_id")), pairs)
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(
+        comps.select(col("doc_id").as("vec_id"),
+          col("cluster_id").as("rep_id")),
+        "vec_id")
+      .withColumn("kept", col("vec_id") === col("rep_id"))
+  }
+
   /** Read-through accessor for published IVF centroids — see
     * [[publishedArtifact]] for the reuse/rebuild contract.
     */

@@ -19,6 +19,49 @@ class GraphSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .getOrCreate()
 
+  test("randomWalks: JVM-recomputed trace matches exactly; every step walks an edge") {
+    import spark.implicits._
+    val e = Seq(("c:1", "s:1"), ("c:1", "s:2"), ("c:2", "s:1"),
+      ("c:3", "s:2"), ("c:3", "s:3")).toDF("u", "v")
+    val starts = Seq("c:1", "c:2", "c:3").toDF("walk_id")
+    val got = Graph.randomWalks(e, starts, steps = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // third derivation: adjacency + the identical md5 fold rule in JVM
+    val adj = {
+      val es = Set(("c:1", "s:1"), ("c:1", "s:2"), ("c:2", "s:1"),
+        ("c:3", "s:2"), ("c:3", "s:3"))
+      (es ++ es.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    }
+    def hexFold(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = scala.collection.mutable.Set[(String, Int, String)]()
+    Seq("c:1", "c:2", "c:3").foreach { w =>
+      var node = w
+      expect += ((w, 0, node))
+      (1 to 4).foreach { t =>
+        val nbrs = adj(node)
+        node = nbrs((hexFold(s"rw:$w:$t") % nbrs.size).toInt)
+        expect += ((w, t, node))
+      }
+    }
+    assert(got === expect.toSet, "walk trace diverged from the md5 rule")
+    // no dead ends on an undirected graph: 3 walks × 5 rows
+    assert(got.size === 15)
+    // every consecutive step is an actual edge
+    val byWalk = got.groupBy(_._1)
+    byWalk.values.foreach { rows =>
+      val path = rows.toSeq.sortBy(_._2).map(_._3)
+      path.zip(path.drop(1)).foreach { case (a, b) =>
+        assert(adj(a).contains(b), s"non-edge step $a -> $b")
+      }
+    }
+  }
+
   test("pageRank on a 2-node graph is uniform at any damping / iteration count") {
     import spark.implicits._
     val e = Seq(("a", "b")).toDF("u", "v")

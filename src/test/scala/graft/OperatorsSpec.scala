@@ -614,6 +614,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: no cluster spans splits, all docs covered, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.nearDupClusters(docs)
+    val got = Curation.leakageSafeSplit(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === docs.count())
+    // THE property: every member of a cluster carries the same split
+    got.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length === 1,
+        s"cluster $c spans splits: ${ms.map(_._3).distinct.toSeq}")
+    }
+    // all three splits are populated and train holds the plurality
+    val bySplit = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "validation", "test"),
+      s"missing split: ${bySplit.keySet}")
+    assert(bySplit("train") > bySplit("validation") &&
+      bySplit("train") > bySplit("test"),
+      s"train is not the plurality: $bySplit")
+    // a second run reproduces the assignment bit-for-bit
+    val again = Curation.leakageSafeSplit(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // and at least one multi-doc cluster exercised the property
+    assert(got.groupBy(_._2).exists(_._2.length > 1),
+      "no multi-doc cluster — the leak guard proved nothing")
+  }
+
+  test("keySkewProfile: exact stats on a hand-built key distribution") {
+    import spark.implicits._
+    // 10 keys with counts 1..9 and one hot key with 81 rows:
+    // n_keys=10, n_rows=126, max=81
+    val rows = (1 to 9).flatMap(k => Seq.fill(k)(s"k$k")) ++
+      Seq.fill(81)("hot")
+    val df = rows.toDF("key_col")
+    val got = Curation.keySkewProfile(df, Seq("key_col")).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "key_col")
+    assert(r.getLong(1) === 126L && r.getLong(2) === 10L &&
+      r.getLong(3) === 81L)
+    // ascending counts (1..9, 81): p50 = rank 5 -> 5, p90 = rank 9 -> 9,
+    // p99 = rank 10 -> 81
+    assert(r.getLong(4) === 5L && r.getLong(5) === 9L && r.getLong(6) === 81L)
+    // skew = 81 / (126/10) = 6.4286 (4 dp); top1 = 81/126 = 0.642857 (6 dp)
+    assert(r.getDouble(7) === math.floor(81.0 * 10 / 126 * 1e4 + 0.5) / 1e4)
+    assert(r.getDouble(8) === math.floor(81.0 / 126 * 1e6 + 0.5) / 1e6)
+    // the profile flags real skew on the events user_id vs event_type
+    val ev = Curation.keySkewProfile(Tables.events(spark, sf),
+      Seq("user_id", "event_type")).collect()
+      .map(r2 => r2.getString(0) -> r2.getDouble(8)).toMap
+    assert(ev("event_type") > ev("user_id"),
+      "low-cardinality key should carry the fatter top-1 share")
+  }
+
   test("weightedSample is exact-size, reproducible, and weight-biased") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -94,7 +94,11 @@ class PlanSpec extends AnyFunSuite {
     "text_collocations", "text_keywords",
     // events_funnel: three SINGLE-ROW per-step aggregates cross-joined
     // for the final 3-row assembly — constant-size at any SF
-    "events_funnel")
+    "events_funnel",
+    // skew profile: the single-row (n_keys, n_rows, max_n) totals
+    // aggregate broadcast back onto the ranked key-count frame for the
+    // percentile reads — constant-size build at any SF
+    "pipeline_skew_profile")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

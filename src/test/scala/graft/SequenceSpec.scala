@@ -126,6 +126,40 @@ class SequenceSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === expectTotal)
   }
 
+  test("pathNll: brute-force recompute agrees exactly; uniform model bounds hold") {
+    val got = Sequence.pathNll(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    // third derivation in plain JVM code: ordered per-user streams →
+    // first-256 cut → MLE model → per-user in-order fold, 6 dp floor
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    }
+    val trans = byUser.toSeq.flatMap { case (u, types) =>
+      types.zip(types.drop(1)).take(256).map { case (a, b) => (u, a, b) }
+    }
+    val nFt = trans.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val nF = trans.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = trans.groupBy(_._1).map { case (u, ts) =>
+      val s = ts.foldLeft(0.0) { case (acc, (_, a, b)) =>
+        acc + math.log(nFt((a, b)).toDouble / nF(a))
+      }
+      u -> (ts.size.toLong, math.floor(-s / ts.size * 1e6 + 0.5) / 1e6)
+    }
+    assert(got === expect, "pathNll diverged from the brute-force recompute")
+    // NLL is nonnegative and capped by ln of the largest from-state mass
+    // (every scored transition has p = n_ft/n_f ≥ 1/n_f)
+    val maxNf = nF.values.max
+    got.values.foreach { case (_, nll) =>
+      assert(nll >= 0.0 && nll <= math.log(maxNf.toDouble) + 1e-9)
+    }
+  }
+
   test("attribution: single-credit models conserve revenue exactly, linear within floor slack") {
     val rows = Sequence.attribution(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -290,6 +290,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("semantic prune equals driver-side within-cluster union-find; one rep kept per group") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-semdedup").toString
+    val tau = 0.45
+    val got = Similarity.semanticPrunePublished(emb, base, "semprune")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // third derivation: assignment + pairs + union-find in plain JVM
+    // code against the SAME published centroid table
+    val cents = Similarity.publishedIvfCentroids(emb, base, "semprune")
+    val vecs = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      r.getLong(0) -> v
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nv = vecs.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v)); id -> v.map(_ / n)
+    }
+    // argmax dot, tie -> HIGHER centroid index (the array_max struct rule)
+    val assign = nv.map { case (id, x) =>
+      id -> cents.zipWithIndex.map { case (c, i) => (dot(x, c), i) }.max._2
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- ids; j <- ids
+      if i < j && assign(i) == assign(j) && dot(nv(i), nv(j)) >= tau
+    } {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expect = ids.map(i =>
+      i -> (assign(i), find(i), find(i) == i)).toMap
+    assert(got === expect, "semantic prune diverged from the union-find truth")
+    // at least one multi-member group collapsed, or the fixture proved
+    // nothing; exactly one kept representative (the min id) per group
+    val groups = got.toSeq.groupBy(_._2._2)
+    assert(groups.exists(_._2.size > 1), "no semantic group to prune")
+    groups.foreach { case (rep, ms) =>
+      assert(ms.count(_._2._3) === 1, s"group $rep kept ${ms.count(_._2._3)}")
+      assert(rep === ms.map(_._1).min, s"rep $rep is not the min member id")
+    }
+  }
+
   test("centroid drift: cohorts conserve the corpus, identical cohorts give psi 0") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)

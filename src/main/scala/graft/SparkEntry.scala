@@ -884,6 +884,16 @@ object SparkEntry {
     "pipeline_weighted_sample" -> ((s, d) =>
       Curation.weightedSample(Tables.documents(s, d), k = 64)
         .orderBy(col("sample_key").desc, col("doc_id"))),
+    // DSIR hashed-bigram importance weights: per-doc log p_target/p_raw
+    // under Laplace-smoothed 64-bucket models (target = the corpus's own
+    // English docs) — bucket-bounded per-doc folds, corpus scanned once
+    "pipeline_dsir_weights" -> ((s, d) =>
+      Curation.dsirLogWeights(Tables.documents(s, d)).orderBy("doc_id")),
+    // the resampling step: Gumbel top-k over the same weights with
+    // deterministic hash noise — exactly k docs drawn ∝ importance
+    "pipeline_dsir_sample" -> ((s, d) =>
+      Curation.dsirSample(Tables.documents(s, d))
+        .orderBy(col("sample_key").desc, col("doc_id"))),
     // leakage-safe split: train/validation/test assigned per NEAR-DUP
     // CLUSTER (the published cluster table), deterministic md5 rule —
     // a test doc can never have a near-dup in train
@@ -4308,6 +4318,38 @@ object SparkEntry {
     },
     // weighted sample: the same md5 52-bit uniform fold, ln-key, 9 dp
     // pre-rank rounding, and (key desc, doc_id) cut — bit-reproducible
+    // DSIR weights: hashed-bigram buckets (52-bit md5 fold mod 64),
+    // Laplace-smoothed grid ratios, per-doc bucket-ordered fold — the
+    // list_reduce first-element init ≡ the Spark 0.0 init bitwise
+    "pipeline_dsir_weights" -> (dsirWeightsCtes +
+      """
+        |SELECT doc_id, n_grams,
+        |       floor(list_reduce(terms, (a, x) -> a + x)
+        |             * 1000000 + 0.5) / 1000000 AS log_weight
+        |FROM w
+        |ORDER BY doc_id""".stripMargin),
+    // DSIR sample: the same weights chain + deterministic Gumbel keys
+    // g = −ln(−ln u), 9 dp, (key desc, doc_id) cut at 64
+    "pipeline_dsir_sample" -> (dsirWeightsCtes +
+      s"""
+         |, lw AS (SELECT doc_id,
+         |           floor(list_reduce(terms, (a, x) -> a + x)
+         |                 * 1000000 + 0.5) / 1000000 AS log_weight
+         |         FROM w),
+         |uu AS (SELECT doc_id, log_weight,
+         |         CAST(list_reduce(
+         |           [CAST(strpos('0123456789abcdef',
+         |                        substr(md5('dsir-s:' || doc_id), hd, 1)) - 1 AS BIGINT)
+         |            for hd in range(1, 14)],
+         |           (a, cc) -> a * 16 + cc) AS DOUBLE)
+         |           / 4503599627370496.0 AS u
+         |       FROM lw)
+         |SELECT doc_id, log_weight,
+         |       floor((log_weight + -ln(-ln(greatest(u, 1e-15))))
+         |             * 1000000000 + 0.5) / 1000000000 AS sample_key
+         |FROM uu
+         |ORDER BY sample_key DESC, doc_id
+         |LIMIT 64""".stripMargin),
     // leakage-safe split: the shared cluster-closure prefix (clus), then
     // the deterministic 52-bit md5 fold of 'split:<cluster_id>' cut at
     // 0.8 / 0.9 — cluster members share a split by construction
@@ -5698,6 +5740,48 @@ object SparkEntry {
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def duckToks: String =
     s"string_split($duckNorm, ' ')"
+
+  /** Shared oracle CTE prefix for the DSIR queries: bag-of-hashed-bigram
+    * buckets (52-bit md5 fold mod 64), per-doc bucket counts, the
+    * Laplace-smoothed dense-grid log ratios, and the bucket-ordered
+    * per-doc term lists (`w`) — the DuckDB mirror of
+    * `Curation.dsirLogWeights` up to the final fold.
+    */
+  private def dsirWeightsCtes: String =
+    s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |bg AS (SELECT doc_id, lang,
+       |              unnest(CASE WHEN len(toks) >= 2
+       |                     THEN [array_to_string(toks[i:i+1], ' ')
+       |                           for i in range(1, len(toks))]
+       |                     ELSE [] END) AS bg
+       |       FROM t),
+       |bc AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |         CAST(list_reduce(
+       |           [CAST(strpos('0123456789abcdef',
+       |                        substr(md5('dsir:' || bg), hd, 1)) - 1 AS BIGINT)
+       |            for hd in range(1, 14)],
+       |           (a, cc) -> a * 16 + cc) AS BIGINT) % 64 AS b
+       |  FROM bg),
+       |pd AS (SELECT doc_id, b, count(*) AS c FROM bc GROUP BY doc_id, b),
+       |rb AS MATERIALIZED (SELECT b, count(*) AS r_b FROM bc GROUP BY b),
+       |tb AS MATERIALIZED (
+       |  SELECT b, count(*) AS t_b FROM bc WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(sum(r_b) AS BIGINT) FROM rb) AS r_tot,
+       |               (SELECT CAST(sum(t_b) AS BIGINT) FROM tb) AS t_tot),
+       |grid AS (SELECT range AS b FROM range(0, 64)),
+       |l AS (SELECT g.b,
+       |             (ln(CAST(coalesce(tb.t_b, 0) + 1 AS DOUBLE)
+       |                 / (tot.t_tot + 64))
+       |            - ln(CAST(coalesce(rb.r_b, 0) + 1 AS DOUBLE)
+       |                 / (tot.r_tot + 64))) AS l_b
+       |      FROM grid g
+       |      LEFT JOIN rb ON rb.b = g.b
+       |      LEFT JOIN tb ON tb.b = g.b
+       |      CROSS JOIN tot),
+       |w AS (SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_grams,
+       |             list(pd.c * l.l_b ORDER BY pd.b) AS terms
+       |      FROM pd JOIN l ON l.b = pd.b GROUP BY pd.doc_id)""".stripMargin
 
   /** Shared oracle CTE prefix for the curation pipeline family: shingles →
     * exact jaccard pairs → recursive-CTE connected components (`clus`),

@@ -935,6 +935,98 @@ object Curation {
       .limit(k)
   }
 
+  /** DSIR hashed n-gram importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023 —
+    * public literature, method re-derived): per-document
+    * log p_target/p_raw under bag-of-hashed-bigram bucket models, the
+    * score that tilts a raw crawl toward a target distribution (here:
+    * the corpus's own English documents) without training a
+    * classifier. Buckets are the 52-bit md5 fold of each bigram mod
+    * `buckets`; both bucket distributions are Laplace-smoothed over the
+    * dense bucket grid; a document's log weight is
+    * Σ_b c_b·(ln p_t(b) − ln p_r(b)) over its own bucket counts.
+    *
+    * Determinism at scale: the per-document fold runs over the ≤
+    * `buckets` (64) per-doc bucket-count rows, sorted by bucket id —
+    * the collect_list buffer is bucket-bounded regardless of document
+    * length, and the sequential fold makes the IEEE sum engine-exact.
+    * Scale shape: one explode→(doc, bucket) partial-agg shuffle, two
+    * bucket-grid aggregates (64 rows), the grid broadcast back — the
+    * corpus is scanned once.
+    */
+  def dsirLogWeights(
+      docs: DataFrame,
+      buckets: Int = 64,
+      targetLang: String = "en",
+      salt: String = "dsir"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = TextAnalysis.tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array())
+    val bc = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit(s"$salt:"), col("bg"))), 1, 13),
+          16, 10).cast("long") % buckets).as("b"))
+    val perDoc = bc.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val rawB = bc.groupBy(col("b")).agg(count(lit(1)).as("r_b"))
+    val tgtB = bc.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("t_b"))
+    val totals = rawB.agg(sum(col("r_b")).as("r_tot"))
+      .crossJoin(tgtB.agg(sum(col("t_b")).as("t_tot")))
+    import spark.implicits._
+    val grid = (0L until buckets.toLong).toDF("b")
+    val ratio = grid
+      .join(rawB, Seq("b"), "left").join(tgtB, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("t_b"), lit(0L)) + 1).cast("double") /
+            (col("t_tot") + buckets)) -
+          log((coalesce(col("r_b"), lit(0L)) + 1).cast("double") /
+            (col("r_tot") + buckets))).as("l_b"))
+    perDoc.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sort_array(collect_list(struct(col("b"),
+          (col("c") * col("l_b")).as("term")))).as("terms"))
+      .select(col("doc_id"), col("n_grams"),
+        graft.functions.OracleRound.roundN(
+          aggregate(col("terms"), lit(0.0),
+            (acc, t) => acc + t.getField("term")), 6).as("log_weight"))
+  }
+
+  /** DSIR importance RESAMPLING over [[dsirLogWeights]]: the Gumbel
+    * top-k trick — key = log w + g with deterministic hash Gumbel noise
+    * g = −ln(−ln u) — draws exactly `k` documents distributed ∝ their
+    * importance weight, without replacement (the weighted-sampling
+    * analog of [[weightedSample]], on multiplicative weights). Keys are
+    * rounded to 9 dp BEFORE the cut and tie-break on doc_id, so the
+    * selected set is order-deterministic on any engine; the cut is
+    * TakeOrderedAndProject — never a global sort.
+    */
+  def dsirSample(
+      docs: DataFrame,
+      k: Int = 64,
+      buckets: Int = 64,
+      targetLang: String = "en",
+      salt: String = "dsir"): DataFrame = {
+    val u = conv(substring(
+        md5(concat(lit(s"$salt-s:"), col("doc_id").cast("string"))),
+        1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    val g = -log(-log(greatest(u, lit(1.0e-15))))
+    dsirLogWeights(docs, buckets, targetLang, salt)
+      .select(col("doc_id"), col("log_weight"),
+        graft.functions.OracleRound.roundN(col("log_weight") + g, 9)
+          .as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Cross-source k-shingle overlap matrix: for every source pair that
     * shares at least one shingle, the intersection size, both set sizes,
     * jaccard, and BOTH directional containments — the telemetry that

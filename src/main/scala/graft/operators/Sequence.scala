@@ -228,11 +228,15 @@ object Sequence {
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .withColumn("idx", row_number().over(w))
       .where(col("to_type").isNotNull && col("idx") <= maxTrans)
+    // n_f via a window over the TYPE×TYPE matrix (≤ |types|² rows) —
+    // a counts⋈fromTotals self-join would re-derive the events window
+    // a third time; this keeps the corpus at exactly two passes (model
+    // aggregation + scoring), with no materialization
     val counts = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_ft"))
-    val fromTotals = counts.groupBy(col("from_type"))
-      .agg(sum(col("n_ft")).as("n_f"))
-    val model = counts.join(fromTotals, "from_type")
+    val model = counts
+      .withColumn("n_f",
+        sum(col("n_ft")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"),
         log(col("n_ft").cast("double") / col("n_f")).as("term"))
     pairs.join(broadcast(model), Seq("from_type", "to_type"))

@@ -668,6 +668,49 @@ class OperatorsSpec extends AnyFunSuite {
       "low-cardinality key should carry the fatter top-1 share")
   }
 
+  test("dsir: weights tilt toward the target language, gram counts exact, sample is k-exact") {
+    val docs = Tables.documents(spark, sf)
+    val w = Curation.dsirLogWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every doc with >= 2 tokens scores, and its gram count is tokens-1
+    val tokCounts = docs.select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(w.keySet === tokCounts.filter(_._2 >= 2).keySet)
+    w.foreach { case (id, (ng, _)) =>
+      assert(ng === tokCounts(id) - 1L, s"doc $id gram count")
+    }
+    // THE point of DSIR: target-language docs carry higher importance
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = w.toSeq.partition { case (id, _) => langs(id) == "en" }
+    val enAvg = en.map(_._2._2).sum / en.size
+    val restAvg = rest.map(_._2._2).sum / rest.size
+    assert(enAvg > restAvg,
+      s"target docs not up-weighted: en=$enAvg rest=$restAvg")
+    assert(en.map(_._2._2).max > 0 && rest.map(_._2._2).min < 0,
+      "weights never cross zero — fixture too weak to prove a tilt")
+    // Gumbel top-k: exactly k rows, keys recompute from the weights
+    val s1 = Curation.dsirSample(docs, k = 32).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(s1.length === 32)
+    s1.foreach { case (id, lw, key) =>
+      assert(lw === w(id)._2)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir-s:$id".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.take(13), 16).toDouble /
+        4503599627370496.0
+      val g = -math.log(-math.log(math.max(u, 1.0e-15)))
+      assert(key === math.floor((lw + g) * 1e9 + 0.5) / 1e9,
+        s"doc $id sample key diverged from the hash-Gumbel recompute")
+    }
+    // the resample prefers heavy log-weights: sampled mean beats corpus mean
+    val sampleAvg = s1.map(_._2).sum / s1.length
+    val corpusAvg = w.values.map(_._2).sum / w.size
+    assert(sampleAvg > corpusAvg, "importance resample shows no tilt")
+  }
+
   test("weightedSample is exact-size, reproducible, and weight-biased") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

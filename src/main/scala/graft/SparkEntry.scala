@@ -884,6 +884,22 @@ object SparkEntry {
     "pipeline_weighted_sample" -> ((s, d) =>
       Curation.weightedSample(Tables.documents(s, d), k = 64)
         .orderBy(col("sample_key").desc, col("doc_id"))),
+    // classifier-based quality filtering: logistic regression over
+    // hashed unigram buckets distilling the language-ID heuristic,
+    // trained once and PUBLISHED (the IVF centroid discipline); scoring
+    // is the map-only margin fold against the published weight table —
+    // no transcendental in the scored output, so the oracle is exact
+    "pipeline_quality_classifier" -> ((s, d) =>
+      Curation.qualityClassifierScores(Tables.documents(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"clf_weights_${d.split('/').last}")
+        .orderBy("doc_id")),
+    // the promotion gate: confusion matrix + accuracy of the published
+    // classifier against its reference labels, one partial aggregate
+    "pipeline_classifier_eval" -> ((s, d) =>
+      Curation.qualityClassifierEval(Tables.documents(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"clf_weights_${d.split('/').last}")),
     // DSIR hashed-bigram importance weights: per-doc log p_target/p_raw
     // under Laplace-smoothed 64-bucket models (target = the corpus's own
     // English docs) — bucket-bounded per-doc folds, corpus scanned once
@@ -948,6 +964,16 @@ object SparkEntry {
         edges.select(col("u").as("walk_id")).distinct())
         .orderBy("walk_id", "step")
     }),
+    // node2vec second-order biased walks (p=4, q=0.25 — outward): the
+    // return/local/explore weights drawn by a deterministic inverse-CDF
+    // over an ORDERED prefix sum, so the biased choice replays exactly
+    "graph_node2vec_walks" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.node2vecWalks(edges,
+        edges.select(col("u").as("walk_id")).distinct())
+        .orderBy("walk_id", "step")
+    }),
     // 5-iteration damped PageRank on the symmetrized trade graph
     // (checkpointed contributions loop — one |E| join + sum per round)
     "graph_pagerank" -> ((s, d) =>
@@ -976,6 +1002,16 @@ object SparkEntry {
         Graph.sharedWeightedTradeEdges(
           Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d))
         .orderBy("node")),
+    // harmonic closeness from a sampled 10-customer cohort: per-source
+    // hop-bounded BFS in ONE (src, node)-keyed frame, harmonic sum as a
+    // fixed-order expression over integer hop counts
+    "graph_closeness_sampled" -> ((s, d) =>
+      Graph.closenessSampled(
+        Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
+          cacheKey = d),
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct())
+        .orderBy("src")),
     // personalized PageRank: proximity to a 10-customer cohort (teleport
     // to sources only — the related-supplier recommendation primitive)
     "graph_ppr_cohort" -> ((s, d) =>
@@ -4318,6 +4354,34 @@ object SparkEntry {
     },
     // weighted sample: the same md5 52-bit uniform fold, ln-key, 9 dp
     // pre-rank rounding, and (key desc, doc_id) cut — bit-reproducible
+    // classifier scoring: the published weight table replayed — dense
+    // ×64-scaled unigram-bucket terms folded in dimension order (pure
+    // IEEE arithmetic, no transcendental), prepended-0.0 init ≡ the
+    // Spark fold's zero init
+    "pipeline_quality_classifier" -> (clfScoreCtes +
+      """
+        |SELECT sc.doc_id, lp.label, sc.n_grams,
+        |       floor(sc.z * 1000000 + 0.5) / 1000000 AS margin,
+        |       (sc.z >= 0.0) AS predicted
+        |FROM sc JOIN lp ON lp.doc_id = sc.doc_id
+        |ORDER BY sc.doc_id""".stripMargin),
+    // classifier eval: confusion counts + accuracy over the same chain
+    "pipeline_classifier_eval" -> (clfScoreCtes +
+      """
+        |SELECT n_docs, tp, fp, tn, fn,
+        |       floor((CAST(tp + tn AS DOUBLE) / n_docs) * 10000 + 0.5)
+        |         / 10000 AS accuracy
+        |FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN sc.z >= 0.0 AND lp.label = 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(sum(CASE WHEN sc.z >= 0.0 AND lp.label = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(sum(CASE WHEN sc.z < 0.0 AND lp.label = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |         CAST(sum(CASE WHEN sc.z < 0.0 AND lp.label = 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM sc JOIN lp ON lp.doc_id = sc.doc_id)""".stripMargin),
     // DSIR weights: hashed-bigram buckets (52-bit md5 fold mod 64),
     // Laplace-smoothed grid ratios, per-doc bucket-ordered fold — the
     // list_reduce first-element init ≡ the Spark 0.0 init bitwise
@@ -4496,6 +4560,70 @@ object SparkEntry {
          |  UNION ALL SELECT * FROM w2
          |  UNION ALL SELECT * FROM w3
          |  UNION ALL SELECT * FROM w4)
+         |ORDER BY walk_id, step""".stripMargin
+    },
+    // node2vec: step 1 is the uniform rank rule; steps 2-4 unroll the
+    // weighted inverse-CDF draw — weights {0.25, 1, 4} are dyadic
+    // rationals so the ORDERED prefix sums are exact doubles on both
+    // engines, and the first-cum-≥-u·total pick is bit-identical
+    "graph_node2vec_walks" -> {
+      def hex(expr: String) =
+        s"""CAST(list_reduce(
+           |           [CAST(strpos('0123456789abcdef',
+           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
+           |            for hd in range(1, 14)],
+           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      val steps = (2 to 4).map { t =>
+        s"""c$t AS (
+           |  SELECT w.walk_id, w.prev, w.node AS cur, r.v AS x,
+           |         CAST(${hex(s"'n2v:' || w.walk_id || ':$t'")} AS DOUBLE)
+           |           / 4503599627370496.0 AS u01
+           |  FROM d${t - 1} w JOIN rk r ON r.u = w.node),
+           |wt$t AS (
+           |  SELECT c.*, CASE WHEN c.x = c.prev THEN 0.25
+           |                   WHEN coalesce(ad.adj, FALSE) THEN 1.0
+           |                   ELSE 4.0 END AS w
+           |  FROM c$t c LEFT JOIN ad ON ad.prev = c.prev AND ad.x = c.x),
+           |d$t AS MATERIALIZED (
+           |  SELECT walk_id, $t AS step, cur AS prev, x AS node FROM (
+           |    SELECT walk_id, cur, x,
+           |           row_number() OVER (PARTITION BY walk_id
+           |                              ORDER BY x) AS rn_pick
+           |    FROM (
+           |      SELECT walk_id, cur, x, u01,
+           |             sum(w) OVER (PARTITION BY walk_id ORDER BY x
+           |                          ROWS UNBOUNDED PRECEDING) AS cum,
+           |             sum(w) OVER (PARTITION BY walk_id) AS total
+           |      FROM wt$t)
+           |    WHERE cum >= u01 * total)
+           |  WHERE rn_pick = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS MATERIALIZED (
+         |  SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |rk AS MATERIALIZED (
+         |  SELECT u, v,
+         |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+         |         count(*) OVER (PARTITION BY u) AS outdeg
+         |  FROM sym),
+         |ad AS MATERIALIZED (SELECT u AS prev, v AS x, TRUE AS adj FROM sym),
+         |w0 AS MATERIALIZED (
+         |  SELECT u AS walk_id, 0 AS step, CAST(NULL AS VARCHAR) AS prev,
+         |         u AS node
+         |  FROM (SELECT DISTINCT u FROM base)),
+         |d1 AS MATERIALIZED (
+         |  SELECT w.walk_id, 1 AS step, w.node AS prev, r.v AS node
+         |  FROM w0 w JOIN rk r ON r.u = w.node
+         |   AND r.rnk = ${hex("'n2v:' || w.walk_id || ':1'")} % r.outdeg),
+         |$steps
+         |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
+         |  SELECT walk_id, step, node FROM w0
+         |  UNION ALL SELECT walk_id, step, node FROM d1
+         |  UNION ALL SELECT walk_id, step, node FROM d2
+         |  UNION ALL SELECT walk_id, step, node FROM d3
+         |  UNION ALL SELECT walk_id, step, node FROM d4)
          |ORDER BY walk_id, step""".stripMargin
     },
     // PageRank: the oracle unrolls the SAME fixed 5 damped iterations the
@@ -5057,6 +5185,42 @@ object SparkEntry {
     // BFS reach: 3 unrolled frontier rounds (each MATERIALIZED — the
     // visited set is doubly referenced per round), layer r = distinct
     // neighbors of layer r-1 minus everything already visited
+    // closeness: the graph_reach unrolled-BFS shape, keyed by (src,
+    // node); harmonic = fixed-order n1/1 + n2/2 + n3/3 over exact
+    // integer hop counts
+    "graph_closeness_sampled" -> {
+      val round = (r: Int) =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT DISTINCT f.src, e.v AS node
+           |  FROM e JOIN v${r - 1} f ON f.node = e.u AND f.hops = ${r - 1}),
+           |n$r AS MATERIALIZED (
+           |  SELECT f.src, f.node, $r AS hops FROM f$r f
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
+           |                    WHERE x.src = f.src AND x.node = f.node)),
+           |v$r AS MATERIALIZED (
+           |  SELECT src, node, hops FROM v${r - 1}
+           |  UNION ALL SELECT src, node, hops FROM n$r)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS src,
+         |         'c:' || o_custkey AS node, 0 AS hops
+         |  FROM orders WHERE o_custkey < 10),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |hc AS (SELECT src,
+         |         CAST(sum(CASE WHEN hops = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN hops = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN hops = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         |       FROM v3 WHERE hops > 0 GROUP BY src)
+         |SELECT src, n1, n2, n3,
+         |       floor((n1 / 1.0 + n2 / 2.0 + n3 / 3.0) * 1000000 + 0.5)
+         |         / 1000000 AS harmonic_closeness,
+         |       n1 + n2 + n3 AS n_reached
+         |FROM hc
+         |ORDER BY src""".stripMargin
+    },
     "graph_reach" -> {
       val round = (r: Int) =>
         s"""f$r AS MATERIALIZED (
@@ -5740,6 +5904,59 @@ object SparkEntry {
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def duckToks: String =
     s"string_split($duckNorm, ' ')"
+
+  /** Shared oracle CTE prefix for the published-classifier queries:
+    * hashed UNIGRAM buckets, the dense ×64-scaled frequency terms joined
+    * with the published `(pos, w)` weight table (bias at pos = 64), the
+    * language-ID reference labels, and the per-doc margin fold (`sc`) —
+    * the DuckDB mirror of `Curation.qualityClassifierScores`.
+    */
+  private def clfScoreCtes: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(dtoks, $lst)) AS s_$l"
+    }.mkString(",\n       ")
+    val bestExpr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    // 'en' is FIRST in the langPredOf when-chain, so lang_pred = 'en'
+    // iff best > 0 AND s_en = best — the label needs no full case chain
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |lm AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM t),
+       |ls AS (SELECT doc_id,
+       |       $scores
+       |FROM lm),
+       |lp AS (SELECT doc_id,
+       |       CASE WHEN best > 0 AND s_en = best THEN 1 ELSE 0 END AS label
+       |FROM (SELECT *, $bestExpr AS best FROM ls)),
+       |wt AS (SELECT pos, w
+       |       FROM read_parquet('/tmp/graft_warehouse/clf_weights_sf0.01/*.parquet')),
+       |tk AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |bc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(list_reduce(
+       |           [CAST(strpos('0123456789abcdef',
+       |                        substr(md5('dsir:' || tk), hd, 1)) - 1 AS BIGINT)
+       |            for hd in range(1, 14)],
+       |           (a, cc) -> a * 16 + cc) AS BIGINT) % 64 AS b
+       |  FROM tk),
+       |pd AS (SELECT doc_id, b, count(*) AS c FROM bc GROUP BY doc_id, b),
+       |dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams
+       |       FROM pd GROUP BY doc_id),
+       |grid AS (SELECT range AS pos FROM range(0, 64)),
+       |terms AS (
+       |  SELECT dn.doc_id, g.pos,
+       |         (CAST(coalesce(pd.c, 0) AS DOUBLE) * 64 / dn.n_grams)
+       |           * wt.w AS trm
+       |  FROM dn CROSS JOIN grid g
+       |  LEFT JOIN pd ON pd.doc_id = dn.doc_id AND pd.b = g.pos
+       |  JOIN wt ON wt.pos = g.pos),
+       |sc AS (SELECT tm.doc_id, dn.n_grams,
+       |              list_reduce(list_prepend(0.0,
+       |                list(tm.trm ORDER BY tm.pos)), (a, x) -> a + x)
+       |              + (SELECT w FROM wt WHERE pos = 64) AS z
+       |       FROM terms tm JOIN dn ON dn.doc_id = tm.doc_id
+       |       GROUP BY tm.doc_id, dn.n_grams)""".stripMargin
+  }
 
   /** Shared oracle CTE prefix for the DSIR queries: bag-of-hashed-bigram
     * buckets (52-bit md5 fold mod 64), per-doc bucket counts, the

@@ -935,6 +935,181 @@ object Curation {
       .limit(k)
   }
 
+  // ── classifier-based quality filtering (published-weights discipline) ──
+
+  /** Dense per-document hashed-bigram feature frame for the quality
+    * classifier: `(doc_id, y, n_grams, x)` with `x` the 64-bucket
+    * RELATIVE frequency vector (the [[dsirLogWeights]] buckets densified
+    * to a fixed-width array) and `y` the 0/1 REFERENCE label — whether
+    * the (comparatively expensive) language-ID heuristic
+    * ([[TextAnalysis.langPredOf]]) calls the document `targetLang`. The
+    * classifier distills that labeler into a fixed-width linear model,
+    * the production fastText-classifier pattern: label a reference set
+    * with the costly signal, train cheap hashed features to mimic it,
+    * score the full corpus map-only. Features are hashed UNIGRAM
+    * buckets (the fastText default) — a word's mass lands in ONE
+    * bucket, so word-presence signals stay linearly separable where
+    * bigram hashing would smear each marker word across every bucket
+    * its neighbors reach. One explode→(doc, bucket) partial-agg
+    * shuffle; the densify is a map expression over the ≤64-entry
+    * per-doc map.
+    */
+  private def classifierFeatures(
+      docs: DataFrame, buckets: Int, targetLang: String,
+      salt: String): DataFrame = {
+    val bc = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit(s"$salt:"), col("tk"))), 1, 13),
+          16, 10).cast("long") % buckets).as("b"))
+    bc.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .join(docs.select(col("doc_id"),
+        (TextAnalysis.langPredOf(TextAnalysis.tokens(col("text")))
+          === targetLang).cast("double").as("y")), "doc_id")
+      .select(col("doc_id"), col("y"), col("n_grams"),
+        transform(sequence(lit(0L), lit(buckets - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")
+            * buckets / col("n_grams")).as("x"))
+  }
+
+  private val classifierCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.engine.PublishGuard.Fingerprint, Array[Double])]()
+
+  /** Test hook — drop the read-through weights memo (fresh-session sim). */
+  private[graft] def clearClassifierMemo(): Unit = classifierCache.clear()
+
+  /** Full-batch gradient-descent logistic regression over the hashed
+    * bigram features — the fastText-style quality/language classifier a
+    * curation pipeline trains to score a raw crawl against a reference
+    * class (here: the corpus's own target-language documents). Returns
+    * `buckets + 1` weights, bias last.
+    *
+    * Scale shape: the feature frame is materialized ONCE; each of the
+    * fixed `iters` rounds is one map (the margin) + one
+    * posexplode→(dim)-keyed partial aggregation — gradient state is
+    * `buckets + 1` doubles on the driver, exactly the k-means topology
+    * ([[Similarity.trainIvfCentroids]]). Training is NOT cross-engine
+    * bit-reproducible (float gradient sums depend on partitioning) —
+    * which is precisely why the weights are PUBLISHED and every scorer
+    * (and the DuckDB oracle) replays scoring from the table, the IVF
+    * centroid discipline. On a 100 TB corpus training samples the
+    * corpus; scoring is the map-only full pass.
+    */
+  def trainQualityClassifier(
+      docs: DataFrame,
+      buckets: Int = 64,
+      targetLang: String = "en",
+      iters: Int = 300,
+      lr: Double = 1.0,
+      salt: String = "dsir"): Array[Double] = {
+    val f = graft.engine.OpCache.materialize(
+      classifierFeatures(docs, buckets, targetLang, salt))
+    val n = f.count().toDouble
+    val w = new Array[Double](buckets + 1)
+    (1 to iters).foreach { _ =>
+      val wLit = array(w.init.map(lit).toIndexedSeq: _*)
+      val resid = f.select(col("y"), col("x"),
+          (lit(1.0) / (lit(1.0) + exp(-(aggregate(
+            zip_with(col("x"), wLit, (a, b) => a * b),
+            lit(0.0), (acc, t) => acc + t) + w.last))) - col("y"))
+            .as("r"))
+      val grad = resid
+        .select(col("r"), posexplode(col("x")).as(Seq("pos", "xj")))
+        .groupBy(col("pos")).agg(sum(col("r") * col("xj")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val gBias = resid.agg(sum(col("r"))).head().getDouble(0)
+      var j = 0
+      while (j < buckets) {
+        w(j) -= lr * grad.getOrElse(j, 0.0) / n; j += 1
+      }
+      w(buckets) -= lr * gBias / n
+    }
+    w
+  }
+
+  /** Read-through accessor for the published classifier weights —
+    * the [[Similarity.publishedArtifact]] contract: train once, publish
+    * `(pos, w)` (bias at pos = buckets), serve everywhere.
+    */
+  def publishedClassifierWeights(
+      docs: DataFrame,
+      baseDir: String,
+      slug: String,
+      buckets: Int = 64,
+      targetLang: String = "en",
+      iters: Int = 300,
+      lr: Double = 1.0): Array[Double] = {
+    val spark = docs.sparkSession
+    val path = s"$baseDir/$slug"
+    val fp = graft.engine.PublishGuard.fingerprint(
+      docs, Seq(col("doc_id"), col("text"), col("lang")))
+    Similarity.publishedArtifact[Array[Double]](
+      spark, path, s"$buckets|$targetLang|$iters|$lr",
+      fp, classifierCache,
+      train = () =>
+        trainQualityClassifier(docs, buckets, targetLang, iters, lr),
+      write = (w, p) => {
+        import spark.implicits._
+        w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("pos", "w").coalesce(1).write.parquet(p)
+      },
+      load = () => spark.read.parquet(path).orderBy("pos").collect()
+        .map(_.getDouble(1)),
+      what = s"published classifier weights '$slug'")
+  }
+
+  /** Map-only classifier scoring against the PUBLISHED weights: each
+    * document's margin z = Σ_j x_j·w_j + bias as a SEQUENTIAL fold in
+    * dimension order — pure IEEE arithmetic over table-read weights, no
+    * transcendental in the scored output, so an external engine reading
+    * the same table reproduces every margin (and the ≥ 0 decision)
+    * bit-for-bit. The sigmoid lives only inside training; publishing
+    * margins instead of probabilities is what keeps the oracle exact.
+    */
+  def qualityClassifierScores(
+      docs: DataFrame,
+      baseDir: String,
+      slug: String,
+      buckets: Int = 64,
+      targetLang: String = "en"): DataFrame = {
+    val w = publishedClassifierWeights(docs, baseDir, slug, buckets, targetLang)
+    val wLit = array(w.init.map(lit).toIndexedSeq: _*)
+    classifierFeatures(docs, buckets, targetLang, "dsir")
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        col("n_grams"),
+        (aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t) + w.last).as("z"))
+      .select(col("doc_id"), col("label"), col("n_grams"),
+        graft.functions.OracleRound.roundN(col("z"), 6).as("margin"),
+        (col("z") >= 0.0).as("predicted"))
+  }
+
+  /** Confusion-matrix evaluation of the published classifier over the
+    * corpus — the one-row QA report a pipeline gates a classifier
+    * promotion on. Single partial aggregate over the scored frame.
+    */
+  def qualityClassifierEval(
+      docs: DataFrame, baseDir: String, slug: String): DataFrame =
+    qualityClassifierScores(docs, baseDir, slug)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("predicted") && col("label") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(!col("predicted") && col("label") === 0, 1L)
+          .otherwise(0L)).as("tn"),
+        sum(when(!col("predicted") && col("label") === 1, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("tn"), col("fn"),
+        graft.functions.OracleRound.round4(
+          (col("tp") + col("tn")).cast("double") / col("n_docs"))
+          .as("accuracy"))
+
   /** DSIR hashed n-gram importance weights (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", NeurIPS 2023 —
     * public literature, method re-derived): per-document

@@ -118,6 +118,88 @@ object Graph {
     out
   }
 
+  /** Second-order (node2vec) biased walks — the p/q-tunable sibling of
+    * [[randomWalks]] (Grover & Leskovec, "node2vec", KDD'16 — public
+    * literature, no code consulted): at step t ≥ 2 the walk at `node`
+    * coming from `prev` weighs each candidate neighbor x as
+    * 1/p if x = prev (return), 1 if x is adjacent to prev (stay
+    * local), 1/q otherwise (explore) — p > 1, q < 1 biases outward
+    * (DFS-like), the opposite inward (BFS-like). The choice is the
+    * deterministic inverse-CDF draw: candidates ordered by id, the
+    * first whose RUNNING weight sum reaches u·total, with
+    * u = the 52-bit md5 fold of `n2v:walk:t` — and the running sum is
+    * an ORDERED prefix (window ROWS UNBOUNDED PRECEDING), so the draw
+    * replays bit-identically on any engine (total = max of the same
+    * prefix, never an unordered re-sum). Defaults p = 4, q = 0.25
+    * (outward): 1/p and 1/q are exactly representable doubles.
+    *
+    * Scale shape: per step ONE frontier×neighbors equi-join on the
+    * node key + one (prev, x) adjacency semi-flag join against the
+    * distinct edge set + a (walk)-partitioned window over that walk's
+    * candidate rows (bounded by the max degree, never global). Step 1
+    * has no `prev` and uses [[randomWalks]]' uniform rank rule.
+    */
+  def node2vecWalks(
+      edges: DataFrame, starts: DataFrame,
+      steps: Int = 4, p: Double = 4.0, q: Double = 0.25,
+      salt: String = "n2v"): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+      .distinct()
+    val wRank = Window.partitionBy(col("u")).orderBy(col("v"))
+    val ranked = OpCache.materialize(
+      sym
+        .withColumn("rank", row_number().over(wRank) - 1)
+        .withColumn("outdeg",
+          count(lit(1)).over(Window.partitionBy(col("u")))))
+    def hash(t: Int): Column =
+      conv(substring(md5(concat(
+          lit(s"$salt:"), col("walk_id"), lit(s":$t"))), 1, 13), 16, 10)
+        .cast("long")
+    val w0 = starts.select(col("walk_id"))
+      .withColumn("step", lit(0))
+      .withColumn("prev", lit(null).cast("string"))
+      .withColumn("node", col("walk_id"))
+    // step 1: uniform over ranked neighbors (no prev yet)
+    val s1 = w0.join(ranked, w0("node") === ranked("u"))
+      .where(col("rank") === hash(1) % col("outdeg"))
+      .select(col("walk_id"), lit(1).as("step"),
+        w0("node").as("prev"), col("v").as("node"))
+    var frontier = s1
+    var out = w0.select(col("walk_id"), col("step"), col("node"))
+      .unionByName(s1.select(col("walk_id"), col("step"), col("node")))
+    (2 to steps).foreach { t =>
+      val u01 = hash(t).cast("double") / lit(4503599627370496.0)
+      val cand = frontier.join(ranked, frontier("node") === ranked("u"))
+        .select(col("walk_id"), col("prev"), frontier("node").as("cur"),
+          col("v").as("x"), u01.as("u01"))
+      val adjacent = sym.select(col("u").as("prev"), col("v").as("x"),
+        lit(true).as("adj"))
+      val weighted = cand
+        .join(adjacent, Seq("prev", "x"), "left")
+        .withColumn("w",
+          when(col("x") === col("prev"), lit(1.0 / p))
+            .when(coalesce(col("adj"), lit(false)), lit(1.0))
+            .otherwise(lit(1.0 / q)))
+      val wWalk = Window.partitionBy(col("walk_id")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("walk_id"))
+      val drawn = weighted
+        .withColumn("cum", sum(col("w")).over(wWalk))
+        .withColumn("total", max(col("cum")).over(wAll))
+        .where(col("cum") >= col("u01") * col("total"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("walk_id")).orderBy(col("x"))))
+        .where(col("rn") === 1)
+        .select(col("walk_id"), lit(t).as("step"),
+          col("cur").as("prev"), col("x").as("node"))
+      out = out.unionByName(
+        drawn.select(col("walk_id"), col("step"), col("node")))
+      frontier = drawn
+    }
+    out
+  }
+
   /** Damped PageRank over the symmetrized edge list, a FIXED number of
     * iterations (fixed so the result is deterministic and
     * oracle-replayable; convergence-probe variants belong to monitoring,
@@ -628,6 +710,78 @@ object Graph {
     OpCache.defer(spark)(freeE)
     OpCache.defer(spark)(freeVisited)
     visited
+  }
+
+  /** Harmonic closeness centrality from a SAMPLED source cohort — the
+    * tractable form of closeness at scale (exact closeness needs
+    * all-pairs distances; sampling sources is the standard estimator,
+    * and per-source results are exact): per source, a hop-bounded BFS
+    * (the [[reach]] loop, keyed by (src, node) so the cohort's
+    * frontiers advance TOGETHER in one frame — k sources cost one
+    * joined frontier per round, not k runs), then
+    * harmonic = Σ_h n_h / h over the per-hop reach counts.
+    *
+    * Determinism: the harmonic sum is a FIXED-ORDER expression over
+    * the ≤ `maxHops` integer hop counts (n₁/1 + n₂/2 + …) — exact
+    * integer counts into a left-associated IEEE chain, bit-identical
+    * on any engine; no per-node float is ever summed in group order.
+    * Scale shape: per round one |frontier|-sized equi-join against the
+    * checkpointed pre-partitioned edges + one (src, node) anti-join of
+    * node-sized frames (the components/reach discipline, frontier
+    * broadcast below the node threshold); state is ≤ |cohort|·|nodes|
+    * rows of 3 columns.
+    */
+  def closenessSampled(
+      edges: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, "closeness needs at least one hop")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val (e0, freeE0) = OpCache.checkpointWithHandle(sym)
+    val parts = Dedup.ccLoopPartitions(
+      e0.count(), spark.sparkContext.defaultParallelism)
+    val (e, freeE) = OpCache.checkpointWithHandle(e0.repartition(parts, col("u")))
+    freeE0()
+    val broadcastNodes =
+      e.select(col("u")).distinct().count() <= 1000000L
+    def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
+
+    var (visited, freeVisited) = OpCache.checkpointWithHandle(
+      sources.select(col("src"), col("src").as("node"), lit(0).as("hops"))
+        .distinct())
+    var h = 1
+    var drained = false
+    while (h <= maxHops && !drained) {
+      val frontier = visited.where(col("hops") === h - 1)
+        .select(col("src"), col("node").as("u"))
+      val nbrs = e.join(bc(frontier), Seq("u"))
+        .select(col("src"), col("v").as("node")).distinct()
+      val fresh = nbrs
+        .join(bc(visited.select(col("src"), col("node"))),
+          Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(h).as("hops"))
+      val (vNext, freeNext) = OpCache.checkpointWithHandle(
+        visited.unionByName(fresh))
+      freeVisited()
+      visited = vNext
+      freeVisited = freeNext
+      drained = visited.where(col("hops") === h).limit(1).count() == 0L
+      h += 1
+    }
+    OpCache.defer(spark)(freeE)
+    OpCache.defer(spark)(freeVisited)
+    val hopCounts = (1 to maxHops).map(d =>
+      sum(when(col("hops") === d, 1L).otherwise(0L)).as(s"n$d"))
+    val harmonic = (1 to maxHops)
+      .map(d => col(s"n$d") / lit(d.toDouble))
+      .reduce(_ + _)
+    visited.where(col("hops") > 0)
+      .groupBy(col("src"))
+      .agg(hopCounts.head, hopCounts.tail: _*)
+      .select(col("src") +: (1 to maxHops).map(d => col(s"n$d")) :+
+        OracleRound.roundN(harmonic, 6).as("harmonic_closeness"): _*)
+      .withColumn("n_reached",
+        (1 to maxHops).map(d => col(s"n$d")).reduce(_ + _))
   }
 
   /** Local clustering coefficient per node over an undirected (p1 < p2)

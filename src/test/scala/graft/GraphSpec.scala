@@ -19,6 +19,25 @@ class GraphSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .getOrCreate()
 
+  test("closenessSampled: hand-computed path/star fixtures; sources advance independently") {
+    import spark.implicits._
+    // path a-b-c-d-e plus isolated pair x-y: from a, 3 hops reach b,c,d
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("u", "v")
+    val src = Seq("a", "c", "x").toDF("src")
+    val got = Graph.closenessSampled(e, src).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    // a: b@1, c@2, d@3 -> 1/1 + 1/2 + 1/3; e is 4 hops out, x,y unreachable
+    val haA = math.floor((1.0 / 1 + 1.0 / 2 + 1.0 / 3) * 1e6 + 0.5) / 1e6
+    assert(got("a") === ((1L, 1L, 1L, haA, 3L)))
+    // c (center): b,d@1, a,e@2 -> 2/1 + 2/2
+    assert(got("c") === ((2L, 2L, 0L, 3.0, 4L)))
+    // x reaches only y — the isolated component never sees the path
+    assert(got("x") === ((1L, 0L, 0L, 1.0, 1L)))
+  }
+
   test("randomWalks: JVM-recomputed trace matches exactly; every step walks an edge") {
     import spark.implicits._
     val e = Seq(("c:1", "s:1"), ("c:1", "s:2"), ("c:2", "s:1"),
@@ -60,6 +79,54 @@ class GraphSpec extends AnyFunSuite {
         assert(adj(a).contains(b), s"non-edge step $a -> $b")
       }
     }
+  }
+
+  test("node2vecWalks: JVM inverse-CDF recompute matches; bias weights steer the draw") {
+    import spark.implicits._
+    // triangle a-b-c plus pendant c-d: from b, prev and shared neighbors
+    // get distinct weights, so the biased draw differs from uniform
+    val es = Set(("c:a", "s:b"), ("s:b", "c:c"), ("c:c", "c:a"), ("c:c", "s:d"))
+    val e = es.toSeq.toDF("u", "v")
+    val starts = Seq("c:a", "c:c").toDF("walk_id")
+    val got = Graph.node2vecWalks(e, starts, steps = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def hexFold(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.take(13), 16)
+    }
+    val expect = scala.collection.mutable.Set[(String, Int, String)]()
+    Seq("c:a", "c:c").foreach { w =>
+      var prev = w
+      val n1 = adj(w).toSeq.sorted
+      var node = n1((hexFold(s"n2v:$w:1") % n1.size).toInt)
+      expect += ((w, 0, w)); expect += ((w, 1, node))
+      (2 to 3).foreach { t =>
+        val u = (hexFold(s"n2v:$w:$t").toDouble / 4503599627370496.0)
+        val cands = adj(node).toSeq.sorted
+        val ws = cands.map(x =>
+          if (x == prev) 0.25 else if (adj(prev).contains(x)) 1.0 else 4.0)
+        val total = ws.sum
+        var cum = 0.0; var pick = cands.last
+        val it = cands.zip(ws).iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val (x, wx) = it.next(); cum += wx
+          if (cum >= u * total) { pick = x; done = true }
+        }
+        prev = node; node = pick
+        expect += ((w, t, node))
+      }
+    }
+    assert(got === expect.toSet, "biased walk diverged from the JVM draw")
+    // the bias is live: at least one step-2+ row must differ from what
+    // the UNIFORM rule would have chosen, or the fixture proved nothing
+    val uni = Graph.randomWalks(e, starts, steps = 3, salt = "n2v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got !== uni, "biased and uniform walks coincide — weak fixture")
   }
 
   test("pageRank on a 2-node graph is uniform at any damping / iteration count") {

@@ -668,6 +668,59 @@ class OperatorsSpec extends AnyFunSuite {
       "low-cardinality key should carry the fatter top-1 share")
   }
 
+  test("quality classifier: published-weights margins recompute exactly, model beats the all-positive baseline") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-clf").toString
+    val scores = Curation.qualityClassifierScores(docs, base, "clfspec")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(scores.length === docs.count())
+    // third derivation: the margin from the PUBLISHED table + raw
+    // token counts in plain JVM code — bit-exact per doc
+    val w = Curation.publishedClassifierWeights(docs, base, "clfspec")
+    assert(w.length === 65)
+    val toks = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("tks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    def bucket(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$t".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.take(13), 16) % 64).toInt
+    }
+    val expect = toks.map { case (id, ts) =>
+      val c = new Array[Long](64)
+      ts.foreach(t => c(bucket(t)) += 1)
+      val n = ts.size.toDouble
+      var z = 0.0
+      var j = 0
+      while (j < 64) { z += (c(j).toDouble * 64 / n) * w(j); j += 1 }
+      z += w(64)
+      id -> (math.floor(z * 1e6 + 0.5) / 1e6, z >= 0.0)
+    }.toMap
+    scores.foreach { case (id, _, _, margin, pred) =>
+      assert((margin, pred) === expect(id), s"doc $id margin diverged")
+    }
+    // the model LEARNED: accuracy beats predicting the majority class
+    val acc = scores.count(s => s._5 == (s._2 == 1)).toDouble / scores.length
+    val baseRate = math.max(
+      scores.count(_._2 == 1), scores.count(_._2 == 0)).toDouble / scores.length
+    assert(acc > baseRate,
+      s"classifier does not beat the all-positive baseline: $acc <= $baseRate")
+    assert(scores.exists(s => !s._5 && s._2 == 0),
+      "no true negative — nothing was actually separated")
+    // the eval row is consistent with the scored frame
+    val ev = Curation.qualityClassifierEval(docs, base, "clfspec").head()
+    assert(ev.getLong(0) === scores.length.toLong)
+    assert(ev.getLong(1) === scores.count(s => s._5 && s._2 == 1).toLong)
+    assert(ev.getLong(3) === scores.count(s => !s._5 && s._2 == 0).toLong)
+    assert(ev.getDouble(5) === math.floor(
+      (ev.getLong(1) + ev.getLong(3)).toDouble / ev.getLong(0) * 1e4 + 0.5) / 1e4)
+  }
+
   test("dsir: weights tilt toward the target language, gram counts exact, sample is k-exact") {
     val docs = Tables.documents(spark, sf)
     val w = Curation.dsirLogWeights(docs).collect()

@@ -98,7 +98,11 @@ class PlanSpec extends AnyFunSuite {
     // skew profile: the single-row (n_keys, n_rows, max_n) totals
     // aggregate broadcast back onto the ranked key-count frame for the
     // percentile reads — constant-size build at any SF
-    "pipeline_skew_profile")
+    "pipeline_skew_profile",
+    // DSIR: the single-row (r_tot, t_tot) totals aggregate cross-joined
+    // onto the 64-row bucket grid (the driftPsi totals shape) —
+    // constant-size at any SF; the sample query rides the same chain
+    "pipeline_dsir_weights", "pipeline_dsir_sample")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

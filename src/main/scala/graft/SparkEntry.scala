@@ -583,6 +583,28 @@ object SparkEntry {
     // k-NN majority-label vote over the exact top-k (embedding eval)
     "sim_knn_label" -> ((s, d) =>
       Similarity.knnLabel(Tables.embeddings(s, d)).orderBy("query_id")),
+    // contrastive hard-negative mining: top-k nearest DIFFERENT-label
+    // vectors per query — the bruteForce scoring chain with the label
+    // predicate pushed into the candidate join
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank")),
+    // cluster-quality QA gate: per-cluster simplified silhouette against
+    // the SAME published centroid artifact as sim_ivf_topk — per-vector
+    // values bit-exact (fold dots vs table literals, 6 dp), summary 4 dp
+    "sim_silhouette" -> ((s, d) =>
+      Similarity.silhouettePublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}")
+        .orderBy("cluster")),
+    // index promotion gate: recall@5 of the published-IVF search vs the
+    // exact scan, per query — both chains already oracle-checked, the
+    // intersection count and the single-division recall are exact
+    "sim_recall_eval" -> ((s, d) =>
+      Similarity.recallEvalPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}")
+        .orderBy("query_id")),
     // per-label class prototypes: one row per (label, dimension)
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "pos")),
@@ -2978,6 +3000,123 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // sim_hard_negatives: the bruteforce chain with the label-mismatch
+    // predicate in the candidate join — same fold cosine, same rank rule
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, q.query_label, n.vec_id, n.label AS neg_label,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM n JOIN q ON n.vec_id <> q.query_id AND n.label <> q.query_label)
+        |SELECT query_id, query_label, CAST(rank AS INTEGER) AS rank,
+        |       vec_id, neg_label, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_silhouette: the sim_ivf assignment chain against the SAME
+    // published centroid table, rn=1/rn=2 giving the own/next distances,
+    // per-vector s rounded 6 dp BEFORE the per-cluster summary
+    "sim_silhouette" ->
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+        |d AS MATERIALIZED (
+        |  SELECT nn.vec_id, c.list_id,
+        |         list_reduce([nn.nv[i] * c.centroid[i]
+        |                      for i in range(1, 1 + len(nn.nv))],
+        |                     (x, y) -> x + y) AS dt
+        |  FROM nn CROSS JOIN c),
+        |r AS MATERIALIZED (
+        |  SELECT vec_id, list_id, dt,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dt DESC, list_id DESC) AS rn
+        |  FROM d),
+        |ab AS (SELECT a1.vec_id, CAST(a1.list_id AS INTEGER) AS cluster,
+        |              1.0 - a1.dt AS a, 1.0 - a2.dt AS b
+        |       FROM r a1 JOIN r a2 ON a1.vec_id = a2.vec_id
+        |       WHERE a1.rn = 1 AND a2.rn = 2),
+        |sv AS (SELECT vec_id, cluster,
+        |              ${graft.functions.OracleRound.duck(
+                "CASE WHEN greatest(a, b) = 0.0 THEN 0.0 " +
+                "ELSE (b - a) / greatest(a, b) END", 6)} AS sil
+        |       FROM ab)
+        |SELECT cluster, count(*) AS n_vecs,
+        |       ${graft.functions.OracleRound.duck("avg(sil)", 4)} AS mean_sil,
+        |       min(sil) AS min_sil, max(sil) AS max_sil
+        |FROM sv GROUP BY cluster
+        |ORDER BY cluster""".stripMargin,
+    // sim_recall_eval: the exact bruteforce chain AND the published-IVF
+    // chain side by side, hits = the per-query intersection count,
+    // recall = one IEEE division
+    "sim_recall_eval" ->
+      """WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |         SELECT s.query_id, s.vec_id,
+        |                row_number() OVER (PARTITION BY s.query_id
+        |                                   ORDER BY s.cosine DESC, s.vec_id) AS rank
+        |         FROM (SELECT q.query_id, n.vec_id,
+        |                      list_reduce([q.qv[i] * n.v[i]
+        |                                   for i in range(1, 1 + len(q.qv))],
+        |                                  (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |               FROM n JOIN q ON n.vec_id <> q.query_id) s)
+        |       WHERE rank <= 5),
+        |nn AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+        |d AS MATERIALIZED (
+        |  SELECT nn.vec_id, c.list_id,
+        |         list_reduce([nn.nv[i] * c.centroid[i]
+        |                      for i in range(1, 1 + len(nn.nv))],
+        |                     (x, y) -> x + y) AS dt
+        |  FROM nn CROSS JOIN c),
+        |a AS (SELECT vec_id, list_id AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |p AS (SELECT query_id, list_id FROM (
+        |        SELECT vec_id AS query_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d WHERE vec_id < 10)
+        |      WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM a JOIN p ON a.cluster = p.list_id
+        |         WHERE a.vec_id <> p.query_id),
+        |iv AS (SELECT query_id, vec_id FROM (
+        |         SELECT s.query_id, s.vec_id,
+        |                row_number() OVER (PARTITION BY s.query_id
+        |                                   ORDER BY s.cosine DESC, s.vec_id) AS rank
+        |         FROM (SELECT cand.query_id, cand.vec_id,
+        |                      list_reduce([q.qv[i] * n.v[i]
+        |                                   for i in range(1, 1 + len(q.qv))],
+        |                                  (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |               FROM cand JOIN n ON n.vec_id = cand.vec_id
+        |               JOIN q ON q.query_id = cand.query_id) s)
+        |       WHERE rank <= 5)
+        |SELECT ex.query_id, count(iv.vec_id) AS hits,
+        |       CAST(count(iv.vec_id) AS DOUBLE) / 5 AS recall
+        |FROM ex LEFT JOIN iv
+        |  ON iv.query_id = ex.query_id AND iv.vec_id = ex.vec_id
+        |GROUP BY ex.query_id
+        |ORDER BY ex.query_id""".stripMargin,
     // the bruteforce scoring chain with a threshold cut instead of a
     // rank cut — the sequential-fold cosine is bit-identical on both
     // engines, so the 0.3 threshold selects the same set

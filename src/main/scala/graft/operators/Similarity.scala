@@ -129,6 +129,44 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** Hard-negative mining — the contrastive-training data miner: for each
+    * query vector, the top-k most-cosine-similar corpus vectors carrying a
+    * DIFFERENT label (the near-misses a contrastive or triplet loss learns
+    * the most from; easy random negatives are nearly information-free).
+    * The scoring chain is exactly [[bruteForceTopK]]'s (bounded query set
+    * broadcast, corpus map-only, sequential-fold cosine bit-identical to
+    * the oracle's list_reduce) with the label-mismatch predicate pushed
+    * into the candidate join — so the corpus-side cost is one scan and
+    * the per-query state is the k-row window head. Exact by design: a
+    * missed hard negative is a silently easier training batch, so the
+    * exact scan is the gate and the IVF/LSH paths are the approximate
+    * cut when |queries| grows (swap [[ivfTopK]]'s candidate former in
+    * front of the same label predicate).
+    */
+  def hardNegatives(
+      embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val queries = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id"), col("label").as("neg_label"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "query_label", "rank", "vec_id", "neg_label", "cosine")
+  }
+
   /** Per-label embedding centroids, one row per (label, dimension): the
     * class-prototype table an embedding-quality pass publishes (nearest-
     * centroid classification, per-class drift monitoring). posexplode →
@@ -225,6 +263,91 @@ object Similarity {
       .where(col("vec_id") % 2 === rem)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
     psiOverClusterCounts(cohort(0), cohort(1), cents.length)
+  }
+
+  /** Simplified (centroid) silhouette per cluster against the PUBLISHED
+    * IVF centroids — the cluster-quality QA gate a pipeline runs before
+    * promoting a trained index or trusting cluster-level curation
+    * decisions (semantic prune, diversity sampling): per vector
+    * a = cosine distance to its OWN centroid, b = the smallest cosine
+    * distance to any OTHER centroid, s = (b − a) / max(a, b) ∈ [0, 1]
+    * under nearest-centroid assignment (a ≤ b by construction; the
+    * classic all-pairs silhouette is corpus² and the centroid form is
+    * the standard tractable estimator). All dots are sequential folds
+    * against centroid LITERALS from the published table, and the
+    * per-vector s is rounded 6 dp before the per-cluster summary, so
+    * an external engine reading the same table reproduces every
+    * per-vector value bit-for-bit (the summary means are 4 dp over
+    * identical inputs). Scale shape: map-only nlist dots per vector +
+    * ONE nlist-sized partial aggregate — no join, no window, no pair
+    * former anywhere.
+    */
+  def silhouettePublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      nlist: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val sil = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .withColumn("top2", slice(reverse(array_sort(scored)), 1, 2))
+      .select(col("vec_id"),
+        element_at(col("top2"), 1).getField("i").as("cluster"),
+        (lit(1.0) - element_at(col("top2"), 1).getField("d")).as("a"),
+        (lit(1.0) - element_at(col("top2"), 2).getField("d")).as("b"))
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.OracleRound.roundN(
+          when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))),
+          6).as("sil"))
+    sil.groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.functions.OracleRound.round4(avg(col("sil"))).as("mean_sil"),
+        min(col("sil")).as("min_sil"),
+        max(col("sil")).as("max_sil"))
+  }
+
+  /** ANN index promotion gate — recall@k of the published-IVF search
+    * against the exact scan, per query: the one-number eval that decides
+    * whether an index version (its centroids, its nprobe) is allowed to
+    * serve. `hits` = |IVF top-k ∩ exact top-k| (both sides already
+    * oracle-checked chains: [[ivfTopKPublished]] / [[bruteForceTopK]]),
+    * recall = hits / k — a single IEEE division, deterministic on any
+    * engine. Scale shape: both sides are bounded-query-set scans (the
+    * documented bruteForce theta join); the intersection is a k·|queries|-
+    * row equi-join. The exact side is the gate's DEFINITION, so it cannot
+    * be pruned — at 100 TB the eval runs on a sampled query set, not the
+    * corpus, and its cost is |queries| scans exactly like serving.
+    */
+  def recallEvalPublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfTopKPublished(embeddings, baseDir, slug, numQueries, k,
+        nlist, nprobe, iters)
+      .select(col("query_id"), col("vec_id"))
+    exact
+      .join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
   }
 
   /** Nearest-centroid label agreement — the embedding-quality eval over

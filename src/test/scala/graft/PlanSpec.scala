@@ -34,6 +34,13 @@ class PlanSpec extends AnyFunSuite {
     // radius search: the bruteForceTopK bounded query-set theta join
     // with a threshold cut instead of a rank cut
     "sim_radius_search",
+    // hard negatives: the same bounded query-set theta join with the
+    // label-mismatch predicate pushed into it
+    "sim_hard_negatives",
+    // recall eval: BOTH bounded-query-set chains (exact + published-IVF)
+    // feed a k·|queries|-row equi-join — the theta joins are the
+    // documented bruteforce/ivf shapes
+    "sim_recall_eval",
     // external-query serving: the same bounded query set (a held-out id
     // subset) on the same theta candidate join as sim_ivf_topk
     "sim_ivf_external_topk",

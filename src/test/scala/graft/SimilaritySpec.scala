@@ -361,4 +361,108 @@ class SimilaritySpec extends AnyFunSuite {
     val self = Similarity.psiOverClusterCounts(counts, counts, cents.length).head()
     assert(self.getDouble(2) === 0.0 && !self.getBoolean(3))
   }
+
+  test("hard negatives equal a driver-side different-label top-k recompute") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getInt(1), r.getLong(3), r.getInt(4)))
+      .toMap
+    val rows = emb.collect().map { r =>
+      (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getInt(2))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (for {
+      (q, qv, ql) <- rows if q < 10
+    } yield {
+      val negs = rows
+        .filter { case (v, _, l) => v != q && l != ql }
+        .map { case (v, vv, l) => (v, l, cos(qv, vv)) }
+        .sortBy { case (v, _, c) => (-c, v) }
+        .take(5)
+      negs.zipWithIndex.map { case ((v, l, _), i) =>
+        (q, i + 1) -> (ql, v, l)
+      }
+    }).flatten.toMap
+    assert(got === expect, "hard-negative set diverged from the recompute")
+    // every mined negative really is a different label
+    got.foreach { case ((_, _), (ql, _, nl)) => assert(nl != ql) }
+  }
+
+  test("silhouette equals a driver-side recompute from the published table") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-silhouette").toString
+    val got = Similarity.silhouettePublished(emb, base, "sil_spec").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val cents = Similarity.publishedIvfCentroids(emb, base, "sil_spec")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val perVec = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      val n = math.sqrt(dot(v, v)); val nv = v.map(_ / n)
+      // descending (dot, idx) — the array_max / reverse(array_sort) rule
+      val ranked = cents.zipWithIndex
+        .map { case (c, i) => (dot(nv, c), i) }
+        .sortBy { case (d, i) => (-d, -i) }
+      val (d1, own) = ranked(0); val (d2, _) = ranked(1)
+      val (a, b) = (1.0 - d1, 1.0 - d2)
+      val s = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      own -> r6(s)
+    }
+    val expect = perVec.groupBy(_._1).map { case (cl, xs) =>
+      val sils = xs.map(_._2)
+      cl -> (xs.length.toLong, r4(sils.sum / sils.length),
+        sils.min, sils.max)
+    }
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (cl, (n, mean, mn, mx)) =>
+      val (en, emean, emn, emx) = expect(cl)
+      assert(n === en, s"cluster $cl count")
+      assert(mn === emn && mx === emx, s"cluster $cl min/max")
+      assert(math.abs(mean - emean) <= 1e-4 + 1e-12, s"cluster $cl mean")
+    }
+    // silhouettes are non-negative under nearest-centroid assignment
+    got.foreach { case (cl, (_, _, mn, _)) =>
+      assert(mn >= 0.0, s"cluster $cl has negative silhouette $mn")
+    }
+  }
+
+  test("recall eval: hits equal the frame intersection, recall clears the IVF floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-recall").toString
+    val got = Similarity.recallEvalPublished(emb, base, "recall_spec")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb))
+    val cents = Similarity.publishedIvfCentroids(emb, base, "recall_spec")
+    val ivf = pairs(Similarity.ivfTopK(emb, centroids = Some(cents)))
+    assert(got.keySet === exact.map(_._1))
+    got.foreach { case (q, (hits, recall)) =>
+      val expectHits = (exact & ivf).count(_._1 == q).toLong
+      assert(hits === expectHits, s"query $q hits")
+      assert(recall === hits.toDouble / 5, s"query $q recall")
+    }
+    val mean = got.values.map(_._2).sum / got.size
+    info(s"mean IVF recall@5 = $mean")
+    assert(mean >= 0.5, s"mean recall $mean below the IVF floor")
+  }
 }

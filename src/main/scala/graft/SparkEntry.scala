@@ -501,6 +501,23 @@ object SparkEntry {
     // hash-threshold sampling (reproducible across runs/engines)
     "pipeline_mixture_sample" -> ((s, d) =>
       Curation.mixtureSample(Tables.documents(s, d)).orderBy("doc_id")),
+    // data-constrained epoch plan: water-fill token allocation under
+    // per-source repetition caps (hash-derived cap grid, λ from exact
+    // integer prefix quantities + one IEEE division)
+    "pipeline_epoch_plan" -> ((s, d) =>
+      Curation.epochPlan(Tables.documents(s, d)).orderBy("source")),
+    // canary/memorization audit: which canary leaked into which doc at
+    // what position — anchor-gram equi-join candidates, instr confirm;
+    // canaries = 12-token spans lifted from a deterministic doc subset
+    "pipeline_canary_scan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val canaries = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(col("doc_id") % 83 === 5 && size(col("toks")) >= 22)
+        .select(col("doc_id").as("canary_id"),
+          concat_ws(" ", slice(col("toks"), 11, 12)).as("canary_text"))
+      Curation.canaryScan(docs, canaries).orderBy("canary_id", "doc_id")
+    }),
     // k-per-source deterministic sample through the custom bounded
     // TypedImperativeAggregate (map-side k-fold, not a full window sort)
     "pipeline_group_sample" -> ((s, d) =>
@@ -687,6 +704,15 @@ object SparkEntry {
       Similarity.pcaProjectPublished(Tables.embeddings(s, d),
         baseDir = "/tmp/graft_warehouse",
         slug = s"pca_${d.split('/').last}")
+        .orderBy("vec_id")),
+    // PCA whitening: the published projection scaled per component by
+    // the PUBLISHED 1/sqrt(variance) table — serving map-only, both
+    // artifacts as literals, every output replayable from the tables
+    "sim_whiten" -> ((s, d) =>
+      Similarity.whitenPublished(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        pcaSlug = s"pca_${d.split('/').last}",
+        slug = s"whiten_${d.split('/').last}")
         .orderBy("vec_id")),
     // ── SQL surface / approx / session windows ──────────────────────────
     "sql_revenue_by_status" -> ((s, d) => SqlSurface.revenueByStatus(s, d)),
@@ -1034,6 +1060,16 @@ object SparkEntry {
         Tables.orders(s, d).where(col("o_custkey") < 10)
           .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct())
         .orderBy("src")),
+    // hop-bounded sampled Brandes betweenness from the same 10-customer
+    // cohort: forward BFS carries exact integer path counts, backward
+    // dependency folds are successor-ordered at 9 dp — replayable
+    "graph_betweenness_sampled" -> ((s, d) =>
+      Graph.betweennessSampled(
+        Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
+          cacheKey = d),
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct())
+        .orderBy("node")),
     // personalized PageRank: proximity to a 10-customer cohort (teleport
     // to sources only — the related-supplier recommendation primitive)
     "graph_ppr_cohort" -> ((s, d) =>
@@ -2847,6 +2883,59 @@ object SparkEntry {
          |       ${graft.functions.OracleRound.duck("g.pw / z.z", 4)} AS weight
          |FROM g CROSS JOIN z
          |ORDER BY source""".stripMargin,
+    // canary scan: the identical canary lift (12-token spans of the
+    // doc_id % 83 = 5 subset), distinct 8-gram anchors, equi-join
+    // candidates, 1-based strpos confirm — instr ≡ strpos
+    "pipeline_canary_scan" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |n AS (SELECT doc_id, array_to_string(toks, ' ') AS nt FROM t),
+         |c AS (SELECT doc_id AS canary_id,
+         |             array_to_string(toks[11:22], ' ') AS cn,
+         |             array_to_string(toks[11:18], ' ') AS anchor
+         |      FROM t WHERE doc_id % 83 = 5 AND len(toks) >= 22),
+         |g AS (SELECT doc_id,
+         |             unnest(list_distinct(
+         |               [array_to_string(toks[i:i+7], ' ')
+         |                for i in range(1, len(toks) - 6)])) AS anchor
+         |      FROM t WHERE len(toks) >= 8),
+         |cand AS (SELECT DISTINCT g.doc_id, c.canary_id, c.cn
+         |         FROM g JOIN c USING (anchor))
+         |SELECT cand.canary_id, cand.doc_id,
+         |       CAST(strpos(n.nt, cand.cn) AS INTEGER) AS pos
+         |FROM cand JOIN n USING (doc_id)
+         |WHERE strpos(n.nt, cand.cn) > 0
+         |ORDER BY canary_id, doc_id""".stripMargin,
+    // epoch plan: per-source token masses + hash caps, the water-fill λ
+    // from the ≤4-row cap grid (first boundary whose uncapped solution
+    // clears it), epochs 6 dp BEFORE the allocation product
+    "pipeline_epoch_plan" ->
+      s"""WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
+         |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |             CAST(list_reduce(
+         |               [CAST(strpos('0123456789abcdef',
+         |                            substr(md5('cap:' || source), hd, 1)) - 1 AS BIGINT)
+         |                for hd in range(1, 14)],
+         |               (a, cc) -> a * 16 + cc) AS BIGINT) % 4 + 1 AS cap_epochs
+         |      FROM t GROUP BY source),
+         |gr AS (SELECT cap_epochs AS m, CAST(sum(n_tokens) AS BIGINT) AS tt
+         |       FROM g GROUP BY cap_epochs),
+         |tgt AS (SELECT CAST(floor(2.0 * sum(tt)) AS BIGINT) AS target FROM gr),
+         |cand AS (SELECT g1.m AS mk,
+         |                (CAST((SELECT target FROM tgt) AS DOUBLE)
+         |                 - sum(CASE WHEN g2.m < g1.m THEN g2.m * g2.tt ELSE 0 END))
+         |                / sum(CASE WHEN g2.m >= g1.m THEN g2.tt ELSE 0 END) AS lam
+         |         FROM gr g1 CROSS JOIN gr g2 GROUP BY g1.m),
+         |lam AS (SELECT coalesce(
+         |          (SELECT lam FROM cand WHERE lam <= mk ORDER BY mk LIMIT 1),
+         |          (SELECT CAST(max(m) AS DOUBLE) FROM gr)) AS lambda),
+         |ep AS (SELECT source, n_tokens, cap_epochs,
+         |              ${graft.functions.OracleRound.duck(
+                "least(lambda, CAST(cap_epochs AS DOUBLE))", 6)} AS epochs
+         |       FROM g CROSS JOIN lam)
+         |SELECT source, n_tokens, cap_epochs, epochs,
+         |       CAST(floor(epochs * n_tokens + 0.5) AS BIGINT) AS alloc_tokens
+         |FROM ep
+         |ORDER BY source""".stripMargin,
     "pipeline_mixture_sample" ->
       s"""WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
          |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
@@ -4491,6 +4580,33 @@ object SparkEntry {
          |FROM y
          |ORDER BY vec_id""".stripMargin
     },
+    // whitening: the sim_pca_project projection chain scaled by the
+    // published per-component 1/sqrt(variance) table, 6 dp
+    "sim_whiten" -> {
+      val pcols = (1 to 16).map { k =>
+        s"""floor(list_reduce([(v[j] - pl.m[j]) * pl.rm[j][$k] for j in range(1, 65)],
+           |                  (a, b) -> a + b) * 1000000 + 0.5) / 1000000 AS p${"%02d".format(k)}""".stripMargin
+      }.mkString(",\n")
+      val wcols = (1 to 16).map { k =>
+        val kk = "%02d".format(k)
+        s"floor(p$kk * sl.s[$k] * 1000000 + 0.5) / 1000000 AS w$kk"
+      }.mkString(",\n       ")
+      s"""WITH p AS (SELECT component, mean, rot
+         |           FROM read_parquet('/tmp/graft_warehouse/pca_sf0.01/*.parquet')),
+         |pl AS (SELECT list(mean ORDER BY component) AS m,
+         |              list(rot ORDER BY component) AS rm FROM p),
+         |sc AS (SELECT component, scale
+         |       FROM read_parquet('/tmp/graft_warehouse/whiten_sf0.01/*.parquet')),
+         |sl AS (SELECT list(scale ORDER BY component) AS s FROM sc),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |y AS (SELECT vec_id,
+         |$pcols
+         |      FROM e CROSS JOIN pl)
+         |SELECT vec_id,
+         |       $wcols
+         |FROM y CROSS JOIN sl
+         |ORDER BY vec_id""".stripMargin
+    },
     // weighted sample: the same md5 52-bit uniform fold, ln-key, 9 dp
     // pre-rank rounding, and (key desc, doc_id) cut — bit-reproducible
     // classifier scoring: the published weight table replayed — dense
@@ -5359,6 +5475,62 @@ object SparkEntry {
          |       n1 + n2 + n3 AS n_reached
          |FROM hc
          |ORDER BY src""".stripMargin
+    },
+    // graph_betweenness_sampled: the closeness unrolled BFS with an
+    // integer sigma column, then the backward dependency levels as
+    // paired term/fold CTEs — 9 dp successor-ordered folds per level,
+    // 6 dp src-ordered fold at the end, matching the Spark chain exactly
+    "graph_betweenness_sampled" -> {
+      val fwd = (r: Int) =>
+        s"""c$r AS MATERIALIZED (
+           |  SELECT f.src, e.v AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM e JOIN v${r - 1} f ON f.node = e.u AND f.hops = ${r - 1}
+           |  GROUP BY f.src, e.v),
+           |n$r AS MATERIALIZED (
+           |  SELECT c.src, c.node, $r AS hops, c.sigma FROM c$r c
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
+           |                    WHERE x.src = c.src AND x.node = c.node)),
+           |v$r AS MATERIALIZED (
+           |  SELECT src, node, hops, sigma FROM v${r - 1}
+           |  UNION ALL SELECT src, node, hops, sigma FROM n$r)""".stripMargin
+      val bwd = (h: Int) =>
+        s"""t$h AS (SELECT c.src, c.node, w.node AS wn,
+           |              ${graft.functions.OracleRound.duck(
+                  s"(CAST(c.sigma AS DOUBLE) / w.sigma) * (1.0 + w.delta)",
+                  9)} AS term
+           |       FROM (SELECT * FROM v3 WHERE hops = $h) c
+           |       JOIN e ON e.u = c.node
+           |       JOIN d${h + 1} w ON w.src = c.src AND w.node = e.v),
+           |f$h AS (SELECT src, node,
+           |              ${graft.functions.OracleRound.duck(
+                  "list_reduce(list_prepend(0.0, list(term ORDER BY wn)), " +
+                    "(a, x) -> a + x)", 9)} AS delta
+           |       FROM t$h GROUP BY src, node),
+           |d$h AS MATERIALIZED (
+           |  SELECT c.src, c.node, c.sigma, coalesce(f.delta, 0.0) AS delta
+           |  FROM (SELECT * FROM v3 WHERE hops = $h) c
+           |  LEFT JOIN f$h f ON f.src = c.src AND f.node = c.node)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS src,
+         |         'c:' || o_custkey AS node, 0 AS hops, CAST(1 AS BIGINT) AS sigma
+         |  FROM orders WHERE o_custkey < 10),
+         |${(1 to 3).map(fwd).mkString(",\n")},
+         |d3 AS MATERIALIZED (
+         |  SELECT src, node, sigma, 0.0 AS delta FROM v3 WHERE hops = 3),
+         |${(2 to 1 by -1).map(bwd).mkString(",\n")},
+         |alld AS (SELECT src, node, delta FROM d3
+         |         UNION ALL SELECT src, node, delta FROM d2
+         |         UNION ALL SELECT src, node, delta FROM d1)
+         |SELECT node, CAST(count(*) AS INTEGER) AS n_sources,
+         |       ${graft.functions.OracleRound.duck(
+              "list_reduce(list_prepend(0.0, list(delta ORDER BY src)), " +
+                "(a, x) -> a + x)", 6)} AS betweenness
+         |FROM alld GROUP BY node
+         |ORDER BY node""".stripMargin
     },
     "graph_reach" -> {
       val round = (r: Int) =>

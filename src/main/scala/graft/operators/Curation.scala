@@ -317,6 +317,46 @@ object Curation {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Canary / memorization audit — locate every verbatim occurrence of a
+    * set of canary strings in the corpus (Carlini et al., "The Secret
+    * Sharer", USENIX Security 2019 — public literature: canaries planted
+    * in training data measure memorization; the audit that finds where
+    * they leaked INTO the corpus is this scan). Differs from
+    * [[decontaminate]] in both shape and answer: decontamination
+    * aggregates anonymous shingle overlap per doc against a benchmark
+    * SET; the canary scan localizes WHICH canary hit WHICH document at
+    * WHAT position — the forensic output an audit needs.
+    *
+    * Scale shape: never corpus × canaries. Each canary contributes one
+    * ANCHOR k-gram (its first k tokens); the corpus explodes to distinct
+    * k-grams ONCE (linear) and candidates come from the gram equi-join
+    * against the broadcast request-sized canary set; only candidates pay
+    * the full-string containment confirm (`instr` over the normalized
+    * text — 1-based, identical in both engines). An anchor hit without
+    * full containment is dropped by the confirm, so partial prefix
+    * collisions cannot false-positive.
+    */
+  def canaryScan(
+      docs: DataFrame, canaries: DataFrame, k: Int = 8): DataFrame = {
+    val canon = canaries.select(col("canary_id"),
+      concat_ws(" ", TextAnalysis.tokens(col("canary_text"))).as("cn"),
+      concat_ws(" ",
+        slice(TextAnalysis.tokens(col("canary_text")), 1, k)).as("anchor"))
+    val corpus = graft.engine.OpCache.materialize(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), concat_ws(" ", col("toks")).as("nt"),
+          col("toks")))
+    val grams = corpus.select(col("doc_id"),
+      explode(Dedup.shinglesOf(col("toks"), k)).as("anchor"))
+    val cand = grams.join(broadcast(canon), "anchor")
+      .select(col("doc_id"), col("canary_id"), col("cn")).distinct()
+    cand.join(corpus.select(col("doc_id"), col("nt")), "doc_id")
+      .where(instr(col("nt"), col("cn")) > 0)
+      .select(col("canary_id"), col("doc_id"),
+        instr(col("nt"), col("cn")).as("pos"))
+  }
+
   /** One-row dedup dashboard: corpus size, exact-duplicate groups and
     * surplus copies, near-dup cluster count (the post-canonicalization
     * corpus size) and surplus members — the release-note numbers a
@@ -513,6 +553,63 @@ object Curation {
     docs.join(broadcast(rates), "source")
       .where(hashKeep(col("doc_id"), col("p")))
       .select(col("doc_id"), col("source"))
+  }
+
+  /** Data-constrained epoch plan — the repetition-budget allocator
+    * (Muennighoff et al., "Scaling Data-Constrained Language Models",
+    * NeurIPS 2023 — public literature, method re-derived): given a token
+    * budget T and a per-source repetition cap (max epochs), allocate
+    * epochs_s = min(λ, cap_s) with the water-fill level λ chosen so
+    * Σ_s tokens_s · epochs_s = T — scarce-but-capped sources repeat up
+    * to their cap, the rest share the remaining budget at one uniform
+    * level (if T exceeds every cap the plan saturates and the shortfall
+    * is visible as Σ alloc < T). The cap here is a deterministic
+    * 52-bit md5 fold of the source name onto {1..maxCap} (a stand-in
+    * for a curation-owned policy table — the oracle can replay a hash,
+    * not an opinion); `targetTokens` = ⌊multiplier · corpus tokens⌋ so
+    * the query scales with the corpus.
+    *
+    * Determinism: every prefix quantity is integer (cap·tokens products
+    * and their sums stay < 2⁶³), λ is ONE IEEE division of two such
+    * integers, the boundary pick is the FIRST cap value whose uncapped
+    * solution clears it (integer/double compares only), and epochs is
+    * rounded 6 dp before the allocation product — bit-replayable on any
+    * engine. Scale shape: one (source) partial-agg shuffle over the
+    * corpus; the water-fill itself runs on the cap GRID (≤ maxCap rows
+    * — bounded by construction, the documented driver pull), never on
+    * the source frame, and λ enters the final map-only pass as a
+    * literal.
+    */
+  def epochPlan(
+      docs: DataFrame,
+      multiplier: Double = 2.0,
+      maxCap: Int = 4,
+      salt: String = "cap"): DataFrame = {
+    val perSource = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .withColumn("cap_epochs",
+        conv(substring(md5(concat(lit(s"$salt:"), col("source"))), 1, 13),
+          16, 10).cast("long") % maxCap + 1)
+    val g = graft.engine.OpCache.materialize(perSource)
+    // the cap grid: ≤ maxCap rows by construction — a documented bounded
+    // pull (the centroid/calendar class), NOT a corpus collect
+    val grid = g.groupBy(col("cap_epochs")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val target = math.floor(multiplier * grid.map(_._2).sum).toLong
+    val lambda = grid.iterator.map { case (mk, _) =>
+      val a = grid.filter(_._1 < mk).map { case (m, t) => m * t }.sum
+      val b = grid.filter(_._1 >= mk).map(_._2).sum
+      (mk, (target.toDouble - a) / b)
+    }.collectFirst { case (mk, lam) if lam <= mk => lam }
+      .getOrElse(grid.last._1.toDouble)
+    g.select(col("source"), col("n_tokens"), col("cap_epochs"),
+        graft.functions.OracleRound.roundN(
+          least(lit(lambda), col("cap_epochs").cast("double")), 6).as("epochs"))
+      .withColumn("alloc_tokens",
+        floor(col("epochs") * col("n_tokens") + 0.5).cast("long"))
   }
 
   /** Deterministic keep-decision for probability `p` ∈ [0, 1]: true iff

@@ -784,6 +784,116 @@ object Graph {
         (1 to maxHops).map(d => col(s"n$d")).reduce(_ + _))
   }
 
+  /** Hop-bounded betweenness centrality from a SAMPLED source cohort —
+    * Brandes' algorithm (Brandes, "A faster algorithm for betweenness
+    * centrality", J. Math. Sociol. 2001 — public literature, method
+    * re-derived) restricted to shortest paths of ≤ `maxHops` from k
+    * sampled sources: the standard tractable estimator (exact betweenness
+    * is all-pairs; source sampling is Brandes–Pich, and the hop bound is
+    * the small-world cut that keeps every frontier finite on a 100 TB
+    * graph). Per-source results are exact within the bound.
+    *
+    * Forward phase: the [[closenessSampled]] (src, node)-keyed BFS
+    * carrying σ — the NUMBER of shortest paths — as an integer:
+    * σ(src, x) = Σ σ(src, u) over frontier predecessors u (one
+    * frontier×edges equi-join + one (src, x) partial agg + one anti-join
+    * per round; in an unweighted graph the shortest-path DAG only links
+    * consecutive hop levels, so the per-round aggregate IS the full
+    * predecessor sum). σ is exact (BIGINT; bounded by deg^maxHops paths).
+    *
+    * Backward phase: dependency δ(v) = Σ_w (σ_v/σ_w)(1 + δ_w) over
+    * successors w at hop+1 — one level-sized equi-join per hop, walked
+    * H−1 → 1. Determinism: each term is rounded 9 dp and the per-(src,v)
+    * sum is a SEQUENTIAL fold in successor order (the adamicAdar
+    * discipline), then re-rounded 9 dp per level, so δ replays
+    * bit-identically on any engine; the per-group fold buffer is bounded
+    * by the node's successor count in the DAG (the node2vec candidate
+    * window's max-degree bound — a hub-heavy corpus uses the same salted
+    * cap or successor sampling, both of which change the estimator and
+    * are therefore opt-in, not silent). Betweenness(v) = the src-ordered
+    * fold of the ≤ k per-source dependencies, 6 dp.
+    */
+  def betweennessSampled(
+      edges: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 2, "betweenness needs at least two hops")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val (e0, freeE0) = OpCache.checkpointWithHandle(sym)
+    val parts = Dedup.ccLoopPartitions(
+      e0.count(), spark.sparkContext.defaultParallelism)
+    val (e, freeE) = OpCache.checkpointWithHandle(e0.repartition(parts, col("u")))
+    freeE0()
+    val broadcastNodes =
+      e.select(col("u")).distinct().count() <= 1000000L
+    def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
+
+    // forward: (src, node, hops, sigma) with sigma the shortest-path count
+    var (visited, freeVisited) = OpCache.checkpointWithHandle(
+      sources.select(col("src"), col("src").as("node"), lit(0).as("hops"),
+        lit(1L).as("sigma")).distinct())
+    (1 to maxHops).foreach { h =>
+      val frontier = visited.where(col("hops") === h - 1)
+        .select(col("src"), col("node").as("u"), col("sigma"))
+      val cand = e.join(bc(frontier), Seq("u"))
+        .groupBy(col("src"), col("v").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val fresh = cand
+        .join(bc(visited.select(col("src"), col("node"))),
+          Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(h).as("hops"), col("sigma"))
+      val (vNext, freeNext) = OpCache.checkpointWithHandle(
+        visited.unionByName(fresh))
+      freeVisited()
+      visited = vNext
+      freeVisited = freeNext
+    }
+
+    // backward: δ per level, H−1 → 1 (hop-H nodes seed δ = 0; the DAG
+    // only links consecutive levels, so each round joins two level frames)
+    def termFold(digits: Int): Column =
+      OracleRound.roundN(
+        aggregate(
+          sort_array(collect_list(struct(col("wn"), col("term")))),
+          lit(0.0), (acc, s) => acc + s.getField("term")), digits)
+    var deltaNext = visited.where(col("hops") === maxHops)
+      .select(col("src"), col("node"), col("sigma"), lit(0.0).as("delta"))
+    var allDeltas = deltaNext.select(col("src"), col("node"), col("delta"))
+    ((maxHops - 1) to 1 by -1).foreach { h =>
+      val cur = visited.where(col("hops") === h)
+        .select(col("src"), col("node"), col("sigma"))
+      val terms = cur.as("c")
+        .join(e, col("c.node") === col("u"))
+        .join(deltaNext.as("w"),
+          col("v") === col("w.node") && col("c.src") === col("w.src"))
+        .select(col("c.src").as("src"), col("c.node").as("node"),
+          col("w.node").as("wn"),
+          OracleRound.roundN(
+            (col("c.sigma").cast("double") / col("w.sigma")) *
+              (lit(1.0) + col("w.delta")), 9).as("term"))
+      val folded = terms.groupBy(col("src"), col("node"))
+        .agg(termFold(9).as("delta"))
+      val (dNext, freeD) = OpCache.checkpointWithHandle(
+        cur.join(folded, Seq("src", "node"), "left")
+          .select(col("src"), col("node"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta")))
+      OpCache.defer(spark)(freeD)
+      deltaNext = dNext
+      allDeltas = allDeltas.unionByName(
+        dNext.select(col("src"), col("node"), col("delta")))
+    }
+    OpCache.defer(spark)(freeE)
+    OpCache.defer(spark)(freeVisited)
+
+    // bc(v) = the src-ordered fold of per-source dependencies; a node
+    // appears once per (src, level) — dist is unique per (src, node)
+    allDeltas
+      .select(col("src").as("wn"), col("node"), col("delta").as("term"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("int").as("n_sources"),
+        termFold(6).as("betweenness"))
+  }
+
   /** Local clustering coefficient per node over an undirected (p1 < p2)
     * edge list: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the fraction of
     * a node's neighbor pairs that are themselves connected. Closes the

@@ -1419,6 +1419,77 @@ object Similarity {
       graft.functions.OracleRound.roundN(sqrt(normSq), 6))
   }
 
+  private val whitenCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PublishGuard.Fingerprint, Array[Double])]()
+
+  /** Read-through accessor for the published PCA-whitening scales —
+    * per-component 1/√(mean square) of the PUBLISHED projection (PCA
+    * output is centered by construction, so the mean square IS the
+    * component variance). Training is one outDims-wide aggregate over
+    * the projected corpus — float sums, NOT cross-engine reproducible,
+    * which is exactly why the scales are PUBLISHED ((component, scale)
+    * parquet) and every scorer replays scoring from the table (the IVF
+    * centroid / PCA rotation discipline).
+    */
+  def publishedWhitenScales(
+      embeddings: DataFrame,
+      baseDir: String,
+      pcaSlug: String,
+      slug: String,
+      outDims: Int = 16,
+      dim: Int = 64): Array[Double] = {
+    val spark = embeddings.sparkSession
+    val path = s"$baseDir/$slug"
+    publishedArtifact[Array[Double]](
+      spark, path, s"$pcaSlug|$outDims|$dim",
+      embeddingFingerprint(embeddings), whitenCache,
+      train = () => {
+        val proj = pcaProjectPublished(embeddings, baseDir, pcaSlug, outDims, dim)
+        val row = proj.agg(
+          avg(col("p01") * col("p01")).as("m0"),
+          (1 until outDims).map(k =>
+            avg(col(f"p${k + 1}%02d") * col(f"p${k + 1}%02d")).as(s"m$k")): _*)
+          .head()
+        (0 until outDims)
+          .map(k => 1.0 / math.sqrt(row.getDouble(k) + 1e-12)).toArray
+      },
+      write = (sc, p) => {
+        import spark.implicits._
+        sc.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("component", "scale").coalesce(1).write.parquet(p)
+      },
+      load = () => spark.read.parquet(path).orderBy("component").collect()
+        .map(_.getDouble(1)),
+      what = s"published whitening scales '$slug'")
+  }
+
+  /** PCA whitening against BOTH published artifacts (rotation + scales):
+    * each projected component is multiplied by its published
+    * 1/√variance, giving the decorrelated unit-variance representation
+    * contrastive/retrieval training recipes standardize embeddings with
+    * before indexing. Serving is one map-only pass — the rotation AND
+    * the scales enter as literals; every output is the 6 dp product of
+    * an already-published 6 dp projection with a table-read scale, so
+    * an external engine reading the same two tables reproduces the
+    * frame bit-for-bit.
+    */
+  def whitenPublished(
+      embeddings: DataFrame,
+      baseDir: String,
+      pcaSlug: String,
+      slug: String,
+      outDims: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val scales = publishedWhitenScales(
+      embeddings, baseDir, pcaSlug, slug, outDims, dim)
+    pcaProjectPublished(embeddings, baseDir, pcaSlug, outDims, dim)
+      .select(col("vec_id") +:
+        (0 until outDims).map(k =>
+          graft.functions.OracleRound.roundN(
+            col(f"p${k + 1}%02d") * lit(scales(k)), 6)
+            .as(f"w${k + 1}%02d")): _*)
+  }
+
   /** Cluster-balanced diversity sample (coreset selection): assign every
     * corpus vector to its nearest PUBLISHED IVF centroid (the same
     * artifact the ANN serving paths read — compute-once shared), then

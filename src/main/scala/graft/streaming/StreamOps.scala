@@ -2020,6 +2020,80 @@ object StreamOps {
     * 8 bytes per blob — the raw media bytes are decoded exactly once,
     * at ingest, and never re-read by any pair read below.
     */
+  /** Streaming canary / memorization audit — the continuous form of
+    * [[graft.operators.Curation.canaryScan]]: every micro-batch of
+    * arriving documents is scanned against the (request-sized, broadcast)
+    * canary set and its hits `(canary_id, doc_id, pos)` land as a
+    * replay-idempotent `batch_id` partition. A hit is a PURE FUNCTION of
+    * (document text, canary set), so at-least-once redelivery lands
+    * value-identical rows and the store read's (canary_id, doc_id)
+    * dedup restores exactly-once semantics — the minhashSink contract.
+    * Per batch the cost is the batch's k-gram explode + one equi-join
+    * against the broadcast anchors; the store grows only by actual
+    * leaks, which is the audit's whole output. (The canary SET is fixed
+    * for a sink's lifetime — changing it mid-stream would make stored
+    * prefixes unrepresentative; start a new state table per canary-set
+    * version instead.)
+    */
+  def canarySink(
+      docs: DataFrame,
+      canaries: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        graft.operators.Curation.canaryScan(batch, canaries, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+
+  /** The accumulated canary-hit store `(canary_id, doc_id, pos)`,
+    * deduplicated on (canary_id, doc_id) — replays land value-identical
+    * rows (pos is a pure function of the text), so keeping either is
+    * exact. `asOfBatch` = the audit as of batch N.
+    */
+  def readCanaryHits(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch).drop("batch_id")
+      .dropDuplicates("canary_id", "doc_id")
+
+  /** Fold the canary-hit store's batch partitions into one compacted
+    * snapshot with the standard `through`-watermark sidecar — the
+    * [[compactMinhashSignatures]] contract (set-union monoid).
+    */
+  def compactCanaryHits(
+      spark: SparkSession, stateDir: String, outDir: String): Unit = {
+    val through = maxBatchId(spark, stateDir).getOrElse(throw
+      new IllegalStateException(s"no batch partitions to compact at $stateDir"))
+    spark.read.parquet(stateDir)
+      .where(col("batch_id") <= through).drop("batch_id")
+      .dropDuplicates("canary_id", "doc_id")
+      .write.mode("errorifexists").parquet(outDir)
+    writeCompactedThrough(spark, outDir, through)
+  }
+
+  /** [[readCanaryHits]] through a compacted snapshot plus the live
+    * batches above its watermark — the combined-reader contract that
+    * licenses [[vacuumStateTable]] on the covered partitions.
+    */
+  def readCanaryHitsCompacted(
+      spark: SparkSession, compactedDir: String, stateDir: String): DataFrame = {
+    val through = readCompactedThrough(spark, compactedDir)
+    val live = spark.read.parquet(stateDir)
+      .where(col("batch_id") > through).drop("batch_id")
+    live.unionByName(spark.read.parquet(compactedDir))
+      .dropDuplicates("canary_id", "doc_id")
+  }
+
   private def hammingSigSink(
       media: DataFrame,
       stateDir: String,

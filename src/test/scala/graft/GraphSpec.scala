@@ -38,6 +38,89 @@ class GraphSpec extends AnyFunSuite {
     assert(got("x") === ((1L, 0L, 0L, 1.0, 1L)))
   }
 
+  test("betweennessSampled: hand-computed path/star fixtures") {
+    import spark.implicits._
+    // path a-b-c-d-e, source a: sigma all 1; delta(b)=2, delta(c)=1,
+    // delta(d)=0 (hop-3 leaf); e is 4 hops out — never reached
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("u", "v")
+    val gotPath = Graph.betweennessSampled(path, Seq("a").toDF("src"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(gotPath === Map(
+      "b" -> ((1, 2.0)), "c" -> ((1, 1.0)), "d" -> ((1, 0.0))))
+    // star: center h, leaves l1..l4, source l1 — every 2-hop shortest
+    // path to the other leaves passes h: delta(h) = 3
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+      .toDF("u", "v")
+    val gotStar = Graph.betweennessSampled(star, Seq("l1").toDF("src"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(gotStar === Map(
+      "h" -> ((1, 3.0)), "l2" -> ((1, 0.0)),
+      "l3" -> ((1, 0.0)), "l4" -> ((1, 0.0))))
+  }
+
+  test("betweennessSampled equals a JVM Brandes recompute on the real trade graph") {
+    val edges = Graph.tradeEdges(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val sources = Tables.orders(spark, sf).where(col("o_custkey") < 10)
+      .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct()
+    val got = Graph.betweennessSampled(edges, sources).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // third derivation: hop-bounded Brandes in plain JVM code with the
+    // SAME rounding/fold-order rules (9 dp successor-ordered, 6 dp
+    // src-ordered)
+    val adj = {
+      val es = edges.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      (es ++ es.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    }
+    def r(x: Double, digits: Int): Double = {
+      val p = math.pow(10, digits)
+      math.floor(x * p + 0.5) / p
+    }
+    val srcs = sources.collect().map(_.getString(0)).toSeq.sorted
+    val H = 3
+    val acc = scala.collection.mutable.Map[String, List[(String, Double)]]()
+    srcs.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Set(s)
+      (1 to H).foreach { h =>
+        val next = scala.collection.mutable.Map[String, Long]()
+        frontier.foreach { u =>
+          adj.getOrElse(u, Set.empty).foreach { v =>
+            if (!dist.contains(v)) next(v) = next.getOrElse(v, 0L) + sigma(u)
+          }
+        }
+        next.keys.foreach(v => dist(v) = h)
+        next.foreach { case (v, sg) => sigma(v) = sg }
+        frontier = next.keySet.toSet
+      }
+      val delta = scala.collection.mutable.Map[String, Double]()
+      dist.filter(_._2 == H).keys.foreach(v => delta(v) = 0.0)
+      (H - 1 to 1 by -1).foreach { h =>
+        dist.filter(_._2 == h).keys.foreach { v =>
+          val terms = adj.getOrElse(v, Set.empty).toSeq
+            .filter(w => dist.get(w).contains(h + 1))
+            .sorted
+            .map(w => r(sigma(v).toDouble / sigma(w) * (1.0 + delta(w)), 9))
+          delta(v) = r(terms.foldLeft(0.0)(_ + _), 9)
+        }
+      }
+      dist.filter(_._2 > 0).keys.foreach { v =>
+        acc(v) = acc.getOrElse(v, Nil) :+ (s -> delta(v))
+      }
+    }
+    val expect = acc.map { case (v, ds) =>
+      v -> ((ds.size, r(ds.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _), 6)))
+    }.toMap
+    assert(got.keySet === expect.keySet)
+    val diverged = got.filter { case (v, g) => expect(v) != g }
+    assert(diverged.isEmpty,
+      s"betweenness diverged on ${diverged.take(5)} vs ${diverged.keys.take(5).map(expect)}")
+    // the trade graph is bipartite: customers at odd hops, suppliers at
+    // even — so positive betweenness exists on both sides
+    assert(got.exists { case (v, (_, b)) => v.startsWith("s:") && b > 0 })
+  }
+
   test("randomWalks: JVM-recomputed trace matches exactly; every step walks an edge") {
     import spark.implicits._
     val e = Seq(("c:1", "s:1"), ("c:1", "s:2"), ("c:2", "s:1"),

@@ -875,4 +875,85 @@ class OperatorsSpec extends AnyFunSuite {
     // must see somewhere
     assert(moved.exists(_.getDouble(3) > 0.0), "hard length cut left psi at 0")
   }
+
+  test("canaryScan: hand fixture confirms anchor prune + containment; equals direct scan on real data") {
+    import spark.implicits._
+    // d1 = the canary source; d2 embeds the full canary mid-text;
+    // d3 shares a PARTIAL prefix only (anchor mismatch at token 5);
+    // d4 carries the 8-token anchor but then diverges (candidate that
+    // the containment confirm must drop)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (2L, "zz yy aa bb cc dd ee ff gg hh ii jj kk ll ww"),
+      (3L, "aa bb cc dd XX ff gg hh ii jj kk ll"),
+      (4L, "aa bb cc dd ee ff gg hh QQ rr ss tt"))
+      .toDF("doc_id", "text")
+    val canary = Seq((100L, "aa bb cc dd ee ff gg hh ii jj kk ll"))
+      .toDF("canary_id", "canary_text")
+    val got = Curation.canaryScan(docs, canary).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((100L, 1L, 1), (100L, 2L, 7)),
+      s"hand fixture diverged: $got")
+    // real data: anchor-join candidates lose nothing vs a direct
+    // containment scan (a different plan computing the same answer)
+    val real = Tables.documents(spark, sf)
+    val canaries = real
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(col("doc_id") % 83 === 5 && size(col("toks")) >= 22)
+      .select(col("doc_id").as("canary_id"),
+        concat_ws(" ", slice(col("toks"), 11, 12)).as("canary_text"))
+    val viaAnchors = Curation.canaryScan(real, canaries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = real
+      .select(col("doc_id"),
+        concat_ws(" ", TextAnalysis.tokens(col("text"))).as("nt"))
+      .crossJoin(broadcast(canaries
+        .select(col("canary_id"),
+          concat_ws(" ", TextAnalysis.tokens(col("canary_text"))).as("cn"))))
+      .where(instr(col("nt"), col("cn")) > 0)
+      .select(col("canary_id"), col("doc_id"),
+        instr(col("nt"), col("cn")).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAnchors === direct, "anchor-pruned scan diverged from direct scan")
+    // every canary finds at least its own source document
+    val hitsBySelf = viaAnchors.map(h => (h._1, h._2))
+    canaries.collect().map(_.getLong(0))
+      .foreach(c => assert(hitsBySelf.contains((c, c)), s"canary $c lost its source"))
+  }
+
+  test("epochPlan: water-fill invariants hold and the budget is met to rounding") {
+    val plan = Curation.epochPlan(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(plan.nonEmpty)
+    // epochs never exceed the cap and never go negative
+    plan.foreach { case (s, _, cap, ep, _) =>
+      assert(ep >= 0.0 && ep <= cap + 1e-9, s"$s epochs $ep vs cap $cap")
+    }
+    // every source strictly below its cap shares ONE water level λ
+    val uncapped = plan.filter { case (_, _, cap, ep, _) => ep < cap - 1e-9 }
+      .map(_._4).distinct
+    assert(uncapped.size <= 1, s"multiple water levels: $uncapped")
+    // capped sources sit exactly at their (integer) cap
+    plan.filter { case (_, _, cap, ep, _) => ep >= cap - 1e-9 }
+      .foreach { case (s, _, cap, ep, _) =>
+        assert(ep === cap.toDouble, s"$s capped epochs $ep != $cap") }
+    // the allocation meets the 2x-token target to per-source rounding,
+    // unless the plan saturated (every source at cap)
+    val target = 2L * plan.map(_._2).sum
+    val alloc = plan.map(_._5).sum
+    val saturated = uncapped.isEmpty
+    if (!saturated)
+      assert(math.abs(alloc - target) <= plan.length,
+        s"alloc $alloc misses target $target")
+    else assert(alloc <= target)
+    // per-source allocation is the rounded product of its epochs
+    plan.foreach { case (s, t, _, ep, a) =>
+      assert(a === math.floor(ep * t + 0.5).toLong, s"$s alloc") }
+    // deterministic: a second run is identical
+    val again = Curation.epochPlan(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(plan.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }

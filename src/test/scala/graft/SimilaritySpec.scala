@@ -362,6 +362,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self.getDouble(2) === 0.0 && !self.getBoolean(3))
   }
 
+  test("whitening: exact product of published projection and scales; unit mean square") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-whiten").toString
+    val got = Similarity.whitenPublished(emb, base, "pca_w", "whiten_w")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(k => r.getDouble(k)).toVector).toMap
+    // exact recompute: published projections × published scales, 6 dp
+    val scales = Similarity.publishedWhitenScales(emb, base, "pca_w", "whiten_w")
+    val proj = Similarity.pcaProjectPublished(emb, base, "pca_w")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(k => r.getDouble(k)).toVector).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (id, w) =>
+      val expect = proj(id).zip(scales).map { case (p, s) => r6(p * s) }
+      assert(w === expect, s"vec $id whitening diverged")
+    }
+    // per-component mean square is 1 by construction (scales trained on
+    // this same corpus), up to the 6 dp output rounding
+    (0 until 16).foreach { k =>
+      val ms = got.values.map(w => w(k) * w(k)).sum / got.size
+      assert(math.abs(ms - 1.0) <= 1e-3, s"component $k mean square $ms")
+    }
+  }
+
   test("hard negatives equal a driver-side different-label top-k recompute") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.hardNegatives(emb).collect()

@@ -2022,4 +2022,55 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsAt(0L) ++ pairsAt(1L) ++ pairsAt(2L) === whole)
   }
+
+  test("canary sink: stored hits equal the batch scan across a checkpointed restart") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-canary-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-canary-src").toString
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    // the fixed canary set for this sink's lifetime — 12-token spans
+    // lifted from a deterministic doc subset (the batch query's rule)
+    val canaries = docs
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .where(col("doc_id") % 83 === 5 && size(col("toks")) >= 22)
+      .select(col("doc_id").as("canary_id"),
+        concat_ws(" ", slice(col("toks"), 11, 12)).as("canary_text"))
+    val schema = docs.schema
+    def pump(): Unit = {
+      val fileDf = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamOps.canarySink(fileDf, canaries, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // three arrival windows; the last run is a checkpointed restart that
+    // picks up two windows at once
+    docs.where(col("doc_id") < 60).write.mode("append").parquet(srcDir)
+    pump()
+    docs.where(col("doc_id") >= 60 && col("doc_id") < 80)
+      .write.mode("append").parquet(srcDir)
+    docs.where(col("doc_id") >= 80).write.mode("append").parquet(srcDir)
+    pump()
+
+    type Hit = (Long, Long, Int)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Hit] =
+      df.select("canary_id", "doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stored = toSet(StreamOps.readCanaryHits(spark, s"$dir/state"))
+    val direct = toSet(graft.operators.Curation.canaryScan(docs, canaries))
+    assert(stored === direct, "stored canary hits diverged from the batch scan")
+    assert(stored.nonEmpty, "fixture produced no canary hits — nothing proven")
+    // as-of batch 0 == the batch scan restricted to the first window's docs
+    val asOf0 = toSet(StreamOps.readCanaryHits(spark, s"$dir/state", Some(0L)))
+    val window0 = toSet(graft.operators.Curation.canaryScan(
+      docs.where(col("doc_id") < 60), canaries))
+    assert(asOf0 === window0, "as-of read diverged from the first window's scan")
+    // compaction + vacuum: the combined reader reproduces the live store
+    StreamOps.compactCanaryHits(spark, s"$dir/state", s"$dir/compact")
+    assert(toSet(StreamOps.readCanaryHitsCompacted(
+      spark, s"$dir/compact", s"$dir/state")) === stored)
+    assert(StreamOps.vacuumStateTable(
+      spark, s"$dir/state", s"$dir/compact", keepLast = 1) >= 1L)
+    assert(toSet(StreamOps.readCanaryHitsCompacted(
+      spark, s"$dir/compact", s"$dir/state")) === stored,
+      "combined reader diverged after vacuum")
+  }
 }

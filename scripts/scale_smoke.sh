@@ -21,15 +21,19 @@ OUT=${1:-/tmp/graft_sf1}
 # corpus), video scene windows (per-video frame tracks), and the radius
 # search corpus scan + (round 13) random walks (per-step frontier joins
 # over the ranked-neighbor table), path NLL (user-windowed lead +
-# collect_list fold), and the skew profile (per-key counts + GlobalOrder
-# rank). sim_semantic_prune is deliberately NOT smoked: the 10x fixture
+# collect_list fold), the skew profile (per-key counts + GlobalOrder
+# rank), GraphSAGE sampling (hash-ranked adjacency build + two frontier
+# joins), hybrid RRF (postings equi-join — its quadratic risk is a hot
+# term's postings²... it has none: the query side stays bounded, so the
+# risk is really the df-join fan-out), and walk context pairs (the
+# walk_id window pass). sim_semantic_prune is deliberately NOT smoked: the 10x fixture
 # replicates vectors under the FROZEN published 16-centroid table, so
 # within-cluster density (and the pair join) grows quadratically BY
 # CONSTRUCTION of the fixture, not of the operator — the production
 # contract is nlist ∝ corpus (bounded cluster population; see the
 # operator scaladoc), and at nlist beyond a few hundred the
 # centroid-literal assignment hands off to the IVF partition-pruned path.
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks}
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks,graph_sage_sample,sim_hybrid_rrf,graph_walk_context_pairs}
 sbt -batch compile >/dev/null 2>&1
 if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"

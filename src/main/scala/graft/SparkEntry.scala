@@ -506,6 +506,17 @@ object SparkEntry {
     // integer prefix quantities + one IEEE division)
     "pipeline_epoch_plan" -> ((s, d) =>
       Curation.epochPlan(Tables.documents(s, d)).orderBy("source")),
+    // temperature-scaled mixture quotas: p_s ∝ (Σ n_chars)^0.25 via two
+    // IEEE sqrts (bit-exact cross-engine where pow is not), integer
+    // largest-remainder fill so Σ quota = k exactly
+    "pipeline_temperature_quota" -> ((s, d) =>
+      Curation.temperatureMixtureGrid(Tables.documents(s, d))
+        .orderBy("source")),
+    // the draw against the quotas: per source the first quota docs by
+    // the deterministic md5 fold of tmix:doc_id
+    "pipeline_temperature_sample" -> ((s, d) =>
+      Curation.temperatureMixtureSample(Tables.documents(s, d))
+        .orderBy("source", "draw_rank")),
     // canary/memorization audit: which canary leaked into which doc at
     // what position — anchor-gram equi-join candidates, instr confirm;
     // canaries = 12-token spans lifted from a deterministic doc subset
@@ -622,6 +633,37 @@ object SparkEntry {
         baseDir = "/tmp/graft_warehouse",
         slug = s"ivf_centroids_${d.split('/').last}")
         .orderBy("query_id")),
+    // Matryoshka truncation eval: recall@5 of the exact search run on
+    // the FIRST 16 of 64 dims vs the full-dim exact scan — both sides
+    // the bruteForce chain, hits an equi-join intersection count,
+    // recall one IEEE division (how far may the serving tier truncate?)
+    "sim_truncation_recall" -> ((s, d) =>
+      Similarity.truncationRecall(Tables.embeddings(s, d))
+        .orderBy("query_id")),
+    // cluster labeling: top-5 most DISTINCTIVE terms per published-IVF
+    // cluster by lift (in-cluster vs corpus relative frequency, floor 3
+    // occurrences) — documents join the assignment on doc_id = vec_id;
+    // integer counts, one rounded multiply-divide, rank cut after
+    "sim_cluster_terms" -> ((s, d) =>
+      Similarity.clusterTermsPublished(
+        Tables.embeddings(s, d), Tables.documents(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}")
+        .orderBy("cluster", "rank")),
+    // hybrid search: embedding top-20 + lexical rarity-weighted-overlap
+    // top-20 fused by reciprocal rank (1/(60+rank) per list, two-term
+    // IEEE sum rounded 6 dp before the final top-5 cut); lexical score
+    // is INTEGER Σ (N − df) over distinct shared terms
+    "sim_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrf(Tables.embeddings(s, d), Tables.documents(s, d))
+        .orderBy("query_id", "rank")),
+    // maximal-marginal-relevance re-rank: greedy 5 picks from the exact
+    // top-10 pool, each maximizing 0.5·rel − 0.5·max-sim-to-picked
+    // (pool² pairwise cosines, k−1 unrolled argmax steps — serving-tier
+    // cost, corpus touched only by the candidate former)
+    "sim_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d))
+        .orderBy("query_id", "pick")),
     // per-label class prototypes: one row per (label, dimension)
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "pos")),
@@ -1021,6 +1063,29 @@ object SparkEntry {
       Graph.node2vecWalks(edges,
         edges.select(col("u").as("walk_id")).distinct())
         .orderBy("walk_id", "step")
+    }),
+    // GraphSAGE fixed-fanout neighborhood sampling (3 then 2) from a
+    // sampled customer cohort: per-edge md5-hash rank picks the sampled
+    // adjacency ONCE, each hop is one frontier-sized equi-join —
+    // the bounded GNN computation tree, engine-reproducible
+    "graph_sage_sample" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.sageSample(edges,
+        Tables.customer(s, d).where(col("c_custkey") % 97 === 1)
+          .select(concat(lit("c:"), col("c_custkey")).as("seed")))
+        .orderBy("seed", "hop", "parent", "branch")
+    }),
+    // skip-gram (center, context) pairs within ±2 steps over the
+    // DeepWalk corpus — ONE walk_id-partitioned window pass computes
+    // all four context columns, walk-boundary nulls drop
+    "graph_walk_context_pairs" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.walkContextPairs(
+        Graph.randomWalks(edges,
+          edges.select(col("u").as("walk_id")).distinct()))
+        .orderBy("walk_id", "center_step", "offset")
     }),
     // 5-iteration damped PageRank on the symmetrized trade graph
     // (checkpointed contributions loop — one |E| join + sum per round)
@@ -2908,6 +2973,32 @@ object SparkEntry {
     // epoch plan: per-source token masses + hash caps, the water-fill λ
     // from the ≤4-row cap grid (first boundary whose uncapped solution
     // clears it), epochs 6 dp BEFORE the allocation product
+    // pipeline_temperature_quota / _sample: p_s ∝ sqrt(sqrt(Σ n_chars))
+    // — two IEEE sqrts replay bit-exact where pow() would not — with the
+    // source-ordered fold total, floor/9dp-remainder largest-remainder
+    // fill, and the md5-fold within-source draw
+    "pipeline_temperature_quota" ->
+      s"""WITH $tempQuotaCtes
+        |SELECT source, n_docs, sz, p, quota FROM q
+        |ORDER BY source""".stripMargin,
+    "pipeline_temperature_sample" -> {
+      def hex(expr: String) =
+        s"""CAST(list_reduce(
+           |           [CAST(strpos('0123456789abcdef',
+           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
+           |            for hd in range(1, 14)],
+           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      s"""WITH $tempQuotaCtes,
+        |s AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY ${hex("'tmix:' || doc_id")},
+        |                                         doc_id) AS draw_rank
+        |      FROM documents)
+        |SELECT s.doc_id, s.source, CAST(s.draw_rank AS INTEGER) AS draw_rank
+        |FROM s JOIN q USING (source)
+        |WHERE s.draw_rank <= q.quota
+        |ORDER BY s.source, draw_rank""".stripMargin
+    },
     "pipeline_epoch_plan" ->
       s"""WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
          |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
@@ -3206,6 +3297,223 @@ object SparkEntry {
         |  ON iv.query_id = ex.query_id AND iv.vec_id = ex.vec_id
         |GROUP BY ex.query_id
         |ORDER BY ex.query_id""".stripMargin,
+    // sim_truncation_recall: the bruteforce chain twice — once on the
+    // full 64 dims (ground truth), once on the v[1:16] prefix slice
+    // (norms recomputed on the slice) — hits = the per-query
+    // intersection, recall = one IEEE division
+    "sim_truncation_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 10),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |         SELECT s.query_id, s.vec_id,
+        |                row_number() OVER (PARTITION BY s.query_id
+        |                                   ORDER BY s.cosine DESC, s.vec_id) AS rank
+        |         FROM (SELECT q.query_id, n.vec_id,
+        |                      list_reduce([q.qv[i] * n.v[i]
+        |                                   for i in range(1, 1 + len(q.qv))],
+        |                                  (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |               FROM n JOIN q ON n.vec_id <> q.query_id) s)
+        |       WHERE rank <= 5),
+        |tn AS MATERIALIZED (
+        |  SELECT vec_id, v[1:16] AS v,
+        |         sqrt(list_reduce([x * x for x in v[1:16]],
+        |                          (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |tq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |       FROM tn WHERE vec_id < 10),
+        |tr AS (SELECT query_id, vec_id FROM (
+        |         SELECT s.query_id, s.vec_id,
+        |                row_number() OVER (PARTITION BY s.query_id
+        |                                   ORDER BY s.cosine DESC, s.vec_id) AS rank
+        |         FROM (SELECT tq.query_id, tn.vec_id,
+        |                      list_reduce([tq.qv[i] * tn.v[i]
+        |                                   for i in range(1, 1 + len(tq.qv))],
+        |                                  (x, y) -> x + y) / (tq.qn * tn.nrm) AS cosine
+        |               FROM tn JOIN tq ON tn.vec_id <> tq.query_id) s)
+        |       WHERE rank <= 5)
+        |SELECT ex.query_id, count(tr.vec_id) AS hits,
+        |       CAST(count(tr.vec_id) AS DOUBLE) / 5 AS recall
+        |FROM ex LEFT JOIN tr
+        |  ON tr.query_id = ex.query_id AND tr.vec_id = ex.vec_id
+        |GROUP BY ex.query_id
+        |ORDER BY ex.query_id""".stripMargin,
+    // sim_cluster_terms: the sim_ivf assignment chain (rn=1 against the
+    // SAME published centroid table) joined to the documents tokens,
+    // integer tf counts, lift = (c_tf·g_total)/(c_total·g_tf) rounded
+    // 6 dp BEFORE the per-cluster rank cut
+    "sim_cluster_terms" ->
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+        |d AS MATERIALIZED (
+        |  SELECT nn.vec_id, c.list_id,
+        |         list_reduce([nn.nv[i] * c.centroid[i]
+        |                      for i in range(1, 1 + len(nn.nv))],
+        |                     (x, y) -> x + y) AS dt
+        |  FROM nn CROSS JOIN c),
+        |a AS (SELECT vec_id AS doc_id, CAST(list_id AS INTEGER) AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |tk AS MATERIALIZED (
+        |  SELECT t.doc_id, a.cluster, unnest($duckToks) AS term
+        |  FROM documents t JOIN a ON a.doc_id = t.doc_id),
+        |ct AS (SELECT cluster, term, count(*) AS c_tf FROM tk GROUP BY 1, 2),
+        |gt AS (SELECT term, count(*) AS g_tf FROM tk GROUP BY 1),
+        |ctot AS (SELECT cluster, count(*) AS c_total FROM tk GROUP BY 1),
+        |gtot AS (SELECT count(*) AS g_total FROM tk),
+        |sc AS (SELECT ct.cluster, ct.term,
+        |              CAST(ct.c_tf AS BIGINT) AS c_tf,
+        |              CAST(gt.g_tf AS BIGINT) AS g_tf,
+        |              ${graft.functions.OracleRound.duck(
+                "(CAST(ct.c_tf AS DOUBLE) * CAST(gtot.g_total AS DOUBLE)) / " +
+                "(CAST(ctot.c_total AS DOUBLE) * CAST(gt.g_tf AS DOUBLE))", 6)} AS lift
+        |       FROM ct JOIN gt USING (term)
+        |       JOIN ctot USING (cluster) CROSS JOIN gtot
+        |       WHERE ct.c_tf >= 3)
+        |SELECT cluster, CAST(rank AS INTEGER) AS rank, term, c_tf, g_tf, lift
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+        |                                   ORDER BY lift DESC, c_tf DESC, term) AS rank
+        |      FROM sc)
+        |WHERE rank <= 5
+        |ORDER BY cluster, rank""".stripMargin,
+    // sim_hybrid_rrf: the bruteforce chain at k=20 beside an inverted-
+    // index lexical chain (integer Σ (N − df) over distinct shared
+    // terms), full-outer fused by 1/(60+rank) reciprocals — the two-term
+    // IEEE sum rounded 6 dp before the final top-5 cut
+    "sim_hybrid_rrf" ->
+      s"""WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct($duckToks)) AS term
+        |  FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tk GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |lex AS MATERIALIZED (
+        |  SELECT query_id, doc_id AS vec_id, CAST(rnk AS INTEGER) AS rank_lex
+        |  FROM (SELECT s.query_id, s.doc_id,
+        |               row_number() OVER (PARTITION BY s.query_id
+        |                                  ORDER BY s.score DESC, s.doc_id) AS rnk
+        |        FROM (SELECT q.doc_id AS query_id, t.doc_id,
+        |                     sum(nd.n_docs - dfq.df) AS score
+        |              FROM tk q JOIN tk t USING (term)
+        |              JOIN dfq USING (term) CROSS JOIN nd
+        |              WHERE q.doc_id < 10 AND t.doc_id <> q.doc_id
+        |              GROUP BY 1, 2) s)
+        |  WHERE rnk <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 10),
+        |eb AS MATERIALIZED (
+        |  SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank_emb
+        |  FROM (SELECT s.query_id, s.vec_id,
+        |               row_number() OVER (PARTITION BY s.query_id
+        |                                  ORDER BY s.cosine DESC, s.vec_id) AS rnk
+        |        FROM (SELECT q.query_id, n.vec_id,
+        |                     list_reduce([q.qv[i] * n.v[i]
+        |                                  for i in range(1, 1 + len(q.qv))],
+        |                                 (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |              FROM n JOIN q ON n.vec_id <> q.query_id) s)
+        |  WHERE rnk <= 20),
+        |f AS (SELECT coalesce(eb.query_id, lex.query_id) AS query_id,
+        |             coalesce(eb.vec_id, lex.vec_id) AS vec_id,
+        |             eb.rank_emb, lex.rank_lex,
+        |             ${graft.functions.OracleRound.duck(
+                "coalesce(CAST(1 AS DOUBLE) / (60 + eb.rank_emb), 0.0) + " +
+                "coalesce(CAST(1 AS DOUBLE) / (60 + lex.rank_lex), 0.0)", 6)} AS rrf
+        |      FROM eb FULL OUTER JOIN lex
+        |        ON eb.query_id = lex.query_id AND eb.vec_id = lex.vec_id)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id,
+        |       rank_emb, rank_lex, rrf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY rrf DESC, vec_id) AS rnk
+        |      FROM f)
+        |WHERE rnk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_mmr_rerank: candidate pool = the bruteforce chain at k=10
+    // (rel = the raw fold cosine), pool² pairwise sims, then 4 unrolled
+    // greedy steps — each scores the not-yet-picked pool by
+    // round6(0.5·rel − 0.5·max sim-to-picked) and takes the argmax
+    "sim_mmr_rerank" -> {
+      def r6(e: String) = graft.functions.OracleRound.duck(e, 6)
+      val steps = (2 to 5).map { t =>
+        s"""p$t AS (SELECT p.query_id, p.a, max(p.sim) AS pen
+           |        FROM p JOIN sel${t - 1} s
+           |          ON s.query_id = p.query_id AND s.vec_id = p.b
+           |        GROUP BY 1, 2),
+           |s$t AS MATERIALIZED (
+           |  SELECT query_id, vec_id, $t AS pick, mmr FROM (
+           |    SELECT query_id, vec_id, mmr,
+           |           row_number() OVER (PARTITION BY query_id
+           |                              ORDER BY mmr DESC, vec_id) AS rn
+           |    FROM (SELECT c.query_id, c.vec_id,
+           |                 ${r6(s"0.5 * c.rel - 0.5 * p$t.pen")} AS mmr
+           |          FROM c JOIN p$t
+           |            ON p$t.query_id = c.query_id AND p$t.a = c.vec_id
+           |          LEFT JOIN sel${t - 1} sx
+           |            ON sx.query_id = c.query_id AND sx.vec_id = c.vec_id
+           |          WHERE sx.vec_id IS NULL))
+           |  WHERE rn = 1),
+           |sel$t AS (SELECT query_id, vec_id FROM sel${t - 1}
+           |          UNION ALL SELECT query_id, vec_id FROM s$t)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < 10),
+         |c AS MATERIALIZED (
+         |  SELECT query_id, vec_id, cosine AS rel
+         |  FROM (SELECT s.query_id, s.vec_id, s.cosine,
+         |               row_number() OVER (PARTITION BY s.query_id
+         |                                  ORDER BY s.cosine DESC, s.vec_id) AS rnk
+         |        FROM (SELECT q.query_id, n.vec_id,
+         |                     list_reduce([q.qv[i] * n.v[i]
+         |                                  for i in range(1, 1 + len(q.qv))],
+         |                                 (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+         |              FROM n JOIN q ON n.vec_id <> q.query_id) s)
+         |  WHERE rnk <= 10),
+         |cv AS (SELECT c.query_id, c.vec_id, n.v, n.nrm
+         |       FROM c JOIN n USING (vec_id)),
+         |p AS MATERIALIZED (
+         |  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+         |         list_reduce([x.v[i] * y.v[i]
+         |                      for i in range(1, 1 + len(x.v))],
+         |                     (xx, yy) -> xx + yy) / (x.nrm * y.nrm) AS sim
+         |  FROM cv x JOIN cv y
+         |    ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+         |s1 AS MATERIALIZED (
+         |  SELECT query_id, vec_id, 1 AS pick, mmr FROM (
+         |    SELECT query_id, vec_id, mmr,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM (SELECT query_id, vec_id, ${r6("0.5 * rel")} AS mmr FROM c))
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT query_id, vec_id FROM s1),
+         |$steps
+         |SELECT query_id, vec_id, CAST(pick AS INTEGER) AS pick, mmr
+         |FROM (SELECT * FROM s1
+         |      UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3
+         |      UNION ALL SELECT * FROM s4
+         |      UNION ALL SELECT * FROM s5)
+         |ORDER BY query_id, pick""".stripMargin
+    },
     // the bruteforce scoring chain with a threshold cut instead of a
     // rank cut — the sequential-fold cosine is bit-identical on both
     // engines, so the 0.3 threshold selects the same set
@@ -4817,6 +5125,91 @@ object SparkEntry {
          |  UNION ALL SELECT * FROM w4)
          |ORDER BY walk_id, step""".stripMargin
     },
+    // graph_sage_sample: the hash-ranked sampled adjacency built once
+    // (per-edge md5 fold of sage:u:v, rank per source), hop 1 takes
+    // rnk <= 3 from each seed, hop 2 takes rnk <= 2 from each sampled
+    // node — the same two equi-joins the Spark side runs
+    "graph_sage_sample" -> {
+      def hex(expr: String) =
+        s"""CAST(list_reduce(
+           |           [CAST(strpos('0123456789abcdef',
+           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
+           |            for hd in range(1, 14)],
+           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |rk AS MATERIALIZED (
+         |  SELECT u, v, rnk FROM (
+         |    SELECT u, v,
+         |           row_number() OVER (PARTITION BY u
+         |                              ORDER BY ${hex("'sage:' || u || ':' || v")},
+         |                                       v) AS rnk
+         |    FROM sym)
+         |  WHERE rnk <= 3),
+         |h0 AS (SELECT 'c:' || c_custkey AS seed, 0 AS hop,
+         |              CAST(NULL AS VARCHAR) AS parent,
+         |              'c:' || c_custkey AS node, 0 AS branch
+         |       FROM customer WHERE c_custkey % 97 = 1),
+         |h1 AS MATERIALIZED (
+         |  SELECT h.seed, 1 AS hop, h.node AS parent, r.v AS node,
+         |         CAST(r.rnk AS INTEGER) AS branch
+         |  FROM h0 h JOIN rk r ON r.u = h.node AND r.rnk <= 3),
+         |h2 AS (
+         |  SELECT h.seed, 2 AS hop, h.node AS parent, r.v AS node,
+         |         CAST(r.rnk AS INTEGER) AS branch
+         |  FROM h1 h JOIN rk r ON r.u = h.node AND r.rnk <= 2)
+         |SELECT seed, CAST(hop AS INTEGER) AS hop, parent, node,
+         |       CAST(branch AS INTEGER) AS branch
+         |FROM (SELECT * FROM h0
+         |      UNION ALL SELECT * FROM h1
+         |      UNION ALL SELECT * FROM h2)
+         |ORDER BY seed, hop, parent, branch""".stripMargin
+    },
+    // graph_walk_context_pairs: the graph_random_walks chain, then every
+    // (center, context) position pair within ±2 steps of the same walk —
+    // the walk-bounded self-join is the SQL spelling of the Spark side's
+    // single lead/lag window pass
+    "graph_walk_context_pairs" -> {
+      def hex(expr: String) =
+        s"""CAST(list_reduce(
+           |           [CAST(strpos('0123456789abcdef',
+           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
+           |            for hd in range(1, 14)],
+           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      val steps = (1 to 4).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT w.walk_id, $t AS step, r.v AS node
+           |  FROM w${t - 1} w JOIN rk r ON r.u = w.node
+           |   AND r.rnk = ${hex(s"'rw:' || w.walk_id || ':$t'")} % r.outdeg)"""
+      }.mkString(",\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |rk AS MATERIALIZED (
+         |  SELECT u, v,
+         |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+         |         count(*) OVER (PARTITION BY u) AS outdeg
+         |  FROM sym),
+         |w0 AS MATERIALIZED (
+         |  SELECT u AS walk_id, 0 AS step, u AS node
+         |  FROM (SELECT DISTINCT u FROM base)),
+         |$steps,
+         |walks AS MATERIALIZED (
+         |  SELECT * FROM w0
+         |  UNION ALL SELECT * FROM w1
+         |  UNION ALL SELECT * FROM w2
+         |  UNION ALL SELECT * FROM w3
+         |  UNION ALL SELECT * FROM w4)
+         |SELECT a.walk_id, CAST(a.step AS INTEGER) AS center_step,
+         |       a.node AS center,
+         |       CAST(b.step - a.step AS INTEGER) AS "offset", b.node AS context
+         |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+         | AND b.step <> a.step AND abs(b.step - a.step) <= 2
+         |ORDER BY a.walk_id, center_step, "offset"""".stripMargin
+    },
     // node2vec: step 1 is the uniform rank rule; steps 2-4 unroll the
     // weighted inverse-CDF draw — weights {0.25, 1, 4} are dyadic
     // rationals so the ORDERED prefix sums are exact doubles on both
@@ -6215,6 +6608,36 @@ object SparkEntry {
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def duckToks: String =
     s"string_split($duckNorm, ' ')"
+
+  /** Shared oracle CTE prefix for the temperature-mixture queries: the
+    * per-source char-mass grid, sqrt(sqrt()) weights, source-ordered
+    * fold total, and the largest-remainder integer quota fill — the
+    * DuckDB mirror of `Curation.temperatureQuotas` (k = 100).
+    */
+  private def tempQuotaCtes: String =
+    """g AS (SELECT source, count(*) AS n_docs,
+      |             CAST(sum(n_chars) AS BIGINT) AS sz
+      |      FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_docs, sz,
+      |             sqrt(sqrt(CAST(sz AS DOUBLE))) AS wt FROM g),
+      |tt AS (SELECT list_reduce(list(wt ORDER BY source),
+      |                          (a, b) -> a + b) AS t FROM w),
+      |tg AS (SELECT source, n_docs, sz, wt / tt.t AS p,
+      |              100 * (wt / tt.t) AS target FROM w CROSS JOIN tt),
+      |b AS (SELECT source, n_docs, sz, p,
+      |             CAST(floor(target) AS BIGINT) AS base,
+      |             floor((target - floor(target)) * 1000000000 + 0.5)
+      |               / 1000000000 AS rem
+      |      FROM tg),
+      |lo AS (SELECT 100 - sum(base) AS leftover FROM b),
+      |r AS (SELECT b.*, lo.leftover,
+      |             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |      FROM b CROSS JOIN lo),
+      |q AS (SELECT source, n_docs, sz,
+      |             floor(p * 1000000 + 0.5) / 1000000 AS p,
+      |             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |                  AS INTEGER) AS quota
+      |      FROM r)""".stripMargin
 
   /** Shared oracle CTE prefix for the published-classifier queries:
     * hashed UNIGRAM buckets, the dense ×64-scaled frequency terms joined

@@ -612,6 +612,82 @@ object Curation {
         floor(col("epochs") * col("n_tokens") + 0.5).cast("long"))
   }
 
+  /** Temperature-scaled mixture quotas — the multilingual-corpus standard
+    * (Conneau & Lample/XLM, mBERT, mT5 — public literature): domain
+    * sampling probability p_s ∝ size_s^α with α < 1, flattening the
+    * head so low-resource sources keep representation. α is FIXED at
+    * 0.25 because size^0.25 = sqrt(sqrt(size)) — two IEEE-correctly-
+    * rounded sqrts, bit-identical on any engine, where a general pow()
+    * is not guaranteed correctly rounded. size_s = Σ n_chars (the char
+    * mass, the token-budget proxy). Integer quotas are the largest-
+    * remainder method: base = ⌊k·p_s⌋, the k − Σ base leftovers go to
+    * the largest 9 dp-rounded remainders (source tie-break), so
+    * Σ quota = k EXACTLY. The per-source totals aggregate distributed;
+    * the fill runs on the DOMAIN GRID (bounded by construction — the
+    * [[epochPlan]] driver-pull class, never a corpus collect) with the
+    * weight total a source-ordered sequential fold so every division
+    * replays bit-exact.
+    */
+  def temperatureMixtureGrid(docs: DataFrame, k: Int = 100): DataFrame = {
+    val rows = temperatureQuotas(docs, k)
+    docs.sparkSession.createDataFrame(rows)
+      .toDF("source", "n_docs", "sz", "p", "quota")
+  }
+
+  /** The draw against [[temperatureMixtureGrid]]'s quotas: per source the
+    * first `quota` documents by the deterministic 52-bit md5 fold of
+    * `tmix:doc_id` (doc_id tie-break) — a uniform within-source sample,
+    * reproducible on any engine. One source-partitioned window + a
+    * broadcast join against the (bounded) quota grid; map-only
+    * otherwise.
+    */
+  def temperatureMixtureSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val quotas = temperatureQuotas(docs, k).map(q => (q._1, q._5))
+    val qdf = docs.sparkSession.createDataFrame(quotas)
+      .toDF("source", "quota")
+    val h = conv(substring(
+        md5(concat(lit("tmix:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), col("source"))
+      .withColumn("draw_rank", row_number().over(w))
+      .join(broadcast(qdf), Seq("source"))
+      .where(col("draw_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("draw_rank"))
+  }
+
+  /** The shared quota fill: distributed per-source aggregate, then the
+    * largest-remainder arithmetic on the collected domain grid (bounded
+    * pull). Every float op mirrors the oracle digit-exact: wt =
+    * sqrt(sqrt(sz)), total = source-ordered fold, p = wt/total,
+    * target = k·p, remainder rounded 9 dp before the bump rank, output
+    * p rounded 6 dp.
+    */
+  private def temperatureQuotas(
+      docs: DataFrame, k: Int): Seq[(String, Long, Long, Double, Int)] = {
+    val grid = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sz"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val wts = grid.map { case (_, _, sz) => math.sqrt(math.sqrt(sz.toDouble)) }
+    val tot = wts.foldLeft(0.0)(_ + _)
+    val based = grid.zip(wts).map { case ((s, n, sz), wt) =>
+      val p = wt / tot
+      val target = k * p
+      (s, n, sz, p, math.floor(target).toLong, r9(target - math.floor(target)))
+    }
+    val leftover = (k - based.map(_._5).sum).toInt
+    val bumpSet = based.sortBy { case (s, _, _, _, _, rem) => (-rem, s) }
+      .take(leftover).map(_._1).toSet
+    based.map { case (s, n, sz, p, base, _) =>
+      (s, n, sz, r6(p), (base + (if (bumpSet(s)) 1L else 0L)).toInt)
+    }.toSeq
+  }
+
   /** Deterministic keep-decision for probability `p` ∈ [0, 1]: true iff
     * the md5(id) 8-hex prefix sorts below lpad(hex(⌊p·2³²⌋)). A pure
     * column predicate — reproducible across runs, engines and

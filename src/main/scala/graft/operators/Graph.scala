@@ -118,6 +118,37 @@ object Graph {
     out
   }
 
+  /** Skip-gram context pairs over a walk corpus — the step that renders
+    * [[randomWalks]]/[[node2vecWalks]] output into (center, context)
+    * training examples (Mikolov et al. NeurIPS'13 skip-gram over Perozzi
+    * et al. KDD'14 walks — public literature): for every walk position,
+    * every other position within ±`window` steps becomes one pair,
+    * labeled with the signed offset. One window pass partitioned by
+    * walk_id computes ALL 2·window context columns (lead for positive
+    * offsets, lag for negative) in a single shuffle; the struct array
+    * explodes to pairs and walk-boundary nulls drop. Per-walk output is
+    * ≤ (steps+1)·2·window rows by construction — no self-join, no pair
+    * blow-up, and the shuffle key (walk_id) is the walk corpus's
+    * natural partitioning at any scale.
+    */
+  def walkContextPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val w = Window.partitionBy(col("walk_id")).orderBy(col("step"))
+    val offs = (-window to window).filter(_ != 0)
+    val ctx = array(offs.map { o =>
+      val c = if (o > 0) lead(col("node"), o).over(w)
+              else lag(col("node"), -o).over(w)
+      struct(lit(o).as("offset"), c.as("context"))
+    }: _*)
+    walks
+      .withColumn("cs", ctx)
+      .select(col("walk_id"), col("step").as("center_step"),
+        col("node").as("center"), explode(col("cs")).as("c"))
+      .where(col("c.context").isNotNull)
+      .select(col("walk_id"), col("center_step"), col("center"),
+        col("c.offset").as("offset"), col("c.context").as("context"))
+  }
+
   /** Second-order (node2vec) biased walks — the p/q-tunable sibling of
     * [[randomWalks]] (Grover & Leskovec, "node2vec", KDD'16 — public
     * literature, no code consulted): at step t ≥ 2 the walk at `node`
@@ -196,6 +227,62 @@ object Graph {
       out = out.unionByName(
         drawn.select(col("walk_id"), col("step"), col("node")))
       frontier = drawn
+    }
+    out
+  }
+
+  /** Deterministic fixed-fanout neighborhood sampling — the GraphSAGE
+    * minibatch former (Hamilton et al., "Inductive Representation
+    * Learning on Large Graphs", NeurIPS'17 — public literature, no code
+    * consulted): per seed node, sample at most `fanouts(0)` neighbors at
+    * hop 1 and, from each sampled node, at most `fanouts(1)` at hop 2
+    * (and so on), yielding the bounded computation tree a GNN layer
+    * aggregates over. The "random" choice is a per-EDGE 52-bit md5 hex
+    * fold of `salt:u:v`: neighbors of u are ranked by (hash, v) and the
+    * first `fanout` taken — deterministic, engine-reproducible, and
+    * computed ONCE per node (the sampled adjacency is shared by every
+    * seed that reaches the node, which is exactly GraphSAGE's
+    * per-minibatch sharing). Rows: (seed, hop, parent, node, branch)
+    * with hop-0 the seed itself (parent NULL, branch 0).
+    *
+    * Scale shape: the hash-ranked adjacency is built once (edge-
+    * partitioned window, never global) and filtered to the max fanout;
+    * each hop is ONE frontier-sized equi-join against it on the node
+    * key, and the frontier is bounded by |seeds| · Π fanouts by
+    * construction — at 1000 executors the sampled adjacency and the
+    * frontier co-partition on the node key and nothing grows beyond the
+    * output size.
+    */
+  def sageSample(
+      edges: DataFrame, seeds: DataFrame,
+      fanouts: Seq[Int] = Seq(3, 2), salt: String = "sage"): DataFrame = {
+    require(fanouts.nonEmpty, "at least one hop fanout")
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+      .distinct()
+    val h = conv(substring(md5(concat(
+        lit(s"$salt:"), col("u"), lit(":"), col("v"))), 1, 13), 16, 10)
+      .cast("long")
+    val wRank = Window.partitionBy(col("u")).orderBy(h, col("v"))
+    val ranked = OpCache.materialize(
+      sym
+        .withColumn("rnk", row_number().over(wRank))
+        .where(col("rnk") <= fanouts.max))
+    val hop0 = seeds.select(col("seed"))
+      .withColumn("hop", lit(0))
+      .withColumn("parent", lit(null).cast("string"))
+      .withColumn("node", col("seed"))
+      .withColumn("branch", lit(0))
+    var frontier = hop0
+    var out = hop0
+    fanouts.zipWithIndex.foreach { case (f, i) =>
+      val next = frontier.join(ranked, frontier("node") === ranked("u"))
+        .where(col("rnk") <= f)
+        .select(col("seed"), lit(i + 1).as("hop"),
+          frontier("node").as("parent"), col("v").as("node"),
+          col("rnk").cast("int").as("branch"))
+      out = out.unionByName(next)
+      frontier = next
     }
     out
   }

@@ -350,6 +350,235 @@ object Similarity {
         (col("hits").cast("double") / k).as("recall"))
   }
 
+  /** Matryoshka truncation eval — recall@k of an exact search run on the
+    * FIRST `prefixDim` embedding dimensions against the full-dimension
+    * exact scan, per query (Kusupati et al., "Matryoshka Representation
+    * Learning", NeurIPS'22 — public literature): the eval that decides
+    * how far a nested-representation index may truncate vectors before
+    * retrieval quality degrades, i.e. how many bytes per vector the
+    * serving tier actually has to store. Both sides are the
+    * [[bruteForceTopK]] chain (bounded query set broadcast, corpus
+    * map-only, sequential-fold cosine bit-identical to the oracle's
+    * list_reduce) — the truncated side simply slices the array before
+    * the fold, so its dots/norms are the exact prefix sums DuckDB
+    * computes over the same slice. `hits` = |truncated top-k ∩ full
+    * top-k| (the full scan is ground truth), recall = one IEEE
+    * division. Scale shape: two bounded-query scans + a k·|queries|-row
+    * equi-join — at 100 TB the eval runs on a sampled query set and its
+    * cost is |queries| corpus scans, exactly like serving.
+    */
+  def truncationRecall(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      prefixDim: Int = 16): DataFrame = {
+    val exact = bruteForceTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val truncated = bruteForceTopK(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), 1, prefixDim).as("embedding")),
+        numQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    exact
+      .join(truncated.withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
+  /** Cluster labeling — the corpus-exploration step after clustering
+    * (WebOrganizer / topic-discovery style, public literature): each
+    * published-IVF cluster is described by its `topN` most
+    * DISTINCTIVE terms, ranked by lift = the term's in-cluster relative
+    * frequency over its corpus-wide relative frequency (floor `minTf`
+    * in-cluster occurrences so one-off tokens can't top the list).
+    * Documents join the assignment on doc_id = vec_id (the corpus
+    * contract: embeddings are row-aligned with documents). All counts
+    * are integers; lift = (c_tf · g_total) / (c_total · g_tf) is one
+    * IEEE multiply-divide over exact-in-double integers, rounded 6 dp
+    * BEFORE the rank cut, so the top-N is bit-deterministic across
+    * engines. Scale shape: map-only nlist dots per vector (assignment
+    * against the published centroid literals) + one corpus equi-join +
+    * token-grain partial aggs; the per-cluster and corpus totals are
+    * nlist-sized/1-row broadcasts and the rank window partitions by
+    * cluster (bounded by per-cluster vocabulary, never global).
+    */
+  def clusterTermsPublished(
+      embeddings: DataFrame,
+      docs: DataFrame,
+      baseDir: String,
+      slug: String,
+      topN: Int = 5,
+      minTf: Long = 3L,
+      nlist: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
+    val assigned = assignVectors(embeddings, cents)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val toks = Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .join(assigned, Seq("doc_id"))
+    val ctf = toks.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("c_tf"))
+    val gtf = toks.groupBy(col("term")).agg(count(lit(1)).as("g_tf"))
+    val ctot = toks.groupBy(col("cluster")).agg(count(lit(1)).as("c_total"))
+    val gtot = toks.agg(count(lit(1)).as("g_total"))
+    val scored = ctf
+      .join(gtf, Seq("term"))
+      .join(broadcast(ctot), Seq("cluster"))
+      .crossJoin(broadcast(gtot))
+      .where(col("c_tf") >= minTf)
+      .select(col("cluster"), col("term"), col("c_tf"), col("g_tf"),
+        graft.functions.OracleRound.roundN(
+          (col("c_tf").cast("double") * col("g_total").cast("double")) /
+            (col("c_total").cast("double") * col("g_tf").cast("double")),
+          6).as("lift"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("lift").desc, col("c_tf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("cluster"), col("rank"), col("term"),
+        col("c_tf"), col("g_tf"), col("lift"))
+  }
+
+  /** Hybrid retrieval via reciprocal rank fusion (Cormack et al.
+    * SIGIR'09, public literature): fuse the embedding top-`poolK` with a
+    * lexical top-`poolK`, per query, by rrf = Σ 1/(rrfK + rank) over the
+    * lists that retrieved the doc — the standard hybrid-search serving
+    * shape (dense vector + sparse lexical, two candidate formers whose
+    * fusion beats either alone). Queries are the first `numQueries`
+    * corpus documents (doc_id = vec_id, the corpus row-alignment
+    * contract). The lexical score is deliberately INTEGER —
+    * Σ (N − df_t) over DISTINCT shared terms, so rarer terms weigh more
+    * and the rank order is exact on any engine; the embedding rank is
+    * the oracle-anchored [[bruteForceTopK]] chain; the fused score is a
+    * two-term IEEE sum of reciprocals rounded 6 dp BEFORE the final cut.
+    *
+    * Scale shape: the corpus explodes to DISTINCT (doc, term) postings
+    * ONCE (term-keyed shuffle, the inverted-index discipline); the
+    * bounded query-term set broadcasts into the postings equi-join —
+    * never doc × doc; the embedding side is the bounded-broadcast
+    * corpus scan; fusion is a poolK·|queries|-row full outer join.
+    */
+  def hybridRrf(
+      embeddings: DataFrame,
+      docs: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      poolK: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val emb = bruteForceTopK(embeddings, numQueries, poolK)
+      .select(col("query_id"), col("vec_id"), col("rank").as("rank_emb"))
+    val postings = OpCache.materialize(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term")))
+    val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val qTerms = postings.where(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val lexScores = postings
+      .join(broadcast(qTerms), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("n_docs") - col("df")).as("lex_score"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_score").desc, col("doc_id"))
+    val lex = lexScores
+      .withColumn("rank_lex", row_number().over(wLex))
+      .where(col("rank_lex") <= poolK)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("rank_lex"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    emb.join(lex, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("rrf", graft.functions.OracleRound.roundN(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_emb")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("rank_emb").cast("int").as("rank_emb"),
+        col("rank_lex").cast("int").as("rank_lex"), col("rrf"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein SIGIR'98,
+    * public literature): greedily pick `k` of the top-`poolK` exact
+    * candidates so each pick maximizes λ·rel(d) − (1−λ)·max_{s∈picked}
+    * sim(d, s) — relevance traded against redundancy, the diversity
+    * re-rank a retrieval tier runs AFTER the candidate former (near-dup
+    * corpus hits otherwise fill the whole top-k). First pick = the top
+    * candidate; every later step scores the REMAINING pool against the
+    * picked set's pairwise cosines. All cosines are the bruteForce
+    * sequential fold (bit-identical cross-engine); each step's score is
+    * rounded 6 dp BEFORE its argmax cut, vec_id breaking ties.
+    *
+    * Scale shape: the greedy loop is inherently sequential but runs on
+    * the BOUNDED pool — poolK² pairwise sims per query (one
+    * candidate-frame self-join, never corpus²), k−1 unrolled steps each
+    * a picked-set join + per-query argmax window; the corpus is touched
+    * only by the candidate former. At 100 TB the re-rank cost is the
+    * serving tier's: |queries| · poolK², independent of corpus size.
+    */
+  def mmrRerank(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      poolK: Int = 10,
+      lambda: Double = 0.5): DataFrame = {
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val cand = OpCache.materialize(
+      bruteForceTopK(embeddings, numQueries, poolK)
+        .select(col("query_id"), col("vec_id"), col("cosine").as("rel")))
+    val cv = cand.join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("nrm"))
+    val a = cv.select(col("query_id"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cv.select(col("query_id"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = OpCache.materialize(
+      a.join(b, Seq("query_id")).where(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          VectorOps.cosineWithNorms(
+            VectorOps.dot(col("va"), col("vb")),
+            col("na"), col("nb")).as("sim")))
+    val mmrOf = (rel: Column, pen: Column) =>
+      graft.functions.OracleRound.roundN(
+        lit(lambda) * rel - lit(1.0 - lambda) * pen, 6)
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("vec_id"))
+    // pick 1: pure relevance (empty picked set, zero penalty)
+    var picked = cand
+      .withColumn("mmr", mmrOf(col("rel"), lit(0.0)))
+      .withColumn("rn", row_number().over(wPick))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("pick"), col("mmr"))
+    (2 to k).foreach { t =>
+      val pen = pairs
+        .join(picked.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("sim")).as("pen"))
+        .select(col("query_id"), col("a").as("vec_id"), col("pen"))
+      val step = cand
+        .join(picked.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(pen, Seq("query_id", "vec_id"))
+        .withColumn("mmr", mmrOf(col("rel"), col("pen")))
+        .withColumn("rn", row_number().over(wPick))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(t).as("pick"), col("mmr"))
+      picked = OpCache.materialize(picked.unionByName(step))
+    }
+    picked
+  }
+
   /** Nearest-centroid label agreement — the embedding-quality eval over
     * [[labelCentroids]]: every vector is classified by its most-cosine-
     * similar class prototype and scored against its true label, yielding

@@ -164,6 +164,81 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("walkContextPairs: hand-fixture pairs; boundaries drop, offsets signed") {
+    import spark.implicits._
+    val walks = Seq(
+      ("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "d"),
+      ("w2", 0, "x"), ("w2", 1, "y")).toDF("walk_id", "step", "node")
+    val got = Graph.walkContextPairs(walks, window = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getString(4))).toSet
+    // every position pairs with every other within ±2, inside the walk
+    val seqs = Map("w1" -> Seq("a", "b", "c", "d"), "w2" -> Seq("x", "y"))
+    val expect = (for {
+      (w, ns) <- seqs.toSeq
+      i <- ns.indices; o <- -2 to 2
+      j = i + o
+      if o != 0 && j >= 0 && j < ns.size
+    } yield (w, i, ns(i), o, ns(j))).toSet
+    assert(got === expect, "context pairs diverged from the fixture")
+    // interior position of a long walk yields the full 2·window pairs
+    assert(got.count(t => t._1 == "w1" && t._2 == 1) === 3)
+    assert(got.count(t => t._1 == "w1" && t._2 == 2) === 3)
+    // a 2-node walk yields exactly one pair each way
+    assert(got.count(_._1 == "w2") === 2)
+  }
+
+  test("sageSample: JVM hash-rank recompute matches; tree is fanout-bounded") {
+    import spark.implicits._
+    // star around c:1 (4 neighbors, fanout cuts to 3) plus a tail off s:2
+    val es = Set(("c:1", "s:1"), ("c:1", "s:2"), ("c:1", "s:3"),
+      ("c:1", "s:4"), ("s:2", "c:9"))
+    val e = es.toSeq.toDF("u", "v")
+    val seeds = Seq("c:1", "c:9").toDF("seed")
+    val got = Graph.sageSample(e, seeds, fanouts = Seq(3, 2)).collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)),
+        r.getString(3), r.getInt(4))).toSet
+    // third derivation: rank each node's neighbors by (md5 fold, v),
+    // hop 1 takes the first 3, hop 2 the first 2 of each sampled node
+    def hexFold(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def ranked(u: String): Seq[String] =
+      (es ++ es.map(_.swap)).filter(_._1 == u).map(_._2).toSeq
+        .sortBy(v => (hexFold(s"sage:$u:$v"), v))
+    val expect = scala.collection.mutable.Set[
+      (String, Int, Option[String], String, Int)]()
+    Seq("c:1", "c:9").foreach { s =>
+      expect += ((s, 0, None, s, 0))
+      ranked(s).take(3).zipWithIndex.foreach { case (n1, i1) =>
+        expect += ((s, 1, Some(s), n1, i1 + 1))
+        ranked(n1).take(2).zipWithIndex.foreach { case (n2, i2) =>
+          expect += ((s, 2, Some(n1), n2, i2 + 1))
+        }
+      }
+    }
+    assert(got === expect.toSet, "sampled tree diverged from the hash-rank rule")
+    // fanout bound: per (seed, hop, parent) at most fanout children,
+    // branch ids dense from 1
+    got.filter(_._2 > 0).groupBy(t => (t._1, t._2, t._3)).foreach {
+      case ((_, hop, _), rows) =>
+        val cap = if (hop == 1) 3 else 2
+        assert(rows.size <= cap, s"fanout breached at $rows")
+        assert(rows.map(_._5).toSeq.sorted === (1 to rows.size),
+          s"branch ids not dense: $rows")
+    }
+    // the sampled adjacency is shared: both seeds reaching s:2 see the
+    // same children for it (c:9 at hop 2 under seed c:1 mirrors hop 1
+    // under seed c:9 when rank permits) — and every step walks an edge
+    val und = es ++ es.map(_.swap)
+    got.filter(_._2 > 0).foreach { case (_, _, p, n, _) =>
+      assert(und.contains((p.get, n)), s"non-edge step $p -> $n")
+    }
+  }
+
   test("node2vecWalks: JVM inverse-CDF recompute matches; bias weights steer the draw") {
     import spark.implicits._
     // triangle a-b-c plus pendant c-d: from b, prev and shared neighbors

@@ -956,4 +956,56 @@ class OperatorsSpec extends AnyFunSuite {
         r.getDouble(3), r.getLong(4)))
     assert(plan.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("temperatureMixture: quotas sum to k, track size^0.25, sample honors them") {
+    val docs = Tables.documents(spark, sf)
+    val grid = Curation.temperatureMixtureGrid(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(grid.nonEmpty)
+    // largest-remainder exactness: Σ quota = k, quotas within ±1 of k·p
+    assert(grid.map(_._5).sum === 100, "quotas must sum to k exactly")
+    grid.foreach { case (s, _, _, p, q) =>
+      assert(math.abs(q - 100 * p) <= 1.0 + 1e-6, s"$s quota $q vs p $p")
+    }
+    // the α = 0.25 weights: recompute p from the collected sizes
+    val wts = grid.sortBy(_._1)
+      .map { case (s, _, sz, _, _) => s -> math.sqrt(math.sqrt(sz.toDouble)) }
+    val tot = wts.map(_._2).foldLeft(0.0)(_ + _)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    grid.foreach { case (s, _, _, p, _) =>
+      val expect = r6(wts.toMap.apply(s) / tot)
+      assert(p === expect, s"$s p $p != $expect")
+    }
+    // temperature flattening: a bigger source never gets a SMALLER p
+    val bySz = grid.sortBy(_._3)
+    bySz.zip(bySz.tail).foreach { case ((_, _, s1, p1, _), (_, _, s2, p2, _)) =>
+      assert(s1 > s2 || p1 <= p2 + 1e-12, "p must be monotone in size")
+    }
+    // the sample honors quotas exactly: per-source counts == quota,
+    // draw ranks dense from 1, and the drawn set is hash-deterministic
+    val sample = Curation.temperatureMixtureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(sample.length === 100)
+    val byS = sample.groupBy(_._2)
+    grid.foreach { case (s, _, _, _, q) =>
+      val got = byS.getOrElse(s, Array.empty)
+      assert(got.length === q, s"$s drew ${got.length} != quota $q")
+      assert(got.map(_._3).sorted.toSeq === (1 to q), s"$s ranks not dense")
+    }
+    def hexFold(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.take(13), 16)
+    }
+    val docSrc = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    grid.foreach { case (s, _, _, _, q) =>
+      val expectIds = docSrc.filter(_._2 == s).map(_._1)
+        .sortBy(id => (hexFold(s"tmix:$id"), id)).take(q).toSet
+      assert(byS.getOrElse(s, Array.empty).map(_._1).toSet === expectIds,
+        s"$s drew the wrong documents")
+    }
+  }
 }

@@ -109,7 +109,19 @@ class PlanSpec extends AnyFunSuite {
     // DSIR: the single-row (r_tot, t_tot) totals aggregate cross-joined
     // onto the 64-row bucket grid (the driftPsi totals shape) —
     // constant-size at any SF; the sample query rides the same chain
-    "pipeline_dsir_weights", "pipeline_dsir_sample")
+    "pipeline_dsir_weights", "pipeline_dsir_sample",
+    // truncation eval: the bruteforce bounded query-set theta join, run
+    // twice (full-dim ground truth + prefix-slice side)
+    "sim_truncation_recall",
+    // cluster terms: the single-row corpus token total cross-joined
+    // onto the (cluster, term) lift frame (the text_tfidf totals shape)
+    "sim_cluster_terms",
+    // hybrid rrf: the embedding side IS the bruteforce theta join; the
+    // lexical side is equi-join postings
+    "sim_hybrid_rrf",
+    // mmr: the bruteforce theta join candidate former + the poolK²
+    // bounded candidate self-join (both sides ≤ |queries|·poolK rows)
+    "sim_mmr_rerank")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -490,4 +490,168 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"mean IVF recall@5 = $mean")
     assert(mean >= 0.5, s"mean recall $mean below the IVF floor")
   }
+
+  test("truncationRecall: hits equal the exact/prefix intersection; full width is recall 1") {
+    import org.apache.spark.sql.functions.{col, slice}
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.truncationRecall(emb, prefixDim = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb))
+    val trunc = pairs(Similarity.bruteForceTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))))
+    assert(got.keySet === exact.map(_._1))
+    got.foreach { case (q, (hits, recall)) =>
+      val expectHits = (exact & trunc).count(_._1 == q).toLong
+      assert(hits === expectHits, s"query $q hits")
+      assert(recall === hits.toDouble / 5, s"query $q recall")
+    }
+    // the degenerate cut (full 64-dim prefix) IS the exact scan
+    val full = Similarity.truncationRecall(emb, prefixDim = 64).collect()
+    assert(full.nonEmpty && full.forall(_.getDouble(2) == 1.0),
+      "full-width prefix must recall everything")
+  }
+
+  test("clusterTermsPublished: driver-side lift recompute from the published table") {
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-terms").toString
+    val got = Similarity
+      .clusterTermsPublished(emb, docs, base, "terms_spec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // third derivation: JVM argmax-dot assignment against the SAME
+    // published table, imperative tokenization, integer counts, the
+    // identical rounded lift and (lift desc, c_tf desc, term) cut
+    val cents = Similarity.publishedIvfCentroids(emb, base, "terms_spec")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val assign = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      val n = math.sqrt(dot(v, v)); val nv = v.map(_ / n)
+      r.getLong(0) -> cents.zipWithIndex
+        .map { case (c, i) => (dot(nv, c), i) }.max._2
+    }.toMap
+    def toks(text: String): Seq[String] =
+      text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ", -1).toSeq
+    val clTerm = docs.select("doc_id", "text").collect().flatMap { r =>
+      assign.get(r.getLong(0)).toSeq
+        .flatMap(cl => toks(r.getString(1)).map(t => (cl, t)))
+    }.toSeq
+    val cTf = clTerm.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gTf = clTerm.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cTot = clTerm.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val gTot = clTerm.size.toLong
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = cTf.collect { case ((cl, t), ctf) if ctf >= 3L =>
+      (cl, t, ctf, gTf(t),
+        r6(ctf.toDouble * gTot.toDouble / (cTot(cl).toDouble * gTf(t).toDouble)))
+    }.toSeq
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, t, ctf, _, lift) => (-lift, -ctf, t) }
+          .take(5).zipWithIndex
+          .map { case ((cl, t, ctf, gtf, lift), i) =>
+            (cl, i + 1, t, ctf, gtf, lift) }
+      }.toSet
+    assert(got === expect, "cluster term lift table diverged")
+    // a labeling that never ranks a term below its floor count
+    assert(got.forall(_._4 >= 3L))
+  }
+
+  test("hybridRrf: driver-side fusion recompute; both lists contribute") {
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val got = Similarity.hybridRrf(emb, docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        Option(r.get(4)).map(_.asInstanceOf[Int]), r.getDouble(5))).toSet
+    // third derivation: emb ranks from the oracle-anchored chain, lex
+    // ranks from an imperative rarity-weighted distinct-overlap score
+    val embRanks = Similarity.bruteForceTopK(emb, 10, 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1))).toMap
+    def toks(text: String): Set[String] =
+      text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ", -1).toSet
+    val docToks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val n = docToks.size.toLong
+    val dfT = docToks.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val lexRanks = (0L until 10L).flatMap { q =>
+      val qt = docToks(q)
+      val scored = docToks.toSeq.collect {
+        case (d, ts) if d != q && (ts & qt).nonEmpty =>
+          (d, (ts & qt).toSeq.map(t => n - dfT(t)).sum)
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(20).zipWithIndex
+        .map { case ((d, _), i) => ((q, d), i + 1) }
+    }.toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = (embRanks.keySet ++ lexRanks.keySet).groupBy(_._1)
+      .flatMap { case (q, keys) =>
+        val fused = keys.toSeq.map { key =>
+          val re = embRanks.get(key); val rl = lexRanks.get(key)
+          val rrf = r6(re.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            rl.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+          (key._2, re, rl, rrf)
+        }
+        fused.sortBy { case (v, _, _, s) => (-s, v) }.take(5).zipWithIndex
+          .map { case ((v, re, rl, s), i) => (q, i + 1, v, re, rl, s) }
+      }.toSet
+    assert(got === expect, "rrf fusion diverged from the recompute")
+    // the fusion is genuinely hybrid: some served row exists in exactly
+    // one of the two lists (rank from the other side is null)
+    assert(got.exists(r => r._4.isEmpty ^ r._5.isEmpty),
+      "no row served from a single list — fusion untested")
+  }
+
+  test("mmrRerank: JVM greedy recompute; picks are distinct pool members") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.mmrRerank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val pool = Similarity.bruteForceTopK(emb, 10, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val vecs = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      r.getLong(0) -> v
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = pool.groupBy(_._1).flatMap { case (q, cands) =>
+      val rel = cands.map(c => c._2 -> c._3).toMap
+      var picked = List.empty[Long]
+      (1 to 5).map { t =>
+        val scored = rel.keys.filterNot(picked.contains).map { d =>
+          val pen = if (picked.isEmpty) 0.0 else picked.map(cos(d, _)).max
+          (d, r6(0.5 * rel(d) - 0.5 * pen))
+        }.toSeq
+        val (d, s) = scored.minBy { case (v, sc) => (-sc, v) }
+        picked = picked :+ d
+        (q, d, t, s)
+      }
+    }.toSet
+    assert(got === expect, "greedy MMR trace diverged from the recompute")
+    // every query serves exactly 5 distinct picks from its pool
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).size === 5, s"query $q picks not distinct")
+      assert(rows.map(_._3).toSeq.sorted === (1 to 5), s"query $q pick order")
+    }
+  }
 }

@@ -316,6 +316,14 @@ object SparkEntry {
       Curation.curatedCorpusFromClusters(docs,
         Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("doc_id")
     }),
+    // stage-survival funnel over the same gate chain: ingest → near-dup
+    // canonical → lang → quality, cumulative conditional sums in ONE
+    // corpus pass, 4-row report assembled map-only
+    "pipeline_funnel_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curationFunnel(docs,
+        Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("stage")
+    }),
     // quality-argmax canonicalization: keep each cluster's BEST copy
     // (not its smallest id) — same shared cluster table
     "pipeline_best_of_cluster" -> ((s, d) => {
@@ -664,6 +672,13 @@ object SparkEntry {
     "sim_mmr_rerank" -> ((s, d) =>
       Similarity.mmrRerank(Tables.embeddings(s, d))
         .orderBy("query_id", "pick")),
+    // k-center greedy coreset (farthest-point sampling): 10 picks, each
+    // the max-min-cosine-distance vector from the picked set (9 dp
+    // round before the argmax, vec_id tie-break); mindist = the
+    // coverage radius at pick time
+    "sim_kcenter_coreset" -> ((s, d) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, d))
+        .orderBy("pick")),
     // per-label class prototypes: one row per (label, dimension)
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "pos")),
@@ -1075,6 +1090,23 @@ object SparkEntry {
         Tables.customer(s, d).where(col("c_custkey") % 97 === 1)
           .select(concat(lit("c:"), col("c_custkey")).as("seed")))
         .orderBy("seed", "hop", "parent", "branch")
+    }),
+    // GraphSAGE 2-layer mean aggregation over the sampled trees:
+    // branch-ordered folds, acctbal features, h = (x + mean children)/2
+    // per layer (9 dp then 6 dp) — the GNN layer cost is the tree size
+    "graph_sage_aggregate" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val tree = Graph.sageSample(edges,
+        Tables.customer(s, d).where(col("c_custkey") % 97 === 1)
+          .select(concat(lit("c:"), col("c_custkey")).as("seed")))
+      val feats = Tables.customer(s, d)
+        .select(concat(lit("c:"), col("c_custkey")).as("node"),
+          col("c_acctbal").cast("double").as("x"))
+        .unionByName(Tables.supplier(s, d)
+          .select(concat(lit("s:"), col("s_suppkey")).as("node"),
+            col("s_acctbal").cast("double").as("x")))
+      Graph.sageAggregate(tree, feats).orderBy("seed")
     }),
     // skip-gram (center, context) pairs within ±2 steps over the
     // DeepWalk corpus — ONE walk_id-partitioned window pass computes
@@ -2286,6 +2318,42 @@ object SparkEntry {
          |JOIN qq ON qq.doc_id = c.doc_id
          |WHERE c.doc_id = c.cluster_id AND lp.lang_pred = 'en' AND qq.quality >= 0.5
          |ORDER BY c.doc_id""".stripMargin),
+    // pipeline_funnel_report: the curated-corpus gate chain as CUMULATIVE
+    // conditional sums in one aggregate, the 4-row funnel assembled from
+    // that single row; retained = stage count over ingest count
+    "pipeline_funnel_report" -> (curationCtePrefix + {
+      def r6(e: String) = graft.functions.OracleRound.duck(e, 6)
+      val canon = "doc_id = cluster_id"
+      val lang = s"$canon AND lang_pred = 'en'"
+      val qual = s"$lang AND quality >= 0.5"
+      def row(i: Int, name: String) =
+        s"""SELECT $i AS stage, '$name' AS gate,
+           |       CAST(n$i AS BIGINT) AS n_docs,
+           |       CAST(t$i AS BIGINT) AS n_tokens,
+           |       ${r6(s"CAST(n$i AS DOUBLE) / CAST(n1 AS DOUBLE)")} AS retained
+           |FROM a""".stripMargin
+      s""",
+         |e AS (SELECT c.doc_id, c.cluster_id, lp.lang_pred, qq.quality,
+         |             qq.n_tokens
+         |      FROM clus c
+         |      JOIN lp ON lp.doc_id = c.doc_id
+         |      JOIN qq ON qq.doc_id = c.doc_id),
+         |a AS (SELECT count(*) AS n1, sum(n_tokens) AS t1,
+         |             sum(CASE WHEN $canon THEN 1 ELSE 0 END) AS n2,
+         |             sum(CASE WHEN $canon THEN n_tokens ELSE 0 END) AS t2,
+         |             sum(CASE WHEN $lang THEN 1 ELSE 0 END) AS n3,
+         |             sum(CASE WHEN $lang THEN n_tokens ELSE 0 END) AS t3,
+         |             sum(CASE WHEN $qual THEN 1 ELSE 0 END) AS n4,
+         |             sum(CASE WHEN $qual THEN n_tokens ELSE 0 END) AS t4
+         |      FROM e)
+         |SELECT CAST(stage AS INTEGER) AS stage, gate, n_docs, n_tokens,
+         |       retained
+         |FROM (${row(1, "ingest")}
+         |      UNION ALL ${row(2, "canonical")}
+         |      UNION ALL ${row(3, "lang_en")}
+         |      UNION ALL ${row(4, "quality")})
+         |ORDER BY stage""".stripMargin
+    }),
     "pipeline_best_of_cluster" -> (curationCtePrefix +
       s"""
          |SELECT doc_id, cluster_id, lang_pred, quality, n_tokens FROM (
@@ -3443,6 +3511,45 @@ object SparkEntry {
         |      FROM f)
         |WHERE rnk <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // sim_kcenter_coreset: farthest-point sampling unrolled — seed =
+    // min vec_id, each step the max of min 9 dp cosine distances to the
+    // picked set (vec_id tie-break via ORDER BY ... LIMIT 1)
+    "sim_kcenter_coreset" -> {
+      def r9(e: String) = graft.functions.OracleRound.duck(e, 9)
+      val dist = r9("CAST(1 AS DOUBLE) - list_reduce(" +
+        "[nn.nv[i] * s.nv[i] for i in range(1, 1 + len(nn.nv))], " +
+        "(x, y) -> x + y)")
+      val steps = (2 to 10).map { t =>
+        // every step CTE is MATERIALIZED: sel/d/p are each referenced
+        // more than once downstream, and un-materialized inlining
+        // re-evaluates the whole prefix chain exponentially
+        s"""d$t AS MATERIALIZED (SELECT nn.vec_id, min($dist) AS mind
+           |      FROM nn CROSS JOIN sel${t - 1} s
+           |      WHERE nn.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |      GROUP BY nn.vec_id),
+           |x$t AS (SELECT max(mind) AS mx FROM d$t),
+           |p$t AS MATERIALIZED (SELECT vec_id, mind FROM d$t CROSS JOIN x$t
+           |        WHERE mind = mx ORDER BY vec_id LIMIT 1),
+           |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+           |          UNION ALL SELECT nn.vec_id, nn.nv FROM nn
+           |          JOIN p$t ON nn.vec_id = p$t.vec_id)"""
+      }.mkString(",\n")
+      val outRows = (2 to 10)
+        .map(t => s"      UNION ALL SELECT $t AS pick, vec_id, mind AS mindist FROM p$t")
+        .mkString("\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+         |      FROM e),
+         |nn AS MATERIALIZED (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+         |sel1 AS MATERIALIZED (SELECT vec_id, nv FROM nn
+         |         WHERE vec_id = (SELECT min(vec_id) FROM nn)),
+         |$steps
+         |SELECT CAST(pick AS INTEGER) AS pick, vec_id, mindist
+         |FROM (SELECT 1 AS pick, vec_id, CAST(NULL AS DOUBLE) AS mindist FROM sel1
+         |$outRows)
+         |ORDER BY pick""".stripMargin
+    },
     // sim_mmr_rerank: candidate pool = the bruteforce chain at k=10
     // (rel = the raw fold cosine), pool² pairwise sims, then 4 unrolled
     // greedy steps — each scores the not-yet-picked pool by
@@ -5166,6 +5273,71 @@ object SparkEntry {
          |      UNION ALL SELECT * FROM h1
          |      UNION ALL SELECT * FROM h2)
          |ORDER BY seed, hop, parent, branch""".stripMargin
+    },
+    // graph_sage_aggregate: the sage chain + bottom-up branch-ordered
+    // mean folds — hop-2 features into hop-1 parents (9 dp), hop-1
+    // values into the seed (6 dp); childless nodes contribute their own
+    // feature via coalesce
+    "graph_sage_aggregate" -> {
+      def hex(expr: String) =
+        s"""CAST(list_reduce(
+           |           [CAST(strpos('0123456789abcdef',
+           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
+           |            for hd in range(1, 14)],
+           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      def r9(e: String) = graft.functions.OracleRound.duck(e, 9)
+      def r6(e: String) = graft.functions.OracleRound.duck(e, 6)
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |rk AS MATERIALIZED (
+         |  SELECT u, v, rnk FROM (
+         |    SELECT u, v,
+         |           row_number() OVER (PARTITION BY u
+         |                              ORDER BY ${hex("'sage:' || u || ':' || v")},
+         |                                       v) AS rnk
+         |    FROM sym)
+         |  WHERE rnk <= 3),
+         |h0 AS (SELECT 'c:' || c_custkey AS seed, 0 AS hop,
+         |              CAST(NULL AS VARCHAR) AS parent,
+         |              'c:' || c_custkey AS node, 0 AS branch
+         |       FROM customer WHERE c_custkey % 97 = 1),
+         |h1 AS MATERIALIZED (
+         |  SELECT h.seed, 1 AS hop, h.node AS parent, r.v AS node,
+         |         CAST(r.rnk AS INTEGER) AS branch
+         |  FROM h0 h JOIN rk r ON r.u = h.node AND r.rnk <= 3),
+         |h2 AS (
+         |  SELECT h.seed, 2 AS hop, h.node AS parent, r.v AS node,
+         |         CAST(r.rnk AS INTEGER) AS branch
+         |  FROM h1 h JOIN rk r ON r.u = h.node AND r.rnk <= 2),
+         |feats AS (SELECT 'c:' || c_custkey AS node, c_acctbal::DOUBLE AS x
+         |          FROM customer
+         |          UNION ALL
+         |          SELECT 's:' || s_suppkey, s_acctbal::DOUBLE FROM supplier),
+         |tr AS (SELECT * FROM h0
+         |       UNION ALL SELECT * FROM h1
+         |       UNION ALL SELECT * FROM h2),
+         |tx AS MATERIALIZED (
+         |  SELECT tr.seed, tr.hop, tr.parent, tr.node, tr.branch, f.x
+         |  FROM tr JOIN feats f ON f.node = tr.node),
+         |m2 AS (SELECT seed, parent AS node,
+         |              list_reduce(list(x ORDER BY branch),
+         |                          (a, b) -> a + b) / count(*) AS m2
+         |       FROM tx WHERE hop = 2 GROUP BY seed, parent),
+         |l1 AS (SELECT t.seed, t.branch,
+         |              ${r9("(t.x + coalesce(m2.m2, t.x)) / 2")} AS h1
+         |       FROM tx t LEFT JOIN m2
+         |         ON m2.seed = t.seed AND m2.node = t.node
+         |       WHERE t.hop = 1),
+         |m1 AS (SELECT seed,
+         |              list_reduce(list(h1 ORDER BY branch),
+         |                          (a, b) -> a + b) / count(*) AS m1
+         |       FROM l1 GROUP BY seed)
+         |SELECT t.seed, t.x, ${r6("(t.x + coalesce(m1.m1, t.x)) / 2")} AS h2
+         |FROM tx t LEFT JOIN m1 ON m1.seed = t.seed
+         |WHERE t.hop = 0
+         |ORDER BY t.seed""".stripMargin
     },
     // graph_walk_context_pairs: the graph_random_walks chain, then every
     // (center, context) position pair within ±2 steps of the same walk —

@@ -612,6 +612,54 @@ object Curation {
         floor(col("epochs") * col("n_tokens") + 0.5).cast("long"))
   }
 
+  /** Curation funnel report — the stage-survival accounting every corpus
+    * release publishes (how many documents/tokens survive each gate, and
+    * what fraction of the ingest that is): cumulative counts through the
+    * [[curatedCorpusFromClusters]] gate chain — ingest → near-dup
+    * canonical → language → quality — each stage's predicate ANDed onto
+    * the previous so the rows read as a funnel, never as independent
+    * filters. ONE enrichment pass (the curatedCorpus expressions) + ONE
+    * aggregate computes every stage as a conditional sum; the 4-row
+    * report assembles map-only from that single row (struct array +
+    * explode — no join, no second scan). At 100 TB the funnel costs
+    * exactly one corpus pass over the dedup-once cluster join.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      clusters: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val enriched = clusters.join(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
+          TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
+          size(col("toks")).cast("long").as("n_tokens")),
+      "doc_id")
+    val canonical = col("doc_id") === col("cluster_id")
+    val langOk = canonical && col("lang_pred") === "en"
+    val qualOk = langOk && col("quality") >= minQuality
+    def gate(pred: Column, i: Int) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n$i"),
+      sum(when(pred, col("n_tokens")).otherwise(0L)).as(s"t$i"))
+    val aggCols = Seq(count(lit(1)).as("n1"), sum(col("n_tokens")).as("t1")) ++
+      gate(canonical, 2) ++ gate(langOk, 3) ++ gate(qualOk, 4)
+    val agg = enriched.agg(aggCols.head, aggCols.tail: _*)
+    def stageRow(i: Int, name: String) =
+      struct(lit(i).as("stage"), lit(name).as("gate"),
+        col(s"n$i").as("n_docs"), col(s"t$i").as("n_tokens"),
+        graft.functions.OracleRound.roundN(
+          col(s"n$i").cast("double") / col("n1").cast("double"), 6)
+          .as("retained"))
+    agg
+      .select(explode(array(
+        stageRow(1, "ingest"), stageRow(2, "canonical"),
+        stageRow(3, "lang_en"), stageRow(4, "quality"))).as("r"))
+      .select(col("r.*"))
+  }
+
   /** Temperature-scaled mixture quotas — the multilingual-corpus standard
     * (Conneau & Lample/XLM, mBERT, mT5 — public literature): domain
     * sampling probability p_s ∝ size_s^α with α < 1, flattening the

@@ -118,6 +118,42 @@ object Graph {
     out
   }
 
+  /** GraphSAGE mean aggregation over a [[sageSample]] computation tree
+    * (Hamilton et al. NeurIPS'17, the aggregate step; scalar features so
+    * every arithmetic replays cross-engine): per node h = (x + mean of
+    * children's previous-layer values) / 2, applied bottom-up — hop-2
+    * features average into their hop-1 parents (9 dp), hop-1 values
+    * average into the seed (6 dp). Every mean is a BRANCH-ORDERED
+    * sequential fold over a fanout-bounded child list divided by the
+    * exact count, so the whole 2-layer embedding is bit-deterministic; a
+    * node with no sampled children contributes its own feature (the
+    * self-loop convention). Scale shape: two (seed, parent)-keyed
+    * partial aggregates over the tree (already ≤ |seeds|·Π fanouts
+    * rows) + one features equi-join — the GNN layer cost is the tree
+    * size, never the graph size.
+    */
+  def sageAggregate(tree: DataFrame, features: DataFrame): DataFrame = {
+    val tx = tree.join(features, Seq("node"))
+    def orderedMean(c: Column) =
+      aggregate(array_sort(collect_list(struct(col("branch"), c.as("fv")))),
+        lit(0.0), (acc, e) => acc + e.getField("fv")) / count(lit(1))
+    val m2 = tx.where(col("hop") === 2)
+      .groupBy(col("seed"), col("parent"))
+      .agg(orderedMean(col("x")).as("m2"))
+      .select(col("seed"), col("parent").as("node"), col("m2"))
+    val l1 = tx.where(col("hop") === 1)
+      .join(m2, Seq("seed", "node"), "left")
+      .select(col("seed"), col("branch"),
+        graft.functions.OracleRound.roundN(
+          (col("x") + coalesce(col("m2"), col("x"))) / lit(2.0), 9).as("h1"))
+    val m1 = l1.groupBy(col("seed")).agg(orderedMean(col("h1")).as("m1"))
+    tx.where(col("hop") === 0)
+      .join(m1, Seq("seed"), "left")
+      .select(col("seed"), col("x"),
+        graft.functions.OracleRound.roundN(
+          (col("x") + coalesce(col("m1"), col("x"))) / lit(2.0), 6).as("h2"))
+  }
+
   /** Skip-gram context pairs over a walk corpus — the step that renders
     * [[randomWalks]]/[[node2vecWalks]] output into (center, context)
     * training examples (Mikolov et al. NeurIPS'13 skip-gram over Perozzi

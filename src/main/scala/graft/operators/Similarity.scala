@@ -444,6 +444,53 @@ object Similarity {
         col("c_tf"), col("g_tf"), col("lift"))
   }
 
+  /** k-center greedy coreset (farthest-point sampling — Sener & Savarese
+    * ICLR'18 "Active Learning for CNNs: A Core-Set Approach", public
+    * literature): pick `k` vectors so every corpus vector is close to
+    * some pick — seed = the smallest vec_id, then repeatedly take the
+    * vector FARTHEST (max of min cosine distance, 9 dp-rounded before
+    * the argmax, vec_id tie-break) from the picked set. The classic
+    * 2-approximation to the k-center cover, the coreset/dataset-
+    * distillation selection rule. Each step is ONE map-only corpus pass
+    * (distances against ≤ k picked-vector literals) + two single-row
+    * aggregates (max, then min-id at the max) — the k-means driver
+    * topology, k·dim doubles pulled total; the output `mindist` is the
+    * coverage radius AT pick time, the curve a coreset user reads to
+    * choose k. At 100 TB the cost is k corpus scans, embarrassingly
+    * parallel, no joins, no windows.
+    */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val base = OpCache.materialize(
+      Partitioning.ensureParallelism(embeddings, col("vec_id"))
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.l2Norm(col("v")))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("nv")))
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Double]]("nv").toArray
+    val seed = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    var picked = List((seed.getLong(0), vecOf(seed), Option.empty[Double]))
+    (2 to k).foreach { t =>
+      val dists = picked.map { case (_, nv, _) =>
+        graft.functions.OracleRound.roundN(
+          lit(1.0) - VectorOps.dot(col("nv"), array(nv.map(lit): _*)), 9)
+      }
+      val cur = base
+        .where(!col("vec_id").isin(picked.map(_._1): _*))
+        .select(col("vec_id"),
+          (if (dists.size == 1) dists.head else least(dists: _*)).as("mind"))
+      val mx = cur.agg(max(col("mind"))).collect()(0).getDouble(0)
+      val pickId = cur.where(col("mind") === mx)
+        .agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val pickVec = base.where(col("vec_id") === pickId).collect()(0)
+      picked = picked :+ ((pickId, vecOf(pickVec), Some(mx)))
+    }
+    embeddings.sparkSession.createDataFrame(
+      picked.zipWithIndex.map { case ((id, _, d), i) => (i + 1, id, d) })
+      .toDF("pick", "vec_id", "mindist")
+  }
+
   /** Hybrid retrieval via reciprocal rank fusion (Cormack et al.
     * SIGIR'09, public literature): fuse the embedding top-`poolK` with a
     * lexical top-`poolK`, per query, by rrf = Σ 1/(rrfK + rank) over the

@@ -164,6 +164,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("sageAggregate: hand-computed 2-layer means; childless nodes self-loop") {
+    import spark.implicits._
+    // seed a: children b (with grandchildren a, d) and c (childless);
+    // seed z: isolated (no sampled neighbors at all)
+    val tree = Seq(
+      ("a", 0, null.asInstanceOf[String], "a", 0),
+      ("a", 1, "a", "b", 1), ("a", 1, "a", "c", 2),
+      ("a", 2, "b", "a", 1), ("a", 2, "b", "d", 2),
+      ("z", 0, null.asInstanceOf[String], "z", 0))
+      .toDF("seed", "hop", "parent", "node", "branch")
+    val feats = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 5.0),
+      ("z", 4.0)).toDF("node", "x")
+    val got = Graph.sageAggregate(tree, feats).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // m2(b) = mean(1, 5) = 3 -> h1(b) = (2+3)/2 = 2.5; c self-loops:
+    // h1(c) = (3+3)/2 = 3; m1(a) = mean(2.5, 3) = 2.75;
+    // h2(a) = (1 + 2.75)/2 = 1.875
+    assert(got("a") === ((1.0, 1.875)))
+    // an isolated seed aggregates only itself
+    assert(got("z") === ((4.0, 4.0)))
+    assert(got.size === 2)
+  }
+
   test("walkContextPairs: hand-fixture pairs; boundaries drop, offsets signed") {
     import spark.implicits._
     val walks = Seq(

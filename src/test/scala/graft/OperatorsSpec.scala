@@ -1008,4 +1008,30 @@ class OperatorsSpec extends AnyFunSuite {
         s"$s drew the wrong documents")
     }
   }
+
+  test("curationFunnel: cumulative stages, consistent with the curated corpus") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = graft.operators.Dedup.sharedNearDupClusters(docs, cacheKey = sf)
+    val got = Curation.curationFunnel(docs, clusters).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ===
+      Seq((1, "ingest"), (2, "canonical"), (3, "lang_en"), (4, "quality")))
+    // a funnel only narrows
+    got.zip(got.tail).foreach { case ((_, _, n1, t1, _), (_, _, n2, t2, _)) =>
+      assert(n2 <= n1 && t2 <= t1, "funnel widened")
+    }
+    // stage 1 is the corpus; stage 4 equals the curated corpus exactly
+    assert(got.head._3 === docs.count())
+    val curated = Curation.curatedCorpusFromClusters(docs, clusters)
+    assert(got.last._3 === curated.count(), "quality stage != curated corpus")
+    assert(got.last._4 ===
+      curated.agg(sum("n_tokens")).collect()(0).getLong(0))
+    // retained is the exact ratio to ingest
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (_, g, n, _, ret) =>
+      assert(ret === r6(n.toDouble / got.head._3.toDouble), s"$g retained")
+    }
+  }
 }

@@ -654,4 +654,44 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rows.map(_._3).toSeq.sorted === (1 to 5), s"query $q pick order")
     }
   }
+
+  test("kCenterCoreset: JVM farthest-point recompute; radius non-increasing") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.kCenterCoreset(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    val vecs = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      r.getLong(0) -> v
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nvs = vecs.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v)); id -> v.map(_ / n)
+    }
+    def r9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    var picked = List(nvs.keys.min)
+    val expect = scala.collection.mutable.ListBuffer(
+      (1, picked.head, Option.empty[Double]))
+    (2 to 10).foreach { t =>
+      val cands = nvs.keys.filterNot(picked.contains).map { id =>
+        id -> picked.map(p => r9(1.0 - dot(nvs(id), nvs(p)))).min
+      }.toSeq
+      val mx = cands.map(_._2).max
+      val id = cands.filter(_._2 == mx).map(_._1).min
+      picked = picked :+ id
+      expect += ((t, id, Some(mx)))
+    }
+    assert(got.toSeq === expect.toList, "farthest-point trace diverged")
+    // the coverage radius never grows as picks accumulate
+    val radii = got.flatMap(_._3)
+    radii.zip(radii.tail).foreach { case (a, b) =>
+      assert(b <= a + 1e-12, s"radius grew: $a -> $b")
+    }
+  }
 }

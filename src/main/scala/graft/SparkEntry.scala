@@ -679,6 +679,12 @@ object SparkEntry {
     "sim_kcenter_coreset" -> ((s, d) =>
       Similarity.kCenterCoreset(Tables.embeddings(s, d))
         .orderBy("pick")),
+    // contrastive triplets: per query the top same-label positive and
+    // top different-label hard negative from ONE scored pass, plus the
+    // pos − neg margin a triplet loss would see
+    "sim_triplets" -> ((s, d) =>
+      Similarity.triplets(Tables.embeddings(s, d))
+        .orderBy("query_id")),
     // per-label class prototypes: one row per (label, dimension)
     "sim_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d)).orderBy("label", "pos")),
@@ -1200,6 +1206,11 @@ object SparkEntry {
     // first-order transition matrix: per-user ordered lead + one
     // partial-agg; the normalizer windows over the 5×5 matrix only
     "events_transitions" -> ((s, d) => Sequence.transitions(s, d)),
+    // stationary distribution of the transition chain: 5 power-iteration
+    // rounds on the event-type grid, from-ordered folds, corpus scanned
+    // once for the pair counts
+    "events_markov_stationary" -> ((s, d) =>
+      Sequence.markovStationary(s, d).orderBy("event_type")),
     // per-user Markov path NLL (behavioral perplexity): MLE transition
     // model over the (row_number pre-cut) first 256 transitions per
     // user, per-user sequential-fold sum — the session-quality filter
@@ -3511,6 +3522,37 @@ object SparkEntry {
         |      FROM f)
         |WHERE rnk <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // sim_triplets: ONE scored pass (the bruteforce chain keeping the
+    // label), then two rn=1 cuts — same-label positive, different-label
+    // negative — and the raw-cosine margin subtraction
+    "sim_triplets" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 10),
+        |sc AS MATERIALIZED (
+        |  SELECT q.query_id, q.q_label, n.vec_id, n.label,
+        |         list_reduce([q.qv[i] * n.v[i]
+        |                      for i in range(1, 1 + len(q.qv))],
+        |                     (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |  FROM n JOIN q ON n.vec_id <> q.query_id),
+        |pos AS (SELECT query_id, q_label AS label, vec_id AS pos_id,
+        |               cosine AS pos_cos
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY cosine DESC, vec_id) AS rn
+        |              FROM sc WHERE label = q_label)
+        |        WHERE rn = 1),
+        |neg AS (SELECT query_id, vec_id AS neg_id, cosine AS neg_cos
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY cosine DESC, vec_id) AS rn
+        |              FROM sc WHERE label <> q_label)
+        |        WHERE rn = 1)
+        |SELECT p.query_id, p.label, p.pos_id, p.pos_cos,
+        |       ng.neg_id, ng.neg_cos, p.pos_cos - ng.neg_cos AS margin
+        |FROM pos p JOIN neg ng USING (query_id)
+        |ORDER BY p.query_id""".stripMargin,
     // sim_kcenter_coreset: farthest-point sampling unrolled — seed =
     // min vec_id, each step the max of min 9 dp cosine distances to the
     // picked set (vec_id tie-break via ORDER BY ... LIMIT 1)
@@ -5611,6 +5653,41 @@ object SparkEntry {
         |       floor((CAST(sg3 AS DOUBLE) / n3) * 1000000 + 0.5) / 1000000
         |FROM a3 CROSS JOIN a1
         |ORDER BY step""".stripMargin,
+    // events_markov_stationary: exact-integer row normalization (the
+    // only float op is the division), then 5 unrolled mat-vec rounds —
+    // each state's new mass a from-ordered list_reduce fold rounded 9 dp,
+    // absent inbound mass coalesced to 0 on the state grid
+    "events_markov_stationary" -> {
+      def r9(e: String) = graft.functions.OracleRound.duck(e, 9)
+      val steps = (1 to 5).map { t =>
+        s"""pi$t AS MATERIALIZED (
+           |  SELECT s.event_type, coalesce(u.pi, CAST(0 AS DOUBLE)) AS pi
+           |  FROM st s LEFT JOIN (
+           |    SELECT pm.to_type AS event_type,
+           |           ${r9("list_reduce(list(p0.pi * pm.p ORDER BY pm.from_type), (a, b) -> a + b)")} AS pi
+           |    FROM pi${t - 1} p0 JOIN pm ON pm.from_type = p0.event_type
+           |    GROUP BY pm.to_type) u ON u.event_type = s.event_type)"""
+      }.mkString(",\n")
+      s"""WITH pr AS (SELECT event_type AS from_type,
+         |                  lead(event_type) OVER (PARTITION BY user_id
+         |                                         ORDER BY ts, event_id) AS to_type
+         |           FROM events),
+         |c AS (SELECT from_type, to_type, count(*) AS n
+         |      FROM pr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         |pm AS MATERIALIZED (
+         |  SELECT from_type, to_type,
+         |         CAST(n AS DOUBLE) / (sum(n) OVER (PARTITION BY from_type)) AS p
+         |  FROM c),
+         |st AS MATERIALIZED (SELECT DISTINCT event_type FROM events),
+         |kk AS (SELECT count(*) AS k FROM st),
+         |pi0 AS (SELECT event_type, CAST(1 AS DOUBLE) / kk.k AS pi
+         |        FROM st CROSS JOIN kk),
+         |$steps
+         |SELECT event_type,
+         |       ${graft.functions.OracleRound.duck("pi", 6)} AS pi
+         |FROM pi5
+         |ORDER BY event_type""".stripMargin
+    },
     "events_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
         |                  lead(event_type) OVER (PARTITION BY user_id

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{OpCache, Tables}
 import graft.functions.OracleRound
 
 /** Ordered-sequence (behavioral) analytics over the event stream —
@@ -196,6 +196,59 @@ object Sequence {
       OracleRound.roundN(
         col("n").cast("double") / sum(col("n")).over(wRow), 6).as("p"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** Stationary distribution of the session transition matrix — the
+    * long-run state occupancy implied by [[transitions]]' MLE Markov
+    * chain (where does navigation settle?), via `iters` power-iteration
+    * rounds from the uniform start. Everything runs on the EVENT-TYPE
+    * GRID (≤ |event types| rows): the matrix row-normalizes with exact
+    * integer window sums (the division is the only float op, bit-exact
+    * cross-engine), each mat-vec entry is a FROM-ORDERED sequential fold
+    * rounded 9 dp per round (the adamicAdar fold discipline), output pi
+    * at 6 dp. A state with no inbound mass coalesces to 0 (left join on
+    * the state grid). The corpus is scanned once for the pair counts —
+    * the iteration never touches it again.
+    */
+  def markovStationary(
+      spark: SparkSession, sfDir: String, iters: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val wRow = Window.partitionBy(col("from_type"))
+    val pmat = OpCache.materialize(
+      pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / sum(col("n")).over(wRow)).as("p")))
+    val states = OpCache.materialize(
+      Tables.events(spark, sfDir).select(col("event_type")).distinct())
+    // |event types| — a documented bounded pull (the calendar class)
+    val k = states.count()
+    var pi = states.select(col("event_type"),
+      (lit(1.0) / lit(k.toDouble)).as("pi"))
+    (1 to iters).foreach { _ =>
+      val summed = pi
+        .select(col("event_type").as("from_type"), col("pi"))
+        .join(pmat, Seq("from_type"))
+        .select(col("to_type"), col("from_type"),
+          (col("pi") * col("p")).as("term"))
+        .groupBy(col("to_type"))
+        .agg(OracleRound.roundN(
+          aggregate(
+            array_sort(collect_list(struct(col("from_type"), col("term")))),
+            lit(0.0), (a, e) => a + e.getField("term")), 9).as("pi"))
+        .select(col("to_type").as("event_type"), col("pi"))
+      pi = OpCache.materialize(
+        states.join(summed, Seq("event_type"), "left")
+          .select(col("event_type"),
+            coalesce(col("pi"), lit(0.0)).as("pi")))
+    }
+    pi.select(col("event_type"), OracleRound.roundN(col("pi"), 6).as("pi"))
   }
 
   /** Per-user path negative log-likelihood under the corpus's own

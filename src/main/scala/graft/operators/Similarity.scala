@@ -444,6 +444,51 @@ object Similarity {
         col("c_tf"), col("g_tf"), col("lift"))
   }
 
+  /** Contrastive triplet mining — the (anchor, positive, negative)
+    * training-example former (Schroff et al. CVPR'15 FaceNet triplets,
+    * public literature): per query the most-similar SAME-label vector
+    * (the positive) and the most-similar DIFFERENT-label vector (the
+    * hard negative, [[hardNegatives]]' top pick), plus the margin
+    * pos − neg a triplet loss would see — margin ≤ 0 marks the
+    * violations worth training on. ONE scored pass (the bruteForceTopK
+    * chain) feeds BOTH rank-1 cuts; all cosines the sequential fold, so
+    * the margin subtraction is bit-exact cross-engine.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — bounded query
+    * broadcast, corpus map-only, two per-query windows over the same
+    * scored frame; at 100 TB the mining cost is |queries| corpus scans.
+    */
+  def triplets(embeddings: DataFrame, numQueries: Int = 10): DataFrame = {
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val queries = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = OpCache.materialize(
+      e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+          VectorOps.cosineWithNorms(
+            VectorOps.dot(col("qv"), col("v")), col("qn"), col("nrm"))
+            .as("cosine")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    def top1(pred: Column, idName: String, cosName: String) = scored
+      .where(pred)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("q_label").as("label"),
+        col("vec_id").as(idName), col("cosine").as(cosName))
+    top1(col("label") === col("q_label"), "pos_id", "pos_cos")
+      .join(top1(col("label") =!= col("q_label"), "neg_id", "neg_cos")
+          .drop("label"),
+        Seq("query_id"))
+      .select(col("query_id"), col("label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   /** k-center greedy coreset (farthest-point sampling — Sener & Savarese
     * ICLR'18 "Active Learning for CNNs: A Core-Set Approach", public
     * literature): pick `k` vectors so every corpus vector is close to

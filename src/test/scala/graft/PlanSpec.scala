@@ -121,7 +121,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_hybrid_rrf",
     // mmr: the bruteforce theta join candidate former + the poolK²
     // bounded candidate self-join (both sides ≤ |queries|·poolK rows)
-    "sim_mmr_rerank")
+    "sim_mmr_rerank",
+    // triplets: ONE bruteforce theta-join scored pass feeding both
+    // rank-1 cuts
+    "sim_triplets")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

@@ -246,4 +246,42 @@ class SequenceSpec extends AnyFunSuite {
     val plan = Sequence.topPaths(spark, dir).queryExecution.optimizedPlan.toString
     assert(plan.contains("row_number"), "pre-cut window missing from plan")
   }
+
+  test("markovStationary: JVM power-iteration recompute; mass is conserved") {
+    val got = Sequence.markovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // third derivation: transitions + the identical ordered folds
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        // full-precision ordering key (getTime alone truncates sub-ms)
+        (r.getLong(0), (t.getTime / 1000) * 1000000000L + t.getNanos,
+          r.getLong(2), r.getString(3))
+      }
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      s.zip(s.drop(1))
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val p = counts.map { case ((f, t), n) => (f, t) -> n.toDouble / rowTot(f) }
+    val states = ev.map(_._4).distinct.sorted
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var pi = states.map(_ -> 1.0 / states.size).toMap
+    (1 to 5).foreach { _ =>
+      pi = states.map { j =>
+        val terms = states.sorted.flatMap { i =>
+          p.get((i, j)).map(pij => pi(i) * pij)
+        }
+        j -> (if (terms.isEmpty) 0.0 else r9(terms.foldLeft(0.0)(_ + _)))
+      }.toMap
+    }
+    val expect = pi.map { case (s, v) => s -> r6(v) }
+    assert(got === expect, "stationary distribution diverged")
+    // probability mass conserved to the rounding budget
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0) <= got.size * 1e-5 + 1e-9, s"mass $mass")
+  }
 }

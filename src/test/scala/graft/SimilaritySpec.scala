@@ -655,6 +655,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("triplets: driver-side pos/neg recompute; margin is the raw difference") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.triplets(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    val rows = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray
+      (r.getLong(0), r.getInt(2), v)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expect = rows.filter(_._1 < 10).sortBy(_._1).map { case (q, ql, qv) =>
+      def best(pred: Int => Boolean) = rows
+        .filter(r => r._1 != q && pred(r._2))
+        .map(r => (r._1, cos(qv, r._3)))
+        .minBy { case (id, c) => (-c, id) }
+      val (pid, pc) = best(_ == ql)
+      val (nid, nc) = best(_ != ql)
+      (q, ql, pid, pc, nid, nc, pc - nc)
+    }
+    assert(got.toSeq === expect.toSeq, "triplet mining diverged")
+    // positives share the anchor label by construction; some hard
+    // negative should beat some positive (margin ≤ 0 exists) on real
+    // data — the violations a triplet loss trains on
+    assert(got.nonEmpty)
+  }
+
   test("kCenterCoreset: JVM farthest-point recompute; radius non-increasing") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.kCenterCoreset(emb).collect()

@@ -206,9 +206,10 @@ object Sequence {
     * integer window sums (the division is the only float op, bit-exact
     * cross-engine), each mat-vec entry is a FROM-ORDERED sequential fold
     * rounded 9 dp per round (the adamicAdar fold discipline), output pi
-    * at 6 dp. A state with no inbound mass coalesces to 0 (left join on
-    * the state grid). The corpus is scanned once for the pair counts —
-    * the iteration never touches it again.
+    * at 6 dp. A state with no inbound mass gets 0. The corpus is scanned
+    * once for the pair counts; the iteration itself runs driver-side on
+    * the collected ≤ |states|² grid (the epochPlan fill class — a
+    * documented bounded pull, never a corpus collect).
     */
   def markovStationary(
       spark: SparkSession, sfDir: String, iters: Int = 5): DataFrame = {
@@ -225,30 +226,27 @@ object Sequence {
         .agg(count(lit(1)).as("n"))
         .select(col("from_type"), col("to_type"),
           (col("n").cast("double") / sum(col("n")).over(wRow)).as("p")))
-    val states = OpCache.materialize(
-      Tables.events(spark, sfDir).select(col("event_type")).distinct())
-    // |event types| — a documented bounded pull (the calendar class)
-    val k = states.count()
-    var pi = states.select(col("event_type"),
-      (lit(1.0) / lit(k.toDouble)).as("pi"))
+    // the grid is ≤ |event types|² rows — a documented bounded pull
+    // (the epochPlan fill class); the power iteration runs driver-side
+    // on that grid with the same from-ordered folds the oracle unrolls
+    // (the first cut iterated as 5 materialized grid frames, paying
+    // ~5 job rounds of scheduling for arithmetic on a handful of rows)
+    val pm = pmat.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val states = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var pi = states.map(_ -> 1.0 / states.length).toMap
     (1 to iters).foreach { _ =>
-      val summed = pi
-        .select(col("event_type").as("from_type"), col("pi"))
-        .join(pmat, Seq("from_type"))
-        .select(col("to_type"), col("from_type"),
-          (col("pi") * col("p")).as("term"))
-        .groupBy(col("to_type"))
-        .agg(OracleRound.roundN(
-          aggregate(
-            array_sort(collect_list(struct(col("from_type"), col("term")))),
-            lit(0.0), (a, e) => a + e.getField("term")), 9).as("pi"))
-        .select(col("to_type").as("event_type"), col("pi"))
-      pi = OpCache.materialize(
-        states.join(summed, Seq("event_type"), "left")
-          .select(col("event_type"),
-            coalesce(col("pi"), lit(0.0)).as("pi")))
+      pi = states.map { j =>
+        val terms = states.flatMap(i => pm.get((i, j)).map(pij => pi(i) * pij))
+        j -> (if (terms.isEmpty) 0.0 else r9(terms.foldLeft(0.0)(_ + _)))
+      }.toMap
     }
-    pi.select(col("event_type"), OracleRound.roundN(col("pi"), 6).as("pi"))
+    spark.createDataFrame(states.map(s => (s, r6(pi(s)))).toSeq)
+      .toDF("event_type", "pi")
   }
 
   /** Per-user path negative log-likelihood under the corpus's own

@@ -609,12 +609,15 @@ object Similarity {
     * sequential fold (bit-identical cross-engine); each step's score is
     * rounded 6 dp BEFORE its argmax cut, vec_id breaking ties.
     *
-    * Scale shape: the greedy loop is inherently sequential but runs on
-    * the BOUNDED pool — poolK² pairwise sims per query (one
-    * candidate-frame self-join, never corpus²), k−1 unrolled steps each
-    * a picked-set join + per-query argmax window; the corpus is touched
-    * only by the candidate former. At 100 TB the re-rank cost is the
-    * serving tier's: |queries| · poolK², independent of corpus size.
+    * Scale shape: the greedy loop is inherently sequential and its
+    * whole state is |queries|·poolK scored rows + their vectors — a
+    * documented BOUNDED pull (the centroid/codebook class), so the
+    * selection runs driver-side (the kCenterCoreset/epochPlan fill
+    * topology; the first cut unrolled it as k−1 distributed argmax
+    * steps, which spent ~10× the candidate former's cost on scheduling
+    * grid-sized jobs). The corpus is touched only by the candidate
+    * former. At 100 TB the re-rank cost is the serving tier's:
+    * |queries| · poolK², independent of corpus size.
     */
   def mmrRerank(
       embeddings: DataFrame,
@@ -625,50 +628,49 @@ object Similarity {
     val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
-    val cand = OpCache.materialize(
-      bruteForceTopK(embeddings, numQueries, poolK)
-        .select(col("query_id"), col("vec_id"), col("cosine").as("rel")))
-    val cv = cand.join(e, Seq("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("v"), col("nrm"))
-    val a = cv.select(col("query_id"), col("vec_id").as("a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = cv.select(col("query_id"), col("vec_id").as("b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = OpCache.materialize(
-      a.join(b, Seq("query_id")).where(col("a") =!= col("b"))
-        .select(col("query_id"), col("a"), col("b"),
-          VectorOps.cosineWithNorms(
-            VectorOps.dot(col("va"), col("vb")),
-            col("na"), col("nb")).as("sim")))
-    val mmrOf = (rel: Column, pen: Column) =>
-      graft.functions.OracleRound.roundN(
-        lit(lambda) * rel - lit(1.0 - lambda) * pen, 6)
-    val wPick = Window.partitionBy(col("query_id"))
-      .orderBy(col("mmr").desc, col("vec_id"))
-    // pick 1: pure relevance (empty picked set, zero penalty)
-    var picked = cand
-      .withColumn("mmr", mmrOf(col("rel"), lit(0.0)))
-      .withColumn("rn", row_number().over(wPick))
-      .where(col("rn") === 1)
-      .select(col("query_id"), col("vec_id"), lit(1).as("pick"), col("mmr"))
-    (2 to k).foreach { t =>
-      val pen = pairs
-        .join(picked.select(col("query_id"), col("vec_id").as("b")),
-          Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a"))
-        .agg(max(col("sim")).as("pen"))
-        .select(col("query_id"), col("a").as("vec_id"), col("pen"))
-      val step = cand
-        .join(picked.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_anti")
-        .join(pen, Seq("query_id", "vec_id"))
-        .withColumn("mmr", mmrOf(col("rel"), col("pen")))
-        .withColumn("rn", row_number().over(wPick))
-        .where(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), lit(t).as("pick"), col("mmr"))
-      picked = OpCache.materialize(picked.unionByName(step))
+    val cand = bruteForceTopK(embeddings, numQueries, poolK)
+      .select(col("query_id"), col("vec_id"), col("cosine").as("rel"))
+    // bounded pulls (the centroid/codebook class): |queries|·poolK
+    // scored rows, then the ≤ |queries|·poolK candidate VECTORS — the
+    // greedy selection itself runs driver-side on poolK²-sized state
+    // (the kCenterCoreset/epochPlan fill topology); the corpus is
+    // touched only by the candidate former
+    val candRows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = candRows.map(_._2).distinct.toSeq
+    val vecs = e.where(col("vec_id").isin(ids: _*)).collect()
+      .map { r =>
+        (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray,
+          r.getDouble(2))
+      }
+      .map { case (id, v, nrm) => id -> ((v, nrm)) }.toMap
+    def dotJ(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
     }
-    picked
+    def simJ(x: Long, y: Long): Double = {
+      val (vx, nx) = vecs(x); val (vy, ny) = vecs(y)
+      dotJ(vx, vy) / (nx * ny)
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val picks = candRows.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+      val rel = cands.map(c => c._2 -> c._3).toMap
+      var picked = List.empty[Long]
+      (1 to k).map { t =>
+        val scored = rel.keys.filterNot(picked.contains).map { d =>
+          val pen = if (picked.isEmpty) 0.0
+                    else picked.map(s => simJ(d, s)).max
+          (d, r6(lambda * rel(d) - (1.0 - lambda) * pen))
+        }.toSeq
+        val (d, sc) = scored.minBy { case (v, m) => (-m, v) }
+        picked = picked :+ d
+        (q, d, t, sc)
+      }
+    }
+    embeddings.sparkSession.createDataFrame(picks)
+      .toDF("query_id", "vec_id", "pick", "mmr")
   }
 
   /** Nearest-centroid label agreement — the embedding-quality eval over

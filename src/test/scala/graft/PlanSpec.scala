@@ -119,8 +119,10 @@ class PlanSpec extends AnyFunSuite {
     // hybrid rrf: the embedding side IS the bruteforce theta join; the
     // lexical side is equi-join postings
     "sim_hybrid_rrf",
-    // mmr: the bruteforce theta join candidate former + the poolK²
-    // bounded candidate self-join (both sides ≤ |queries|·poolK rows)
+    // mmr: the returned frame is a literal (driver-side greedy fill),
+    // but the candidate former (the bruteforce theta join) runs at
+    // plan-build time — kept listed for when a future audit inspects
+    // the former's own plan
     "sim_mmr_rerank",
     // triplets: ONE bruteforce theta-join scored pass feeding both
     // rank-1 cuts

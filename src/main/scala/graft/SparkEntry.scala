@@ -1005,6 +1005,14 @@ object SparkEntry {
         baseDir = "/tmp/graft_warehouse",
         slug = s"clf_weights_${d.split('/').last}")
         .orderBy("doc_id")),
+    // reliability report: margin deciles (exact distributed ntile) vs
+    // observed positive-label rate per decile — sigmoid-free
+    // calibration for the published classifier
+    "pipeline_classifier_calibration" -> ((s, d) =>
+      Curation.classifierCalibration(Tables.documents(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"clf_weights_${d.split('/').last}")
+        .orderBy("bin")),
     // the promotion gate: confusion matrix + accuracy of the published
     // classifier against its reference labels, one partial aggregate
     "pipeline_classifier_eval" -> ((s, d) =>
@@ -5077,6 +5085,25 @@ object SparkEntry {
         |       (sc.z >= 0.0) AS predicted
         |FROM sc JOIN lp ON lp.doc_id = sc.doc_id
         |ORDER BY sc.doc_id""".stripMargin),
+    // calibration: margin deciles via ntile over (margin, doc_id) —
+    // DuckDB's ntile and GlobalOrder.withNtile share the closed-form
+    // bucket arithmetic (the text_nll_buckets precedent)
+    "pipeline_classifier_calibration" -> (clfScoreCtes +
+      """,
+        |sb AS (SELECT sc.doc_id, lp.label,
+        |              floor(sc.z * 1000000 + 0.5) / 1000000 AS margin
+        |       FROM sc JOIN lp ON lp.doc_id = sc.doc_id),
+        |bn AS (SELECT *, ntile(10) OVER (ORDER BY margin, doc_id) AS bin
+        |       FROM sb)
+        |SELECT CAST(bin AS INTEGER) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(label) AS BIGINT) AS n_pos,
+        |       floor((CAST(sum(label) AS DOUBLE) / count(*)) * 10000 + 0.5)
+        |         / 10000 AS pos_rate,
+        |       min(margin) AS margin_lo, max(margin) AS margin_hi
+        |FROM bn
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin),
     // classifier eval: confusion counts + accuracy over the same chain
     "pipeline_classifier_eval" -> (clfScoreCtes +
       """

@@ -1331,6 +1331,37 @@ object Curation {
           (col("tp") + col("tn")).cast("double") / col("n_docs"))
           .as("accuracy"))
 
+  /** Reliability (calibration) report for the published classifier —
+    * the eval that tells a pipeline whether the score is USABLE as a
+    * ranking signal, not just as a hard gate: margin deciles (the
+    * monotone sigmoid preserves margin order, so margin deciles ARE
+    * probability deciles — no transcendental needed) against the
+    * observed positive-label rate per decile. A calibrated-enough
+    * classifier shows the rate rising with the bin. Binning is the
+    * exact distributed ntile ([[graft.engine.GlobalOrder.withNtile]],
+    * never a global window); per-bin stats are one partial aggregate;
+    * rates are integer ratios rounded 4 dp.
+    */
+  def classifierCalibration(
+      docs: DataFrame,
+      baseDir: String,
+      slug: String,
+      bins: Int = 10): DataFrame = {
+    val scored = qualityClassifierScores(docs, baseDir, slug)
+      .select(col("doc_id"), col("label"), col("margin"))
+    graft.engine.GlobalOrder.withNtile(
+        scored, Seq(col("margin"), col("doc_id")), bins, "bin")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label").cast("long")).as("n_pos"),
+        min(col("margin")).as("margin_lo"),
+        max(col("margin")).as("margin_hi"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        graft.functions.OracleRound.round4(
+          col("n_pos").cast("double") / col("n_docs")).as("pos_rate"),
+        col("margin_lo"), col("margin_hi"))
+  }
+
   /** DSIR hashed n-gram importance weights (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", NeurIPS 2023 —
     * public literature, method re-derived): per-document

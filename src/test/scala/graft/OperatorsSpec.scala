@@ -1009,6 +1009,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierCalibration: driver-side decile recompute; bins tile the margin axis") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-calib").toString
+    val got = Curation.classifierCalibration(docs, base, "calib_spec")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    val scored = Curation
+      .qualityClassifierScores(docs, base, "calib_spec").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+      .sortBy { case (id, _, m) => (m, id) }
+    val n = scored.length
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // SQL ntile closed form: first n % 10 bins take ceil(n/10)
+    val expect = (1 to 10).map { b =>
+      val q = n / 10; val r = n % 10
+      val start = if (b <= r) (b - 1) * (q + 1) else r * (q + 1) + (b - 1 - r) * q
+      val len = if (b <= r) q + 1 else q
+      val rows = scored.slice(start, start + len)
+      (b, rows.length.toLong, rows.count(_._2 == 1).toLong,
+        r4(rows.count(_._2 == 1).toDouble / rows.length),
+        rows.map(_._3).min, rows.map(_._3).max)
+    }
+    assert(got.toSeq === expect, "calibration deciles diverged")
+    // bins tile the corpus and the margin axis monotonically
+    assert(got.map(_._2).sum === n.toLong)
+    got.zip(got.tail).foreach { case (a, b) =>
+      assert(a._6 <= b._5 + 1e-12, s"bin ${a._1} hi > bin ${b._1} lo")
+    }
+  }
+
   test("curationFunnel: cumulative stages, consistent with the curated corpus") {
     val docs = Tables.documents(spark, sf)
     val clusters = graft.operators.Dedup.sharedNearDupClusters(docs, cacheKey = sf)

@@ -3069,12 +3069,7 @@ object SparkEntry {
         |SELECT source, n_docs, sz, p, quota FROM q
         |ORDER BY source""".stripMargin,
     "pipeline_temperature_sample" -> {
-      def hex(expr: String) =
-        s"""CAST(list_reduce(
-           |           [CAST(strpos('0123456789abcdef',
-           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
-           |            for hd in range(1, 14)],
-           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      def hex(expr: String) = duckHexFold(expr)
       s"""WITH $tempQuotaCtes,
         |s AS (SELECT doc_id, source,
         |             row_number() OVER (PARTITION BY source
@@ -5268,31 +5263,7 @@ object SparkEntry {
     // undirected neighbors (row_number by id, count as degree), neighbor
     // choice = 52-bit md5 hex fold of 'rw:walk:step' mod degree
     "graph_random_walks" -> {
-      def hex(expr: String) =
-        s"""CAST(list_reduce(
-           |           [CAST(strpos('0123456789abcdef',
-           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
-           |            for hd in range(1, 14)],
-           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
-      val steps = (1 to 4).map { t =>
-        s"""w$t AS MATERIALIZED (
-           |  SELECT w.walk_id, $t AS step, r.v AS node
-           |  FROM w${t - 1} w JOIN rk r ON r.u = w.node
-           |   AND r.rnk = ${hex(s"'rw:' || w.walk_id || ':$t'")} % r.outdeg)"""
-      }.mkString(",\n")
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
-         |rk AS MATERIALIZED (
-         |  SELECT u, v,
-         |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
-         |         count(*) OVER (PARTITION BY u) AS outdeg
-         |  FROM sym),
-         |w0 AS MATERIALIZED (
-         |  SELECT u AS walk_id, 0 AS step, u AS node
-         |  FROM (SELECT DISTINCT u FROM base)),
-         |$steps
+      s"""WITH $walkTreeCtes
          |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
          |  SELECT * FROM w0
          |  UNION ALL SELECT * FROM w1
@@ -5306,36 +5277,7 @@ object SparkEntry {
     // rnk <= 3 from each seed, hop 2 takes rnk <= 2 from each sampled
     // node — the same two equi-joins the Spark side runs
     "graph_sage_sample" -> {
-      def hex(expr: String) =
-        s"""CAST(list_reduce(
-           |           [CAST(strpos('0123456789abcdef',
-           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
-           |            for hd in range(1, 14)],
-           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
-         |rk AS MATERIALIZED (
-         |  SELECT u, v, rnk FROM (
-         |    SELECT u, v,
-         |           row_number() OVER (PARTITION BY u
-         |                              ORDER BY ${hex("'sage:' || u || ':' || v")},
-         |                                       v) AS rnk
-         |    FROM sym)
-         |  WHERE rnk <= 3),
-         |h0 AS (SELECT 'c:' || c_custkey AS seed, 0 AS hop,
-         |              CAST(NULL AS VARCHAR) AS parent,
-         |              'c:' || c_custkey AS node, 0 AS branch
-         |       FROM customer WHERE c_custkey % 97 = 1),
-         |h1 AS MATERIALIZED (
-         |  SELECT h.seed, 1 AS hop, h.node AS parent, r.v AS node,
-         |         CAST(r.rnk AS INTEGER) AS branch
-         |  FROM h0 h JOIN rk r ON r.u = h.node AND r.rnk <= 3),
-         |h2 AS (
-         |  SELECT h.seed, 2 AS hop, h.node AS parent, r.v AS node,
-         |         CAST(r.rnk AS INTEGER) AS branch
-         |  FROM h1 h JOIN rk r ON r.u = h.node AND r.rnk <= 2)
+      s"""WITH $sageTreeCtes
          |SELECT seed, CAST(hop AS INTEGER) AS hop, parent, node,
          |       CAST(branch AS INTEGER) AS branch
          |FROM (SELECT * FROM h0
@@ -5348,38 +5290,9 @@ object SparkEntry {
     // values into the seed (6 dp); childless nodes contribute their own
     // feature via coalesce
     "graph_sage_aggregate" -> {
-      def hex(expr: String) =
-        s"""CAST(list_reduce(
-           |           [CAST(strpos('0123456789abcdef',
-           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
-           |            for hd in range(1, 14)],
-           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
       def r9(e: String) = graft.functions.OracleRound.duck(e, 9)
       def r6(e: String) = graft.functions.OracleRound.duck(e, 6)
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
-         |rk AS MATERIALIZED (
-         |  SELECT u, v, rnk FROM (
-         |    SELECT u, v,
-         |           row_number() OVER (PARTITION BY u
-         |                              ORDER BY ${hex("'sage:' || u || ':' || v")},
-         |                                       v) AS rnk
-         |    FROM sym)
-         |  WHERE rnk <= 3),
-         |h0 AS (SELECT 'c:' || c_custkey AS seed, 0 AS hop,
-         |              CAST(NULL AS VARCHAR) AS parent,
-         |              'c:' || c_custkey AS node, 0 AS branch
-         |       FROM customer WHERE c_custkey % 97 = 1),
-         |h1 AS MATERIALIZED (
-         |  SELECT h.seed, 1 AS hop, h.node AS parent, r.v AS node,
-         |         CAST(r.rnk AS INTEGER) AS branch
-         |  FROM h0 h JOIN rk r ON r.u = h.node AND r.rnk <= 3),
-         |h2 AS (
-         |  SELECT h.seed, 2 AS hop, h.node AS parent, r.v AS node,
-         |         CAST(r.rnk AS INTEGER) AS branch
-         |  FROM h1 h JOIN rk r ON r.u = h.node AND r.rnk <= 2),
+      s"""WITH $sageTreeCtes,
          |feats AS (SELECT 'c:' || c_custkey AS node, c_acctbal::DOUBLE AS x
          |          FROM customer
          |          UNION ALL
@@ -5413,31 +5326,7 @@ object SparkEntry {
     // the walk-bounded self-join is the SQL spelling of the Spark side's
     // single lead/lag window pass
     "graph_walk_context_pairs" -> {
-      def hex(expr: String) =
-        s"""CAST(list_reduce(
-           |           [CAST(strpos('0123456789abcdef',
-           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
-           |            for hd in range(1, 14)],
-           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
-      val steps = (1 to 4).map { t =>
-        s"""w$t AS MATERIALIZED (
-           |  SELECT w.walk_id, $t AS step, r.v AS node
-           |  FROM w${t - 1} w JOIN rk r ON r.u = w.node
-           |   AND r.rnk = ${hex(s"'rw:' || w.walk_id || ':$t'")} % r.outdeg)"""
-      }.mkString(",\n")
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
-         |rk AS MATERIALIZED (
-         |  SELECT u, v,
-         |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
-         |         count(*) OVER (PARTITION BY u) AS outdeg
-         |  FROM sym),
-         |w0 AS MATERIALIZED (
-         |  SELECT u AS walk_id, 0 AS step, u AS node
-         |  FROM (SELECT DISTINCT u FROM base)),
-         |$steps,
+      s"""WITH $walkTreeCtes,
          |walks AS MATERIALIZED (
          |  SELECT * FROM w0
          |  UNION ALL SELECT * FROM w1
@@ -5456,12 +5345,7 @@ object SparkEntry {
     // rationals so the ORDERED prefix sums are exact doubles on both
     // engines, and the first-cum-≥-u·total pick is bit-identical
     "graph_node2vec_walks" -> {
-      def hex(expr: String) =
-        s"""CAST(list_reduce(
-           |           [CAST(strpos('0123456789abcdef',
-           |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
-           |            for hd in range(1, 14)],
-           |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
+      def hex(expr: String) = duckHexFold(expr)
       val steps = (2 to 4).map { t =>
         s"""c$t AS (
            |  SELECT w.walk_id, w.prev, w.node AS cur, r.v AS x,
@@ -6884,6 +6768,79 @@ object SparkEntry {
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def duckToks: String =
     s"string_split($duckNorm, ' ')"
+
+  /** Shared oracle CTE chain for the GraphSAGE queries: the trade
+    * edges, the hash-ranked sampled adjacency, and the hop-0/1/2 tree —
+    * one definition so graph_sage_sample and graph_sage_aggregate can
+    * never disagree about which tree was sampled.
+    */
+  private def sageTreeCtes: String = {
+    def hex(expr: String) = duckHexFold(expr)
+    s"""base AS MATERIALIZED (
+       |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+       |rk AS MATERIALIZED (
+       |  SELECT u, v, rnk FROM (
+       |    SELECT u, v,
+       |           row_number() OVER (PARTITION BY u
+       |                              ORDER BY ${hex("'sage:' || u || ':' || v")},
+       |                                       v) AS rnk
+       |    FROM sym)
+       |  WHERE rnk <= 3),
+       |h0 AS (SELECT 'c:' || c_custkey AS seed, 0 AS hop,
+       |              CAST(NULL AS VARCHAR) AS parent,
+       |              'c:' || c_custkey AS node, 0 AS branch
+       |       FROM customer WHERE c_custkey % 97 = 1),
+       |h1 AS MATERIALIZED (
+       |  SELECT h.seed, 1 AS hop, h.node AS parent, r.v AS node,
+       |         CAST(r.rnk AS INTEGER) AS branch
+       |  FROM h0 h JOIN rk r ON r.u = h.node AND r.rnk <= 3),
+       |h2 AS (
+       |  SELECT h.seed, 2 AS hop, h.node AS parent, r.v AS node,
+       |         CAST(r.rnk AS INTEGER) AS branch
+       |  FROM h1 h JOIN rk r ON r.u = h.node AND r.rnk <= 2)"""
+  }
+
+  /** Shared oracle CTE chain for the random-walk queries: trade edges,
+    * id-ranked neighbors with degree, the walk starts, and the four
+    * unrolled hex-fold steps — one definition so graph_random_walks and
+    * graph_walk_context_pairs can never disagree about the walk corpus.
+    */
+  private def walkTreeCtes: String = {
+    def hex(expr: String) = duckHexFold(expr)
+    val steps = (1 to 4).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.walk_id, $t AS step, r.v AS node
+         |  FROM w${t - 1} w JOIN rk r ON r.u = w.node
+         |   AND r.rnk = ${hex(s"'rw:' || w.walk_id || ':$t'")} % r.outdeg)"""
+    }.mkString(",\n")
+    s"""base AS MATERIALIZED (
+       |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+       |rk AS MATERIALIZED (
+       |  SELECT u, v,
+       |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+       |         count(*) OVER (PARTITION BY u) AS outdeg
+       |  FROM sym),
+       |w0 AS MATERIALIZED (
+       |  SELECT u AS walk_id, 0 AS step, u AS node
+       |  FROM (SELECT DISTINCT u FROM base)),
+       |$steps"""
+  }
+
+  /** Shared 52-bit md5 hex fold (the engine's deterministic uniform) —
+    * one definition for every oracle that embeds it; call sites keep a
+    * local `hex` alias for readability. The embedded margins survive
+    * the caller's stripMargin unchanged.
+    */
+  private def duckHexFold(expr: String): String =
+    s"""CAST(list_reduce(
+       |           [CAST(strpos('0123456789abcdef',
+       |                        substr(md5($expr), hd, 1)) - 1 AS BIGINT)
+       |            for hd in range(1, 14)],
+       |           (a, cc) -> a * 16 + cc) AS BIGINT)"""
 
   /** Shared oracle CTE prefix for the temperature-mixture queries: the
     * per-source char-mass grid, sqrt(sqrt()) weights, source-ordered

@@ -43,11 +43,22 @@ object Curation {
     * cluster table instead of re-deriving the pair graph per recipe
     * (round-2 verdict "What's wrong" #5).
     */
-  def curatedCorpusFromClusters(
-      docs: DataFrame,
-      clusters: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
-    val enriched = Partitioning.ensureParallelism(docs, col("doc_id"))
+  /** The shared per-document gate-metric projection — language ID,
+    * quality score, token count — used by every release-gate consumer
+    * ([[curatedCorpusFromClusters]], [[curatedCorpusBestOfCluster]],
+    * [[curationFunnel]]): ONE definition so a gate-metric change can
+    * never leave the funnel report counting different gates than the
+    * corpus it reports on. Pure column expressions over one scan.
+    */
+  /** The release-gate predicates over [[gateEnrichment]]'s columns —
+    * shared for the same no-drift reason.
+    */
+  private def languageGate: Column = col("lang_pred") === "en"
+  private def qualityGate(minQuality: Double): Column =
+    col("quality") >= minQuality
+
+  private def gateEnrichment(docs: DataFrame): DataFrame =
+    Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .select(
@@ -55,10 +66,16 @@ object Curation {
         TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
         TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
         size(col("toks")).as("n_tokens"))
+
+  def curatedCorpusFromClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val enriched = gateEnrichment(docs)
     clusters
       .join(enriched, "doc_id")
       .where(col("doc_id") === col("cluster_id") &&
-        col("lang_pred") === "en" && col("quality") >= minQuality)
+        languageGate && qualityGate(minQuality))
       .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
   }
 
@@ -139,21 +156,13 @@ object Curation {
       docs: DataFrame,
       clusters: DataFrame,
       minQuality: Double = 0.5): DataFrame = {
-    val enriched = Partitioning.ensureParallelism(docs, col("doc_id"))
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.tokens(col("text")).as("toks"))
-      .select(
-        col("doc_id"),
-        TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
-        TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
-        size(col("toks")).as("n_tokens"))
+    val enriched = gateEnrichment(docs)
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
     clusters
       .join(enriched, "doc_id")
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 &&
-        col("lang_pred") === "en" && col("quality") >= minQuality)
+      .where(col("rn") === 1 && languageGate && qualityGate(minQuality))
       .select(col("doc_id"), col("cluster_id"), col("lang_pred"),
         col("quality"), col("n_tokens"))
   }
@@ -628,19 +637,10 @@ object Curation {
       docs: DataFrame,
       clusters: DataFrame,
       minQuality: Double = 0.5): DataFrame = {
-    val enriched = clusters.join(
-      Partitioning.ensureParallelism(docs, col("doc_id"))
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.tokens(col("text")).as("toks"))
-        .select(
-          col("doc_id"),
-          TextAnalysis.langPredOf(col("toks")).as("lang_pred"),
-          TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
-          size(col("toks")).cast("long").as("n_tokens")),
-      "doc_id")
+    val enriched = clusters.join(gateEnrichment(docs), "doc_id")
     val canonical = col("doc_id") === col("cluster_id")
-    val langOk = canonical && col("lang_pred") === "en"
-    val qualOk = langOk && col("quality") >= minQuality
+    val langOk = canonical && languageGate
+    val qualOk = langOk && qualityGate(minQuality)
     def gate(pred: Column, i: Int) = Seq(
       sum(when(pred, 1L).otherwise(0L)).as(s"n$i"),
       sum(when(pred, col("n_tokens")).otherwise(0L)).as(s"t$i"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{OpCache, Tables}
+import graft.engine.Tables
 import graft.functions.OracleRound
 
 /** Ordered-sequence (behavioral) analytics over the event stream —
@@ -221,11 +221,11 @@ object Sequence {
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .where(col("to_type").isNotNull)
     val wRow = Window.partitionBy(col("from_type"))
-    val pmat = OpCache.materialize(
-      pairs.groupBy(col("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("from_type"), col("to_type"),
-          (col("n").cast("double") / sum(col("n")).over(wRow)).as("p")))
+    // consumed exactly once (the collect below) — no materialize
+    val pmat = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / sum(col("n")).over(wRow)).as("p"))
     // the grid is ≤ |event types|² rows — a documented bounded pull
     // (the epochPlan fill class); the power iteration runs driver-side
     // on that grid with the same from-ordered folds the oracle unrolls

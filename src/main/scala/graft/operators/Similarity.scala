@@ -497,9 +497,9 @@ object Similarity {
     * the argmax, vec_id tie-break) from the picked set. The classic
     * 2-approximation to the k-center cover, the coreset/dataset-
     * distillation selection rule. Each step is ONE map-only corpus pass
-    * (distances against ≤ k picked-vector literals) + two single-row
-    * aggregates (max, then min-id at the max) — the k-means driver
-    * topology, k·dim doubles pulled total; the output `mindist` is the
+    * (distances against ≤ k picked-vector literals) ending in a single
+    * TakeOrdered-1 action — the k-means driver topology, exactly k
+    * corpus scans and k·dim doubles pulled total; the output `mindist` is the
     * coverage radius AT pick time, the curve a coreset user reads to
     * choose k. At 100 TB the cost is k corpus scans, embarrassingly
     * parallel, no joins, no windows.
@@ -514,22 +514,27 @@ object Similarity {
           transform(col("v"), x => x / col("nrm")).as("nv")))
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getAs[scala.collection.Seq[Double]]("nv").toArray
-    val seed = base.orderBy(col("vec_id")).limit(1).collect()(0)
-    var picked = List((seed.getLong(0), vecOf(seed), Option.empty[Double]))
-    (2 to k).foreach { t =>
+    val seed = base.orderBy(col("vec_id")).limit(1).collect()
+    require(seed.nonEmpty, "kCenterCoreset needs a non-empty corpus")
+    var picked = List((seed(0).getLong(0), vecOf(seed(0)), Option.empty[Double]))
+    (2 to k).foreach { _ =>
       val dists = picked.map { case (_, nv, _) =>
         graft.functions.OracleRound.roundN(
           lit(1.0) - VectorOps.dot(col("nv"), array(nv.map(lit): _*)), 9)
       }
-      val cur = base
+      // ONE TakeOrdered action per pick: (mind desc, vec_id asc) limit 1
+      // IS the rounded argmax with the min-id tie-break; a corpus
+      // smaller than k degrades to fewer picks (the oracle's step CTEs
+      // go empty the same way)
+      val pick = base
         .where(!col("vec_id").isin(picked.map(_._1): _*))
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("nv"),
           (if (dists.size == 1) dists.head else least(dists: _*)).as("mind"))
-      val mx = cur.agg(max(col("mind"))).collect()(0).getDouble(0)
-      val pickId = cur.where(col("mind") === mx)
-        .agg(min(col("vec_id"))).collect()(0).getLong(0)
-      val pickVec = base.where(col("vec_id") === pickId).collect()(0)
-      picked = picked :+ ((pickId, vecOf(pickVec), Some(mx)))
+        .orderBy(col("mind").desc, col("vec_id"))
+        .limit(1).collect()
+      pick.headOption.foreach { r =>
+        picked = picked :+ ((r.getLong(0), vecOf(r), Some(r.getDouble(2))))
+      }
     }
     embeddings.sparkSession.createDataFrame(
       picked.zipWithIndex.map { case ((id, _, d), i) => (i + 1, id, d) })
@@ -658,7 +663,9 @@ object Similarity {
     val picks = candRows.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
       val rel = cands.map(c => c._2 -> c._3).toMap
       var picked = List.empty[Long]
-      (1 to k).map { t =>
+      // a pool smaller than k degrades to fewer picks — the oracle's
+      // step CTEs go empty the same way
+      (1 to math.min(k, rel.size)).map { t =>
         val scored = rel.keys.filterNot(picked.contains).map { d =>
           val pen = if (picked.isEmpty) 0.0
                     else picked.map(s => simJ(d, s)).max

@@ -5375,7 +5375,8 @@ object SparkEntry {
          |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |sym AS MATERIALIZED (
-         |  SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+         |  SELECT DISTINCT u, v
+         |  FROM (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)),
          |rk AS MATERIALIZED (
          |  SELECT u, v,
          |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
@@ -6779,7 +6780,8 @@ object SparkEntry {
     s"""base AS MATERIALIZED (
        |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+       |sym AS (SELECT DISTINCT u, v
+       |        FROM (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)),
        |rk AS MATERIALIZED (
        |  SELECT u, v, rnk FROM (
        |    SELECT u, v,
@@ -6818,7 +6820,8 @@ object SparkEntry {
     s"""base AS MATERIALIZED (
        |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+       |sym AS (SELECT DISTINCT u, v
+       |        FROM (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)),
        |rk AS MATERIALIZED (
        |  SELECT u, v,
        |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,

@@ -685,24 +685,31 @@ object Curation {
   /** The draw against [[temperatureMixtureGrid]]'s quotas: per source the
     * first `quota` documents by the deterministic 52-bit md5 fold of
     * `tmix:doc_id` (doc_id tie-break) — a uniform within-source sample,
-    * reproducible on any engine. One source-partitioned window + a
-    * broadcast join against the (bounded) quota grid; map-only
-    * otherwise.
+    * reproducible on any engine. ONE corpus scan total: the 3-column
+    * projection is materialized once and feeds BOTH the quota-grid
+    * aggregation and the ranking window (round-13 advice — the quota
+    * fill previously re-scanned the corpus a second time); the quota
+    * grid then broadcasts back over the cached blocks.
     */
   def temperatureMixtureSample(docs: DataFrame, k: Int = 100): DataFrame = {
-    val quotas = temperatureQuotas(docs, k).map(q => (q._1, q._5))
-    val qdf = docs.sparkSession.createDataFrame(quotas)
-      .toDF("source", "quota")
+    val spark = docs.sparkSession
+    val (base, freeBase) = graft.engine.OpCache.checkpointWithHandle(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars")))
+    val quotas = temperatureQuotas(base, k).map(q => (q._1, q._5))
+    val qdf = spark.createDataFrame(quotas).toDF("source", "quota")
     val h = conv(substring(
         md5(concat(lit("tmix:"), col("doc_id").cast("string"))), 1, 13),
       16, 10).cast("long")
     val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
-    Partitioning.ensureParallelism(docs, col("doc_id"))
+    val out = base
       .select(col("doc_id"), col("source"))
       .withColumn("draw_rank", row_number().over(w))
       .join(broadcast(qdf), Seq("source"))
       .where(col("draw_rank") <= col("quota"))
       .select(col("doc_id"), col("source"), col("draw_rank"))
+    graft.engine.OpCache.defer(spark)(freeBase)
+    out
   }
 
   /** The shared quota fill: distributed per-source aggregate, then the

@@ -215,27 +215,31 @@ object Sequence {
       spark: SparkSession, sfDir: String, iters: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // each user's LAST event keeps a NULL to_type instead of being
+    // filtered: every event then appears exactly once as from_type, so
+    // the collected grid carries the full state set (singleton types
+    // included) and the corpus really is scanned ONCE — states
+    // previously came from a second distinct-event_type scan while the
+    // scaladoc claimed one pass (round-13 advice)
     val pairs = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
-      .where(col("to_type").isNotNull)
-    val wRow = Window.partitionBy(col("from_type"))
-    // consumed exactly once (the collect below) — no materialize
-    val pmat = pairs.groupBy(col("from_type"), col("to_type"))
+    // the grid is ≤ |event types|·(|event types|+1) rows — a documented
+    // bounded pull (the epochPlan fill class); the power iteration runs
+    // driver-side on that grid with the same from-ordered folds the
+    // oracle unrolls (the first cut iterated as 5 materialized grid
+    // frames, paying ~5 job rounds of scheduling for a handful of rows)
+    val grid = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .select(col("from_type"), col("to_type"),
-        (col("n").cast("double") / sum(col("n")).over(wRow)).as("p"))
-    // the grid is ≤ |event types|² rows — a documented bounded pull
-    // (the epochPlan fill class); the power iteration runs driver-side
-    // on that grid with the same from-ordered folds the oracle unrolls
-    // (the first cut iterated as 5 materialized grid frames, paying
-    // ~5 job rounds of scheduling for arithmetic on a handful of rows)
-    val pm = pmat.collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
-    val states = Tables.events(spark, sfDir)
-      .select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+    val outTotals = grid.collect { case (f, Some(_), n) => (f, n) }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val pm = grid.collect { case (f, Some(t), n) =>
+      ((f, t), n.toDouble / outTotals(f).toDouble)
+    }.toMap
+    val states = grid.map(_._1).distinct.sorted
     def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     var pi = states.map(_ -> 1.0 / states.length).toMap

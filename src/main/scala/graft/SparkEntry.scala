@@ -1072,25 +1072,24 @@ object SparkEntry {
         Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
           cacheKey = d))
         .orderBy("side", "degree")),
-    // deterministic hash-seeded random walks (DeepWalk corpus): one
-    // 4-step walk per customer node over the published trade edges;
-    // each step is one frontier-sized equi-join on the ranked-neighbor
-    // table, neighbor choice = md5 hex fold mod degree
+    // deterministic hash-seeded random walks (DeepWalk corpus),
+    // computed ONCE per data key and PUBLISHED — every walk consumer
+    // (this query, the context-pair miner, the SGNS trainer) reads the
+    // same parquet table instead of re-running the 4 frontier joins
     "graph_random_walks" -> ((s, d) => {
       val edges = Graph.sharedTradeEdges(
         Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
-      Graph.randomWalks(edges,
-        edges.select(col("u").as("walk_id")).distinct())
+      Graph.sharedWalkCorpus(edges, cacheKey = d)
         .orderBy("walk_id", "step")
     }),
     // node2vec second-order biased walks (p=4, q=0.25 — outward): the
     // return/local/explore weights drawn by a deterministic inverse-CDF
-    // over an ORDERED prefix sum, so the biased choice replays exactly
+    // over an ORDERED prefix sum, so the biased choice replays exactly;
+    // published compute-once beside the DeepWalk corpus
     "graph_node2vec_walks" -> ((s, d) => {
       val edges = Graph.sharedTradeEdges(
         Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
-      Graph.node2vecWalks(edges,
-        edges.select(col("u").as("walk_id")).distinct())
+      Graph.sharedNode2vecCorpus(edges, cacheKey = d)
         .orderBy("walk_id", "step")
     }),
     // GraphSAGE fixed-fanout neighborhood sampling (3 then 2) from a
@@ -1123,14 +1122,21 @@ object SparkEntry {
       Graph.sageAggregate(tree, feats).orderBy("seed")
     }),
     // skip-gram (center, context) pairs within ±2 steps over the
-    // DeepWalk corpus — ONE walk_id-partitioned window pass computes
-    // all four context columns, walk-boundary nulls drop
+    // PUBLISHED DeepWalk corpus — the window pass is the query's only
+    // compute; the walk generation cost was paid once per data key
     "graph_walk_context_pairs" -> ((s, d) => {
       val edges = Graph.sharedTradeEdges(
         Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
-      Graph.walkContextPairs(
-        Graph.randomWalks(edges,
-          edges.select(col("u").as("walk_id")).distinct()))
+      Graph.walkContextPairs(Graph.sharedWalkCorpus(edges, cacheKey = d))
+        .orderBy("walk_id", "center_step", "offset")
+    }),
+    // second-order skip-gram pairs — the actual node2vec training
+    // input: the same ±2-step window pass over the PUBLISHED node2vec
+    // corpus (near-zero marginal cost once the corpus is published)
+    "graph_node2vec_context_pairs" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.walkContextPairs(Graph.sharedNode2vecCorpus(edges, cacheKey = d))
         .orderBy("walk_id", "center_step", "offset")
     }),
     // 5-iteration damped PageRank on the symmetrized trade graph
@@ -5345,53 +5351,7 @@ object SparkEntry {
     // rationals so the ORDERED prefix sums are exact doubles on both
     // engines, and the first-cum-≥-u·total pick is bit-identical
     "graph_node2vec_walks" -> {
-      def hex(expr: String) = duckHexFold(expr)
-      val steps = (2 to 4).map { t =>
-        s"""c$t AS (
-           |  SELECT w.walk_id, w.prev, w.node AS cur, r.v AS x,
-           |         CAST(${hex(s"'n2v:' || w.walk_id || ':$t'")} AS DOUBLE)
-           |           / 4503599627370496.0 AS u01
-           |  FROM d${t - 1} w JOIN rk r ON r.u = w.node),
-           |wt$t AS (
-           |  SELECT c.*, CASE WHEN c.x = c.prev THEN 0.25
-           |                   WHEN coalesce(ad.adj, FALSE) THEN 1.0
-           |                   ELSE 4.0 END AS w
-           |  FROM c$t c LEFT JOIN ad ON ad.prev = c.prev AND ad.x = c.x),
-           |d$t AS MATERIALIZED (
-           |  SELECT walk_id, $t AS step, cur AS prev, x AS node FROM (
-           |    SELECT walk_id, cur, x,
-           |           row_number() OVER (PARTITION BY walk_id
-           |                              ORDER BY x) AS rn_pick
-           |    FROM (
-           |      SELECT walk_id, cur, x, u01,
-           |             sum(w) OVER (PARTITION BY walk_id ORDER BY x
-           |                          ROWS UNBOUNDED PRECEDING) AS cum,
-           |             sum(w) OVER (PARTITION BY walk_id) AS total
-           |      FROM wt$t)
-           |    WHERE cum >= u01 * total)
-           |  WHERE rn_pick = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |sym AS MATERIALIZED (
-         |  SELECT DISTINCT u, v
-         |  FROM (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)),
-         |rk AS MATERIALIZED (
-         |  SELECT u, v,
-         |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
-         |         count(*) OVER (PARTITION BY u) AS outdeg
-         |  FROM sym),
-         |ad AS MATERIALIZED (SELECT u AS prev, v AS x, TRUE AS adj FROM sym),
-         |w0 AS MATERIALIZED (
-         |  SELECT u AS walk_id, 0 AS step, CAST(NULL AS VARCHAR) AS prev,
-         |         u AS node
-         |  FROM (SELECT DISTINCT u FROM base)),
-         |d1 AS MATERIALIZED (
-         |  SELECT w.walk_id, 1 AS step, w.node AS prev, r.v AS node
-         |  FROM w0 w JOIN rk r ON r.u = w.node
-         |   AND r.rnk = ${hex("'n2v:' || w.walk_id || ':1'")} % r.outdeg),
-         |$steps
+      s"""WITH $node2vecTreeCtes
          |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
          |  SELECT walk_id, step, node FROM w0
          |  UNION ALL SELECT walk_id, step, node FROM d1
@@ -5399,6 +5359,23 @@ object SparkEntry {
          |  UNION ALL SELECT walk_id, step, node FROM d3
          |  UNION ALL SELECT walk_id, step, node FROM d4)
          |ORDER BY walk_id, step""".stripMargin
+    },
+    // graph_node2vec_context_pairs: the node2vec chain, then the same
+    // walk-bounded ±2-step pair join graph_walk_context_pairs uses
+    "graph_node2vec_context_pairs" -> {
+      s"""WITH $node2vecTreeCtes,
+         |walks AS MATERIALIZED (
+         |  SELECT walk_id, step, node FROM w0
+         |  UNION ALL SELECT walk_id, step, node FROM d1
+         |  UNION ALL SELECT walk_id, step, node FROM d2
+         |  UNION ALL SELECT walk_id, step, node FROM d3
+         |  UNION ALL SELECT walk_id, step, node FROM d4)
+         |SELECT a.walk_id, CAST(a.step AS INTEGER) AS center_step,
+         |       a.node AS center,
+         |       CAST(b.step - a.step AS INTEGER) AS "offset", b.node AS context
+         |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+         | AND b.step <> a.step AND abs(b.step - a.step) <= 2
+         |ORDER BY a.walk_id, center_step, "offset"""".stripMargin
     },
     // PageRank: the oracle unrolls the SAME fixed 5 damped iterations the
     // Spark loop runs; 6 dp rounding absorbs cross-engine sum-order float
@@ -6830,6 +6807,62 @@ object SparkEntry {
        |w0 AS MATERIALIZED (
        |  SELECT u AS walk_id, 0 AS step, u AS node
        |  FROM (SELECT DISTINCT u FROM base)),
+       |$steps"""
+  }
+
+  /** Shared oracle CTE chain for the node2vec queries: trade edges,
+    * ranked neighbors, the adjacency flag, the uniform step 1, and the
+    * three unrolled weighted inverse-CDF steps — one definition so
+    * graph_node2vec_walks and graph_node2vec_context_pairs can never
+    * disagree about the biased walk corpus.
+    */
+  private def node2vecTreeCtes: String = {
+    def hex(expr: String) = duckHexFold(expr)
+    val steps = (2 to 4).map { t =>
+      s"""c$t AS (
+         |  SELECT w.walk_id, w.prev, w.node AS cur, r.v AS x,
+         |         CAST(${hex(s"'n2v:' || w.walk_id || ':$t'")} AS DOUBLE)
+         |           / 4503599627370496.0 AS u01
+         |  FROM d${t - 1} w JOIN rk r ON r.u = w.node),
+         |wt$t AS (
+         |  SELECT c.*, CASE WHEN c.x = c.prev THEN 0.25
+         |                   WHEN coalesce(ad.adj, FALSE) THEN 1.0
+         |                   ELSE 4.0 END AS w
+         |  FROM c$t c LEFT JOIN ad ON ad.prev = c.prev AND ad.x = c.x),
+         |d$t AS MATERIALIZED (
+         |  SELECT walk_id, $t AS step, cur AS prev, x AS node FROM (
+         |    SELECT walk_id, cur, x,
+         |           row_number() OVER (PARTITION BY walk_id
+         |                              ORDER BY x) AS rn_pick
+         |    FROM (
+         |      SELECT walk_id, cur, x, u01,
+         |             sum(w) OVER (PARTITION BY walk_id ORDER BY x
+         |                          ROWS UNBOUNDED PRECEDING) AS cum,
+         |             sum(w) OVER (PARTITION BY walk_id) AS total
+         |      FROM wt$t)
+         |    WHERE cum >= u01 * total)
+         |  WHERE rn_pick = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""base AS MATERIALIZED (
+       |  SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT u, v
+       |  FROM (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)),
+       |rk AS MATERIALIZED (
+       |  SELECT u, v,
+       |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+       |         count(*) OVER (PARTITION BY u) AS outdeg
+       |  FROM sym),
+       |ad AS MATERIALIZED (SELECT u AS prev, v AS x, TRUE AS adj FROM sym),
+       |w0 AS MATERIALIZED (
+       |  SELECT u AS walk_id, 0 AS step, CAST(NULL AS VARCHAR) AS prev,
+       |         u AS node
+       |  FROM (SELECT DISTINCT u FROM base)),
+       |d1 AS MATERIALIZED (
+       |  SELECT w.walk_id, 1 AS step, w.node AS prev, r.v AS node
+       |  FROM w0 w JOIN rk r ON r.u = w.node
+       |   AND r.rnk = ${hex("'n2v:' || w.walk_id || ':1'")} % r.outdeg),
        |$steps"""
   }
 

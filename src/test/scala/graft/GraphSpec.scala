@@ -641,6 +641,36 @@ class GraphSpec extends AnyFunSuite {
       pairs(Graph.degreeHistogram(Graph.tradeEdges(o, li))))
   }
 
+  test("shared walk corpora equal the live walks and compute once") {
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val key = s"graphspec-walks-${System.nanoTime()}" // fresh memo entry
+    val edges = Graph.tradeEdges(o, li)
+    val starts = edges.select(col("u").as("walk_id")).distinct()
+    // DeepWalk corpus: published table == live walks; the second consumer
+    // reads the SAME parquet files — zero walk jobs (the round-13 verdict's
+    // compute-once ask: graph_random_walks, graph_walk_context_pairs, and
+    // the SGNS trainer all read one published corpus)
+    val w1 = Graph.sharedWalkCorpus(edges, cacheKey = key)
+    assert(rows(w1) == rows(Graph.randomWalks(edges, starts)))
+    val w2 = Graph.sharedWalkCorpus(edges, cacheKey = key)
+    assert(w1.inputFiles.nonEmpty &&
+      w1.inputFiles.toSet == w2.inputFiles.toSet)
+    // node2vec corpus: own table (params slug differs), value-identical
+    // to the live biased walks
+    val n1 = Graph.sharedNode2vecCorpus(edges, cacheKey = key)
+    assert(rows(n1) == rows(Graph.node2vecWalks(edges, starts)))
+    assert(n1.inputFiles.toSet != w1.inputFiles.toSet)
+    val n2 = Graph.sharedNode2vecCorpus(edges, cacheKey = key)
+    assert(n1.inputFiles.nonEmpty &&
+      n1.inputFiles.toSet == n2.inputFiles.toSet)
+    // a consumer over the published corpus equals the live-walk path
+    assert(rows(Graph.walkContextPairs(w2)) ==
+      rows(Graph.walkContextPairs(Graph.randomWalks(edges, starts))))
+  }
+
   test("reach: path fixture — hop-bounded min distance, far end excluded") {
     import spark.implicits._
     // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out

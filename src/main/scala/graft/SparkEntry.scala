@@ -1139,6 +1139,23 @@ object SparkEntry {
       Graph.walkContextPairs(Graph.sharedNode2vecCorpus(edges, cacheKey = d))
         .orderBy("walk_id", "center_step", "offset")
     }),
+    // SGNS node embeddings: trained once over the PUBLISHED DeepWalk
+    // corpus (skip-gram with 2 hash-drawn negatives, full-batch GD on
+    // node-sized DataFrame state), published as (node, vec), served
+    // here as exact top-5 cosine neighbors of a 10-customer cohort —
+    // the oracle replays serving from the same published table
+    "graph_embedding_neighbors" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}")
+      Graph.embeddingNeighbors(emb,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
+        .orderBy("query", "rank")
+    }),
     // 5-iteration damped PageRank on the symmetrized trade graph
     // (checkpointed contributions loop — one |E| join + sum per round)
     "graph_pagerank" -> ((s, d) =>
@@ -5377,6 +5394,31 @@ object SparkEntry {
          | AND b.step <> a.step AND abs(b.step - a.step) <= 2
          |ORDER BY a.walk_id, center_step, "offset"""".stripMargin
     },
+    // graph_embedding_neighbors: serving REPLAYED from the published
+    // (node, vec) table — the clf_weights/ivf_centroids discipline:
+    // training is transcendental and engine-local, so the oracle never
+    // re-trains; it reads the same parquet the Spark side serves from
+    // and reproduces every fold cosine bit-for-bit
+    "graph_embedding_neighbors" ->
+      """WITH emb AS (SELECT node, vec::DOUBLE[] AS v
+        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_sf0.01/*.parquet')),
+        |n AS (SELECT node, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM emb),
+        |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
+        |       WHERE o_custkey < 10),
+        |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
+        |      FROM n JOIN qs ON qs.node = n.node),
+        |s AS (SELECT q.query, n.node,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM n JOIN q ON n.node <> q.query)
+        |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query
+        |                               ORDER BY cosine DESC, node) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query, rank""".stripMargin,
     // PageRank: the oracle unrolls the SAME fixed 5 damped iterations the
     // Spark loop runs; 6 dp rounding absorbs cross-engine sum-order float
     // noise (~1e-15 relative — the iteration is a contraction)

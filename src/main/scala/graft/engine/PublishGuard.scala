@@ -208,6 +208,35 @@ object PublishGuard {
     spark.read.parquet(dir)
   }
 
+  /** Publish-or-reuse a DataFrame-valued artifact at a FIXED path — the
+    * [[graft.operators.Similarity.publishedArtifact]] table logic for
+    * artifacts that stay distributed (node-sized embedding tables)
+    * instead of collecting to driver values. Fixed-path semantics are
+    * REBUILD-on-stale (delete + republish when the sidecar mismatches):
+    * a path-keyed table can always be rebuilt from the data in front of
+    * us — unlike [[sharedTable]]'s user-claimed cache keys, where a
+    * mismatch means the KEY lies and must fail loudly.
+    */
+  def publishedTableAt(
+      spark: SparkSession,
+      path: String,
+      fp: Fingerprint,
+      what: String)(compute: () => DataFrame): DataFrame = {
+    val outPath = new Path(path)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def publish(): Unit = publishAtomic(spark, path) { staging =>
+      compute().write.mode("overwrite").parquet(staging)
+      writeSidecar(fs, new Path(staging), fp)
+    }
+    if (!fs.exists(outPath)) publish()
+    else if (readSidecar(fs, outPath) != Some(fp)) {
+      fs.delete(outPath, true)
+      publish()
+    }
+    verifySidecar(fs, outPath, fp, what)
+    spark.read.parquet(path)
+  }
+
   def publishAtomic(spark: SparkSession, out: String)(
       write: String => Unit): Boolean = {
     val outPath = new Path(out)

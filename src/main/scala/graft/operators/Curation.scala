@@ -1290,13 +1290,45 @@ object Curation {
       what = s"published classifier weights '$slug'")
   }
 
+  /** The classifier margin z = Σ_j x_j·w_j + bias as ONE map-only column
+    * expression over the token array — no shuffle, no per-doc state
+    * beyond the 64-long count array, so the SAME expression scores a
+    * batch corpus and a streaming micro-batch (the round-13 verdict's
+    * streaming-gate ask). Algebraically and BIT-identically equal to
+    * scoring the explode→groupBy feature frame: the dense count array
+    * folds per token (`transform` over the 64 slots — O(buckets) per
+    * token, the stateless price of shuffle-freedom), x_j is the same
+    * `count·buckets/n_grams` double arithmetic, and the margin is the
+    * same dimension-ORDERED sequential fold, pure IEEE over table-read
+    * weights — an external engine reading the same weights table
+    * reproduces every margin (and the ≥ 0 decision) bit-for-bit.
+    * Callers must filter empty token arrays (no tokens → no bucket mass
+    * → the feature-frame spelling drops the document).
+    */
+  def classifierMarginExpr(
+      toks: Column,
+      w: Array[Double],
+      buckets: Int = 64,
+      salt: String = "dsir"): Column = {
+    val wLit = array(w.init.map(lit).toIndexedSeq: _*)
+    val cnts = aggregate(toks, array_repeat(lit(0L), buckets),
+      (acc, tk) => {
+        val b = conv(substring(md5(concat(lit(s"$salt:"), tk)), 1, 13),
+          16, 10).cast("long") % buckets
+        transform(acc, (v, i) => when(i.cast("long") === b, v + 1L).otherwise(v))
+      })
+    val n = size(toks).cast("long")
+    val x = transform(cnts, c => c.cast("double") * buckets / n)
+    aggregate(zip_with(x, wLit, (a, b) => a * b),
+      lit(0.0), (acc, t) => acc + t) + w.last
+  }
+
   /** Map-only classifier scoring against the PUBLISHED weights: each
-    * document's margin z = Σ_j x_j·w_j + bias as a SEQUENTIAL fold in
-    * dimension order — pure IEEE arithmetic over table-read weights, no
-    * transcendental in the scored output, so an external engine reading
-    * the same table reproduces every margin (and the ≥ 0 decision)
-    * bit-for-bit. The sigmoid lives only inside training; publishing
-    * margins instead of probabilities is what keeps the oracle exact.
+    * document's margin via [[classifierMarginExpr]] — one stateless map
+    * stage, no shuffle (the explode→groupBy feature frame remains the
+    * TRAINING input only), value-identical to scoring the feature frame.
+    * The sigmoid lives only inside training; publishing margins instead
+    * of probabilities is what keeps the oracle exact.
     */
   def qualityClassifierScores(
       docs: DataFrame,
@@ -1305,12 +1337,13 @@ object Curation {
       buckets: Int = 64,
       targetLang: String = "en"): DataFrame = {
     val w = publishedClassifierWeights(docs, baseDir, slug, buckets, targetLang)
-    val wLit = array(w.init.map(lit).toIndexedSeq: _*)
-    classifierFeatures(docs, buckets, targetLang, "dsir")
-      .select(col("doc_id"), col("y").cast("int").as("label"),
-        col("n_grams"),
-        (aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
-          lit(0.0), (acc, t) => acc + t) + w.last).as("z"))
+    val toks = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        (TextAnalysis.langPredOf(toks) === targetLang).cast("int").as("label"),
+        size(toks).cast("long").as("n_grams"),
+        classifierMarginExpr(toks, w, buckets).as("z"))
+      .where(col("n_grams") > 0)
       .select(col("doc_id"), col("label"), col("n_grams"),
         graft.functions.OracleRound.roundN(col("z"), 6).as("margin"),
         (col("z") >= 0.0).as("predicted"))

@@ -225,8 +225,19 @@ object StreamOps {
       docs: DataFrame,
       minQuality: Double = 0.5,
       windowLength: String = "1 minute",
-      watermark: String = "1 minute"): DataFrame = {
-    import graft.operators.TextAnalysis
+      watermark: String = "1 minute",
+      classifierWeights: Option[Array[Double]] = None): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    // classifier gate-rate beside the heuristic gate-rate when the
+    // published weights are supplied: the same map-only margin expression
+    // as the batch scorer, so the window rates are consistent with the
+    // batch gate by construction (empty-token docs score NULL here and
+    // count as non-passing, mirroring the batch scorer's drop)
+    val clfPass = classifierWeights match {
+      case Some(w) => count(when(size(col("toks")) > 0 &&
+        Curation.classifierMarginExpr(col("toks"), w) >= 0.0, 1))
+      case None => lit(null).cast("long")
+    }
     docs
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("lang_pred", TextAnalysis.langPredOf(col("toks")))
@@ -238,11 +249,100 @@ object StreamOps {
         count(lit(1)).as("n_docs"),
         count(when(col("lang_pred") === "en" &&
           col("quality") >= minQuality, 1)).as("n_pass"),
+        clfPass.as("n_pass_clf"),
         graft.functions.OracleRound.round4(avg(col("quality"))).as("avg_quality"),
         sum(col("n_tokens")).as("n_tokens"))
       .select(col("window.start").as("window_start"),
-        col("n_docs"), col("n_pass"), col("avg_quality"), col("n_tokens"))
+        col("n_docs"), col("n_pass"), col("n_pass_clf"),
+        col("avg_quality"), col("n_tokens"))
   }
+
+  /** Streaming curation gated by the PUBLISHED quality classifier — the
+    * round-13 verdict's ask: the streaming gate scores each micro-batch
+    * map-only with the broadcast published weights
+    * ([[graft.operators.Curation.classifierMarginExpr]] — the SAME
+    * expression the batch scorer runs, so the streaming margin equals
+    * the batch margin bit-for-bit), keeps classifier-positive documents,
+    * and suppresses exact dups within the watermark horizon exactly like
+    * [[curateStream]]. Stateless map stages + one watermarked dedup —
+    * per-batch cost is O(batch), no state beyond the dedup horizon.
+    */
+  def classifierCurateStream(
+      docs: DataFrame,
+      weights: Array[Double],
+      buckets: Int = 64,
+      targetLang: String = "en",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .where(size(col("toks")) > 0)
+      .withColumn("label",
+        (TextAnalysis.langPredOf(col("toks")) === targetLang).cast("int"))
+      .withColumn("n_grams", size(col("toks")).cast("long"))
+      .withColumn("z", Curation.classifierMarginExpr(col("toks"), weights, buckets))
+      .withColumn("margin", graft.functions.OracleRound.roundN(col("z"), 6))
+      .withColumn("predicted", col("z") >= 0.0)
+      .withColumn("fp_exact", md5(TextAnalysis.normalize(col("text"))))
+      .where(col("predicted"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp_exact")
+      .select("doc_id", "ts", "label", "n_grams", "margin", "predicted",
+        "fp_exact")
+  }
+
+  /** Streaming classifier scoring landed as a replay-idempotent state
+    * table — the [[minhashSink]] contract for the published-classifier
+    * scores: each micro-batch scores map-only against the broadcast
+    * weights and lands `batch_id=N` via dynamic partition overwrite, so
+    * an at-least-once redelivery overwrites its own partition with
+    * value-identical rows (margins are a pure function of text ×
+    * published weights). The stored scores therefore equal the batch
+    * [[graft.operators.Curation.qualityClassifierScores]] values across
+    * any checkpointed restart — StreamOpsSpec asserts it bit-for-bit.
+    */
+  def classifierScoreSink(
+      docs: DataFrame,
+      weights: Array[Double],
+      stateDir: String,
+      checkpointDir: String,
+      buckets: Int = 64,
+      targetLang: String = "en"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Curation, TextAnalysis}
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        guardBatchContinuation(batch.sparkSession, stateDir, batchId)
+        val toks = TextAnalysis.tokens(col("text"))
+        batch
+          .select(col("doc_id"),
+            (TextAnalysis.langPredOf(toks) === targetLang).cast("int")
+              .as("label"),
+            size(toks).cast("long").as("n_grams"),
+            Curation.classifierMarginExpr(toks, weights, buckets).as("z"))
+          .where(col("n_grams") > 0)
+          .select(col("doc_id"), col("label"), col("n_grams"),
+            graft.functions.OracleRound.roundN(col("z"), 6).as("margin"),
+            (col("z") >= 0.0).as("predicted"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+      }
+      .start()
+  }
+
+  /** The accumulated classifier-score store (one row per doc_id — an
+    * at-least-once replay lands value-identical rows, so keeping either
+    * is exact). `asOfBatch` = the store as of batch N.
+    */
+  def readClassifierScores(
+      spark: SparkSession, stateDir: String,
+      asOfBatch: Option[Long] = None): DataFrame =
+    stateAsOf(spark, stateDir, asOfBatch).drop("batch_id")
+      .dropDuplicates("doc_id")
 
   /** Continuous corpus ingestion with incremental dedup — the foreachBatch
     * production loop that keeps a parquet corpus near-dup-free while a

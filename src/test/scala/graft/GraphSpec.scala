@@ -671,6 +671,176 @@ class GraphSpec extends AnyFunSuite {
       rows(Graph.walkContextPairs(Graph.randomWalks(edges, starts))))
   }
 
+  test("SGNS: plain-JVM recompute pins examples, training, and serving on a fixture") {
+    import spark.implicits._
+    val salt = "sgns"
+    val dim = 4; val negatives = 2; val iters = 3; val lr = 0.5
+    // fixture walk corpus: 2 walks × 4 positions, with a revisit (walk a
+    // returns to b) so center==context pairs are exercised
+    val corpus = Map("a" -> Seq("a", "b", "c", "b"),
+      "d" -> Seq("d", "c", "a", "e"))
+    val walks = corpus.toSeq.flatMap { case (w, ns) =>
+      ns.zipWithIndex.map { case (n, i) => (w, i, n) }
+    }.toDF("walk_id", "step", "node")
+    val pairs = Graph.walkContextPairs(walks, window = 2)
+    def hexFold(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // second derivation of the example set: positions within ±2, hash
+    // negatives mod the sorted vocabulary, accidental hits dropped
+    case class Ex(key: String, c: String, o: String, y: Double)
+    val jvmPairs = for {
+      (w, ns) <- corpus.toSeq
+      i <- ns.indices; j <- ns.indices
+      if i != j && math.abs(j - i) <= 2
+    } yield (w, i, ns(i), j - i, ns(j))
+    val vocab = jvmPairs.flatMap(p => Seq(p._3, p._5)).distinct.sorted
+    val jvmEx = jvmPairs.map { case (w, i, c, off, ctx) =>
+      Ex(s"$w:$i:$off", c, ctx, 1.0)
+    } ++ (for {
+      (w, i, c, off, ctx) <- jvmPairs
+      k <- 1 to negatives
+      node = vocab((hexFold(s"$salt:neg:$w:$i:$off:$k") % vocab.size).toInt)
+      if node != c && node != ctx
+    } yield Ex(s"$w:$i:$off:n$k", c, node, 0.0))
+    val gotEx = Graph.sgnsExamples(pairs, negatives, salt).collect()
+      .map(r => Ex(r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(gotEx === jvmEx.toSet)
+    assert(gotEx.count(_.y == 0.0) > 0, "fixture must draw real negatives")
+    // third derivation of the training loop: same shared-matrix init,
+    // same synchronous per-node mean updates, same (ex_key, role)-ordered
+    // folds — bit-exact in one JVM (IEEE ops in identical order; Math.exp
+    // is the one transcendental and Spark codegen calls the same
+    // java.lang.Math)
+    val nodes = jvmEx.flatMap(e => Seq(e.c, e.o)).distinct
+    var vm = nodes.map(n => n -> Array.tabulate(dim)(j =>
+      (hexFold(s"$salt:in:$n:$j") / 4503599627370496.0 - 0.5) / dim)).toMap
+    def bce(): Double = jvmEx.map { e =>
+      val z = (0 until dim).foldLeft(0.0)((a, j) => a + vm(e.c)(j) * vm(e.o)(j))
+      val p = 1.0 / (1.0 + math.exp(-z))
+      -(e.y * math.log(math.max(p, 1e-12)) +
+        (1 - e.y) * math.log(math.max(1 - p, 1e-12)))
+    }.sum / jvmEx.size
+    val lossBefore = bce()
+    (1 to iters).foreach { _ =>
+      val scored = jvmEx.map { e =>
+        val z = (0 until dim).foldLeft(0.0)((a, j) => a + vm(e.c)(j) * vm(e.o)(j))
+        (e, 1.0 / (1.0 + math.exp(-z)) - e.y)
+      }
+      val contrib = scored.flatMap { case (e, g) =>
+        Seq((e.c, e.key + ":c", vm(e.o).map(g * _)),
+          (e.o, e.key + ":o", vm(e.c).map(g * _)))
+      }
+      val grad = contrib.groupBy(_._1).map { case (n, cs) =>
+        val sum = Array.fill(dim)(0.0)
+        cs.sortBy(_._2).foreach { case (_, _, gv) =>
+          var j = 0; while (j < dim) { sum(j) += gv(j); j += 1 }
+        }
+        n -> sum.map(_ / cs.size)
+      }
+      vm = vm.map { case (n, v) =>
+        n -> v.zip(grad.getOrElse(n, Array.fill(dim)(0.0)))
+          .map { case (a, g) => a - lr * g }
+      }
+    }
+    assert(bce() < lossBefore, "full-batch GD must reduce the SGNS loss")
+    val got = Graph.sgnsTrainEmbeddings(pairs, dim, negatives, iters, lr, salt)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    assert(got.keySet === vm.keySet)
+    got.foreach { case (n, v) =>
+      v.zip(vm(n)).zipWithIndex.foreach { case ((a, b), j) =>
+        assert(math.abs(a - b) <= 1e-12, s"node $n dim $j: $a vs $b")
+      }
+    }
+    // serving: exact top-k cosine over the trained table matches a JVM
+    // rank of the same vectors (cosine desc, node asc tie-break)
+    val embDf = got.toSeq.map { case (n, v) => (n, v.toSeq) }.toDF("node", "vec")
+    val served = Graph.embeddingNeighbors(embDf, Seq("a").toDF("node"), k = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toList
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      def dot(p: Array[Double], q: Array[Double]) =
+        (0 until dim).foldLeft(0.0)((acc, j) => acc + p(j) * q(j))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val expect = got.filter(_._1 != "a").toSeq
+      .map { case (n, v) => (n, cos(got("a"), v)) }
+      .sortBy { case (n, c) => (-c, n) }.take(3)
+      .zipWithIndex.map { case ((n, _), i) => (i + 1, n) }.toList
+    assert(served === expect)
+  }
+
+  test("SGNS embeddings: downstream sanity — co-occur separation and common-neighbor overlap") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val edges = Graph.tradeEdges(o, li)
+    val corpus = Graph.randomWalks(
+      edges, edges.select(col("u").as("walk_id")).distinct())
+    val pairs = Graph.walkContextPairs(corpus)
+    val emb = Graph.sgnsTrainEmbeddings(pairs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def hexFold(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.take(13), 16)
+    }
+    // separation: same-side co-occurring pairs (|offset| = 2) must sit
+    // far above hash-random pairs in mean cosine — the embedding learned
+    // co-occurrence, not noise (floors from the committed design sweep:
+    // sep ≈ 0.32 at the pinned defaults; deterministic corpus+training)
+    val co = pairs.where(abs(col("offset")) === 2 &&
+        col("center") =!= col("context"))
+      .select("center", "context").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = emb.keys.toSeq.sorted
+    val coCos = co.map { case (a, b) => cos(emb(a), emb(b)) }.sum / co.length
+    val rndCos = co.map { case (a, b) =>
+      cos(emb(a), emb(vocab((hexFold(s"probe:$a:$b") % vocab.size).toInt)))
+    }.sum / co.length
+    assert(coCos - rndCos >= 0.15,
+      s"co-occur/random cosine separation too low: $coCos vs $rndCos")
+    // downstream overlap: embedding top-5 among customer nodes vs the
+    // common-supplier-count top-5 (the Adamic-Adar-style structural
+    // ranking) for the 10-customer query cohort — well above the ~0.15
+    // random-overlap baseline
+    val custEmb = emb.filter(_._1.startsWith("c:")).toSeq
+      .map { case (n, v) => (n, v.toSeq) }.toDF("node", "vec")
+    val queries = o.where(col("o_custkey") < 10)
+      .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct()
+    val embTop = Graph.embeddingNeighbors(custEmb, queries, k = 5)
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(2)).toSet).toMap
+    val cn = edges.select(col("u").as("a"), col("v").as("s"))
+      .join(edges.select(col("u").as("b"), col("v").as("s")), "s")
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .join(queries.select(col("node").as("a")), "a")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+          .orderBy(col("common").desc, col("b"))))
+      .where(col("rk") <= 5)
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val overlaps = embTop.keys.toSeq.sorted
+      .map(q => (embTop(q) intersect cn.getOrElse(q, Set.empty)).size)
+    val mean = overlaps.sum.toDouble / overlaps.size
+    assert(mean >= 0.3,
+      s"embedding top-5 / common-neighbor top-5 mean overlap too low: $mean")
+  }
+
   test("reach: path fixture — hop-bounded min distance, far end excluded") {
     import spark.implicits._
     // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out

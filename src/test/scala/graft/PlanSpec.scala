@@ -48,6 +48,9 @@ class PlanSpec extends AnyFunSuite {
     // broadcast against the corpus fingerprints (the sim_bruteforce
     // shape; exact top-k must scan, the banded index is the cut path)
     "multimodal_phash_search", "multimodal_audio_search",
+    // node-embedding serving: the 10-customer query cohort broadcast
+    // against the published (node, vec) table — the bruteforce shape
+    "graph_embedding_neighbors",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;

@@ -1391,6 +1391,107 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("classifier score sink: stored streaming scores equal the batch scorer across a checkpointed restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf-stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-clf-src").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-clf-wh").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // train once, publish, read the weights back — the batch gate's table
+    val w = graft.operators.Curation.publishedClassifierWeights(
+      docs, wh, "clf_spec", iters = 40)
+    val streamDocs = docs.select("doc_id", "text")
+    val schema = streamDocs.schema
+    def pump(where: org.apache.spark.sql.Column): Unit = {
+      streamDocs.where(where).write.mode("append").json(srcDir)
+      val fileDf = spark.readStream.schema(schema).json(srcDir)
+      val q = StreamOps.classifierScoreSink(
+        fileDf, w, s"$dir/state", s"$dir/chk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    // two arrival windows; the second run is a checkpointed restart
+    pump(col("doc_id") < 250)
+    pump(col("doc_id") >= 250)
+    type Score = (Long, Int, Long, Double, Boolean)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Score] =
+      df.select("doc_id", "label", "n_grams", "margin", "predicted")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+    val stored = toSet(StreamOps.readClassifierScores(spark, s"$dir/state"))
+    // the batch gate over the same corpus + the same published weights
+    // (fingerprint matches the training input, so the table is REUSED,
+    // not retrained) — margins must agree bit-for-bit
+    val batch = toSet(graft.operators.Curation.qualityClassifierScores(
+      docs, wh, "clf_spec", targetLang = "en"))
+    assert(stored === batch,
+      s"streaming scores diverged from the batch gate: " +
+        s"missing=${(batch -- stored).take(3)} extra=${(stored -- batch).take(3)}")
+    assert(stored.nonEmpty && stored.exists(_._5) && stored.exists(!_._5),
+      "fixture must exercise both gate outcomes")
+    // replay-idempotence: re-running the LAST batch's partition lands
+    // value-identical rows — one row per doc after the dedup read
+    assert(StreamOps.readClassifierScores(spark, s"$dir/state").count() ===
+      batch.size.toLong)
+  }
+
+  test("classifier-gated curation stream + telemetry rates match the map-only batch expression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val wh = java.nio.file.Files.createTempDirectory("graft-clf-wh2").toString
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val w = graft.operators.Curation.publishedClassifierWeights(
+      docs, wh, "clf_spec2", iters = 40)
+    val fixture = docs.select("doc_id", "text").orderBy("doc_id").limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch truth via the shared map-only expression
+    val batchRows = fixture.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.OracleRound.roundN(
+          graft.operators.Curation.classifierMarginExpr(
+            graft.operators.TextAnalysis.tokens(col("text")), w), 6)
+          .as("margin"),
+        (graft.operators.Curation.classifierMarginExpr(
+          graft.operators.TextAnalysis.tokens(col("text")), w) >= 0.0)
+          .as("predicted"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    // gated stream: one batch inside the 00:00 window, then a pusher
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val gated = StreamOps.classifierCurateStream(df, w).writeStream
+      .format("memory").queryName("clf_gate_out").outputMode("append").start()
+    val tele = StreamOps.curationTelemetryStream(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      classifierWeights = Some(w)).writeStream
+      .format("memory").queryName("clf_tele_out").outputMode("append").start()
+    try {
+      val base = fixture.zipWithIndex.map { case ((id, text), i) =>
+        (id, ts(f"2024-01-01 00:00:${i % 50}%02d"), text)
+      }
+      stream.addData(base.toSeq)
+      gated.processAllAvailable(); tele.processAllAvailable()
+      stream.addData(Seq((9999L, ts("2024-01-01 00:05:00"),
+        "window closing pusher document")))
+      gated.processAllAvailable(); tele.processAllAvailable()
+      // gate: exactly the predicted-positive docs, margins bit-equal
+      val out = spark.table("clf_gate_out")
+        .select("doc_id", "margin", "predicted").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .filter(_._1 != 9999L)
+      val expectPass = batchRows.filter(_._2._2).keySet
+      assert(out.map(_._1).toSet === expectPass)
+      out.foreach { case (id, m, p) =>
+        assert(p && m === batchRows(id)._1, s"doc $id margin drifted")
+      }
+      // telemetry: the closed 00:00 window counts the classifier passes
+      val win = spark.table("clf_tele_out").collect()
+        .filter(_.getAs[Long]("n_docs") == 30L)
+      assert(win.length === 1, "the 00:00 window must have closed")
+      assert(win.head.getAs[Long]("n_pass_clf") === expectPass.size.toLong)
+    } finally { gated.stop(); tele.stop() }
+  }
+
   test("curateStream dedup state survives a checkpointed restart (RocksDB)") {
     // the production continuous-ingestion contract: stop the curation
     // stream, restart from the checkpoint, and (a) committed output is not

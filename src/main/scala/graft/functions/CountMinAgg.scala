@@ -50,10 +50,10 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val k = key.eval(input)
     if (k != null) {
-      val s = k.asInstanceOf[UTF8String].toString
+      val bytes = k.asInstanceOf[UTF8String].getBytes
       var d = 0
       while (d < depth) {
-        buf(d * width + CountMinAgg.bucket(d, s, width)) += 1L
+        buf(d * width + CountMinAgg.bucketOfBytes(d, bytes, width)) += 1L
         d += 1
       }
     }
@@ -101,18 +101,40 @@ object CountMinAgg {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(8)(d =>
+      s"cms$d:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Hash-row `d`'s bucket for `key`: the first 13 hex chars (52 bits) of
     * md5("cms<d>:<key>"), mod width. The same derivation is expressible
     * as a column expression (`conv(substring(md5(..), 1, 13), 16, 10)`)
     * and in DuckDB's hex fold — one definition, three engines.
     */
-  def bucket(d: Int, key: String, width: Int): Int = {
+  def bucket(d: Int, key: String, width: Int): Int =
+    bucketOfBytes(d,
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8), width)
+
+  /** The per-row hot path: the 52-bit value is folded STRAIGHT from the
+    * digest bytes — 13 hex chars = bytes 0..5 plus the HIGH nibble of
+    * byte 6, so `(b0..b5 << 4) | (b6 >>> 4)` equals
+    * `parseLong(hex.take(13), 16)` exactly. The previous spelling
+    * rendered the digest through a per-byte `Formatter` (`f"$b%02x"`),
+    * which at depth 3 over a multi-million-term stream dominated the
+    * whole aggregation (the round-13 `sql_graft_sketches` drift: ~3.5×
+    * the per-row cost of the scan under it); CountMinSpec pins this fold
+    * against the hex-string reference derivation.
+    */
+  private[functions] def bucketOfBytes(
+      d: Int, keyBytes: Array[Byte], width: Int): Int = {
     val digest = md5.get()
     digest.reset()
-    val hex = digest.digest(
-      (s"cms$d:" + key).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(7) // 7 bytes = 14 hex chars; we use the first 13
-      .map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 13), 16) % width).toInt
+    digest.update(prefixes(d))
+    digest.update(keyBytes)
+    val h = digest.digest()
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((h(6) & 0xf0L) >>> 4)
+    (v % width).toInt
   }
 }

@@ -26,14 +26,19 @@ OUT=${1:-/tmp/graft_sf1}
 # joins), hybrid RRF (postings equi-join — its quadratic risk is a hot
 # term's postings²... it has none: the query side stays bounded, so the
 # risk is really the df-join fan-out), and walk context pairs (the
-# walk_id window pass). sim_semantic_prune is deliberately NOT smoked: the 10x fixture
+# walk_id window pass) + (round 14) node2vec context pairs (the same
+# window pass over the published second-order corpus) and the SGNS
+# embedding serving query (published-table scan + bounded theta join —
+# the first run of each scale window trains+publishes, so the 3-run
+# MEDIAN measures the serving path; training itself is example-linear
+# by construction). sim_semantic_prune is deliberately NOT smoked: the 10x fixture
 # replicates vectors under the FROZEN published 16-centroid table, so
 # within-cluster density (and the pair join) grows quadratically BY
 # CONSTRUCTION of the fixture, not of the operator — the production
 # contract is nlist ∝ corpus (bounded cluster population; see the
 # operator scaladoc), and at nlist beyond a few hundred the
 # centroid-literal assignment hands off to the IVF partition-pruned path.
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks,graph_sage_sample,sim_hybrid_rrf,graph_walk_context_pairs}
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks,graph_sage_sample,sim_hybrid_rrf,graph_walk_context_pairs,graph_node2vec_context_pairs,graph_embedding_neighbors}
 sbt -batch compile >/dev/null 2>&1
 if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"

@@ -1156,6 +1156,21 @@ object SparkEntry {
           .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
         .orderBy("query", "rank")
     }),
+    // link prediction — the embeddings' canonical downstream consumer:
+    // top-5 NOT-yet-adjacent suppliers per cohort customer by published-
+    // embedding cosine (adjacency anti-joined out before the rank)
+    "graph_link_prediction" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}")
+      Graph.linkPrediction(emb, edges,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
+        .orderBy("query", "rank")
+    }),
     // 5-iteration damped PageRank on the symmetrized trade graph
     // (checkpointed contributions loop — one |E| join + sum per round)
     "graph_pagerank" -> ((s, d) =>
@@ -5413,6 +5428,34 @@ object SparkEntry {
         |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
         |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
         |      FROM n JOIN q ON n.node <> q.query)
+        |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query
+        |                               ORDER BY cosine DESC, node) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query, rank""".stripMargin,
+    // graph_link_prediction: the embedding-neighbors chain restricted to
+    // the supplier side with current adjacency anti-joined out — same
+    // published-table replay, same fold cosine and rank rule
+    "graph_link_prediction" ->
+      """WITH emb AS (SELECT node, vec::DOUBLE[] AS v
+        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_sf0.01/*.parquet')),
+        |n AS (SELECT node, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM emb),
+        |base AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+        |         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
+        |       WHERE o_custkey < 10),
+        |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
+        |      FROM n JOIN qs ON qs.node = n.node),
+        |s AS (SELECT q.query, n.node,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM n JOIN q ON n.node <> q.query
+        |      WHERE n.node LIKE 's:%'
+        |        AND NOT EXISTS (SELECT 1 FROM base b
+        |                        WHERE b.u = q.query AND b.v = n.node))
         |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query
         |                               ORDER BY cosine DESC, node) AS rank

@@ -1555,6 +1555,40 @@ object Graph {
       .select(col("query"), col("rank"), col("node"), col("cosine"))
   }
 
+  /** Link prediction over the published embeddings — the canonical
+    * downstream consumer of node embeddings (predict edges that do not
+    * exist yet; the recommendation primitive DeepWalk/node2vec were
+    * built for): for each query node, the top-k highest-cosine nodes of
+    * the OPPOSITE bipartite side that are NOT already adjacent. The
+    * scoring chain is [[embeddingNeighbors]]' bounded broadcast theta
+    * join; adjacency is removed by a left-anti equi-join on the edge
+    * list BEFORE the rank window, so the k slots go to genuinely new
+    * edges. Candidate side is selected by node-id namespace prefix
+    * (`sidePrefix`), keeping the scored set one side of the graph.
+    */
+  def linkPrediction(
+      emb: DataFrame, edges: DataFrame, queries: DataFrame,
+      k: Int = 5, sidePrefix: String = "s:"): DataFrame = {
+    val n = emb.select(col("node"), col("vec"),
+      VectorOps.l2Norm(col("vec")).as("nrm"))
+    val q = n.join(queries, Seq("node"), "left_semi")
+      .select(col("node").as("query"), col("vec").as("qv"),
+        col("nrm").as("qn"))
+    val scored = n.where(col("node").startsWith(sidePrefix))
+      .join(broadcast(q), col("node") =!= col("query"))
+      .join(edges.select(col("u").as("query"), col("v").as("node")),
+        Seq("query", "node"), "left_anti")
+      .select(col("query"), col("node"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dot(col("qv"), col("vec")),
+          col("qn"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("cosine").desc, col("node"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query"), col("rank"), col("node"), col("cosine"))
+  }
+
   /** [[copurchaseEdgesSupported]] published once per (cacheKey,
     * minSupport) — components / k-core / label-propagation /
     * Adamic–Adar all consume this same thresholded basket graph, and

@@ -841,6 +841,20 @@ class GraphSpec extends AnyFunSuite {
       s"embedding top-5 / common-neighbor top-5 mean overlap too low: $mean")
   }
 
+  test("linkPrediction: adjacency excluded, only the requested side ranked") {
+    import spark.implicits._
+    val emb = Seq(
+      ("c:1", Seq(1.0, 0.0)), ("c:2", Seq(0.95, 0.05)),
+      ("s:1", Seq(1.0, 0.1)), ("s:2", Seq(0.9, 0.2)), ("s:3", Seq(-1.0, 0.0)))
+      .toDF("node", "vec")
+    val edges = Seq(("c:1", "s:1")).toDF("u", "v")
+    val out = Graph.linkPrediction(emb, edges, Seq("c:1").toDF("node"), k = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    // s:1 is adjacent → excluded; c:2 is the wrong side despite the top
+    // cosine; the k slots go to s:2 then s:3
+    assert(out.toList === List((1, "s:2"), (2, "s:3")))
+  }
+
   test("reach: path fixture — hop-bounded min distance, far end excluded") {
     import spark.implicits._
     // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out

@@ -51,6 +51,9 @@ class PlanSpec extends AnyFunSuite {
     // node-embedding serving: the 10-customer query cohort broadcast
     // against the published (node, vec) table — the bruteforce shape
     "graph_embedding_neighbors",
+    // link prediction: the same bounded cohort theta join with the
+    // adjacency anti-join before the rank window
+    "graph_link_prediction",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;

@@ -1291,19 +1291,27 @@ object Curation {
   }
 
   /** The classifier margin z = Σ_j x_j·w_j + bias as ONE map-only column
-    * expression over the token array — no shuffle, no per-doc state
-    * beyond the 64-long count array, so the SAME expression scores a
-    * batch corpus and a streaming micro-batch (the round-13 verdict's
-    * streaming-gate ask). Algebraically and BIT-identically equal to
-    * scoring the explode→groupBy feature frame: the dense count array
-    * folds per token (`transform` over the 64 slots — O(buckets) per
-    * token, the stateless price of shuffle-freedom), x_j is the same
-    * `count·buckets/n_grams` double arithmetic, and the margin is the
-    * same dimension-ORDERED sequential fold, pure IEEE over table-read
-    * weights — an external engine reading the same weights table
-    * reproduces every margin (and the ≥ 0 decision) bit-for-bit.
+    * expression over the token array — the STREAMING spelling: no
+    * shuffle, so it scores a micro-batch as a stateless map stage inside
+    * a pure streaming transform (the round-13 verdict's streaming-gate
+    * ask), where the explode→groupBy feature frame would force a
+    * per-batch aggregation. Per token it computes exactly ONE md5 (the
+    * bucket array); the 64 per-bucket counts are then 64 filter scans
+    * over that small long array. BIT-identical to scoring the feature
+    * frame: x_j is the same `count·buckets/n_grams` double arithmetic
+    * and the margin the same dimension-ORDERED sequential fold, pure
+    * IEEE over table-read weights — an external engine reading the same
+    * weights table reproduces every margin (and the ≥ 0 decision)
+    * bit-for-bit (StreamOpsSpec pins stream == batch across a restart).
     * Callers must filter empty token arrays (no tokens → no bucket mass
     * → the feature-frame spelling drops the document).
+    *
+    * BATCH corpora keep [[qualityClassifierScores]]' explode→groupBy
+    * path: per document this expression is O(buckets·n_tokens) compares
+    * after the md5s, which a first round-14 cut (a 64-slot array COPY
+    * per token) showed dominating the corpus pass at sf0.1 — the
+    * shuffle-parallel feature frame is the right spelling when the
+    * input is the whole corpus rather than a micro-batch.
     */
   def classifierMarginExpr(
       toks: Column,
@@ -1311,24 +1319,27 @@ object Curation {
       buckets: Int = 64,
       salt: String = "dsir"): Column = {
     val wLit = array(w.init.map(lit).toIndexedSeq: _*)
-    val cnts = aggregate(toks, array_repeat(lit(0L), buckets),
-      (acc, tk) => {
-        val b = conv(substring(md5(concat(lit(s"$salt:"), tk)), 1, 13),
-          16, 10).cast("long") % buckets
-        transform(acc, (v, i) => when(i.cast("long") === b, v + 1L).otherwise(v))
-      })
+    val bs = transform(toks, tk =>
+      conv(substring(md5(concat(lit(s"$salt:"), tk)), 1, 13), 16, 10)
+        .cast("long") % buckets)
     val n = size(toks).cast("long")
-    val x = transform(cnts, c => c.cast("double") * buckets / n)
+    val x = transform(sequence(lit(0L), lit(buckets - 1L)),
+      j => size(filter(bs, b => b === j)).cast("long")
+        .cast("double") * buckets / n)
     aggregate(zip_with(x, wLit, (a, b) => a * b),
       lit(0.0), (acc, t) => acc + t) + w.last
   }
 
   /** Map-only classifier scoring against the PUBLISHED weights: each
-    * document's margin via [[classifierMarginExpr]] — one stateless map
-    * stage, no shuffle (the explode→groupBy feature frame remains the
-    * TRAINING input only), value-identical to scoring the feature frame.
-    * The sigmoid lives only inside training; publishing margins instead
-    * of probabilities is what keeps the oracle exact.
+    * document's margin z = Σ_j x_j·w_j + bias as a SEQUENTIAL fold in
+    * dimension order over the explode→groupBy feature frame — pure IEEE
+    * arithmetic over table-read weights, no transcendental in the
+    * scored output, so an external engine reading the same table
+    * reproduces every margin (and the ≥ 0 decision) bit-for-bit; the
+    * sigmoid lives only inside training. The feature-frame spelling is
+    * deliberate for batch corpora (shuffle-parallel, one md5 per token,
+    * no per-doc bucket-grid scan); [[classifierMarginExpr]] is the
+    * value-identical stateless spelling streaming micro-batches use.
     */
   def qualityClassifierScores(
       docs: DataFrame,
@@ -1337,13 +1348,12 @@ object Curation {
       buckets: Int = 64,
       targetLang: String = "en"): DataFrame = {
     val w = publishedClassifierWeights(docs, baseDir, slug, buckets, targetLang)
-    val toks = TextAnalysis.tokens(col("text"))
-    docs
-      .select(col("doc_id"),
-        (TextAnalysis.langPredOf(toks) === targetLang).cast("int").as("label"),
-        size(toks).cast("long").as("n_grams"),
-        classifierMarginExpr(toks, w, buckets).as("z"))
-      .where(col("n_grams") > 0)
+    val wLit = array(w.init.map(lit).toIndexedSeq: _*)
+    classifierFeatures(docs, buckets, targetLang, "dsir")
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        col("n_grams"),
+        (aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t) + w.last).as("z"))
       .select(col("doc_id"), col("label"), col("n_grams"),
         graft.functions.OracleRound.roundN(col("z"), 6).as("margin"),
         (col("z") >= 0.0).as("predicted"))

@@ -32,6 +32,21 @@ if missing or extra:
     print(f"[round_close] COVERAGE GATE FAILED: missing={missing} extra={extra}")
     sys.exit(1)
 errs = bench.get("errors", {})
+# walk-family budget gate (round-14: the compute-once corpus publish took
+# the family from 39.9 s to ~3 s; this asserts the drop never silently
+# regresses — a consumer that re-grows the walk generation shows up here,
+# probe-normalized so a slow box can't fake a failure). 6x probe ≈ 3x the
+# round-14 recording's headroom; the round-13 regeneration shape was ~25x.
+walk = ["graph_random_walks", "graph_walk_context_pairs",
+        "graph_node2vec_walks", "graph_node2vec_context_pairs"]
+probe = bench.get("probe", {}).get("median")
+if probe:
+    fam = sum(bench["queries"].get(q, 0.0) for q in walk)
+    if fam > 6 * probe:
+        print(f"[round_close] WALK-FAMILY GATE FAILED: {fam:.1f}s > 6x probe "
+              f"({probe:.2f}s) — a consumer is regenerating the walk corpus")
+        sys.exit(1)
+    print(f"[round_close] walk-family gate OK: {fam:.1f}s <= 6x probe ({probe:.2f}s)")
 print(f"[round_close] gate OK: {len(covered)} queries covered, "
       f"{len(errs)} errors{': ' + str(errs) if errs else ''}, "
       f"total {bench.get('value')}s, probe {bench.get('probe', {}).get('median')}s")

@@ -1171,6 +1171,26 @@ object SparkEntry {
           .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
         .orderBy("query", "rank")
     }),
+    // embedding promotion-gate report: per bipartite side-pair, counts
+    // and 4 dp mean cosine/norm over ONE deterministic hash-drawn
+    // partner per node — the classifier-eval discipline applied to the
+    // published embedding table before a version serves
+    "graph_embedding_eval" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.embeddingEval(Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}"))
+    }),
+    // walk-corpus QA: per step, surviving walks and distinct-node
+    // coverage — a read + two partial aggregates over the published
+    // corpus (a shrinking walk count would mean a broken generator)
+    "graph_walk_corpus_stats" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.walkCorpusStats(Graph.sharedWalkCorpus(edges, cacheKey = d))
+    }),
     // 5-iteration damped PageRank on the symmetrized trade graph
     // (checkpointed contributions loop — one |E| join + sum per round)
     "graph_pagerank" -> ((s, d) =>
@@ -5462,6 +5482,55 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query, rank""".stripMargin,
+    // graph_embedding_eval: the same hash-drawn one-partner-per-node
+    // sample replayed from the published table — per-pair cosine/norm
+    // rounded 6 dp, side-pair means 4 dp (the float-summary discipline
+    // sim_silhouette proved out)
+    "graph_embedding_eval" -> {
+      def hex(expr: String) = duckHexFold(expr)
+      def r6(e: String) = graft.functions.OracleRound.duck(e, 6)
+      def r4(e: String) = graft.functions.OracleRound.duck(e, 4)
+      s"""WITH emb AS (SELECT node, vec::DOUBLE[] AS v
+        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_sf0.01/*.parquet')),
+        |n AS (SELECT node, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM emb),
+        |vocab AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+        |          FROM emb),
+        |nv AS (SELECT count(*) AS c FROM vocab),
+        |drawn AS (SELECT a.node, a.v AS av, a.nrm AS anrm,
+        |                 ${hex("'embeval:' || a.node")} % (SELECT c FROM nv) AS pidx
+        |          FROM n a),
+        |p AS (SELECT d.node, d.av, d.anrm, vb.node AS partner
+        |      FROM drawn d JOIN vocab vb ON vb.idx = d.pidx
+        |      WHERE vb.node <> d.node),
+        |s AS (SELECT substr(p.node, 1, 1) || substr(p.partner, 1, 1) AS side_pair,
+        |             ${r6("""list_reduce([p.av[i] * b.v[i] for i in range(1, 1 + len(p.av))],
+        |                          (x, y) -> x + y) / (p.anrm * b.nrm)""")} AS cos,
+        |             ${r6("p.anrm")} AS rnrm
+        |      FROM p JOIN n b ON b.node = p.partner)
+        |SELECT side_pair, count(*) AS n_pairs,
+        |       ${r4("avg(cos)")} AS mean_cos,
+        |       ${r4("avg(rnrm)")} AS mean_norm
+        |FROM s GROUP BY side_pair
+        |ORDER BY side_pair""".stripMargin
+    },
+    // graph_walk_corpus_stats: the walk CTE chain re-derived (the
+    // published table IS the live walk set), per-step survivor and
+    // coverage counts
+    "graph_walk_corpus_stats" -> {
+      s"""WITH $walkTreeCtes,
+         |walks AS (
+         |  SELECT * FROM w0
+         |  UNION ALL SELECT * FROM w1
+         |  UNION ALL SELECT * FROM w2
+         |  UNION ALL SELECT * FROM w3
+         |  UNION ALL SELECT * FROM w4)
+         |SELECT CAST(step AS INTEGER) AS step, count(*) AS n_walks,
+         |       count(DISTINCT node) AS n_nodes
+         |FROM walks GROUP BY step
+         |ORDER BY step""".stripMargin
+    },
     // PageRank: the oracle unrolls the SAME fixed 5 damped iterations the
     // Spark loop runs; 6 dp rounding absorbs cross-engine sum-order float
     // noise (~1e-15 relative — the iteration is a contraction)

@@ -1589,6 +1589,62 @@ object Graph {
       .select(col("query"), col("rank"), col("node"), col("cosine"))
   }
 
+  /** Promotion-gate QA report for a published embedding table — the
+    * [[Curation.qualityClassifierEval]] discipline applied to
+    * embeddings: before an embedding version serves, a pipeline wants
+    * one bounded report saying the geometry is sane. Per node ONE
+    * deterministic hash-drawn partner (H(salt:node) mod |V| against the
+    * exact-global-rank vocabulary index — the SGNS negative-draw rule),
+    * cosines and norms rounded 6 dp per pair, then per side-pair
+    * (cc/cs/sc/ss — the bipartite namespaces) counts and 4 dp means.
+    * Scale shape: two node-sized equi-joins on the vocabulary index +
+    * one partial aggregate — never pairs², and the report is ≤ 4 rows.
+    */
+  def embeddingEval(emb: DataFrame, salt: String = "embeval"): DataFrame = {
+    val n = emb.select(col("node"), col("vec"),
+      VectorOps.l2Norm(col("vec")).as("nrm"))
+    val vocab = OpCache.materialize(
+      GlobalOrder.withGlobalRank(
+        n.select(col("node")), Seq(col("node")), "rk")
+        .select(col("node"), (col("rk") - 1).as("idx")))
+    val nV = vocab.count() // bounded driver pull: one long (|V| for the mod)
+    val scored = n
+      .withColumn("pidx",
+        h52(concat(lit(s"$salt:"), col("node"))) % nV)
+      .join(vocab.select(col("node").as("partner"), col("idx").as("pidx")),
+        "pidx")
+      .where(col("node") =!= col("partner"))
+      .join(n.select(col("node").as("partner"), col("vec").as("pv"),
+        col("nrm").as("pn")), "partner")
+      .select(
+        concat(substring(col("node"), 1, 1),
+          substring(col("partner"), 1, 1)).as("side_pair"),
+        OracleRound.roundN(
+          VectorOps.cosineWithNorms(
+            VectorOps.dot(col("vec"), col("pv")),
+            col("nrm"), col("pn")), 6).as("cos"),
+        OracleRound.roundN(col("nrm"), 6).as("rnrm"))
+    scored.groupBy(col("side_pair"))
+      .agg(count(lit(1)).as("n_pairs"),
+        OracleRound.round4(avg(col("cos"))).as("mean_cos"),
+        OracleRound.round4(avg(col("rnrm"))).as("mean_norm"))
+      .orderBy("side_pair")
+  }
+
+  /** Per-step QA stats of a walk corpus — (step, n_walks, n_nodes):
+    * how many walks survive each step (symmetrized corpora never
+    * dead-end, so a shrinking count means a broken generator) and how
+    * many distinct nodes the step visits (coverage). Two partial-agg
+    * shuffles ((step, node) then step — no count-distinct Expand);
+    * over a PUBLISHED corpus this is a read + two aggregates.
+    */
+  def walkCorpusStats(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("step"), col("node"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("step"))
+      .agg(sum(col("c")).as("n_walks"), count(lit(1)).as("n_nodes"))
+      .orderBy("step")
+
   /** [[copurchaseEdgesSupported]] published once per (cacheKey,
     * minSupport) — components / k-core / label-propagation /
     * Adamic–Adar all consume this same thresholded basket graph, and

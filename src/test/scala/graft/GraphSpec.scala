@@ -855,6 +855,34 @@ class GraphSpec extends AnyFunSuite {
     assert(out.toList === List((1, "s:2"), (2, "s:3")))
   }
 
+  test("walkCorpusStats and embeddingEval: fixture invariants") {
+    import spark.implicits._
+    // corpus: 2 walks × positions 0..3; step 2 revisits a shared node
+    val walks = Seq(
+      ("a", 0, "a"), ("a", 1, "b"), ("a", 2, "c"), ("a", 3, "b"),
+      ("d", 0, "d"), ("d", 1, "c"), ("d", 2, "c"), ("d", 3, "e"))
+      .toDF("walk_id", "step", "node")
+    val stats = Graph.walkCorpusStats(walks).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(stats === List((0, 2L, 2L), (1, 2L, 2L), (2, 2L, 1L), (3, 2L, 2L)))
+    // eval: 2 customers + 2 suppliers, unit-ish vectors; report groups by
+    // side pair, every node draws exactly one non-self partner
+    val emb = Seq(
+      ("c:1", Seq(1.0, 0.0)), ("c:2", Seq(0.0, 1.0)),
+      ("s:1", Seq(1.0, 1.0)), ("s:2", Seq(-1.0, 0.0)))
+      .toDF("node", "vec")
+    val eval = Graph.embeddingEval(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(eval.map(_._2).sum <= 4L, "at most one pair per node")
+    assert(eval.map(_._2).sum >= 1L, "fixture must draw pairs")
+    assert(eval.map(_._1).distinct.length === eval.length, "grouped by side pair")
+    eval.foreach { case (sp, n, cos, nrm) =>
+      assert(Set("cc", "cs", "sc", "ss")(sp))
+      assert(n > 0 && !cos.isNaN && nrm > 0.0)
+      assert(cos >= -1.0000001 && cos <= 1.0000001)
+    }
+  }
+
   test("reach: path fixture — hop-bounded min distance, far end excluded") {
     import spark.implicits._
     // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out

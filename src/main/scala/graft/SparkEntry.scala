@@ -1171,6 +1171,23 @@ object SparkEntry {
           .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
         .orderBy("query", "rank")
     }),
+    // the node2vec-trained sibling: the SAME corpus-agnostic SGNS
+    // trainer pointed at the published second-order corpus (its own
+    // published table — p/q bias changes the mined pairs, so the
+    // geometry differs), served identically — the biased walk corpus
+    // trains something too, not just the uniform one
+    "graph_embedding_neighbors_n2v" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedNode2vecCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_n2v_${d.split('/').last}")
+      Graph.embeddingNeighbors(emb,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
+        .orderBy("query", "rank")
+    }),
     // embedding promotion-gate report: per bipartite side-pair, counts
     // and 4 dp mean cosine/norm over ONE deterministic hash-drawn
     // partner per node — the classifier-eval discipline applied to the
@@ -5476,6 +5493,28 @@ object SparkEntry {
         |      WHERE n.node LIKE 's:%'
         |        AND NOT EXISTS (SELECT 1 FROM base b
         |                        WHERE b.u = q.query AND b.v = n.node))
+        |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query
+        |                               ORDER BY cosine DESC, node) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query, rank""".stripMargin,
+    // graph_embedding_neighbors_n2v: serving replayed from the
+    // node2vec-trained published table — same chain, different slug
+    "graph_embedding_neighbors_n2v" ->
+      """WITH emb AS (SELECT node, vec::DOUBLE[] AS v
+        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_n2v_sf0.01/*.parquet')),
+        |n AS (SELECT node, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM emb),
+        |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
+        |       WHERE o_custkey < 10),
+        |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
+        |      FROM n JOIN qs ON qs.node = n.node),
+        |s AS (SELECT q.query, n.node,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM n JOIN q ON n.node <> q.query)
         |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query
         |                               ORDER BY cosine DESC, node) AS rank

@@ -883,6 +883,28 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("published node embeddings: train once, second consumer reads the same table") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-emb-wh").toString
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val edges = Graph.tradeEdges(o, li)
+    val corpus = Graph.randomWalks(
+      edges, edges.select(col("u").as("walk_id")).distinct())
+    // small iters: the compute-once CONTRACT is under test, not quality
+    val e1 = Graph.publishedNodeEmbeddings(corpus, wh, "emb_spec", iters = 2)
+    val e2 = Graph.publishedNodeEmbeddings(corpus, wh, "emb_spec", iters = 2)
+    assert(e1.inputFiles.nonEmpty &&
+      e1.inputFiles.toSet == e2.inputFiles.toSet,
+      "second consumer must READ the published table, not retrain")
+    // stale input rebuilds under the same path (fixed-path semantics)
+    val corpus2 = Graph.randomWalks(
+      edges, edges.select(col("u").as("walk_id")).distinct(), salt = "rw2")
+    val e3 = Graph.publishedNodeEmbeddings(corpus2, wh, "emb_spec", iters = 2)
+    assert(e3.inputFiles.toSet != e1.inputFiles.toSet,
+      "changed corpus must rebuild, not silently reuse")
+  }
+
   test("reach: path fixture — hop-bounded min distance, far end excluded") {
     import spark.implicits._
     // path a—b—c—d—e from {a} with maxHops 3: e is 4 hops out

@@ -50,7 +50,7 @@ class PlanSpec extends AnyFunSuite {
     "multimodal_phash_search", "multimodal_audio_search",
     // node-embedding serving: the 10-customer query cohort broadcast
     // against the published (node, vec) table — the bruteforce shape
-    "graph_embedding_neighbors",
+    "graph_embedding_neighbors", "graph_embedding_neighbors_n2v",
     // link prediction: the same bounded cohort theta join with the
     // adjacency anti-join before the rank window
     "graph_link_prediction",

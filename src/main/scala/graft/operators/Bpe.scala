@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Partitioning, PublishGuard}
+import graft.engine.{OpCache, Partitioning, PublishGuard}
 import graft.functions.OracleRound
 
 /** Byte-pair-encoding tokenizer TRAINING and SERVING — the missing half
@@ -69,11 +69,18 @@ object Bpe {
     * deterministic in any engine.
     */
   def trainMerges(docs: DataFrame, numMerges: Int): Seq[Merge] = {
-    var words = corpusWords(docs)
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .where(col("freq") >= MinFreq)
-      .select(col("freq"), initialSyms(col("word")).as("ws"))
-      .localCheckpoint() // corpus lineage ends here; the loop is vocab-only
+    // checkpointWithHandle, NOT bare localCheckpoint + Dataset.unpersist:
+    // unpersist() only clears CacheManager entries, while localCheckpoint
+    // persists an INTERNAL RDD the Dataset API offers no release for —
+    // the bare form leaked one vocab-sized RDD per merge round on every
+    // cold training (caught by CacheSpec the first time a fresh
+    // environment trained the published table inside the suite)
+    var (words, freeWords) = OpCache.checkpointWithHandle(
+      corpusWords(docs)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= MinFreq)
+        .select(col("freq"), initialSyms(col("word")).as("ws")))
+    // corpus lineage ends at the checkpoint; the loop is vocab-only
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       for (r <- 1 to numMerges) {
@@ -94,14 +101,14 @@ object Bpe {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += Merge(r, a, b, cnt)
-        val next = words
-          .withColumn("ws", applyMerge(col("ws"), a, b))
-          .localCheckpoint() // keep the k-round lineage flat
-        words.unpersist(blocking = false)
+        val (next, freeNext) = OpCache.checkpointWithHandle(
+          words.withColumn("ws", applyMerge(col("ws"), a, b)))
+        freeWords() // keep the k-round lineage flat, blocks freed per round
         words = next
+        freeWords = freeNext
       }
       out.toSeq
-    } finally words.unpersist(blocking = false)
+    } finally freeWords()
   }
 
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[

@@ -1188,6 +1188,25 @@ object SparkEntry {
           .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
         .orderBy("query", "rank")
     }),
+    // the IVF-pruned serving path over the SAME published embedding
+    // table: centroids published once (node_emb_ivf slug), assignment +
+    // nprobe probe lists + exact rerank of probed buckets only — with
+    // the in_exact honesty column (IVF hit ∈ exact top-5) hash-checked
+    // by the oracle replaying BOTH chains from the published tables
+    "graph_embedding_neighbors_ivf" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}")
+      Graph.embeddingNeighborsIvf(emb,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct(),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_ivf_${d.split('/').last}")
+        .orderBy("query", "rank")
+    }),
     // embedding promotion-gate report: per bipartite side-pair, counts
     // and 4 dp mean cosine/norm over ONE deterministic hash-drawn
     // partner per node — the classifier-eval discipline applied to the
@@ -1432,9 +1451,23 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omit for non-SQL-expressible ops. The
+    * driver-facing constant form pins the driver's correctness sf;
+    * [[oracleSqlFor]] is the dir-derived source of truth.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** [[oracleSql]] with every published-table `read_parquet` path DERIVED
+    * from the data directory — the same `d.split('/').last` slug rule the
+    * `queries` lambdas use (round-14 verdict item 5: the oracle paths were
+    * sf0.01 string literals while the Spark side derived its publish slugs
+    * from the data dir, so a correctness run at any other sf would read a
+    * stale or missing table). `Verify` dumps THIS map at the driver's
+    * actual sfDir; OracleParamSpec asserts no literal sf survives.
+    */
+  def oracleSqlFor(d: String): Map[String, String] = {
+    val sf = d.split('/').last
+    Map(
     "ref_q1_filter" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
@@ -3362,7 +3395,7 @@ object SparkEntry {
     // per-vector s rounded 6 dp BEFORE the per-cluster summary
     "sim_silhouette" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3397,8 +3430,8 @@ object SparkEntry {
     // chain side by side, hits = the per-query intersection count,
     // recall = one IEEE division
     "sim_recall_eval" ->
-      """WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS MATERIALIZED (
         |  SELECT vec_id, v,
@@ -3505,7 +3538,7 @@ object SparkEntry {
     // 6 dp BEFORE the per-cluster rank cut
     "sim_cluster_terms" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3805,9 +3838,9 @@ object SparkEntry {
     // cosine pairs at 0.45 and the recursive-CTE component collapse
     // (rep = min vec_id) — SemDeDup replayed end to end
     "sim_semantic_prune" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |c AS (SELECT list_id, centroid
-        |      FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+        |      FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3855,8 +3888,8 @@ object SparkEntry {
     // smoothed shares, cluster-sorted fold with prepended 0.0 ≡ the
     // Spark aggregate's zero init, 4 dp)
     "sim_centroid_drift" ->
-      """WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3904,8 +3937,8 @@ object SparkEntry {
     // (ties → larger list_id, mirroring array_max's struct compare),
     // top-nprobe probe lists, exact-cosine rerank.
     "sim_ivf_topk" ->
-      """WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3947,8 +3980,8 @@ object SparkEntry {
     // swapped to the held-out id subset the Spark side passes as an
     // external query table — the artifact and all serving math unchanged
     "sim_ivf_external_topk" ->
-      """WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3994,10 +4027,10 @@ object SparkEntry {
     // order (list(... ORDER BY s) = Spark's reduce over s), approx
     // shortlist of 50, exact-cosine rerank.
     "sim_pq_topk" ->
-      """WITH b AS (SELECT s, j, centroid,
+      s"""WITH b AS (SELECT s, j, centroid,
         |                  list_reduce([x * x for x in centroid],
         |                              (x, y) -> x + y) / 2 AS bias
-        |           FROM read_parquet('/tmp/graft_warehouse/pq_codebooks_sf0.01/*.parquet')),
+        |           FROM read_parquet('/tmp/graft_warehouse/pq_codebooks_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -4045,12 +4078,12 @@ object SparkEntry {
     // scan; candidates = probed clusters only, then ADC shortlist and
     // exact rerank exactly as sim_pq_topk.
     "sim_ivfpq_topk" ->
-      """WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivfpq_sf0.01_centroids/*.parquet')),
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivfpq_${sf}_centroids/*.parquet')),
         |b AS (SELECT s, j, centroid,
         |             list_reduce([x * x for x in centroid],
         |                         (x, y) -> x + y) / 2 AS bias
-        |      FROM read_parquet('/tmp/graft_warehouse/ivfpq_sf0.01_codebooks/*.parquet')),
+        |      FROM read_parquet('/tmp/graft_warehouse/ivfpq_${sf}_codebooks/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -5104,7 +5137,7 @@ object SparkEntry {
       }.mkString(",\n")
       val sumsq = (1 to 16).map(k => f"p$k%02d * p$k%02d").mkString(" + ")
       s"""WITH p AS (SELECT component, mean, rot
-         |           FROM read_parquet('/tmp/graft_warehouse/pca_sf0.01/*.parquet')),
+         |           FROM read_parquet('/tmp/graft_warehouse/pca_${sf}/*.parquet')),
          |pl AS (SELECT list(mean ORDER BY component) AS m,
          |              list(rot ORDER BY component) AS rm FROM p),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5127,11 +5160,11 @@ object SparkEntry {
         s"floor(p$kk * sl.s[$k] * 1000000 + 0.5) / 1000000 AS w$kk"
       }.mkString(",\n       ")
       s"""WITH p AS (SELECT component, mean, rot
-         |           FROM read_parquet('/tmp/graft_warehouse/pca_sf0.01/*.parquet')),
+         |           FROM read_parquet('/tmp/graft_warehouse/pca_${sf}/*.parquet')),
          |pl AS (SELECT list(mean ORDER BY component) AS m,
          |              list(rot ORDER BY component) AS rm FROM p),
          |sc AS (SELECT component, scale
-         |       FROM read_parquet('/tmp/graft_warehouse/whiten_sf0.01/*.parquet')),
+         |       FROM read_parquet('/tmp/graft_warehouse/whiten_${sf}/*.parquet')),
          |sl AS (SELECT list(scale ORDER BY component) AS s FROM sc),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |y AS (SELECT vec_id,
@@ -5148,7 +5181,7 @@ object SparkEntry {
     // ×64-scaled unigram-bucket terms folded in dimension order (pure
     // IEEE arithmetic, no transcendental), prepended-0.0 init ≡ the
     // Spark fold's zero init
-    "pipeline_quality_classifier" -> (clfScoreCtes +
+    "pipeline_quality_classifier" -> (clfScoreCtes(sf) +
       """
         |SELECT sc.doc_id, lp.label, sc.n_grams,
         |       floor(sc.z * 1000000 + 0.5) / 1000000 AS margin,
@@ -5158,7 +5191,7 @@ object SparkEntry {
     // calibration: margin deciles via ntile over (margin, doc_id) —
     // DuckDB's ntile and GlobalOrder.withNtile share the closed-form
     // bucket arithmetic (the text_nll_buckets precedent)
-    "pipeline_classifier_calibration" -> (clfScoreCtes +
+    "pipeline_classifier_calibration" -> (clfScoreCtes(sf) +
       """,
         |sb AS (SELECT sc.doc_id, lp.label,
         |              floor(sc.z * 1000000 + 0.5) / 1000000 AS margin
@@ -5175,7 +5208,7 @@ object SparkEntry {
         |GROUP BY bin
         |ORDER BY bin""".stripMargin),
     // classifier eval: confusion counts + accuracy over the same chain
-    "pipeline_classifier_eval" -> (clfScoreCtes +
+    "pipeline_classifier_eval" -> (clfScoreCtes(sf) +
       """
         |SELECT n_docs, tp, fp, tn, fn,
         |       floor((CAST(tp + tn AS DOUBLE) / n_docs) * 10000 + 0.5)
@@ -5452,8 +5485,8 @@ object SparkEntry {
     // re-trains; it reads the same parquet the Spark side serves from
     // and reproduces every fold cosine bit-for-bit
     "graph_embedding_neighbors" ->
-      """WITH emb AS (SELECT node, vec::DOUBLE[] AS v
-        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_sf0.01/*.parquet')),
+      s"""WITH emb AS (SELECT node, vec::DOUBLE[] AS v
+        |             FROM read_parquet('${Graph.nodeEmbeddingPath("/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
         |n AS (SELECT node, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
         |      FROM emb),
@@ -5475,8 +5508,8 @@ object SparkEntry {
     // the supplier side with current adjacency anti-joined out — same
     // published-table replay, same fold cosine and rank rule
     "graph_link_prediction" ->
-      """WITH emb AS (SELECT node, vec::DOUBLE[] AS v
-        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_sf0.01/*.parquet')),
+      s"""WITH emb AS (SELECT node, vec::DOUBLE[] AS v
+        |             FROM read_parquet('${Graph.nodeEmbeddingPath("/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
         |n AS (SELECT node, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
         |      FROM emb),
@@ -5502,8 +5535,8 @@ object SparkEntry {
     // graph_embedding_neighbors_n2v: serving replayed from the
     // node2vec-trained published table — same chain, different slug
     "graph_embedding_neighbors_n2v" ->
-      """WITH emb AS (SELECT node, vec::DOUBLE[] AS v
-        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_n2v_sf0.01/*.parquet')),
+      s"""WITH emb AS (SELECT node, vec::DOUBLE[] AS v
+        |             FROM read_parquet('${Graph.nodeEmbeddingPath("/tmp/graft_warehouse", "node_emb_n2v_" + sf)}/*.parquet')),
         |n AS (SELECT node, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
         |      FROM emb),
@@ -5521,6 +5554,71 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query, rank""".stripMargin,
+    // graph_embedding_neighbors_ivf: BOTH published tables replayed —
+    // nearest-centroid assignment and nprobe probe lists off the
+    // published (list_id, centroid) table, exact-cosine rerank of the
+    // probed buckets only, and the exact full-scan top-5 re-derived for
+    // the in_exact honesty bit (the sim_recall_eval chain shape)
+    "graph_embedding_neighbors_ivf" ->
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/node_emb_ivf_${sf}/*.parquet')),
+        |emb AS (SELECT node, vec::DOUBLE[] AS v
+        |        FROM read_parquet('${Graph.nodeEmbeddingPath(
+                  "/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
+        |n AS MATERIALIZED (
+        |  SELECT node, v,
+        |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |  FROM emb),
+        |nn AS (SELECT node, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |d AS MATERIALIZED (
+        |  SELECT nn.node, c.list_id,
+        |         list_reduce([nn.nv[i] * c.centroid[i]
+        |                      for i in range(1, 1 + len(nn.nv))],
+        |                     (x, y) -> x + y) AS dt
+        |  FROM nn CROSS JOIN c),
+        |a AS (SELECT node, list_id AS cluster FROM (
+        |        SELECT node, list_id,
+        |               row_number() OVER (PARTITION BY node
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
+        |       WHERE o_custkey < 10),
+        |p AS (SELECT query, list_id FROM (
+        |        SELECT d.node AS query, d.list_id,
+        |               row_number() OVER (PARTITION BY d.node
+        |                                  ORDER BY d.dt DESC, d.list_id DESC) AS rn
+        |        FROM d JOIN qs ON qs.node = d.node)
+        |      WHERE rn <= 4),
+        |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
+        |      FROM n JOIN qs ON qs.node = n.node),
+        |cand AS (SELECT p.query, a.node
+        |         FROM a JOIN p ON a.cluster = p.list_id
+        |         WHERE a.node <> p.query),
+        |s AS (SELECT cand.query, cand.node,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM cand JOIN n ON n.node = cand.node
+        |      JOIN q ON q.query = cand.query),
+        |ivf AS (SELECT query, rank, node, cosine FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY query
+        |                                       ORDER BY cosine DESC, node) AS rank
+        |          FROM s)
+        |        WHERE rank <= 5),
+        |exs AS (SELECT q.query, n.node,
+        |              list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                          (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |       FROM n JOIN q ON n.node <> q.query),
+        |ex AS (SELECT query, node FROM (
+        |         SELECT query, node,
+        |                row_number() OVER (PARTITION BY query
+        |                                   ORDER BY cosine DESC, node) AS rank
+        |         FROM exs)
+        |       WHERE rank <= 5)
+        |SELECT ivf.query, CAST(ivf.rank AS INTEGER) AS rank, ivf.node,
+        |       ivf.cosine, ex.node IS NOT NULL AS in_exact
+        |FROM ivf LEFT JOIN ex ON ex.query = ivf.query AND ex.node = ivf.node
+        |ORDER BY ivf.query, rank""".stripMargin,
     // graph_embedding_eval: the same hash-drawn one-partner-per-node
     // sample replayed from the published table — per-pair cosine/norm
     // rounded 6 dp, side-pair means 4 dp (the float-summary discipline
@@ -5530,7 +5628,7 @@ object SparkEntry {
       def r6(e: String) = graft.functions.OracleRound.duck(e, 6)
       def r4(e: String) = graft.functions.OracleRound.duck(e, 4)
       s"""WITH emb AS (SELECT node, vec::DOUBLE[] AS v
-        |             FROM read_parquet('/tmp/graft_warehouse/node_emb_sf0.01/*.parquet')),
+        |             FROM read_parquet('${Graph.nodeEmbeddingPath("/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
         |n AS (SELECT node, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
         |      FROM emb),
@@ -6323,7 +6421,7 @@ object SparkEntry {
           s"(SELECT '|' || merged || '|' FROM m WHERE rank = $r))"
       }
       s"""WITH m AS (SELECT rank, lhs, rhs, merged
-         |           FROM read_parquet('/tmp/graft_warehouse/bpe_sf0.01/*.parquet')),
+         |           FROM read_parquet('/tmp/graft_warehouse/bpe_${sf}/*.parquet')),
          |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
          |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
@@ -6344,7 +6442,7 @@ object SparkEntry {
           s"(SELECT '|' || merged || '|' FROM m WHERE rank = $r))"
       }
       s"""WITH m AS (SELECT rank, lhs, rhs, merged
-         |           FROM read_parquet('/tmp/graft_warehouse/bpe_sf0.01/*.parquet')),
+         |           FROM read_parquet('/tmp/graft_warehouse/bpe_${sf}/*.parquet')),
          |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
          |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
@@ -6359,8 +6457,8 @@ object SparkEntry {
     // centroids, same fold, same DESC/DESC tie-break), then the same
     // fixed-width string key + (key, vec_id) rank order per cluster
     "pipeline_diverse_sample" ->
-      """WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_sf0.01/*.parquet')),
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -6781,7 +6879,8 @@ object SparkEntry {
         |       cusum_up > 4 * s_tot AS up_alarm,
         |       cusum_dn > 4 * s_tot AS dn_alarm
         |FROM c ORDER BY priority, day""".stripMargin,
-  )
+    )
+  }
 
   /** Exact word-shingle jaccard pairs (threshold 0.5) — the oracle for
     * BOTH dedup_ngram_jaccard (computes exactly this) and
@@ -7107,7 +7206,7 @@ object SparkEntry {
     * language-ID reference labels, and the per-doc margin fold (`sc`) —
     * the DuckDB mirror of `Curation.qualityClassifierScores`.
     */
-  private def clfScoreCtes: String = {
+  private def clfScoreCtes(sf: String): String = {
     val langs = TextAnalysis.langMarkers.map(_._1)
     val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
       val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -7125,7 +7224,7 @@ object SparkEntry {
        |       CASE WHEN best > 0 AND s_en = best THEN 1 ELSE 0 END AS label
        |FROM (SELECT *, $bestExpr AS best FROM ls)),
        |wt AS (SELECT pos, w
-       |       FROM read_parquet('/tmp/graft_warehouse/clf_weights_sf0.01/*.parquet')),
+       |       FROM read_parquet('/tmp/graft_warehouse/clf_weights_${sf}/*.parquet')),
        |tk AS (SELECT doc_id, unnest(toks) AS tk FROM t),
        |bc AS MATERIALIZED (
        |  SELECT doc_id,

@@ -230,8 +230,15 @@ object PublishGuard {
     }
     if (!fs.exists(outPath)) publish()
     else if (readSidecar(fs, outPath) != Some(fp)) {
-      fs.delete(outPath, true)
-      publish()
+      // stale rebuild: the replacement is FULLY materialized in staging
+      // before the live table is touched, so a concurrent reader's
+      // missing-table window shrinks from the whole recompute to the
+      // delete→rename metadata pair (round-14 advice; the fresh-publish
+      // path was always atomic, only this rebuild path deleted first)
+      replaceAtomic(spark, path) { staging =>
+        compute().write.mode("overwrite").parquet(staging)
+        writeSidecar(fs, new Path(staging), fp)
+      }
     }
     verifySidecar(fs, outPath, fp, what)
     spark.read.parquet(path)
@@ -262,6 +269,51 @@ object PublishGuard {
         if (!won) {
           // rename "succeeded" but merged us under the winner: remove the
           // leaked nested staging copy so the published table stays clean
+          val leaked = new Path(outPath, staging.getName)
+          if (fs.exists(leaked)) fs.delete(leaked, true)
+        }
+      }
+      won
+    } finally {
+      if (!won) fs.delete(staging, true)
+    }
+  }
+
+  /** [[publishAtomic]] for REPLACING a live table: the new version is
+    * written fully into staging first, then the live directory is deleted
+    * immediately before the rename — the reader-visible missing-table
+    * window is two metadata operations, not the recompute. Racing
+    * replacers resolve like racing publishers: the first rename wins
+    * (verified by token, exactly as publishAtomic), losers delete their
+    * staging dir and read the winner's table.
+    */
+  def replaceAtomic(spark: SparkSession, out: String)(
+      write: String => Unit): Boolean = {
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(outPath.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    val staging = new Path(outPath.getParent,
+      s".${outPath.getName}.staging-${token.take(8)}")
+    var won = false
+    try {
+      write(staging.toString)
+      val m = fs.create(new Path(staging, MarkerFile), true)
+      try m.write(token.getBytes("UTF-8")) finally m.close()
+      // the swap: delete-then-rename, both metadata ops — a concurrent
+      // replacer may slip its rename between ours, in which case our
+      // rename merges-under or fails and we lose (token check below)
+      fs.delete(outPath, true)
+      if (fs.rename(staging, outPath)) {
+        val published = new Path(outPath, MarkerFile)
+        won = fs.exists(published) && {
+          val in = fs.open(published)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt == token
+        }
+        if (!won) {
           val leaked = new Path(outPath, staging.getName)
           if (fs.exists(leaked)) fs.delete(leaked, true)
         }

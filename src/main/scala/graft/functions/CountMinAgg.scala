@@ -122,7 +122,8 @@ object CountMinAgg {
     * which at depth 3 over a multi-million-term stream dominated the
     * whole aggregation (the round-13 `sql_graft_sketches` drift: ~3.5×
     * the per-row cost of the scan under it); CountMinSpec pins this fold
-    * against the hex-string reference derivation.
+    * against the hex-string reference derivation (PropertySpec /
+    * OperatorsSpec additionally pin the column-expression spelling).
     */
   private[functions] def bucketOfBytes(
       d: Int, keyBytes: Array[Byte], width: Int): Int = {

@@ -1318,6 +1318,12 @@ object Curation {
       w: Array[Double],
       buckets: Int = 64,
       salt: String = "dsir"): Column = {
+    // a weights/buckets mismatch would make zip_with null-pad the feature
+    // product and every margin NULL — streaming gates then silently drop
+    // every document instead of failing loudly (round-14 advice)
+    require(w.length == buckets + 1,
+      s"classifier weights must be buckets+1 long (buckets per-feature " +
+        s"weights + bias): got ${w.length} weights for buckets=$buckets")
     val wLit = array(w.init.map(lit).toIndexedSeq: _*)
     val bs = transform(toks, tk =>
       conv(substring(md5(concat(lit(s"$salt:"), tk)), 1, 13), 16, 10)

@@ -824,7 +824,7 @@ object Similarity {
   /** argmax-dot cluster assignment against centroid literals (array_max
     * over (dot, idx) structs — compares by dot, ties by idx).
     */
-  private def assignCluster(nv: Column, cents: Array[Array[Double]]): Column =
+  private[operators] def assignCluster(nv: Column, cents: Array[Array[Double]]): Column =
     array_max(array(cents.zipWithIndex.map { case (c, i) =>
       struct(VectorOps.dot(nv, array(c.map(lit): _*)).as("d"), lit(i).as("i"))
     }: _*)).getField("i")
@@ -1121,9 +1121,15 @@ object Similarity {
       }
       if (!fs.exists(outPath)) publish()
       else if (PublishGuard.readSidecar(fs, outPath) != Some(fp)) {
-        // out-of-date (or sidecar-less pre-refactor) artifact: rebuild
-        fs.delete(outPath, true)
-        publish()
+        // out-of-date (or sidecar-less pre-refactor) artifact: rebuild —
+        // staging-first (PublishGuard.replaceAtomic), so concurrent
+        // readers of the live table see at most the delete→rename
+        // metadata window, never the retraining gap
+        PublishGuard.replaceAtomic(spark, path) { staging =>
+          write(train(), staging)
+          PublishGuard.writeSidecar(
+            fs, new org.apache.hadoop.fs.Path(staging), fp)
+        }
       }
       PublishGuard.verifySidecar(fs, outPath, fp, what)
       val value = load()

@@ -675,6 +675,7 @@ class GraphSpec extends AnyFunSuite {
     import spark.implicits._
     val salt = "sgns"
     val dim = 4; val negatives = 2; val iters = 3; val lr = 0.5
+    val miniBatches = 2 // exercise the cyclic fold rotation in the pin
     // fixture walk corpus: 2 walks × 4 positions, with a revisit (walk a
     // returns to b) so center==context pairs are exercised
     val corpus = Map("a" -> Seq("a", "b", "c", "b"),
@@ -726,8 +727,12 @@ class GraphSpec extends AnyFunSuite {
         (1 - e.y) * math.log(math.max(1 - p, 1e-12)))
     }.sum / jvmEx.size
     val lossBefore = bce()
-    (1 to iters).foreach { _ =>
-      val scored = jvmEx.map { e =>
+    (1 to iters).foreach { it =>
+      // mirror the cyclic mini-batch: iteration t trains on fold
+      // H52(salt:mb:key) mod B == (t-1) mod B only
+      val itEx = jvmEx.filter(e =>
+        hexFold(s"$salt:mb:${e.key}") % miniBatches == (it - 1) % miniBatches)
+      val scored = itEx.map { e =>
         val z = (0 until dim).foldLeft(0.0)((a, j) => a + vm(e.c)(j) * vm(e.o)(j))
         (e, 1.0 / (1.0 + math.exp(-z)) - e.y)
       }
@@ -735,10 +740,25 @@ class GraphSpec extends AnyFunSuite {
         Seq((e.c, e.key + ":c", vm(e.o).map(g * _)),
           (e.o, e.key + ":o", vm(e.c).map(g * _)))
       }
+      // mirror the engine's two-phase salted fold: partial sums per
+      // H52(k)-mod-S salt group in k-order, then the ≤S partials folded
+      // in salt-group order (the hub-safe grouping is part of the
+      // training definition)
       val grad = contrib.groupBy(_._1).map { case (n, cs) =>
+        val partials = cs
+          .groupBy { case (_, k, _) =>
+            hexFold(k) % Graph.gradSaltGroups }
+          .toSeq.sortBy(_._1)
+          .map { case (_, group) =>
+            val p = Array.fill(dim)(0.0)
+            group.sortBy(_._2).foreach { case (_, _, gv) =>
+              var j = 0; while (j < dim) { p(j) += gv(j); j += 1 }
+            }
+            p
+          }
         val sum = Array.fill(dim)(0.0)
-        cs.sortBy(_._2).foreach { case (_, _, gv) =>
-          var j = 0; while (j < dim) { sum(j) += gv(j); j += 1 }
+        partials.foreach { p =>
+          var j = 0; while (j < dim) { sum(j) += p(j); j += 1 }
         }
         n -> sum.map(_ / cs.size)
       }
@@ -747,8 +767,9 @@ class GraphSpec extends AnyFunSuite {
           .map { case (a, g) => a - lr * g }
       }
     }
-    assert(bce() < lossBefore, "full-batch GD must reduce the SGNS loss")
-    val got = Graph.sgnsTrainEmbeddings(pairs, dim, negatives, iters, lr, salt)
+    assert(bce() < lossBefore, "mini-batch GD must reduce the SGNS loss")
+    val got = Graph.sgnsTrainEmbeddings(
+      pairs, dim, negatives, iters, lr, salt, miniBatches)
       .collect().map(r => r.getString(0) ->
         r.getSeq[Double](1).toArray).toMap
     assert(got.keySet === vm.keySet)
@@ -782,7 +803,9 @@ class GraphSpec extends AnyFunSuite {
     val corpus = Graph.randomWalks(
       edges, edges.select(col("u").as("walk_id")).distinct())
     val pairs = Graph.walkContextPairs(corpus)
-    val emb = Graph.sgnsTrainEmbeddings(pairs).collect()
+    // the PRODUCTION default schedule (miniBatches = 4, the published
+    // accessor's default) — the sanity gate validates what actually ships
+    val emb = Graph.sgnsTrainEmbeddings(pairs, miniBatches = 4).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
@@ -903,6 +926,111 @@ class GraphSpec extends AnyFunSuite {
     val e3 = Graph.publishedNodeEmbeddings(corpus2, wh, "emb_spec", iters = 2)
     assert(e3.inputFiles.toSet != e1.inputFiles.toSet,
       "changed corpus must rebuild, not silently reuse")
+  }
+
+  test("warm-start refresh: appended-edges retrain at half iterations stays in the eval band") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-emb-warm-wh").toString
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val edges = Graph.tradeEdges(o, li)
+    val corpus = Graph.randomWalks(
+      edges, edges.select(col("u").as("walk_id")).distinct())
+    val iters = 8
+    // v1: cold publish at the full budget
+    Graph.publishedNodeEmbeddings(corpus, wh, "warm_spec", iters = iters)
+    // the data changes: append edges (a new supplier linked to existing
+    // customers), regenerate the walk corpus
+    val edges2 = edges.unionByName(
+      edges.select(col("u")).distinct().limit(5)
+        .select(col("u"), lit("s:99999").as("v")))
+    val corpus2 = Graph.randomWalks(
+      edges2, edges2.select(col("u").as("walk_id")).distinct())
+    val t0 = System.nanoTime()
+    val warm = Graph.publishedNodeEmbeddings(corpus2, wh, "warm_spec", iters = iters)
+    val warmSec = (System.nanoTime() - t0) / 1e9
+    // publish contract unchanged: the refreshed table serves the NEW
+    // corpus (sidecar now matches corpus2 — a re-read is a pure read)
+    val again = Graph.publishedNodeEmbeddings(corpus2, wh, "warm_spec", iters = iters)
+    assert(warm.inputFiles.nonEmpty &&
+      warm.inputFiles.toSet == again.inputFiles.toSet,
+      "refresh must republish once, then serve reads")
+    // the new node exists in the refreshed table
+    assert(warm.where(col("node") === "s:99999").count() == 1L)
+    // eval band: the half-budget warm retrain must land within the
+    // cold-full-budget geometry — co-occur separation at ≥ 80% of a
+    // from-scratch full-iteration train on the same corpus
+    def separation(emb: Map[String, Array[Double]], pairsDf: org.apache.spark.sql.DataFrame): Double = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+        while (j < a.length) {
+          d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val co = pairsDf.where(abs(col("offset")) === 2)
+        .select(col("center"), col("context")).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .filter { case (a, b) => emb.contains(a) && emb.contains(b) }
+      val coMean = co.map { case (a, b) => cos(emb(a), emb(b)) }.sum / co.length
+      val nodes = emb.keys.toArray.sorted
+      val rand = nodes.indices.map { i =>
+        val j = (i * 7919 + 13) % nodes.length
+        cos(emb(nodes(i)), emb(nodes(j)))
+      }
+      coMean - rand.sum / rand.length
+    }
+    val pairs2 = Graph.walkContextPairs(corpus2)
+    val warmMap = warm.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val cold = Graph.sgnsTrainEmbeddings(pairs2, iters = iters, miniBatches = 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val sWarm = separation(warmMap, pairs2)
+    val sCold = separation(cold, pairs2)
+    assert(sWarm >= 0.8 * sCold,
+      f"warm half-budget separation $sWarm%.4f < 80%% of cold $sCold%.4f " +
+        f"(warm retrain took $warmSec%.1f s)")
+  }
+
+  test("embeddingNeighborsIvf: recall@5 vs the exact path; honest in_exact column") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-embivf-wh").toString
+    // deterministic synthetic table: 120 nodes in 6 well-separated cones
+    // (base direction per cone + small hash jitter), so IVF with nlist=6
+    // should recover near-exact neighbors at nprobe=2
+    def h(s: String, j: Int): Double =
+      ((scala.util.hashing.MurmurHash3.stringHash(s"$s:$j") & 0x7fffffff)
+        / Int.MaxValue.toDouble - 0.5) * 0.2
+    val dim = 8
+    val emb = (0 until 120).map { i =>
+      val cone = i % 6
+      val v = Array.tabulate(dim)(j =>
+        (if (j == cone) 1.0 else 0.0) + h(s"n$i", j))
+      (f"n$i%03d", v.toSeq)
+    }.toDF("node", "vec")
+    val queries = Seq("n000", "n001", "n007", "n013").toDF("node")
+    val ivf = Graph.embeddingNeighborsIvf(
+      emb, queries, wh, "ivf_spec", k = 5, nlist = 6, nprobe = 2)
+      .collect()
+    val exact = Graph.embeddingNeighbors(emb, queries, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(ivf.length == 4 * 5, s"4 queries x top-5, got ${ivf.length}")
+    // in_exact must be the TRUE exact-membership bit, row by row
+    ivf.foreach { r =>
+      val key = (r.getString(0), r.getString(2))
+      assert(r.getBoolean(4) == exact(key), s"in_exact lies for $key")
+    }
+    // recall@5: the well-separated fixture should stay high
+    val hits = ivf.count(r => exact((r.getString(0), r.getString(2))))
+    assert(hits >= 12, s"recall@5 = ${hits / 20.0} < 0.6")
+    // pruning really prunes: probed candidates exclude some corpus nodes
+    // (sanity that this is not the exact scan in disguise) — with 6 cones
+    // and nprobe=2 at most ~2/6 of the corpus is scored per query
+    val served = Graph.embeddingNeighborsIvf(
+      emb, queries, wh, "ivf_spec", k = 200, nlist = 6, nprobe = 2)
+      .groupBy(col("query")).count().collect()
+    served.foreach(r => assert(r.getLong(1) < 119,
+      s"query ${r.getString(0)} scored the full corpus — no pruning"))
   }
 
   test("reach: path fixture — hop-bounded min distance, far end excluded") {

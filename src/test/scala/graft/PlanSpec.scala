@@ -54,6 +54,11 @@ class PlanSpec extends AnyFunSuite {
     // link prediction: the same bounded cohort theta join with the
     // adjacency anti-join before the rank window
     "graph_link_prediction",
+    // IVF embedding serving: the bounded cohort broadcast gated by
+    // array_contains(probe_clusters, cluster) — candidates pruned to
+    // nprobe/nlist of the corpus — plus the in_exact honesty branch's
+    // documented bruteforce chain over the same 10-row cohort
+    "graph_embedding_neighbors_ivf",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;

@@ -40,14 +40,39 @@ errs = bench.get("errors", {})
 walk = ["graph_random_walks", "graph_walk_context_pairs",
         "graph_node2vec_walks", "graph_node2vec_context_pairs"]
 probe = bench.get("probe", {}).get("median")
-if probe:
-    fam = sum(bench["queries"].get(q, 0.0) for q in walk)
-    if fam > 6 * probe:
-        print(f"[round_close] WALK-FAMILY GATE FAILED: {fam:.1f}s > 6x probe "
-              f"({probe:.2f}s) — a consumer is regenerating the walk corpus")
-        sys.exit(1)
-    print(f"[round_close] walk-family gate OK: {fam:.1f}s <= 6x probe ({probe:.2f}s)")
+# a renamed/dropped walk query or a missing probe must FAIL the gate, not
+# silently disable it (round-14 advice: .get(q, 0.0) and `if probe:` were
+# both silent-pass paths in a safety gate)
+if not probe:
+    print("[round_close] WALK-FAMILY GATE FAILED: probe median missing/zero "
+          "— cannot normalize; re-record with graft.Bench's probe bracket")
+    sys.exit(1)
+absent = [q for q in walk if q not in bench["queries"]]
+if absent:
+    print(f"[round_close] WALK-FAMILY GATE FAILED: {absent} absent from the "
+          "recording — update the gate's query list if they were renamed")
+    sys.exit(1)
+fam = sum(bench["queries"][q] for q in walk)
+if fam > 6 * probe:
+    print(f"[round_close] WALK-FAMILY GATE FAILED: {fam:.1f}s > 6x probe "
+          f"({probe:.2f}s) — a consumer is regenerating the walk corpus")
+    sys.exit(1)
+print(f"[round_close] walk-family gate OK: {fam:.1f}s <= 6x probe ({probe:.2f}s)")
 print(f"[round_close] gate OK: {len(covered)} queries covered, "
       f"{len(errs)} errors{': ' + str(errs) if errs else ''}, "
       f"total {bench.get('value')}s, probe {bench.get('probe', {}).get('median')}s")
 EOF
+
+# streaming bench re-record (round-14 verdict item 4: BENCH_streaming.json
+# went seven rounds stale while ~15 stateful sinks shipped unbenched —
+# recording it HERE means it can never silently stale again). Skippable
+# only explicitly, for local dry runs.
+if [ -z "$SPARK_GRAFT_SKIP_STREAM_BENCH" ]; then
+  echo "[round_close] re-recording BENCH_streaming.json (pipelines + stateful sinks)"
+  scripts/run_verify.sh graft.StreamBench BENCH_streaming.json 2>/dev/null | tail -1 \
+    | python3 -c 'import json,sys; d=json.load(sys.stdin); \
+print(f"[round_close] streaming OK: headline {d[\"value\"]:.0f} rows/s, " \
+      f"{len(d[\"pipelines\"])} pipelines, {len(d.get(\"sinks\",{}))} sinks")'
+else
+  echo "[round_close] SKIPPED streaming bench (SPARK_GRAFT_SKIP_STREAM_BENCH set)"
+fi

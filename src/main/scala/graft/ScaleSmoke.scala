@@ -51,6 +51,17 @@ object ScaleSmoke {
       val (b, bmin, bmax) = m1(n)
       println(f"| $n | $a%.2f s | $b%.2f s | ${b / a}%.1f | $bmin%.1f-$bmax%.1f s |")
     }
+    // machine-readable recording (round-15: lets scale_smoke.sh GATE on
+    // per-query ratios instead of a human reading the table)
+    val qjson = names.map { n =>
+      val (a, _, _) = m0(n)
+      val (b, bmin, bmax) = m1(n)
+      f""""$n":{"base_med":$a%.3f,"scaled_med":$b%.3f,""" +
+        f""""ratio":${b / a}%.3f,"scaled_min":$bmin%.3f,"scaled_max":$bmax%.3f}"""
+    }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"scale_smoke_10x","probe_base":$p0%.3f,""" +
+        f""""probe_scaled":$p1%.3f,"queries":$qjson}""")
     spark.stop()
   }
 }

@@ -88,23 +88,11 @@ object StreamBench {
   private def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
 
-  /** Run one pipeline at one target rate for `windowSec` of wall time and
-    * fold its progress events (excluding batch 0 — plan/codegen warmup).
+  /** Let a started query run for `windowSec` of wall time, then fold its
+    * progress events (excluding batch 0 — plan/codegen warmup) and stop it.
     */
-  def runOne(spark: SparkSession, name: String,
-      pipeline: DataFrame => DataFrame,
-      rowsPerSecond: Long, windowSec: Int): RateStats = {
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft-sbench-$name-$rowsPerSecond").toString
-    val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond.toString)
-      .option("numPartitions", graft.engine.Sessions.cpus)
-      .load()
-    val q = pipeline(envelope(rate)).writeStream
-      .format("noop")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(0L))
-      .start()
+  private def measure(q: org.apache.spark.sql.streaming.StreamingQuery,
+      target: Long, windowSec: Int): RateStats =
     try {
       Thread.sleep(windowSec * 1000L)
       val ps = q.recentProgress.toSeq.filter(_.batchId > 0)
@@ -113,14 +101,69 @@ object StreamBench {
         Option(p.durationMs.get("triggerExecution"))
           .map(_.doubleValue).getOrElse(0.0)
       RateStats(
-        target = rowsPerSecond,
+        target = target,
         inputRows = ps.map(_.numInputRows).sum,
         batches = ps.size,
         processedRpsMedian = median(ps.map(_.processedRowsPerSecond)),
         batchMsMedian = median(ps.map(trigMs)),
         batchMsMax = ps.map(trigMs).foldLeft(0.0)(math.max))
-    } finally {
-      q.stop()
+    } finally q.stop()
+
+  private def rateSource(spark: SparkSession, rowsPerSecond: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", graft.engine.Sessions.cpus)
+      .load()
+
+  /** Run one pipeline at one target rate for `windowSec` of wall time. */
+  def runOne(spark: SparkSession, name: String,
+      pipeline: DataFrame => DataFrame,
+      rowsPerSecond: Long, windowSec: Int): RateStats = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-sbench-$name-$rowsPerSecond").toString
+    val q = pipeline(envelope(rateSource(spark, rowsPerSecond))).writeStream
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    try measure(q, rowsPerSecond, windowSec)
+    finally deleteRecursively(new java.io.File(ckpt))
+  }
+
+  /** Rate rows → a synthetic (doc_id, text) document stream for the
+    * stateful-sink benches: ~24 deterministic tokens per document, varied
+    * by the rate value so shingles/buckets/minhashes spread realistically.
+    */
+  def docStream(rate: DataFrame): DataFrame = {
+    val words = array(Seq("the", "quick", "brown", "fox", "data",
+      "pipeline", "spark", "stream", "quality", "token", "sample", "text",
+      "graft", "engine", "batch", "state").map(lit): _*)
+    val v = col("value")
+    rate.select(v.as("doc_id"),
+      concat_ws(" ", (0 until 24).map(i =>
+        element_at(words, ((v * (2 * i + 1) + i) % 16 + 1).cast("int"))): _*)
+        .as("text"))
+  }
+
+  /** Run one STATEFUL SINK at one target rate: `mk` builds the sink over
+    * a fresh state/checkpoint pair (both deleted afterwards — this bench
+    * measures throughput, the replay/restart semantics live in
+    * StreamOpsSpec). Per-batch cost here includes the sink's real parquet
+    * state-partition write, unlike the noop pipelines.
+    */
+  def runSink(spark: SparkSession, name: String,
+      rowsPerSecond: Long, windowSec: Int)(
+      mk: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): RateStats = {
+    val state = java.nio.file.Files
+      .createTempDirectory(s"graft-sbench-$name-state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-sbench-$name-ckpt").toString
+    try measure(
+      mk(rateSource(spark, rowsPerSecond), state, ckpt),
+      rowsPerSecond, windowSec)
+    finally {
+      deleteRecursively(new java.io.File(state))
       deleteRecursively(new java.io.File(ckpt))
     }
   }
@@ -141,25 +184,65 @@ object StreamBench {
     val rates = sys.env.get("SPARK_GRAFT_STREAM_RATES")
       .map(_.split(",").map(_.trim.toLong).toSeq)
       .getOrElse(Seq(10000L, 100000L, 500000L))
+    // stateful sinks pay a real parquet state write per batch — their
+    // stepped rates sit an order of magnitude below the noop pipelines'
+    val sinkRates = sys.env.get("SPARK_GRAFT_STREAM_SINK_RATES")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(5000L, 50000L, 200000L))
     val windowSec = sys.env.get("SPARK_GRAFT_STREAM_WINDOW_SEC")
       .map(_.toInt).getOrElse(20)
+    // the stateful sinks that now carry the streaming story (round-14
+    // verdict item 4: the Q1-Q3 recording went seven rounds stale while
+    // ~15 stateful sinks shipped unbenched): the minhash signature store,
+    // the canary audit, CDC apply, and the classifier score gate
+    import graft.streaming.StreamOps
+    val canaries = {
+      import spark.implicits._
+      (0 until 8).map(i =>
+        (s"canary_$i", s"graft canary $i quick brown pipeline token sample " +
+          s"state engine batch marker$i"))
+        .toDF("canary_id", "canary_text")
+    }
+    // deterministic synthetic weights (buckets + bias): the bench measures
+    // the scoring chain's throughput, not classifier quality
+    val weights = Array.tabulate(65)(j => ((j * 2654435761L) % 997) / 997.0 - 0.5)
+    val sinks: Seq[(String, (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery)] = Seq(
+      ("minhash_store", (rate, state, ckpt) =>
+        StreamOps.minhashSink(docStream(rate), state, ckpt)),
+      ("canary_scan", (rate, state, ckpt) =>
+        StreamOps.canarySink(docStream(rate), canaries, state, ckpt)),
+      ("cdc_apply", (rate, state, ckpt) =>
+        StreamOps.cdcApplySink(
+          rate.select((col("value") % 100000L).as("key"),
+            col("value").as("seq"),
+            when(col("value") % 10 === 0, "D").otherwise("U").as("op"),
+            (col("value") * 7L % 1000L).as("payload")),
+          state, ckpt, keyCol = "key")),
+      ("classifier_score", (rate, state, ckpt) =>
+        StreamOps.classifierScoreSink(docStream(rate), weights, state, ckpt)))
     val (beforeSamples, probeBefore) = Bench.probe(spark, 3)
     val results = pipelines.map { case (name, p) =>
       val stats = rates.map(r => runOne(spark, name, p, r, windowSec))
+      name -> stats
+    }
+    val sinkResults = sinks.map { case (name, mk) =>
+      val stats = sinkRates.map(r => runSink(spark, name, r, windowSec)(mk))
       name -> stats
     }
     val (afterSamples, probeAfter) = Bench.probe(spark, 3)
     // the normalization contract (BASELINE.md) divides by the recording's
     // probe MEDIAN over all samples — emit it, not just the brackets
     val probeMedian = median(beforeSamples ++ afterSamples)
-    val pipelinesJson = results.map { case (name, stats) =>
-      val rs = stats.map { s =>
-        s"""{"target_rps":${s.target},"input_rows":${s.inputRows},""" +
-          s""""batches":${s.batches},"processed_rps_median":${s.processedRpsMedian},""" +
-          s""""batch_ms_median":${s.batchMsMedian},"batch_ms_max":${s.batchMsMax}}"""
-      }.mkString("[", ",", "]")
-      s""""$name":$rs"""
-    }.mkString("{", ",", "}")
+    def statsJson(stats: Seq[(String, Seq[RateStats])]): String =
+      stats.map { case (name, rs) =>
+        val arr = rs.map { s =>
+          s"""{"target_rps":${s.target},"input_rows":${s.inputRows},""" +
+            s""""batches":${s.batches},"processed_rps_median":${s.processedRpsMedian},""" +
+            s""""batch_ms_median":${s.batchMsMedian},"batch_ms_max":${s.batchMsMax}}"""
+        }.mkString("[", ",", "]")
+        s""""$name":$arr"""
+      }.mkString("{", ",", "}")
     // headline = median processed rows/s of the top sustained rate step
     // across pipelines (the engine's per-pipeline streaming ceiling here)
     val headline = median(results.map(_._2.last.processedRpsMedian))
@@ -169,7 +252,8 @@ object StreamBench {
         s""""probe":{"before":$probeBefore,"after":$probeAfter,""" +
         s""""median":$probeMedian,"unit":"sec",""" +
         s""""workload":"v2:range(10M)>xxhash64>orderBy(live)>bit_xor"},""" +
-        s""""pipelines":$pipelinesJson,""" +
+        s""""pipelines":${statsJson(results)},""" +
+        s""""sinks":${statsJson(sinkResults)},""" +
         s""""reference":{"events_per_sec":1.4,"batch_sec":8.1,""" +
         s""""source":"BASELINE.md (checkpoint offsets 0-12)"}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -40,7 +40,7 @@ OUT=${1:-/tmp/graft_sf1}
 # contract is nlist ∝ corpus (bounded cluster population; see the
 # operator scaladoc), and at nlist beyond a few hundred the
 # centroid-literal assignment hands off to the IVF partition-pruned path.
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks,graph_sage_sample,sim_hybrid_rrf,graph_walk_context_pairs,graph_node2vec_context_pairs,graph_embedding_neighbors,graph_embedding_neighbors_ivf}
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks,graph_sage_sample,sim_hybrid_rrf,graph_walk_context_pairs,graph_node2vec_context_pairs,graph_embedding_neighbors,graph_embedding_neighbors_ivf,graph_link_prediction_ivf}
 sbt -batch compile >/dev/null 2>&1
 if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"

@@ -1171,6 +1171,25 @@ object SparkEntry {
           .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct())
         .orderBy("query", "rank")
     }),
+    // link prediction on the IVF-pruned candidate set — the scaled
+    // serving shape of the every-user recommendation query: candidates
+    // from probed buckets of the SAME published centroid table as
+    // graph_embedding_neighbors_ivf, adjacency anti-joined before the
+    // rank, in_exact honesty vs the exact chain
+    "graph_link_prediction_ivf" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}")
+      Graph.linkPredictionIvf(emb, edges,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct(),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_ivf_${d.split('/').last}")
+        .orderBy("query", "rank")
+    }),
     // the node2vec-trained sibling: the SAME corpus-agnostic SGNS
     // trainer pointed at the published second-order corpus (its own
     // published table — p/q bias changes the mined pairs, so the
@@ -3395,7 +3414,7 @@ object SparkEntry {
     // per-vector s rounded 6 dp BEFORE the per-cluster summary
     "sim_silhouette" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3431,7 +3450,7 @@ object SparkEntry {
     // recall = one IEEE division
     "sim_recall_eval" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS MATERIALIZED (
         |  SELECT vec_id, v,
@@ -3538,7 +3557,7 @@ object SparkEntry {
     // 6 dp BEFORE the per-cluster rank cut
     "sim_cluster_terms" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3840,7 +3859,7 @@ object SparkEntry {
     "sim_semantic_prune" ->
       s"""WITH RECURSIVE
         |c AS (SELECT list_id, centroid
-        |      FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |      FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3889,7 +3908,7 @@ object SparkEntry {
     // Spark aggregate's zero init, 4 dp)
     "sim_centroid_drift" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3938,7 +3957,7 @@ object SparkEntry {
     // top-nprobe probe lists, exact-cosine rerank.
     "sim_ivf_topk" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -3981,7 +4000,7 @@ object SparkEntry {
     // external query table — the artifact and all serving math unchanged
     "sim_ivf_external_topk" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -4030,7 +4049,7 @@ object SparkEntry {
       s"""WITH b AS (SELECT s, j, centroid,
         |                  list_reduce([x * x for x in centroid],
         |                              (x, y) -> x + y) / 2 AS bias
-        |           FROM read_parquet('/tmp/graft_warehouse/pq_codebooks_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.pqCodebooksPath("/tmp/graft_warehouse", "pq_codebooks_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -4079,11 +4098,11 @@ object SparkEntry {
     // exact rerank exactly as sim_pq_topk.
     "sim_ivfpq_topk" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivfpq_${sf}_centroids/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivfpq_" + sf + "_centroids")}/*.parquet')),
         |b AS (SELECT s, j, centroid,
         |             list_reduce([x * x for x in centroid],
         |                         (x, y) -> x + y) / 2 AS bias
-        |      FROM read_parquet('/tmp/graft_warehouse/ivfpq_${sf}_codebooks/*.parquet')),
+        |      FROM read_parquet('${Similarity.pqCodebooksPath("/tmp/graft_warehouse", "ivfpq_" + sf + "_codebooks")}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -5137,7 +5156,7 @@ object SparkEntry {
       }.mkString(",\n")
       val sumsq = (1 to 16).map(k => f"p$k%02d * p$k%02d").mkString(" + ")
       s"""WITH p AS (SELECT component, mean, rot
-         |           FROM read_parquet('/tmp/graft_warehouse/pca_${sf}/*.parquet')),
+         |           FROM read_parquet('${Similarity.pcaPath("/tmp/graft_warehouse", "pca_" + sf)}/*.parquet')),
          |pl AS (SELECT list(mean ORDER BY component) AS m,
          |              list(rot ORDER BY component) AS rm FROM p),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5160,11 +5179,11 @@ object SparkEntry {
         s"floor(p$kk * sl.s[$k] * 1000000 + 0.5) / 1000000 AS w$kk"
       }.mkString(",\n       ")
       s"""WITH p AS (SELECT component, mean, rot
-         |           FROM read_parquet('/tmp/graft_warehouse/pca_${sf}/*.parquet')),
+         |           FROM read_parquet('${Similarity.pcaPath("/tmp/graft_warehouse", "pca_" + sf)}/*.parquet')),
          |pl AS (SELECT list(mean ORDER BY component) AS m,
          |              list(rot ORDER BY component) AS rm FROM p),
          |sc AS (SELECT component, scale
-         |       FROM read_parquet('/tmp/graft_warehouse/whiten_${sf}/*.parquet')),
+         |       FROM read_parquet('${Similarity.whitenPath("/tmp/graft_warehouse", "whiten_" + sf)}/*.parquet')),
          |sl AS (SELECT list(scale ORDER BY component) AS s FROM sc),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |y AS (SELECT vec_id,
@@ -5561,7 +5580,7 @@ object SparkEntry {
     // the in_exact honesty bit (the sim_recall_eval chain shape)
     "graph_embedding_neighbors_ivf" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/node_emb_ivf_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "node_emb_ivf_" + sf)}/*.parquet')),
         |emb AS (SELECT node, vec::DOUBLE[] AS v
         |        FROM read_parquet('${Graph.nodeEmbeddingPath(
                   "/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
@@ -5609,6 +5628,77 @@ object SparkEntry {
         |              list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
         |                          (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
         |       FROM n JOIN q ON n.node <> q.query),
+        |ex AS (SELECT query, node FROM (
+        |         SELECT query, node,
+        |                row_number() OVER (PARTITION BY query
+        |                                   ORDER BY cosine DESC, node) AS rank
+        |         FROM exs)
+        |       WHERE rank <= 5)
+        |SELECT ivf.query, CAST(ivf.rank AS INTEGER) AS rank, ivf.node,
+        |       ivf.cosine, ex.node IS NOT NULL AS in_exact
+        |FROM ivf LEFT JOIN ex ON ex.query = ivf.query AND ex.node = ivf.node
+        |ORDER BY ivf.query, rank""".stripMargin,
+    // graph_link_prediction_ivf: the neighbors_ivf chain with the
+    // candidate set cut to the supplier side and current adjacency
+    // anti-joined out BEFORE the rank; the exact link-prediction chain
+    // re-derived for the in_exact honesty bit
+    "graph_link_prediction_ivf" ->
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "node_emb_ivf_" + sf)}/*.parquet')),
+        |emb AS (SELECT node, vec::DOUBLE[] AS v
+        |        FROM read_parquet('${Graph.nodeEmbeddingPath(
+                  "/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
+        |n AS MATERIALIZED (
+        |  SELECT node, v,
+        |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |  FROM emb),
+        |nn AS (SELECT node, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |d AS MATERIALIZED (
+        |  SELECT nn.node, c.list_id,
+        |         list_reduce([nn.nv[i] * c.centroid[i]
+        |                      for i in range(1, 1 + len(nn.nv))],
+        |                     (x, y) -> x + y) AS dt
+        |  FROM nn CROSS JOIN c),
+        |a AS (SELECT node, list_id AS cluster FROM (
+        |        SELECT node, list_id,
+        |               row_number() OVER (PARTITION BY node
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
+        |       WHERE o_custkey < 10),
+        |adj AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |p AS (SELECT query, list_id FROM (
+        |        SELECT d.node AS query, d.list_id,
+        |               row_number() OVER (PARTITION BY d.node
+        |                                  ORDER BY d.dt DESC, d.list_id DESC) AS rn
+        |        FROM d JOIN qs ON qs.node = d.node)
+        |      WHERE rn <= 4),
+        |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
+        |      FROM n JOIN qs ON qs.node = n.node),
+        |cand AS (SELECT p.query, a.node
+        |         FROM a JOIN p ON a.cluster = p.list_id
+        |         WHERE a.node <> p.query AND a.node LIKE 's:%'
+        |           AND NOT EXISTS (SELECT 1 FROM adj b
+        |                           WHERE b.u = p.query AND b.v = a.node)),
+        |s AS (SELECT cand.query, cand.node,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM cand JOIN n ON n.node = cand.node
+        |      JOIN q ON q.query = cand.query),
+        |ivf AS (SELECT query, rank, node, cosine FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY query
+        |                                       ORDER BY cosine DESC, node) AS rank
+        |          FROM s)
+        |        WHERE rank <= 5),
+        |exs AS (SELECT q.query, n.node,
+        |              list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                          (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |       FROM n JOIN q ON n.node <> q.query
+        |       WHERE n.node LIKE 's:%'
+        |         AND NOT EXISTS (SELECT 1 FROM adj b
+        |                         WHERE b.u = q.query AND b.v = n.node)),
         |ex AS (SELECT query, node FROM (
         |         SELECT query, node,
         |                row_number() OVER (PARTITION BY query
@@ -6421,7 +6511,7 @@ object SparkEntry {
           s"(SELECT '|' || merged || '|' FROM m WHERE rank = $r))"
       }
       s"""WITH m AS (SELECT rank, lhs, rhs, merged
-         |           FROM read_parquet('/tmp/graft_warehouse/bpe_${sf}/*.parquet')),
+         |           FROM read_parquet('${Bpe.mergesPath("/tmp/graft_warehouse", "bpe_" + sf)}/*.parquet')),
          |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
          |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
@@ -6442,7 +6532,7 @@ object SparkEntry {
           s"(SELECT '|' || merged || '|' FROM m WHERE rank = $r))"
       }
       s"""WITH m AS (SELECT rank, lhs, rhs, merged
-         |           FROM read_parquet('/tmp/graft_warehouse/bpe_${sf}/*.parquet')),
+         |           FROM read_parquet('${Bpe.mergesPath("/tmp/graft_warehouse", "bpe_" + sf)}/*.parquet')),
          |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
          |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
@@ -6458,7 +6548,7 @@ object SparkEntry {
     // fixed-width string key + (key, vec_id) rank order per cluster
     "pipeline_diverse_sample" ->
       s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('/tmp/graft_warehouse/ivf_centroids_${sf}/*.parquet')),
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
@@ -7224,7 +7314,7 @@ object SparkEntry {
        |       CASE WHEN best > 0 AND s_en = best THEN 1 ELSE 0 END AS label
        |FROM (SELECT *, $bestExpr AS best FROM ls)),
        |wt AS (SELECT pos, w
-       |       FROM read_parquet('/tmp/graft_warehouse/clf_weights_${sf}/*.parquet')),
+       |       FROM read_parquet('${Curation.classifierWeightsPath("/tmp/graft_warehouse", "clf_weights_" + sf)}/*.parquet')),
        |tk AS (SELECT doc_id, unnest(toks) AS tk FROM t),
        |bc AS MATERIALIZED (
        |  SELECT doc_id,

@@ -126,6 +126,14 @@ object Bpe {
       .write.parquet(path)
   }
 
+  /** Canonical published path for a merge table — numMerges is a
+    * training hyperparameter and rides the path (the round-15
+    * params-in-path discipline), so a changed merge budget trains fresh
+    * instead of silently serving the old table.
+    */
+  def mergesPath(baseDir: String, slug: String, numMerges: Int = 24): String =
+    s"$baseDir/${slug}_m$numMerges"
+
   /** Read-through accessor for the published merge table — same
     * materialized-view contract as [[Similarity.publishedArtifact]].
     * Table rows: (rank, lhs, rhs, merged, pair_count), rank 1..numMerges.
@@ -136,7 +144,7 @@ object Bpe {
       slug: String,
       numMerges: Int = 24): Seq[Merge] = {
     val spark = docs.sparkSession
-    val path = s"$baseDir/$slug"
+    val path = mergesPath(baseDir, slug, numMerges)
     Similarity.publishedArtifact[Seq[Merge]](
       spark, path, s"bpe|$numMerges|$MinFreq",
       docsFingerprint(docs), mergeCache,

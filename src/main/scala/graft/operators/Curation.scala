@@ -1263,6 +1263,14 @@ object Curation {
     * the [[Similarity.publishedArtifact]] contract: train once, publish
     * `(pos, w)` (bias at pos = buckets), serve everywhere.
     */
+  /** Canonical published path for classifier weights — every training
+    * hyperparameter rides the path (round-15 params-in-path discipline).
+    */
+  def classifierWeightsPath(
+      baseDir: String, slug: String, buckets: Int = 64,
+      targetLang: String = "en", iters: Int = 300, lr: Double = 1.0): String =
+    s"$baseDir/${slug}_b${buckets}_${targetLang}_i${iters}_lr$lr"
+
   def publishedClassifierWeights(
       docs: DataFrame,
       baseDir: String,
@@ -1272,7 +1280,7 @@ object Curation {
       iters: Int = 300,
       lr: Double = 1.0): Array[Double] = {
     val spark = docs.sparkSession
-    val path = s"$baseDir/$slug"
+    val path = classifierWeightsPath(baseDir, slug, buckets, targetLang, iters, lr)
     val fp = graft.engine.PublishGuard.fingerprint(
       docs, Seq(col("doc_id"), col("text"), col("lang")))
     Similarity.publishedArtifact[Array[Double]](
@@ -1352,8 +1360,11 @@ object Curation {
       baseDir: String,
       slug: String,
       buckets: Int = 64,
-      targetLang: String = "en"): DataFrame = {
-    val w = publishedClassifierWeights(docs, baseDir, slug, buckets, targetLang)
+      targetLang: String = "en",
+      iters: Int = 300,
+      lr: Double = 1.0): DataFrame = {
+    val w = publishedClassifierWeights(
+      docs, baseDir, slug, buckets, targetLang, iters, lr)
     val wLit = array(w.init.map(lit).toIndexedSeq: _*)
     classifierFeatures(docs, buckets, targetLang, "dsir")
       .select(col("doc_id"), col("y").cast("int").as("label"),

@@ -1194,8 +1194,35 @@ object Similarity {
       .withColumn("kept", col("vec_id") === col("rep_id"))
   }
 
+  /** Canonical published paths for the trained-artifact tables: every
+    * non-data training hyperparameter rides the path (round-15, the
+    * [[graft.operators.Graph.nodeEmbeddingPath]] discipline extended to
+    * the whole publishedArtifact family — previously the path carried
+    * only the caller slug, so changing nlist/m/ksub/outDims silently
+    * served a table trained under the OLD hyperparameters: the sidecar
+    * pins only the DATA version). One definition per artifact, shared by
+    * the publisher and the DuckDB oracle's read_parquet path.
+    */
+  def ivfCentroidsPath(
+      baseDir: String, slug: String, nlist: Int = 16, iters: Int = 3): String =
+    s"$baseDir/${slug}_nl${nlist}_it$iters"
+
+  def pqCodebooksPath(
+      baseDir: String, slug: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, dim: Int = 64): String =
+    s"$baseDir/${slug}_m${m}_k${ksub}_it${iters}_d$dim"
+
+  def pcaPath(
+      baseDir: String, slug: String, outDims: Int = 16, dim: Int = 64): String =
+    s"$baseDir/${slug}_o${outDims}_d$dim"
+
+  def whitenPath(
+      baseDir: String, slug: String, outDims: Int = 16, dim: Int = 64): String =
+    s"$baseDir/${slug}_o${outDims}_d$dim"
+
   /** Read-through accessor for published IVF centroids — see
-    * [[publishedArtifact]] for the reuse/rebuild contract.
+    * [[publishedArtifact]] for the reuse/rebuild contract; path is
+    * [[ivfCentroidsPath]] (hyperparams ride the path).
     */
   def publishedIvfCentroids(
       embeddings: DataFrame,
@@ -1204,7 +1231,7 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 3): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
-    val path = s"$baseDir/$slug"
+    val path = ivfCentroidsPath(baseDir, slug, nlist, iters)
     publishedArtifact[Array[Array[Double]]](
       spark, path, s"$nlist|$iters",
       embeddingFingerprint(embeddings), centroidCache,
@@ -1227,7 +1254,7 @@ object Similarity {
       iters: Int = 3,
       dim: Int = 64): Array[Array[Array[Double]]] = {
     val spark = embeddings.sparkSession
-    val path = s"$baseDir/$slug"
+    val path = pqCodebooksPath(baseDir, slug, m, ksub, iters, dim)
     publishedArtifact[Array[Array[Array[Double]]]](
       spark, path, s"pq|$m|$ksub|$iters|$dim",
       embeddingFingerprint(embeddings), pqCache,
@@ -1701,7 +1728,7 @@ object Similarity {
       outDims: Int = 16,
       dim: Int = 64): (Array[Double], Array[Array[Double]]) = {
     val spark = embeddings.sparkSession
-    val path = s"$baseDir/$slug"
+    val path = pcaPath(baseDir, slug, outDims, dim)
     publishedArtifact[(Array[Double], Array[Array[Double]])](
       spark, path, s"pca|$outDims|$dim",
       embeddingFingerprint(embeddings), pcaCache,
@@ -1775,7 +1802,9 @@ object Similarity {
       outDims: Int = 16,
       dim: Int = 64): Array[Double] = {
     val spark = embeddings.sparkSession
-    val path = s"$baseDir/$slug"
+    // pcaSlug is a LOCATION, not a semantic parameter: same data + same
+    // (outDims, dim) trains the same rotation wherever it is published
+    val path = whitenPath(baseDir, slug, outDims, dim)
     publishedArtifact[Array[Double]](
       spark, path, s"$pcaSlug|$outDims|$dim",
       embeddingFingerprint(embeddings), whitenCache,

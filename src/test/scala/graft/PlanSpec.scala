@@ -59,6 +59,10 @@ class PlanSpec extends AnyFunSuite {
     // nprobe/nlist of the corpus — plus the in_exact honesty branch's
     // documented bruteforce chain over the same 10-row cohort
     "graph_embedding_neighbors_ivf",
+    // pruned link prediction: the same probe-gated cohort broadcast with
+    // the side cut and adjacency anti-join before the rank, plus the
+    // exact link-prediction honesty branch
+    "graph_link_prediction_ivf",
     "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;

@@ -95,23 +95,26 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("graft-pub").toString
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def token(slug: String): String = {
-      val in = fs.open(new Path(s"$base/$slug", graft.engine.PublishGuard.MarkerFile))
+    def token(dir: String): String = {
+      val in = fs.open(new Path(dir, graft.engine.PublishGuard.MarkerFile))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
+    // hyperparams ride the published path (round 15)
+    val c1dir = Similarity.ivfCentroidsPath(base, "c1")
+    val b1dir = Similarity.pqCodebooksPath(base, "b1")
     // 1. first call trains and publishes (sidecar + publisher marker land
     //    atomically with the table)
     val v1 = Similarity.publishedIvfCentroids(emb, base, "c1")
-    val t1 = token("c1")
+    val t1 = token(c1dir)
     // 2. FRESH SESSION (cleared in-JVM cache): same input must be served
     //    from the published table — no retrain, no republish
     Similarity.clearTrainingCaches()
     val v2 = Similarity.publishedIvfCentroids(emb, base, "c1")
-    assert(token("c1") == t1, "fresh-session reuse must not republish")
+    assert(token(c1dir) == t1, "fresh-session reuse must not republish")
     assert(v2.map(_.toSeq).toSeq == v1.map(_.toSeq).toSeq,
       "fresh session must serve the published values")
     // ...and the served values ARE the table's values
-    val tableVals = spark.read.parquet(s"$base/c1").orderBy("list_id").collect()
+    val tableVals = spark.read.parquet(c1dir).orderBy("list_id").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
     assert(v2.map(_.toSeq).toSeq == tableVals)
     // 3. same path, DIFFERENT input: the artifact is out of date → atomic
@@ -119,20 +122,28 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.clearTrainingCaches()
     val sub = emb.where(org.apache.spark.sql.functions.col("vec_id") < 60)
     val v3 = Similarity.publishedIvfCentroids(sub, base, "c1")
-    val t3 = token("c1")
+    val t3 = token(c1dir)
     assert(t3 != t1, "changed input must republish")
     assert(v3.map(_.toSeq).toSeq != v1.map(_.toSeq).toSeq,
       "rebuilt centroids should differ on different input")
     // 4. rebuilt table is then reusable from a fresh session again
     Similarity.clearTrainingCaches()
     Similarity.publishedIvfCentroids(sub, base, "c1")
-    assert(token("c1") == t3, "second fresh-session reuse must not republish")
+    assert(token(c1dir) == t3, "second fresh-session reuse must not republish")
     // PQ codebooks ride the same code path — one reuse check
     val b1 = Similarity.publishedPqCodebooks(emb, base, "b1")
-    val tb = token("b1")
+    val tb = token(b1dir)
     Similarity.clearTrainingCaches()
     val b2 = Similarity.publishedPqCodebooks(emb, base, "b1")
-    assert(token("b1") == tb && b2.length == b1.length)
+    assert(token(b1dir) == tb && b2.length == b1.length)
+    // 5. a changed HYPERPARAMETER lands at a NEW path and trains fresh —
+    //    the round-14 silent-stale-reuse hazard, closed for the whole
+    //    family: before round 15 this call would have loaded the nlist=16
+    //    table and returned 16 centroids
+    val v8 = Similarity.publishedIvfCentroids(sub, base, "c1", nlist = 8)
+    assert(v8.length == 8,
+      s"nlist=8 must train 8 fresh centroids, got ${v8.length} (stale reuse)")
+    assert(fs.exists(new Path(Similarity.ivfCentroidsPath(base, "c1", nlist = 8))))
   }
 
   test("PQ ANN recall@5 vs brute force, scores exact after rerank") {

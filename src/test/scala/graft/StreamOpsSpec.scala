@@ -1418,11 +1418,12 @@ class StreamOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
           r.getDouble(3), r.getBoolean(4))).toSet
     val stored = toSet(StreamOps.readClassifierScores(spark, s"$dir/state"))
-    // the batch gate over the same corpus + the same published weights
-    // (fingerprint matches the training input, so the table is REUSED,
-    // not retrained) — margins must agree bit-for-bit
+    // the batch gate over the same corpus + the same published weights —
+    // SAME hyperparams (iters rides the published path since round 15),
+    // so the table is REUSED, not retrained — margins must agree
+    // bit-for-bit
     val batch = toSet(graft.operators.Curation.qualityClassifierScores(
-      docs, wh, "clf_spec", targetLang = "en"))
+      docs, wh, "clf_spec", targetLang = "en", iters = 40))
     assert(stored === batch,
       s"streaming scores diverged from the batch gate: " +
         s"missing=${(batch -- stored).take(3)} extra=${(stored -- batch).take(3)}")

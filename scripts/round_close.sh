@@ -69,10 +69,13 @@ EOF
 # only explicitly, for local dry runs.
 if [ -z "$SPARK_GRAFT_SKIP_STREAM_BENCH" ]; then
   echo "[round_close] re-recording BENCH_streaming.json (pipelines + stateful sinks)"
-  scripts/run_verify.sh graft.StreamBench BENCH_streaming.json 2>/dev/null | tail -1 \
-    | python3 -c 'import json,sys; d=json.load(sys.stdin); \
-print(f"[round_close] streaming OK: headline {d[\"value\"]:.0f} rows/s, " \
-      f"{len(d[\"pipelines\"])} pipelines, {len(d.get(\"sinks\",{}))} sinks")'
+  scripts/run_verify.sh graft.StreamBench BENCH_streaming.json >/dev/null 2>&1
+  python3 - BENCH_streaming.json <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+print(f"[round_close] streaming OK: headline {d['value']:.0f} rows/s, "
+      f"{len(d['pipelines'])} pipelines, {len(d.get('sinks', {}))} sinks")
+EOF
 else
   echo "[round_close] SKIPPED streaming bench (SPARK_GRAFT_SKIP_STREAM_BENCH set)"
 fi

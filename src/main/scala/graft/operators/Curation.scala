@@ -1233,14 +1233,32 @@ object Curation {
       targetLang: String = "en",
       iters: Int = 300,
       lr: Double = 1.0,
-      salt: String = "dsir"): Array[Double] = {
+      salt: String = "dsir",
+      miniBatches: Int = 1): Array[Double] = {
+    require(miniBatches >= 1, "miniBatches must be >= 1")
+    // deterministic cyclic mini-batch (round 15 — the SGNS schedule
+    // applied to the last full-batch trainer): docs are cut into B fixed
+    // folds by H52(salt:mb:doc_id) mod B and iteration t trains fold
+    // (t-1) mod B only — RNG-free, replayable from the feature frame
+    // alone, every doc trains every B iterations, per-iteration scan 1/B
+    // of the corpus. B = 1 is exact full-batch GD.
     val f = graft.engine.OpCache.materialize(
-      classifierFeatures(docs, buckets, targetLang, salt))
-    val n = f.count().toDouble
+      classifierFeatures(docs, buckets, targetLang, salt)
+        .withColumn("fold",
+          if (miniBatches <= 1) lit(0L)
+          else conv(substring(md5(concat(lit(s"$salt:mb:"), col("doc_id"))),
+            1, 13), 16, 10).cast("long") % miniBatches))
+    // per-fold doc counts for the mean-gradient denominator: one pass,
+    // <= miniBatches rows pulled (bounded driver pull)
+    val nByFold = f.groupBy(col("fold")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
     val w = new Array[Double](buckets + 1)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
+      val fold = (it - 1) % miniBatches
+      val fIter = if (miniBatches <= 1) f else f.where(col("fold") === fold)
+      val n = nByFold.getOrElse(fold.toLong, 1.0)
       val wLit = array(w.init.map(lit).toIndexedSeq: _*)
-      val resid = f.select(col("y"), col("x"),
+      val resid = fIter.select(col("y"), col("x"),
           (lit(1.0) / (lit(1.0) + exp(-(aggregate(
             zip_with(col("x"), wLit, (a, b) => a * b),
             lit(0.0), (acc, t) => acc + t) + w.last))) - col("y"))
@@ -1268,8 +1286,9 @@ object Curation {
     */
   def classifierWeightsPath(
       baseDir: String, slug: String, buckets: Int = 64,
-      targetLang: String = "en", iters: Int = 300, lr: Double = 1.0): String =
-    s"$baseDir/${slug}_b${buckets}_${targetLang}_i${iters}_lr$lr"
+      targetLang: String = "en", iters: Int = 300, lr: Double = 1.0,
+      miniBatches: Int = 4): String =
+    s"$baseDir/${slug}_b${buckets}_${targetLang}_i${iters}_lr${lr}_mb$miniBatches"
 
   def publishedClassifierWeights(
       docs: DataFrame,
@@ -1278,16 +1297,19 @@ object Curation {
       buckets: Int = 64,
       targetLang: String = "en",
       iters: Int = 300,
-      lr: Double = 1.0): Array[Double] = {
+      lr: Double = 1.0,
+      miniBatches: Int = 4): Array[Double] = {
     val spark = docs.sparkSession
-    val path = classifierWeightsPath(baseDir, slug, buckets, targetLang, iters, lr)
+    val path = classifierWeightsPath(
+      baseDir, slug, buckets, targetLang, iters, lr, miniBatches)
     val fp = graft.engine.PublishGuard.fingerprint(
       docs, Seq(col("doc_id"), col("text"), col("lang")))
     Similarity.publishedArtifact[Array[Double]](
-      spark, path, s"$buckets|$targetLang|$iters|$lr",
+      spark, path, s"$buckets|$targetLang|$iters|$lr|$miniBatches",
       fp, classifierCache,
       train = () =>
-        trainQualityClassifier(docs, buckets, targetLang, iters, lr),
+        trainQualityClassifier(
+          docs, buckets, targetLang, iters, lr, miniBatches = miniBatches),
       write = (w, p) => {
         import spark.implicits._
         w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
@@ -1362,9 +1384,10 @@ object Curation {
       buckets: Int = 64,
       targetLang: String = "en",
       iters: Int = 300,
-      lr: Double = 1.0): DataFrame = {
+      lr: Double = 1.0,
+      miniBatches: Int = 4): DataFrame = {
     val w = publishedClassifierWeights(
-      docs, baseDir, slug, buckets, targetLang, iters, lr)
+      docs, baseDir, slug, buckets, targetLang, iters, lr, miniBatches)
     val wLit = array(w.init.map(lit).toIndexedSeq: _*)
     classifierFeatures(docs, buckets, targetLang, "dsir")
       .select(col("doc_id"), col("y").cast("int").as("label"),

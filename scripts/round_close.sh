@@ -69,12 +69,31 @@ EOF
 # only explicitly, for local dry runs.
 if [ -z "$SPARK_GRAFT_SKIP_STREAM_BENCH" ]; then
   echo "[round_close] re-recording BENCH_streaming.json (pipelines + stateful sinks)"
-  scripts/run_verify.sh graft.StreamBench BENCH_streaming.json >/dev/null 2>&1
+  # log to a file, not /dev/null — a failed recording must leave diagnostics
+  STREAM_LOG=/tmp/graft_stream_bench.log
+  if ! scripts/run_verify.sh graft.StreamBench BENCH_streaming.json > "$STREAM_LOG" 2>&1; then
+    echo "[round_close] STREAMING BENCH FAILED — tail of $STREAM_LOG:"
+    tail -30 "$STREAM_LOG"
+    exit 1
+  fi
   python3 - BENCH_streaming.json <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
+# every sink must show life at SOME rate step (batches >= 1) — a sink that
+# records 0 batches at every rate is a dead recording, not a slow sink
+# (the classifier gate legitimately records batches=0 at 200k rps only)
+dead = []
+for name, steps in d.get("sinks", {}).items():
+    rates = steps if isinstance(steps, list) else steps.get("rates", [])
+    if not any((r.get("batches", 0) or 0) >= 1 for r in rates):
+        dead.append(name)
+if dead:
+    print(f"[round_close] STREAMING GATE FAILED: sinks with 0 batches at "
+          f"every rate step: {dead}")
+    sys.exit(1)
 print(f"[round_close] streaming OK: headline {d['value']:.0f} rows/s, "
-      f"{len(d['pipelines'])} pipelines, {len(d.get('sinks', {}))} sinks")
+      f"{len(d['pipelines'])} pipelines, {len(d.get('sinks', {}))} sinks, "
+      f"all sinks alive")
 EOF
 else
   echo "[round_close] SKIPPED streaming bench (SPARK_GRAFT_SKIP_STREAM_BENCH set)"

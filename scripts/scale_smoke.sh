@@ -7,6 +7,7 @@
 #
 # usage: scripts/scale_smoke.sh [scaledDir] [q1,q2,...]
 set -e
+set -o pipefail  # `run_verify.sh | tee` must propagate the smoke run's exit code
 cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 OUT=${1:-/tmp/graft_sf1}

@@ -54,10 +54,35 @@ object PublishGuard {
     Fingerprint(r.getLong(0), r.getLong(1))
   }
 
-  def writeSidecar(fs: FileSystem, dir: Path, fp: Fingerprint): Unit = {
+  /** `notes` records publish-time facts that don't key the cache but do
+    * explain the artifact's provenance (e.g. the EFFECTIVE training
+    * schedule of a warm-start refresh, which differs from the path's
+    * nominal iteration count — round-15 advice). [[readSidecar]]'s
+    * parser ignores unknown keys, so notes never affect staleness checks.
+    */
+  def writeSidecar(fs: FileSystem, dir: Path, fp: Fingerprint,
+      notes: Map[String, String] = Map.empty): Unit = {
     val out = fs.create(new Path(dir, SidecarFile), true)
-    try out.write(s"rows=${fp.rows}\nhash=${fp.hash}\n".getBytes("UTF-8"))
+    val extra = notes.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }.mkString
+    try out.write(
+      s"rows=${fp.rows}\nhash=${fp.hash}\n$extra".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** All `k=v` lines of a sidecar, fingerprint AND notes — for specs and
+    * provenance inspection.
+    */
+  def readSidecarNotes(fs: FileSystem, dir: Path): Map[String, String] = {
+    val p = new Path(dir, SidecarFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v.trim }.toMap
+    }
   }
 
   def readSidecar(fs: FileSystem, dir: Path): Option[Fingerprint] = {
@@ -221,12 +246,14 @@ object PublishGuard {
       spark: SparkSession,
       path: String,
       fp: Fingerprint,
-      what: String)(compute: () => DataFrame): DataFrame = {
+      what: String,
+      notes: Map[String, String] = Map.empty)(
+      compute: () => DataFrame): DataFrame = {
     val outPath = new Path(path)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def publish(): Unit = publishAtomic(spark, path) { staging =>
       compute().write.mode("overwrite").parquet(staging)
-      writeSidecar(fs, new Path(staging), fp)
+      writeSidecar(fs, new Path(staging), fp, notes)
     }
     if (!fs.exists(outPath)) publish()
     else if (readSidecar(fs, outPath) != Some(fp)) {
@@ -237,7 +264,7 @@ object PublishGuard {
       // path was always atomic, only this rebuild path deleted first)
       replaceAtomic(spark, path) { staging =>
         compute().write.mode("overwrite").parquet(staging)
-        writeSidecar(fs, new Path(staging), fp)
+        writeSidecar(fs, new Path(staging), fp, notes)
       }
     }
     verifySidecar(fs, outPath, fp, what)
@@ -285,7 +312,10 @@ object PublishGuard {
     * window is two metadata operations, not the recompute. Racing
     * replacers resolve like racing publishers: the first rename wins
     * (verified by token, exactly as publishAtomic), losers delete their
-    * staging dir and read the winner's table.
+    * staging dir and read the winner's table. A rename that fails with NO
+    * winner visible (transient FS error after the live delete) retries,
+    * then keeps the staging dir rather than deleting the only surviving
+    * copy of the data.
     */
   def replaceAtomic(spark: SparkSession, out: String)(
       write: String => Unit): Boolean = {
@@ -296,6 +326,7 @@ object PublishGuard {
     val staging = new Path(outPath.getParent,
       s".${outPath.getName}.staging-${token.take(8)}")
     var won = false
+    var keepStaging = false
     try {
       write(staging.toString)
       val m = fs.create(new Path(staging, MarkerFile), true)
@@ -304,7 +335,20 @@ object PublishGuard {
       // replacer may slip its rename between ours, in which case our
       // rename merges-under or fails and we lose (token check below)
       fs.delete(outPath, true)
-      if (fs.rename(staging, outPath)) {
+      var renamed = fs.rename(staging, outPath)
+      // transient-FS recovery: the live table is already deleted, so a
+      // rename returning false with NO concurrent winner would — if we
+      // let the finally block delete staging — leave NEITHER version on
+      // disk. Retry while no winner marker is visible; if the rename
+      // still fails and nobody else won, KEEP the staging directory so
+      // the fresh data survives for manual recovery.
+      var retries = 0
+      while (!renamed && retries < 3 &&
+          !fs.exists(new Path(outPath, MarkerFile))) {
+        retries += 1
+        renamed = fs.rename(staging, outPath)
+      }
+      if (renamed) {
         val published = new Path(outPath, MarkerFile)
         won = fs.exists(published) && {
           val in = fs.open(published)
@@ -317,10 +361,12 @@ object PublishGuard {
           val leaked = new Path(outPath, staging.getName)
           if (fs.exists(leaked)) fs.delete(leaked, true)
         }
+      } else if (!fs.exists(new Path(outPath, MarkerFile))) {
+        keepStaging = true
       }
       won
     } finally {
-      if (!won) fs.delete(staging, true)
+      if (!won && !keepStaging) fs.delete(staging, true)
     }
   }
 }

@@ -1575,6 +1575,13 @@ object Graph {
     * The DATA version is pinned separately by the fingerprint sidecar.
     * One definition, shared by the publisher and the DuckDB oracle's
     * read_parquet path.
+    *
+    * CONTRACT caveat (round-15 advice): the `_i` component is the NOMINAL
+    * iteration budget — a warm-start refresh trains at half of it, so the
+    * same (path, fingerprint) can hold vectors from either schedule
+    * depending on publish history. The EFFECTIVE schedule of the table
+    * actually on disk is recorded in its sidecar (`schedule=` and
+    * `iters_run=` notes, [[graft.engine.PublishGuard.readSidecarNotes]]).
     */
   def nodeEmbeddingPath(
       baseDir: String,
@@ -1585,9 +1592,10 @@ object Graph {
       lr: Double = 1.0,
       window: Int = 2,
       miniBatches: Int = 4,
-      salt: String = "sgns"): String =
+      salt: String = "sgns",
+      saltGroups: Int = gradSaltGroups): String =
     s"$baseDir/${slug}_d${dim}_n${negatives}_i${iters}_lr${lr}_w${window}" +
-      s"_mb${miniBatches}_$salt"
+      s"_mb${miniBatches}_sg${saltGroups}_$salt"
 
   /** Read-through accessor for the PUBLISHED node-embedding table —
     * train once over the published walk corpus, publish `(node, vec)`,
@@ -1632,7 +1640,13 @@ object Graph {
       else None
     val itersUsed = prior.fold(iters)(_ => math.max(1, iters / 2))
     PublishGuard.publishedTableAt(
-      spark, path, fp, s"published node embeddings '$slug'")(() =>
+      spark, path, fp, s"published node embeddings '$slug'",
+      // provenance notes: the path's _i slug is the NOMINAL budget; the
+      // sidecar records what this publish actually ran (warm refreshes
+      // train at half budget — round-15 advice)
+      notes = Map(
+        "schedule" -> prior.fold("cold")(_ => "warm"),
+        "iters_run" -> itersUsed.toString))(() =>
       sgnsTrainEmbeddings(
         walkContextPairs(corpus, window), dim, negatives, itersUsed, lr,
         salt, miniBatches, warmStart = prior))

@@ -990,6 +990,16 @@ class GraphSpec extends AnyFunSuite {
     assert(sWarm >= 0.8 * sCold,
       f"warm half-budget separation $sWarm%.4f < 80%% of cold $sCold%.4f " +
         f"(warm retrain took $warmSec%.1f s)")
+    // the sidecar records the EFFECTIVE schedule (the path's _i slug is
+    // nominal; the warm refresh actually ran iters/2 — round-15 advice)
+    val pubPath = new org.apache.hadoop.fs.Path(
+      Graph.nodeEmbeddingPath(wh, "warm_spec", iters = iters))
+    val fs = pubPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = graft.engine.PublishGuard.readSidecarNotes(fs, pubPath)
+    assert(sidecar.get("schedule") === Some("warm"),
+      s"sidecar must record the warm refresh, got $sidecar")
+    assert(sidecar.get("iters_run") === Some((iters / 2).toString),
+      s"sidecar must record the iterations actually run, got $sidecar")
   }
 
   test("embeddingNeighborsIvf: recall@5 vs the exact path; honest in_exact column") {

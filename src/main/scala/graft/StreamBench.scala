@@ -221,15 +221,24 @@ object StreamBench {
           state, ckpt, keyCol = "key")),
       ("classifier_score", (rate, state, ckpt) =>
         StreamOps.classifierScoreSink(docStream(rate), weights, state, ckpt)))
+    // optional comma-separated subset for local iteration (unset = all,
+    // which is what round_close.sh records — its liveness gate assumes
+    // the full sink set, so never ship a filtered recording)
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val (beforeSamples, probeBefore) = Bench.probe(spark, 3)
-    val results = pipelines.map { case (name, p) =>
-      val stats = rates.map(r => runOne(spark, name, p, r, windowSec))
-      name -> stats
-    }
-    val sinkResults = sinks.map { case (name, mk) =>
-      val stats = sinkRates.map(r => runSink(spark, name, r, windowSec)(mk))
-      name -> stats
-    }
+    val results = pipelines
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, p) =>
+        val stats = rates.map(r => runOne(spark, name, p, r, windowSec))
+        name -> stats
+      }
+    val sinkResults = sinks
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, mk) =>
+        val stats = sinkRates.map(r => runSink(spark, name, r, windowSec)(mk))
+        name -> stats
+      }
     val (afterSamples, probeAfter) = Bench.probe(spark, 3)
     // the normalization contract (BASELINE.md) divides by the recording's
     // probe MEDIAN over all samples — emit it, not just the brackets

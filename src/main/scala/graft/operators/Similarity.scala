@@ -761,11 +761,22 @@ object Similarity {
     * is pulled to the driver each round and re-broadcast as literals —
     * the standard k-means topology (per-round cost: one map over the
     * corpus + one (cluster, dim)-keyed partial aggregation).
+    *
+    * `init` WARM-STARTS Lloyd from a prior centroid set instead of the
+    * first-nlist init — the [[graft.operators.Graph.publishedNodeEmbeddings]]
+    * refresh discipline applied to k-means (round-15 verdict item 4): a
+    * data refresh under the same hyperparameters seeds from the table it
+    * supersedes and converges in fewer rounds. A dimension change in the
+    * corpus is self-healing (assignment dots fold the common prefix; the
+    * first mean update re-derives centroids at the corpus's true dim).
     */
   def trainIvfCentroids(
       embeddings: DataFrame,
       nlist: Int = 16,
-      iters: Int = 3): Array[Array[Double]] = {
+      iters: Int = 3,
+      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    init.foreach(c => require(c.length == nlist,
+      s"warm-start init must carry nlist=$nlist centroids, got ${c.length}"))
     val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nv", transform(col("v"), x => x / VectorOps.l2Norm(col("v"))))
@@ -775,10 +786,11 @@ object Similarity {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
-    var cents: Array[Array[Double]] = e.where(col("vec_id") < nlist)
+    var cents: Array[Array[Double]] = init.map(_.map(normalize))
+      .getOrElse(e.where(col("vec_id") < nlist)
       .orderBy(col("vec_id")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("nv").toArray)
-      .map(normalize)
+      .map(normalize))
     (1 to iters).foreach { _ =>
       val assigned = e.withColumn("cluster", assignCluster(col("nv"), cents))
       val sums = assigned
@@ -972,14 +984,20 @@ object Similarity {
         lit(j).as("i"))
     }: _*)).getField("i")
 
+  /** `init` warm-starts each subspace's Lloyd rounds from a prior
+    * codebook (round-15 verdict item 4 — see [[trainIvfCentroids]]).
+    */
   def trainPqCodebooks(
       embeddings: DataFrame,
       m: Int,
       ksub: Int,
       iters: Int,
-      dim: Int): Array[Array[Array[Double]]] = {
+      dim: Int,
+      init: Option[Array[Array[Array[Double]]]] = None): Array[Array[Array[Double]]] = {
     val dsub = dim / m
     require(m * dsub == dim, s"m=$m must divide dim=$dim")
+    init.foreach(b => require(b.length == m && b.forall(_.length == ksub),
+      s"warm-start init must be m=$m codebooks of ksub=$ksub entries"))
     val e = embeddings
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nv", transform(col("v"), x => x / VectorOps.l2Norm(col("v"))))
@@ -988,9 +1006,10 @@ object Similarity {
     try {
       (0 until m).map { s =>
         val sub = e.select(col("vec_id"), slice(col("nv"), s * dsub + 1, dsub).as("sv"))
-        var cents: Array[Array[Double]] = sub.where(col("vec_id") < ksub)
+        var cents: Array[Array[Double]] = init.map(_(s))
+          .getOrElse(sub.where(col("vec_id") < ksub)
           .orderBy(col("vec_id")).collect()
-          .map(_.getAs[scala.collection.Seq[Double]]("sv").toArray)
+          .map(_.getAs[scala.collection.Seq[Double]]("sv").toArray))
         (1 to iters).foreach { _ =>
           val sums = sub
             .withColumn("cluster", nearestCode(col("sv"), cents))
@@ -1099,6 +1118,16 @@ object Similarity {
     * fingerprint matches the current input — otherwise it falls through
     * to the table logic above.
     */
+  /** `warm` (optional) retrains a STALE artifact seeded from the prior
+    * published value instead of from scratch — the
+    * [[graft.operators.Graph.publishedNodeEmbeddings]] warm-start
+    * discipline generalized to the whole artifact family (round-15
+    * verdict item 4). The prior value is loaded BEFORE the staging-first
+    * replace (the live table stays readable throughout); an unreadable
+    * prior falls back to the cold `train`. `notes(warmUsed)` lands in the
+    * sidecar so the EFFECTIVE schedule of the table on disk is recorded
+    * (the path slug carries only the nominal hyperparameters).
+    */
   private[operators] def publishedArtifact[A](
       spark: SparkSession,
       path: String,
@@ -1108,7 +1137,9 @@ object Similarity {
       train: () => A,
       write: (A, String) => Unit,
       load: () => A,
-      what: String): A = {
+      what: String,
+      warm: Option[A => A] = None,
+      notes: Boolean => Map[String, String] = _ => Map.empty): A = {
     val key = s"published|$path|$paramsKey"
     val hit = cache.get(key)
     if (hit != null && hit._1 == fp) hit._2
@@ -1117,18 +1148,31 @@ object Similarity {
       val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def publish(): Unit = PublishGuard.publishAtomic(spark, path) { staging =>
         write(train(), staging)
-        PublishGuard.writeSidecar(fs, new org.apache.hadoop.fs.Path(staging), fp)
+        PublishGuard.writeSidecar(
+          fs, new org.apache.hadoop.fs.Path(staging), fp, notes(false))
       }
       if (!fs.exists(outPath)) publish()
       else if (PublishGuard.readSidecar(fs, outPath) != Some(fp)) {
         // out-of-date (or sidecar-less pre-refactor) artifact: rebuild —
         // staging-first (PublishGuard.replaceAtomic), so concurrent
         // readers of the live table see at most the delete→rename
-        // metadata window, never the retraining gap
+        // metadata window, never the retraining gap. With `warm`, the
+        // prior table (still live) seeds the retrain.
+        val (retrain, warmUsed) = warm match {
+          case Some(wf) =>
+            val prior =
+              try Some(load())
+              catch { case scala.util.control.NonFatal(_) => None }
+            prior match {
+              case Some(p) => (() => wf(p), true)
+              case None => (train, false)
+            }
+          case None => (train, false)
+        }
         PublishGuard.replaceAtomic(spark, path) { staging =>
-          write(train(), staging)
+          write(retrain(), staging)
           PublishGuard.writeSidecar(
-            fs, new org.apache.hadoop.fs.Path(staging), fp)
+            fs, new org.apache.hadoop.fs.Path(staging), fp, notes(warmUsed))
         }
       }
       PublishGuard.verifySidecar(fs, outPath, fp, what)
@@ -1232,6 +1276,7 @@ object Similarity {
       iters: Int = 3): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     val path = ivfCentroidsPath(baseDir, slug, nlist, iters)
+    val warmIters = math.max(1, iters / 2)
     publishedArtifact[Array[Array[Double]]](
       spark, path, s"$nlist|$iters",
       embeddingFingerprint(embeddings), centroidCache,
@@ -1239,7 +1284,16 @@ object Similarity {
       write = (cents, p) => writeCentroidTable(spark, cents, p),
       load = () => spark.read.parquet(path).orderBy("list_id").collect()
         .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray),
-      what = s"published IVF centroids '$slug'")
+      what = s"published IVF centroids '$slug'",
+      // data refresh under the same path: seed Lloyd from the prior
+      // published centroids at half the iteration budget (round-15
+      // verdict item 4; params-in-path guarantees the prior table was
+      // trained under the same nlist/iters)
+      warm = Some(prior =>
+        trainIvfCentroids(embeddings, nlist, warmIters, init = Some(prior))),
+      notes = warmUsed => Map(
+        "schedule" -> (if (warmUsed) "warm" else "cold"),
+        "iters_run" -> (if (warmUsed) warmIters else iters).toString))
   }
 
   /** Read-through accessor for published PQ codebooks — see
@@ -1255,6 +1309,7 @@ object Similarity {
       dim: Int = 64): Array[Array[Array[Double]]] = {
     val spark = embeddings.sparkSession
     val path = pqCodebooksPath(baseDir, slug, m, ksub, iters, dim)
+    val warmIters = math.max(1, iters / 2)
     publishedArtifact[Array[Array[Array[Double]]]](
       spark, path, s"pq|$m|$ksub|$iters|$dim",
       embeddingFingerprint(embeddings), pqCache,
@@ -1267,7 +1322,15 @@ object Similarity {
             .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
         }.toArray
       },
-      what = s"published PQ codebooks '$slug'")
+      what = s"published PQ codebooks '$slug'",
+      // same warm-refresh discipline as publishedIvfCentroids: per-subspace
+      // Lloyd seeded from the prior published codebooks at half budget
+      warm = Some(prior =>
+        trainPqCodebooks(embeddings, m, ksub, warmIters, dim,
+          init = Some(prior))),
+      notes = warmUsed => Map(
+        "schedule" -> (if (warmUsed) "warm" else "cold"),
+        "iters_run" -> (if (warmUsed) warmIters else iters).toString))
   }
 
   /** [[pqTopK]] with the training/serving split made physical — the same

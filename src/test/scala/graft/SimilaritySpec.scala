@@ -146,6 +146,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fs.exists(new Path(Similarity.ivfCentroidsPath(base, "c1", nlist = 8))))
   }
 
+  test("warm-start refresh: appended-vectors retrain at half budget stays in the quality band; sidecar records the schedule") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val emb = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-warm-kmeans").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cDir = new Path(Similarity.ivfCentroidsPath(base, "warm_c"))
+    // v1: cold publish at the full budget
+    Similarity.publishedIvfCentroids(emb, base, "warm_c")
+    val notes1 = graft.engine.PublishGuard.readSidecarNotes(fs, cDir)
+    assert(notes1.get("schedule") === Some("cold") &&
+      notes1.get("iters_run") === Some("3"), s"cold sidecar: $notes1")
+    // the data changes: append perturbed copies of 20 vectors
+    val emb2 = emb.select("vec_id", "embedding").unionByName(
+      emb.where(col("vec_id") < 20).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(graft.functions.VectorOps.asDouble(col("embedding")),
+          x => x * 1.01).as("embedding")))
+    Similarity.clearTrainingCaches()
+    val warm = Similarity.publishedIvfCentroids(emb2, base, "warm_c")
+    val notes2 = graft.engine.PublishGuard.readSidecarNotes(fs, cDir)
+    assert(notes2.get("schedule") === Some("warm") &&
+      notes2.get("iters_run") === Some("1"),
+      s"warm refresh must run iters/2 and record it: $notes2")
+    // quality band: the half-budget warm refresh must quantize the NEW
+    // corpus at >= 95% of a cold full-budget train's mean max-cosine
+    val cold = Similarity.trainIvfCentroids(emb2)
+    val vecs = emb2.select(
+      graft.functions.VectorOps.asDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    def meanMaxDot(cents: Array[Array[Double]]): Double =
+      vecs.map(v => cents.map(c =>
+        c.zip(v).map { case (a, b) => a * b }.sum).max).sum / vecs.length
+    val (qWarm, qCold) = (meanMaxDot(warm), meanMaxDot(cold))
+    assert(qWarm >= 0.95 * qCold,
+      f"warm half-budget quantization $qWarm%.4f < 95%% of cold $qCold%.4f")
+    // publish contract unchanged: a fresh-session re-read serves the table
+    Similarity.clearTrainingCaches()
+    val again = Similarity.publishedIvfCentroids(emb2, base, "warm_c")
+    assert(again.map(_.toSeq).toSeq == warm.map(_.toSeq).toSeq)
+    // PQ codebooks ride the same warm path
+    Similarity.publishedPqCodebooks(emb, base, "warm_b")
+    Similarity.clearTrainingCaches()
+    val bWarm = Similarity.publishedPqCodebooks(emb2, base, "warm_b")
+    val bDir = new Path(Similarity.pqCodebooksPath(base, "warm_b"))
+    val bNotes = graft.engine.PublishGuard.readSidecarNotes(fs, bDir)
+    assert(bNotes.get("schedule") === Some("warm") &&
+      bNotes.get("iters_run") === Some("1"), s"PQ warm sidecar: $bNotes")
+    assert(bWarm.length == 8 && bWarm.forall(_.length == 16))
+  }
+
   test("PQ ANN recall@5 vs brute force, scores exact after rerank") {
     val emb = Tables.embeddings(spark, sf)
     def byPair(df: org.apache.spark.sql.DataFrame) =

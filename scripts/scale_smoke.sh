@@ -60,7 +60,10 @@ if not line:
     print("[scale_smoke] GATE FAILED: no machine-readable smoke line emitted")
     sys.exit(1)
 smoke = json.loads(line[-1])
-gates = {"dedup_clusters": 4.5}
+# graph_sage_sample <= 6 (round 16): with the published sampled adjacency
+# the serving path measured 2.6x at 10x (docs/PLANS.md); a breach means a
+# consumer is rebuilding the |E|-shaped adjacency inline again
+gates = {"dedup_clusters": 4.5, "graph_sage_sample": 6.0}
 bad = []
 for q, bound in gates.items():
     r = smoke["queries"].get(q)

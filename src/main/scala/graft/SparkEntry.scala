@@ -1101,7 +1101,8 @@ object SparkEntry {
         Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
       Graph.sageSample(edges,
         Tables.customer(s, d).where(col("c_custkey") % 97 === 1)
-          .select(concat(lit("c:"), col("c_custkey")).as("seed")))
+          .select(concat(lit("c:"), col("c_custkey")).as("seed")),
+        adjacency = Some(Graph.sharedSageAdjacency(edges, cacheKey = d)))
         .orderBy("seed", "hop", "parent", "branch")
     }),
     // GraphSAGE 2-layer mean aggregation over the sampled trees:
@@ -1112,7 +1113,8 @@ object SparkEntry {
         Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
       val tree = Graph.sageSample(edges,
         Tables.customer(s, d).where(col("c_custkey") % 97 === 1)
-          .select(concat(lit("c:"), col("c_custkey")).as("seed")))
+          .select(concat(lit("c:"), col("c_custkey")).as("seed")),
+        adjacency = Some(Graph.sharedSageAdjacency(edges, cacheKey = d)))
       val feats = Tables.customer(s, d)
         .select(concat(lit("c:"), col("c_custkey")).as("node"),
           col("c_acctbal").cast("double").as("x"))

@@ -309,19 +309,22 @@ object Graph {
     */
   def sageSample(
       edges: DataFrame, seeds: DataFrame,
-      fanouts: Seq[Int] = Seq(3, 2), salt: String = "sage"): DataFrame = {
+      fanouts: Seq[Int] = Seq(3, 2), salt: String = "sage",
+      adjacency: Option[DataFrame] = None): DataFrame = {
     require(fanouts.nonEmpty, "at least one hop fanout")
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v"), col("u")))
-      .distinct()
-    val h = conv(substring(md5(concat(
-        lit(s"$salt:"), col("u"), lit(":"), col("v"))), 1, 13), 16, 10)
-      .cast("long")
-    val wRank = Window.partitionBy(col("u")).orderBy(h, col("v"))
-    val ranked = OpCache.materialize(
-      sym
-        .withColumn("rnk", row_number().over(wRank))
-        .where(col("rnk") <= fanouts.max))
+    // `adjacency` (from [[sharedSageAdjacency]]) skips the per-call
+    // symmetrize+distinct+window shuffles — the |E|-shaped cost that
+    // dominated this operator (round-16 profile, docs/PLANS.md: the
+    // adjacency build is ~85-90% of the inline query at 10x and carries
+    // its recording variance). CONTRACT: the table must have been built with
+    // maxFanout >= fanouts.max under the SAME salt; the sampled ranks are
+    // deterministic (md5 hash, ties by v), so the published table and the
+    // inline build yield bit-identical trees.
+    val ranked = adjacency match {
+      case Some(adj) => adj.where(col("rnk") <= fanouts.max)
+      case None => OpCache.materialize(
+        sageAdjacency(edges, fanouts.max, salt))
+    }
     val hop0 = seeds.select(col("seed"))
       .withColumn("hop", lit(0))
       .withColumn("parent", lit(null).cast("string"))
@@ -339,6 +342,26 @@ object Graph {
       frontier = next
     }
     out
+  }
+
+  /** The hash-ranked sampled adjacency [[sageSample]] draws from: the
+    * symmetrized distinct edge set, neighbors of each u ranked by
+    * (md5(`salt:u:v`) 52-bit prefix, v) and cut at `maxFanout`. Split out
+    * so the |E|-shaped part of GraphSAGE sampling (two shuffles + a
+    * per-source sort) can be published once and served to every sampling
+    * call ([[sharedSageAdjacency]]) — the walk-corpus discipline.
+    */
+  def sageAdjacency(
+      edges: DataFrame, maxFanout: Int, salt: String = "sage"): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+      .distinct()
+    val h = conv(substring(md5(concat(
+        lit(s"$salt:"), col("u"), lit(":"), col("v"))), 1, 13), 16, 10)
+      .cast("long")
+    val wRank = Window.partitionBy(col("u")).orderBy(h, col("v"))
+    sym.withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= maxFanout)
   }
 
   /** Damped PageRank over the symmetrized edge list, a FIXED number of
@@ -1315,6 +1338,29 @@ object Graph {
       "walk_corpus", cacheKey, Seq(salt, s"st$steps"),
       PublishGuard.fingerprint(edges, Seq(col("u"), col("v"))),
       "walk corpus table")(live)
+  }
+
+  /** [[sageAdjacency]] published once per cacheKey — the round-16
+    * extension of the walk-corpus discipline to GraphSAGE sampling. The
+    * profile that motivated it (docs/PLANS.md `graph_sage_sample`): the
+    * symmetrize+distinct+window adjacency build is |E|-shaped and was
+    * re-run on every sampling call, dominating the query (~85-90% of its
+    * cost at 10x: build 7.9-9.6 s of an 8.5-9.6 s inline query) and
+    * carrying all of its recording variance; the hop joins themselves
+    * are frontier-sized broadcasts against this table (0.4-1.3 s at
+    * 10x). Ranks are deterministic, so serving from the table is
+    * bit-identical to the inline build.
+    */
+  def sharedSageAdjacency(
+      edges: DataFrame, cacheKey: String, baseDir: String = "",
+      maxFanout: Int = 3, salt: String = "sage"): DataFrame = {
+    def live() = sageAdjacency(edges, maxFanout, salt)
+    if (cacheKey.isEmpty) live()
+    else PublishGuard.sharedTable(
+      edges.sparkSession, walkTableCache, baseDir,
+      "sage_adjacency", cacheKey, Seq(salt, s"f$maxFanout"),
+      PublishGuard.fingerprint(edges, Seq(col("u"), col("v"))),
+      "sage sampled adjacency table")(live)
   }
 
   /** [[node2vecWalks]] published once per cacheKey — the second-order

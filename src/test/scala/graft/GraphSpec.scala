@@ -260,6 +260,18 @@ class GraphSpec extends AnyFunSuite {
     got.filter(_._2 > 0).foreach { case (_, _, p, n, _) =>
       assert(und.contains((p.get, n)), s"non-edge step $p -> $n")
     }
+    // the published-adjacency spelling (round 16: sharedSageAdjacency
+    // removes the per-call |E|-shaped build) is BIT-identical — ranks
+    // are md5-deterministic, so a parquet round trip changes nothing
+    val wh = java.nio.file.Files.createTempDirectory("graft-sageadj").toString
+    val viaShared = Graph.sageSample(e, seeds, fanouts = Seq(3, 2),
+      adjacency = Some(Graph.sharedSageAdjacency(
+        e, cacheKey = "sagespec", baseDir = wh)))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)),
+        r.getString(3), r.getInt(4))).toSet
+    assert(viaShared === got,
+      "published-adjacency sampling diverged from the inline build")
   }
 
   test("node2vecWalks: JVM inverse-CDF recompute matches; bias weights steer the draw") {

@@ -63,6 +63,67 @@ print(f"[round_close] gate OK: {len(covered)} queries covered, "
       f"total {bench.get('value')}s, probe {bench.get('probe', {}).get('median')}s")
 EOF
 
+# movers block (round-15 verdict item 5: the window-drift explanation was
+# narrative — "broad uniform movers = box drift" — and got load-bearing).
+# Any common query whose probe-normalized median moved >1.5x vs the
+# PREVIOUS close gets an automatic isolated re-run (fresh JVM, 3 medians,
+# its own probe bracket) appended to the artifact, so the next judge
+# reads confirmations, not prose.
+PREV="BENCH_full_r$((N-1)).json"
+if [ -f "$PREV" ]; then
+  MOVERS=$(python3 - "$OUT" "$PREV" <<'EOF'
+import json, sys
+cur, prev = json.load(open(sys.argv[1])), json.load(open(sys.argv[2]))
+pc, pp = cur.get("probe", {}).get("median"), prev.get("probe", {}).get("median")
+if not pc or not pp:
+    sys.exit(0)  # no probe → cannot normalize; the walk gate already failed
+movers = []
+for q, m in cur.get("queries", {}).items():
+    pm = prev.get("queries", {}).get(q)
+    if pm and pm > 0 and (m / pc) / (pm / pp) > 1.5:
+        movers.append(q)
+print(",".join(sorted(movers)))
+EOF
+)
+  if [ -n "$MOVERS" ]; then
+    echo "[round_close] movers >1.5x probe-normalized vs $PREV: $MOVERS — isolated re-run"
+    SPARK_GRAFT_BENCH_ONLY="$MOVERS" \
+      SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+      scripts/run_verify.sh graft.Bench 2>/dev/null | tail -1 > /tmp/graft_movers.json
+  fi
+  python3 - "$OUT" "$PREV" "$MOVERS" <<'EOF'
+import json, sys
+cur, prev = json.load(open(sys.argv[1])), json.load(open(sys.argv[2]))
+movers = [m for m in (sys.argv[3].split(",") if len(sys.argv) > 3 else []) if m]
+pc = cur["probe"]["median"]; pp = prev["probe"]["median"]
+entries = {}
+if movers:
+    iso = json.load(open("/tmp/graft_movers.json"))
+    ip = iso.get("probe", {}).get("median")
+    for q in movers:
+        entries[q] = {
+            "prev_median": prev["queries"][q], "prev_probe": pp,
+            "cur_median": cur["queries"][q], "cur_probe": pc,
+            "norm_ratio": round((cur["queries"][q] / pc) / (prev["queries"][q] / pp), 3),
+            "isolated_median": iso.get("queries", {}).get(q),
+            "isolated_spread": iso.get("spread", {}).get(q),
+            "isolated_probe": ip,
+            "isolated_norm_vs_prev": (
+                round((iso["queries"][q] / ip) / (prev["queries"][q] / pp), 3)
+                if ip and iso.get("queries", {}).get(q) else None),
+        }
+cur["movers"] = {"threshold": 1.5, "vs": sys.argv[2], "entries": entries}
+json.dump(cur, open(sys.argv[1], "w"))
+conf = [q for q, e in entries.items()
+        if e["isolated_norm_vs_prev"] and e["isolated_norm_vs_prev"] > 1.5]
+print(f"[round_close] movers block: {len(entries)} movers, "
+      f"{len(conf)} confirmed by isolated re-run"
+      + (f" — INVESTIGATE: {conf}" if conf else ""))
+EOF
+else
+  echo "[round_close] no $PREV — skipping movers block (first recorded round)"
+fi
+
 # streaming bench re-record (round-14 verdict item 4: BENCH_streaming.json
 # went seven rounds stale while ~15 stateful sinks shipped unbenched —
 # recording it HERE means it can never silently stale again). Skippable

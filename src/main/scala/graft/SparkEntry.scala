@@ -783,6 +783,16 @@ object SparkEntry {
     // both custom TypedImperativeAggregates through pure spark.sql —
     // the registration path, constant-folded md5 bucket indexes in SQL
     "sql_graft_sketches" -> ((s, d) => SqlSurface.sqlSketchSurface(s, d)),
+    // an LLM-pipeline OPERATOR driven purely through spark.sql (round 16:
+    // SqlSurface.registerLlmViews registers minhash pairs / IVF top-k /
+    // BM25 as table entry points) — the SELECT executes the same lazy
+    // Catalyst pipeline the Column API builds, value-checked by the
+    // exact-jaccard oracle
+    "sql_graft_minhash_pairs" -> ((s, d) => {
+      SqlSurface.registerLlmViews(s, d)
+      s.sql("""SELECT doc_a, doc_b, jaccard FROM graft_minhash_pairs
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
     "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
     // deliberately-skewed shuffle join, salted: results must be identical
     // to the plain join (the salt is a physical-plan rewrite only)
@@ -1186,6 +1196,38 @@ object SparkEntry {
         baseDir = "/tmp/graft_warehouse",
         slug = s"node_emb_${d.split('/').last}")
       Graph.linkPredictionIvf(emb, edges,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct(),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_ivf_${d.split('/').last}")
+        .orderBy("query", "rank")
+    }),
+    // the pruned-only PRODUCTION serving spellings (round 16): the same
+    // chains as the _ivf variants with the honesty join dropped — the
+    // oracle value-checks the production path on its own, and
+    // graft.IvfServingBench measures it at an every-customer cohort
+    "graph_embedding_neighbors_ivf_pruned" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}")
+      Graph.embeddingNeighborsIvfPruned(emb,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct(),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_ivf_${d.split('/').last}")
+        .orderBy("query", "rank")
+    }),
+    "graph_link_prediction_ivf_pruned" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}")
+      Graph.linkPredictionIvfPruned(emb, edges,
         Tables.orders(s, d).where(col("o_custkey") < 10)
           .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct(),
         baseDir = "/tmp/graft_warehouse",
@@ -2287,6 +2329,9 @@ object SparkEntry {
     // recall is 1.0 on this corpus (DedupSpec) — so the exact pair set IS
     // the expected value
     "dedup_minhash_lsh" -> exactJaccardOracle,
+    // the same operator driven through the SQL surface view (round 16) —
+    // same plan, same values, same exact-jaccard expectation
+    "sql_graft_minhash_pairs" -> exactJaccardOracle,
     // query-by-example replayed exactly: query q = doc (doc_id % 97 = 3)
     // with its first token dropped, id + 2^43; the expected result is the
     // EXACT query-shingles × corpus-shingles jaccard at >= 0.5 — equal to
@@ -5581,51 +5626,7 @@ object SparkEntry {
     // probed buckets only, and the exact full-scan top-5 re-derived for
     // the in_exact honesty bit (the sim_recall_eval chain shape)
     "graph_embedding_neighbors_ivf" ->
-      s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "node_emb_ivf_" + sf)}/*.parquet')),
-        |emb AS (SELECT node, vec::DOUBLE[] AS v
-        |        FROM read_parquet('${Graph.nodeEmbeddingPath(
-                  "/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
-        |n AS MATERIALIZED (
-        |  SELECT node, v,
-        |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
-        |  FROM emb),
-        |nn AS (SELECT node, v, nrm, [x / nrm for x in v] AS nv FROM n),
-        |d AS MATERIALIZED (
-        |  SELECT nn.node, c.list_id,
-        |         list_reduce([nn.nv[i] * c.centroid[i]
-        |                      for i in range(1, 1 + len(nn.nv))],
-        |                     (x, y) -> x + y) AS dt
-        |  FROM nn CROSS JOIN c),
-        |a AS (SELECT node, list_id AS cluster FROM (
-        |        SELECT node, list_id,
-        |               row_number() OVER (PARTITION BY node
-        |                                  ORDER BY dt DESC, list_id DESC) AS rn
-        |        FROM d)
-        |      WHERE rn = 1),
-        |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
-        |       WHERE o_custkey < 10),
-        |p AS (SELECT query, list_id FROM (
-        |        SELECT d.node AS query, d.list_id,
-        |               row_number() OVER (PARTITION BY d.node
-        |                                  ORDER BY d.dt DESC, d.list_id DESC) AS rn
-        |        FROM d JOIN qs ON qs.node = d.node)
-        |      WHERE rn <= 4),
-        |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
-        |      FROM n JOIN qs ON qs.node = n.node),
-        |cand AS (SELECT p.query, a.node
-        |         FROM a JOIN p ON a.cluster = p.list_id
-        |         WHERE a.node <> p.query),
-        |s AS (SELECT cand.query, cand.node,
-        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
-        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
-        |      FROM cand JOIN n ON n.node = cand.node
-        |      JOIN q ON q.query = cand.query),
-        |ivf AS (SELECT query, rank, node, cosine FROM (
-        |          SELECT *, row_number() OVER (PARTITION BY query
-        |                                       ORDER BY cosine DESC, node) AS rank
-        |          FROM s)
-        |        WHERE rank <= 5),
+      s"""WITH ${ivfServingCtes(sf, linkPred = false)},
         |exs AS (SELECT q.query, n.node,
         |              list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
         |                          (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
@@ -5640,60 +5641,23 @@ object SparkEntry {
         |       ivf.cosine, ex.node IS NOT NULL AS in_exact
         |FROM ivf LEFT JOIN ex ON ex.query = ivf.query AND ex.node = ivf.node
         |ORDER BY ivf.query, rank""".stripMargin,
+    // the pruned-only production spellings (round 16): the SAME chain as
+    // the honesty variants minus the exact join — value-checked by the
+    // oracle on their own, so the production path itself is hash-green
+    "graph_embedding_neighbors_ivf_pruned" ->
+      s"""WITH ${ivfServingCtes(sf, linkPred = false)}
+        |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine
+        |FROM ivf ORDER BY query, rank""".stripMargin,
+    "graph_link_prediction_ivf_pruned" ->
+      s"""WITH ${ivfServingCtes(sf, linkPred = true)}
+        |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine
+        |FROM ivf ORDER BY query, rank""".stripMargin,
     // graph_link_prediction_ivf: the neighbors_ivf chain with the
     // candidate set cut to the supplier side and current adjacency
     // anti-joined out BEFORE the rank; the exact link-prediction chain
     // re-derived for the in_exact honesty bit
     "graph_link_prediction_ivf" ->
-      s"""WITH c AS (SELECT list_id, centroid
-        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "node_emb_ivf_" + sf)}/*.parquet')),
-        |emb AS (SELECT node, vec::DOUBLE[] AS v
-        |        FROM read_parquet('${Graph.nodeEmbeddingPath(
-                  "/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
-        |n AS MATERIALIZED (
-        |  SELECT node, v,
-        |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
-        |  FROM emb),
-        |nn AS (SELECT node, v, nrm, [x / nrm for x in v] AS nv FROM n),
-        |d AS MATERIALIZED (
-        |  SELECT nn.node, c.list_id,
-        |         list_reduce([nn.nv[i] * c.centroid[i]
-        |                      for i in range(1, 1 + len(nn.nv))],
-        |                     (x, y) -> x + y) AS dt
-        |  FROM nn CROSS JOIN c),
-        |a AS (SELECT node, list_id AS cluster FROM (
-        |        SELECT node, list_id,
-        |               row_number() OVER (PARTITION BY node
-        |                                  ORDER BY dt DESC, list_id DESC) AS rn
-        |        FROM d)
-        |      WHERE rn = 1),
-        |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
-        |       WHERE o_custkey < 10),
-        |adj AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
-        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |p AS (SELECT query, list_id FROM (
-        |        SELECT d.node AS query, d.list_id,
-        |               row_number() OVER (PARTITION BY d.node
-        |                                  ORDER BY d.dt DESC, d.list_id DESC) AS rn
-        |        FROM d JOIN qs ON qs.node = d.node)
-        |      WHERE rn <= 4),
-        |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
-        |      FROM n JOIN qs ON qs.node = n.node),
-        |cand AS (SELECT p.query, a.node
-        |         FROM a JOIN p ON a.cluster = p.list_id
-        |         WHERE a.node <> p.query AND a.node LIKE 's:%'
-        |           AND NOT EXISTS (SELECT 1 FROM adj b
-        |                           WHERE b.u = p.query AND b.v = a.node)),
-        |s AS (SELECT cand.query, cand.node,
-        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
-        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
-        |      FROM cand JOIN n ON n.node = cand.node
-        |      JOIN q ON q.query = cand.query),
-        |ivf AS (SELECT query, rank, node, cosine FROM (
-        |          SELECT *, row_number() OVER (PARTITION BY query
-        |                                       ORDER BY cosine DESC, node) AS rank
-        |          FROM s)
-        |        WHERE rank <= 5),
+      s"""WITH ${ivfServingCtes(sf, linkPred = true)},
         |exs AS (SELECT q.query, n.node,
         |              list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
         |                          (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
@@ -7130,6 +7094,73 @@ object SparkEntry {
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def duckToks: String =
     s"string_split($duckNorm, ' ')"
+
+  /** Shared oracle CTE chain for the IVF embedding-serving queries: both
+    * published tables replayed — nearest-centroid assignment and nprobe
+    * probe lists off the (list_id, centroid) table, exact-cosine rerank
+    * of the probed buckets only, ranked into `ivf`. One definition for
+    * all four consumers (pruned + honesty-join variants of neighbors and
+    * link prediction — round 16); `linkPred` cuts the candidate set to
+    * the supplier side and anti-joins current adjacency BEFORE the rank.
+    */
+  private def ivfServingCtes(sf: String, linkPred: Boolean): String = {
+    val adjCte = if (linkPred)
+      """adj AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |""".stripMargin
+    else ""
+    val candExtra = if (linkPred)
+      """ AND a.node LIKE 's:%'
+        |           AND NOT EXISTS (SELECT 1 FROM adj b
+        |                           WHERE b.u = p.query AND b.v = a.node)"""
+        .stripMargin
+    else ""
+    s"""c AS (SELECT list_id, centroid
+      |           FROM read_parquet('${graft.operators.Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "node_emb_ivf_" + sf)}/*.parquet')),
+      |emb AS (SELECT node, vec::DOUBLE[] AS v
+      |        FROM read_parquet('${graft.operators.Graph.nodeEmbeddingPath(
+                "/tmp/graft_warehouse", "node_emb_" + sf)}/*.parquet')),
+      |n AS MATERIALIZED (
+      |  SELECT node, v,
+      |         sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+      |  FROM emb),
+      |nn AS (SELECT node, v, nrm, [x / nrm for x in v] AS nv FROM n),
+      |d AS MATERIALIZED (
+      |  SELECT nn.node, c.list_id,
+      |         list_reduce([nn.nv[i] * c.centroid[i]
+      |                      for i in range(1, 1 + len(nn.nv))],
+      |                     (x, y) -> x + y) AS dt
+      |  FROM nn CROSS JOIN c),
+      |a AS (SELECT node, list_id AS cluster FROM (
+      |        SELECT node, list_id,
+      |               row_number() OVER (PARTITION BY node
+      |                                  ORDER BY dt DESC, list_id DESC) AS rn
+      |        FROM d)
+      |      WHERE rn = 1),
+      |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
+      |       WHERE o_custkey < 10),
+      |${adjCte}p AS (SELECT query, list_id FROM (
+      |        SELECT d.node AS query, d.list_id,
+      |               row_number() OVER (PARTITION BY d.node
+      |                                  ORDER BY d.dt DESC, d.list_id DESC) AS rn
+      |        FROM d JOIN qs ON qs.node = d.node)
+      |      WHERE rn <= 4),
+      |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
+      |      FROM n JOIN qs ON qs.node = n.node),
+      |cand AS (SELECT p.query, a.node
+      |         FROM a JOIN p ON a.cluster = p.list_id
+      |         WHERE a.node <> p.query$candExtra),
+      |s AS (SELECT cand.query, cand.node,
+      |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+      |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+      |      FROM cand JOIN n ON n.node = cand.node
+      |      JOIN q ON q.query = cand.query),
+      |ivf AS (SELECT query, rank, node, cosine FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY query
+      |                                       ORDER BY cosine DESC, node) AS rank
+      |          FROM s)
+      |        WHERE rank <= 5)""".stripMargin
+  }
 
   /** Shared oracle CTE chain for the GraphSAGE queries: the trade
     * edges, the hash-ranked sampled adjacency, and the hop-0/1/2 tree —

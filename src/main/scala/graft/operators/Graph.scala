@@ -1749,7 +1749,9 @@ object Graph {
     * recall is hash-checked in the oracle rather than asserted offline.
     * The exact chain costs one bounded broadcast scan over the
     * node-sized table (the [[embeddingNeighbors]] shape); production
-    * serving at scale drops the honesty join and keeps the pruned chain.
+    * serving at scale is [[embeddingNeighborsIvfPruned]] — this chain
+    * without the honesty join, measured at an every-customer cohort by
+    * [[graft.IvfServingBench]] (round-16).
     *
     * Scale shape: candidates ≈ nprobe/nlist of the corpus per query —
     * with nlist scaled ∝ corpus (the IVF deployment), per-bucket
@@ -1760,17 +1762,54 @@ object Graph {
       baseDir: String, slug: String,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 3): DataFrame = {
-    val cents = embeddingCentroids(emb, baseDir, slug, nlist, iters)
-    val (n, q) = ivfServingSides(emb, queries, cents, nprobe)
-    val cands = n.join(broadcast(q),
-      array_contains(col("probe_clusters"), col("cluster")) &&
-        col("node") =!= col("query"))
-    val ivf = rankTopK(scoreCosine(cands), k)
+    val ivf = embeddingNeighborsIvfPruned(
+      emb, queries, baseDir, slug, k, nlist, nprobe, iters)
     val exact = embeddingNeighbors(emb, queries, k)
       .select(col("query"), col("node"), lit(true).as("in_exact"))
     ivf.join(exact, Seq("query", "node"), "left")
       .select(col("query"), col("rank"), col("node"), col("cosine"),
         coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+
+  /** The PRODUCTION spelling of [[embeddingNeighborsIvf]]: the pruned
+    * chain alone, honesty join dropped (round-15 verdict item 2 — every
+    * `_ivf` query deliberately ran the exact chain too for the oracle's
+    * `in_exact` bit, so the pruned path's cost was asserted from plan
+    * shape, never measured by itself). Values on the served rows are
+    * IDENTICAL to the `_ivf` variant minus the `in_exact` column (same
+    * centroids, same probes, same rerank — the oracle replays just the
+    * pruned chain and stays hash-green); [[graft.IvfServingBench]]
+    * records its latency and recall at an every-customer cohort.
+    */
+  def embeddingNeighborsIvfPruned(
+      emb: DataFrame, queries: DataFrame,
+      baseDir: String, slug: String,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val cents = embeddingCentroids(emb, baseDir, slug, nlist, iters)
+    val (n, q) = ivfServingSides(emb, queries, cents, nprobe)
+    val cands = n.join(broadcast(q), Seq("cluster"))
+      .where(col("node") =!= col("query"))
+    rankTopK(scoreCosine(cands), k)
+  }
+
+  /** [[linkPredictionIvf]] without the honesty join — the production
+    * every-user recommendation spelling (see
+    * [[embeddingNeighborsIvfPruned]]).
+    */
+  def linkPredictionIvfPruned(
+      emb: DataFrame, edges: DataFrame, queries: DataFrame,
+      baseDir: String, slug: String,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3, sidePrefix: String = "s:"): DataFrame = {
+    val cents = embeddingCentroids(emb, baseDir, slug, nlist, iters)
+    val (n, q) = ivfServingSides(emb, queries, cents, nprobe)
+    val cands = n.where(col("node").startsWith(sidePrefix))
+      .join(broadcast(q), Seq("cluster"))
+      .where(col("node") =!= col("query"))
+      .join(edges.select(col("u").as("query"), col("v").as("node")),
+        Seq("query", "node"), "left_anti")
+    rankTopK(scoreCosine(cands), k)
   }
 
   /** [[linkPrediction]] on the IVF-pruned candidate set — the scaled
@@ -1790,15 +1829,8 @@ object Graph {
       baseDir: String, slug: String,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 3, sidePrefix: String = "s:"): DataFrame = {
-    val cents = embeddingCentroids(emb, baseDir, slug, nlist, iters)
-    val (n, q) = ivfServingSides(emb, queries, cents, nprobe)
-    val cands = n.where(col("node").startsWith(sidePrefix))
-      .join(broadcast(q),
-        array_contains(col("probe_clusters"), col("cluster")) &&
-          col("node") =!= col("query"))
-      .join(edges.select(col("u").as("query"), col("v").as("node")),
-        Seq("query", "node"), "left_anti")
-    val ivf = rankTopK(scoreCosine(cands), k)
+    val ivf = linkPredictionIvfPruned(
+      emb, edges, queries, baseDir, slug, k, nlist, nprobe, iters, sidePrefix)
     val exact = linkPrediction(emb, edges, queries, k, sidePrefix)
       .select(col("query"), col("node"), lit(true).as("in_exact"))
     ivf.join(exact, Seq("query", "node"), "left")
@@ -1826,7 +1858,16 @@ object Graph {
 
   /** The two IVF serving sides over node strings: the assigned corpus
     * (node, vec, nrm, nv, cluster — materialized, it feeds both sides)
-    * and the query cohort with its nprobe probe lists.
+    * and the query cohort with its nprobe probe lists EXPLODED to
+    * (query, qv, qn, cluster) rows — so the candidate former is an
+    * EQUI-join on the cluster id (round 16: the previous
+    * array_contains(probe_clusters, cluster) gate carried no equi key,
+    * so Spark ran a BroadcastNestedLoopJoin over ALL |Q|·corpus pairs —
+    * pruning cut the output, not the scan, and the every-user cohort
+    * paid the full quadratic pass the IVF exists to avoid). Probe lists
+    * are distinct cluster ids, so the exploded equi-join produces the
+    * SAME candidate set and every downstream value is unchanged
+    * (oracles stay hash-green).
     */
   private def ivfServingSides(
       emb: DataFrame, queries: DataFrame,
@@ -1845,6 +1886,8 @@ object Graph {
     val q = n.join(queries, Seq("node"), "left_semi")
       .select(col("node").as("query"), col("vec").as("qv"),
         col("nrm").as("qn"), probes.as("probe_clusters"))
+      .select(col("query"), col("qv"), col("qn"),
+        explode(col("probe_clusters")).as("cluster"))
     (n, q)
   }
 

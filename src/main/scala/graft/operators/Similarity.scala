@@ -915,13 +915,23 @@ object Similarity {
     }: _*)
     val probes = transform(
       slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("i"))
+    // probe lists EXPLODE into (query, cluster) rows so the candidate
+    // former is an EQUI-join on the cluster id (round 16): the previous
+    // array_contains gate had no equi key, so Spark ran a
+    // BroadcastNestedLoopJoin evaluating ALL |Q|·corpus pairs — the
+    // pruning cut the output, not the scan, and an every-user cohort
+    // (graft.IvfServingBench) paid the full quadratic pass. The exploded
+    // join evaluates exactly the candidate set (nprobe/nlist of
+    // |Q|·corpus); probe lists are distinct cluster ids, so the
+    // candidate SET — and every downstream value — is unchanged.
     val queries = queryBase(e, numQueries, queryTable)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), probes.as("probe_clusters"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("probe_clusters")).as("cluster"))
 
-    val cands = e.join(broadcast(queries),
-      array_contains(col("probe_clusters"), col("cluster")) &&
-        col("vec_id") =!= col("query_id"))
+    val cands = e.join(broadcast(queries), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -1529,9 +1539,13 @@ object Similarity {
     }.reduce(_ + _)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("vec_id"))
-    val shortlist = coded.join(broadcast(qSide),
-        array_contains(col("probes"), col("cluster")) &&
-          col("vec_id") =!= col("query_id"))
+    // probes explode to (query, cluster) rows → EQUI-join on the cluster
+    // id (round 16 — the array_contains theta gate was a BNLJ scanning
+    // all |Q|·corpus code rows; see the ivfTopK candidate former)
+    val probeRows = qSide.select(col("query_id"), col("tables"),
+      explode(col("probes")).as("cluster"))
+    val shortlist = coded.join(broadcast(probeRows), Seq("cluster"))
+      .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), approx.as("approx"))
       .withColumn("arank", row_number().over(wApprox))
       .where(col("arank") <= rerank)

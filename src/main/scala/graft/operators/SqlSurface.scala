@@ -27,6 +27,59 @@ object SqlSurface {
     spark.sql(query)
   }
 
+  /** Register the top LLM-pipeline operator families as TABLE entry
+    * points of the SQL surface (round-15 verdict item 7: a user driving
+    * the engine from `spark.sql` could reach the base tables and the
+    * scalar/aggregate functions, but not dedup/ANN/text operators
+    * without writing Scala). Each view is the operator's full lazy plan
+    * — `SELECT`ing from it executes the same Catalyst pipeline the
+    * Column API builds:
+    *
+    *  - `graft_minhash_pairs` — exact-jaccard-verified minhash/LSH
+    *    near-dup pairs over `documents` (doc_a, doc_b, jaccard);
+    *  - `graft_ivf_topk` — IVF ANN top-k over `embeddings`, served from
+    *    the PUBLISHED centroid table (query, rank, vec_id, cosine);
+    *  - `graft_bm25_topk` — BM25 query-by-example top docs over
+    *    `documents` (query_doc, rank, doc_id, score).
+    *
+    * Arguments are validated here (fail loudly at registration, not as
+    * NULL-padded SQL results downstream — the classifierMarginExpr
+    * discipline); the centroid training cost is paid once per
+    * (data, hyperparams) by the publish contract, never per SELECT.
+    */
+  def registerLlmViews(
+      spark: SparkSession,
+      sfDir: String,
+      baseDir: String = "/tmp/graft_warehouse",
+      minhashThreshold: Double = 0.5,
+      ivfQueries: Int = 10,
+      ivfK: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      bm25Queries: Int = 5,
+      bm25TopDocs: Int = 10): Unit = {
+    require(sfDir.nonEmpty, "sfDir must name the data directory")
+    require(baseDir.nonEmpty, "baseDir must name the published-table warehouse")
+    require(minhashThreshold > 0.0 && minhashThreshold <= 1.0,
+      s"minhashThreshold must be in (0, 1]: $minhashThreshold")
+    require(ivfQueries > 0 && ivfK > 0,
+      s"ivfQueries/ivfK must be positive: $ivfQueries/$ivfK")
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
+      s"need 0 < nprobe <= nlist: nprobe=$nprobe nlist=$nlist")
+    require(bm25Queries > 0 && bm25TopDocs > 0,
+      s"bm25Queries/bm25TopDocs must be positive: $bm25Queries/$bm25TopDocs")
+    registerViews(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.minhashLshVerifiedPairs(docs, threshold = minhashThreshold)
+      .createOrReplaceTempView("graft_minhash_pairs")
+    Similarity.ivfTopKPublished(
+      Tables.embeddings(spark, sfDir), baseDir,
+      s"sqlivf_${sfDir.split('/').last}", ivfQueries, ivfK, nlist, nprobe)
+      .createOrReplaceTempView("graft_ivf_topk")
+    TextAnalysis.bm25TopK(docs, bm25Queries, bm25TopDocs)
+      .createOrReplaceTempView("graft_bm25_topk")
+  }
+
   /** Revenue by order status via pure SQL — exercises the parser path end
     * to end (same physical plan as the DataFrame form).
     */

@@ -68,8 +68,14 @@ object SqlSurface {
       s"need 0 < nprobe <= nlist: nprobe=$nprobe nlist=$nlist")
     require(bm25Queries > 0 && bm25TopDocs > 0,
       s"bm25Queries/bm25TopDocs must be positive: $bm25Queries/$bm25TopDocs")
-    registerViews(spark, sfDir)
+    // register only the tables these views read (documents, embeddings) —
+    // NOT the full registerViews set: partial fixtures (the 10x scale
+    // smoke corpus carries only the scaled tables) must still serve the
+    // LLM views; callers wanting every base view call registerViews too
     val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("documents")
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    graft.functions.GraftFunctions.register(spark)
     Dedup.minhashLshVerifiedPairs(docs, threshold = minhashThreshold)
       .createOrReplaceTempView("graft_minhash_pairs")
     Similarity.ivfTopKPublished(

@@ -29,8 +29,13 @@ class PlanSpec extends AnyFunSuite {
     *  - sql_graft_dot: vec_id < 5 theta self-join — a ≤5-row demo of the
     *    codegen graft_dot expression, both sides literal-bounded
     */
+  // NOTE (round 16): sim_ivf_topk / sim_ivfpq_topk / sim_ivf_external_topk
+  // left this list — their probe gate is now an exploded-probe EQUI-join
+  // (the array_contains theta gate was a BNLJ scanning |Q|·corpus; see
+  // docs/PLANS.md round-16 correction). Keeping them allowlisted would
+  // mask a reintroduction.
   private val boundedNestedLoop = Set(
-    "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+    "sim_bruteforce_topk", "sim_lsh_topk", "sim_pq_topk",
     // radius search: the bruteForceTopK bounded query-set theta join
     // with a threshold cut instead of a rank cut
     "sim_radius_search",
@@ -41,9 +46,6 @@ class PlanSpec extends AnyFunSuite {
     // feed a k·|queries|-row equi-join — the theta joins are the
     // documented bruteforce/ivf shapes
     "sim_recall_eval",
-    // external-query serving: the same bounded query set (a held-out id
-    // subset) on the same theta candidate join as sim_ivf_topk
-    "sim_ivf_external_topk",
     // query-by-image/audio serving: the 3-row external query-hash set
     // broadcast against the corpus fingerprints (the sim_bruteforce
     // shape; exact top-k must scan, the banded index is the cut path)
@@ -63,7 +65,7 @@ class PlanSpec extends AnyFunSuite {
     // the side cut and adjacency anti-join before the rank, plus the
     // exact link-prediction honesty branch
     "graph_link_prediction_ivf",
-    "sim_ivfpq_topk", "text_tfidf", "text_unigram_nll", "text_bigram_nll",
+    "text_tfidf", "text_unigram_nll", "text_bigram_nll",
     "pipeline_mixture_weights", "pipeline_mixture_sample", "sql_graft_dot",
     // nll: the unigram LM's single-row corpus-total broadcast;
     // knn: the bounded query-set theta join of bruteForceTopK;

@@ -1234,8 +1234,16 @@ object Curation {
       iters: Int = 300,
       lr: Double = 1.0,
       salt: String = "dsir",
-      miniBatches: Int = 1): Array[Double] = {
+      miniBatches: Int = 1,
+      init: Option[Array[Double]] = None): Array[Double] = {
     require(miniBatches >= 1, "miniBatches must be >= 1")
+    // `init` WARM-STARTS gradient descent from prior published weights
+    // (round 16 — the SGNS/k-means refresh discipline applied to the
+    // last trainer without it): a data refresh under the same
+    // hyperparameter path seeds from the table it supersedes and
+    // converges in fewer iterations
+    init.foreach(w0 => require(w0.length == buckets + 1,
+      s"warm-start init must be buckets+1 long, got ${w0.length}"))
     // deterministic cyclic mini-batch (round 15 — the SGNS schedule
     // applied to the last full-batch trainer): docs are cut into B fixed
     // folds by H52(salt:mb:doc_id) mod B and iteration t trains fold
@@ -1252,7 +1260,7 @@ object Curation {
     // <= miniBatches rows pulled (bounded driver pull)
     val nByFold = f.groupBy(col("fold")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
-    val w = new Array[Double](buckets + 1)
+    val w = init.map(_.clone()).getOrElse(new Array[Double](buckets + 1))
     (1 to iters).foreach { it =>
       val fold = (it - 1) % miniBatches
       val fIter = if (miniBatches <= 1) f else f.where(col("fold") === fold)
@@ -1304,6 +1312,7 @@ object Curation {
       baseDir, slug, buckets, targetLang, iters, lr, miniBatches)
     val fp = graft.engine.PublishGuard.fingerprint(
       docs, Seq(col("doc_id"), col("text"), col("lang")))
+    val warmIters = math.max(1, iters / 2)
     Similarity.publishedArtifact[Array[Double]](
       spark, path, s"$buckets|$targetLang|$iters|$lr|$miniBatches",
       fp, classifierCache,
@@ -1317,7 +1326,17 @@ object Curation {
       },
       load = () => spark.read.parquet(path).orderBy("pos").collect()
         .map(_.getDouble(1)),
-      what = s"published classifier weights '$slug'")
+      what = s"published classifier weights '$slug'",
+      // data refresh under the same path: seed GD from the prior
+      // published weights at half the iteration budget (round 16 —
+      // the SGNS/k-means warm-refresh discipline; the sidecar records
+      // the effective schedule)
+      warm = Some(prior => trainQualityClassifier(
+        docs, buckets, targetLang, warmIters, lr,
+        miniBatches = miniBatches, init = Some(prior))),
+      notes = warmUsed => Map(
+        "schedule" -> (if (warmUsed) "warm" else "cold"),
+        "iters_run" -> (if (warmUsed) warmIters else iters).toString))
   }
 
   /** The classifier margin z = Σ_j x_j·w_j + bias as ONE map-only column

@@ -1064,6 +1064,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("published classifier warm-start: appended-docs refresh at half budget stays in the accuracy band") {
+    import org.apache.hadoop.fs.Path
+    val wh = java.nio.file.Files.createTempDirectory("graft-clf-warm").toString
+    val docs = Tables.documents(spark, sf)
+    val iters = 40
+    // v1: cold publish at the full budget
+    Curation.publishedClassifierWeights(docs, wh, "clf_warm", iters = iters)
+    val pubPath = new Path(
+      Curation.classifierWeightsPath(wh, "clf_warm", iters = iters))
+    val fs = pubPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val notes1 = graft.engine.PublishGuard.readSidecarNotes(fs, pubPath)
+    assert(notes1.get("schedule") === Some("cold") &&
+      notes1.get("iters_run") === Some(iters.toString), s"cold: $notes1")
+    // the data changes: 20 appended near-copies
+    val docs2 = docs.unionByName(docs.where(col("doc_id") < 20).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" zqx")).as("text"),
+      col("lang"), col("source"), (col("n_chars") + 4).as("n_chars")))
+    Curation.clearClassifierMemo()
+    val warm = Curation.publishedClassifierWeights(docs2, wh, "clf_warm", iters = iters)
+    val notes2 = graft.engine.PublishGuard.readSidecarNotes(fs, pubPath)
+    assert(notes2.get("schedule") === Some("warm") &&
+      notes2.get("iters_run") === Some((iters / 2).toString),
+      s"warm refresh must run iters/2 and record it: $notes2")
+    // accuracy band: the half-budget warm retrain must classify the NEW
+    // corpus within 95% of a cold full-budget train (same mini-batch
+    // schedule as the publisher's default)
+    val cold = Curation.trainQualityClassifier(
+      docs2, iters = iters, miniBatches = 4)
+    def acc(w: Array[Double]): Double = {
+      val rows = docs2.select(
+        (Curation.classifierMarginExpr(
+          graft.operators.TextAnalysis.tokens(col("text")), w) >= 0.0)
+          .as("pred"),
+        (graft.operators.TextAnalysis.langPredOf(
+          graft.operators.TextAnalysis.tokens(col("text"))) === "en")
+          .as("y"))
+        .agg(avg(when(col("pred") === col("y"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      rows
+    }
+    val (aWarm, aCold) = (acc(warm), acc(cold))
+    assert(aWarm >= 0.95 * aCold,
+      f"warm half-budget accuracy $aWarm%.4f < 95%% of cold $aCold%.4f")
+  }
+
   test("classifierCalibration: driver-side decile recompute; bins tile the margin axis") {
     val docs = Tables.documents(spark, sf)
     val base = java.nio.file.Files

@@ -15,6 +15,12 @@
 set -e
 cd "$(dirname "$0")/.."
 N=${1:?usage: round_close.sh <round number>}
+# a leftover local-iteration filter must never shape a round recording:
+# SPARK_GRAFT_STREAM_ONLY silently drops sinks from BENCH_streaming.json
+# (the liveness gate only iterates sinks PRESENT in the file), and
+# SPARK_GRAFT_BENCH_ONLY would truncate the full bench (that one the
+# coverage gate catches — unset it anyway so the run isn't wasted)
+unset SPARK_GRAFT_STREAM_ONLY SPARK_GRAFT_BENCH_ONLY
 OUT="BENCH_full_r${N}.json"
 sbt -batch compile >/dev/null 2>&1
 echo "[round_close] recording full bench to $OUT (every query, 3 runs + probe)"
@@ -87,9 +93,19 @@ EOF
 )
   if [ -n "$MOVERS" ]; then
     echo "[round_close] movers >1.5x probe-normalized vs $PREV: $MOVERS — isolated re-run"
-    SPARK_GRAFT_BENCH_ONLY="$MOVERS" \
-      SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-      scripts/run_verify.sh graft.Bench 2>/dev/null | tail -1 > /tmp/graft_movers.json
+    # log stderr and check the exit status (round-16 advice: 2>/dev/null
+    # plus an unchecked pipe left a failed re-run to surface only as a
+    # cryptic json.load error — the exact silent-failure shape the
+    # STREAM_LOG handling below was added to prevent)
+    MOVERS_LOG=/tmp/graft_movers_bench.log
+    if ! SPARK_GRAFT_BENCH_ONLY="$MOVERS" \
+        SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+        scripts/run_verify.sh graft.Bench > /tmp/graft_movers.out 2> "$MOVERS_LOG"; then
+      echo "[round_close] MOVERS RE-RUN FAILED — tail of $MOVERS_LOG:"
+      tail -30 "$MOVERS_LOG"
+      exit 1
+    fi
+    tail -1 /tmp/graft_movers.out > /tmp/graft_movers.json
   fi
   python3 - "$OUT" "$PREV" "$MOVERS" <<'EOF'
 import json, sys
@@ -140,6 +156,12 @@ if [ -z "$SPARK_GRAFT_SKIP_STREAM_BENCH" ]; then
   python3 - BENCH_streaming.json <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
+# a filtered recording must never ship even if the unset above is bypassed
+# (StreamBench stamps filtered=true whenever SPARK_GRAFT_STREAM_ONLY was set)
+if d.get("filtered"):
+    print("[round_close] STREAMING GATE FAILED: recording was filtered by "
+          "SPARK_GRAFT_STREAM_ONLY — re-record with the full sink set")
+    sys.exit(1)
 # every sink must show life at SOME rate step (batches >= 1) — a sink that
 # records 0 batches at every rate is a dead recording, not a slow sink
 # (the classifier gate legitimately records batches=0 at 200k rps only)

@@ -258,6 +258,7 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_processed_rps_median","value":$headline,""" +
         s""""unit":"rows/sec","window_sec":$windowSec,""" +
+        s""""filtered":${only.isDefined},""" +
         s""""probe":{"before":$probeBefore,"after":$probeAfter,""" +
         s""""median":$probeMedian,"unit":"sec",""" +
         s""""workload":"v2:range(10M)>xxhash64>orderBy(live)>bit_xor"},""" +

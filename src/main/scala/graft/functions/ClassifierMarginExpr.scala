@@ -31,6 +31,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * DuckDB oracle bit-for-bit. OperatorsSpec pins this expression against
   * the original HOF spelling element-wise; StreamOpsSpec pins stream ==
   * batch across a restart.
+  *
+  * EMPTY token arrays score NULL (round-16 advice): the n=0 fold would
+  * be 0·buckets/0 = NaN, and under Spark's NaN-greatest ordering
+  * `NaN >= 0.0` is TRUE — an unguarded gate would silently PASS empty
+  * docs. The HOF spelling it replaced NULL-dropped them (non-ANSI
+  * divide semantics), so NULL here restores the original contract for
+  * every caller, guarded or not, instead of leaving a latent gate-flip
+  * behind the callers' `size(toks) > 0` guards.
   */
 case class ClassifierMarginExpr(
     toks: Expression,
@@ -47,23 +55,32 @@ case class ClassifierMarginExpr(
 
   override def dataType: DataType = DoubleType
 
+  // null on a null child (UnaryExpression default) AND on an empty array
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_classifier_margin"
 
   private lazy val wArr: Array[Double] = weights.toArray
   private lazy val prefix: Array[Byte] =
     s"$salt:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  override protected def nullSafeEval(input: Any): Any =
-    ClassifierMarginExpr.compute(
-      input.asInstanceOf[ArrayData], wArr, buckets, prefix)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else ClassifierMarginExpr.compute(arr, wArr, buckets, prefix)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("clfWeights", wArr, "double[]")
     val pRef = ctx.addReferenceObj("clfSaltPrefix", prefix, "byte[]")
     nullSafeCodeGen(ctx, ev, in => {
       s"""
-         |${ev.value} = graft.functions.ClassifierMarginExpr.compute(
-         |  $in, $wRef, $buckets, $pRef);
+         |if ($in.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.ClassifierMarginExpr.compute(
+         |    $in, $wRef, $buckets, $pRef);
+         |}
        """.stripMargin
     })
   }

@@ -231,8 +231,10 @@ object StreamOps {
     // classifier gate-rate beside the heuristic gate-rate when the
     // published weights are supplied: the same map-only margin expression
     // as the batch scorer, so the window rates are consistent with the
-    // batch gate by construction (empty-token docs score NULL here and
-    // count as non-passing, mirroring the batch scorer's drop)
+    // batch gate by construction (ClassifierMarginExpr scores empty-token
+    // docs NULL itself since round 16 — the size guard here is now a
+    // belt-and-braces mirror of the batch scorer's explicit drop, not
+    // the only thing standing between an n=0 NaN and a silent gate pass)
     val clfPass = classifierWeights match {
       case Some(w) => count(when(size(col("toks")) > 0 &&
         Curation.classifierMarginExpr(col("toks"), w) >= 0.0, 1))

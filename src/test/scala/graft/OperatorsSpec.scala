@@ -721,6 +721,30 @@ class OperatorsSpec extends AnyFunSuite {
       graft.operators.Curation.classifierMarginExpr(
         col("toks"), w.init, buckets, salt)
     }
+    // EMPTY arrays score NULL, never NaN (round-16 advice: 0·buckets/0 =
+    // NaN, and NaN >= 0.0 is TRUE under Spark's NaN-greatest ordering —
+    // an unguarded gate would silently PASS empty docs); both engines
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val empty = spark.range(1)
+          .select(array().cast("array<string>").as("toks"),
+            lit(null).cast("array<string>").as("noToks"))
+          .select(
+            graft.operators.Curation
+              .classifierMarginExpr(col("toks"), w, buckets, salt).as("e"),
+            graft.operators.Curation
+              .classifierMarginExpr(col("noToks"), w, buckets, salt).as("n"),
+            (graft.operators.Curation
+              .classifierMarginExpr(col("toks"), w, buckets, salt) >= 0.0)
+              .as("gate"))
+          .collect().head
+        assert(empty.isNullAt(0), s"empty toks must score NULL (codegen=$codegen)")
+        assert(empty.isNullAt(1), s"null toks must score NULL (codegen=$codegen)")
+        assert(empty.isNullAt(2),
+          s"the >= 0 gate over an empty doc must be NULL, not TRUE (codegen=$codegen)")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
   }
 
   test("quality classifier: published-weights margins recompute exactly, model beats the all-positive baseline") {

@@ -16,21 +16,36 @@ import graft.operators.Graph
   * samples each:
   *  - `pruned_sec`: [[Graph.embeddingNeighborsIvfPruned]] over the FULL
   *    customer cohort (|Q| = every c: node in the published embedding
-  *    table) at nlist=64 / nprobe=4 — candidates ≈ 1/16 of |Q|·corpus;
+  *    table) — candidates ≈ nprobe·250 per query under the nlist rule;
+  *  - `pruned_shuffled_sec`: the SAME chain with the cohort-side
+  *    broadcast disabled (broadcastQueries=false + auto-broadcast off) —
+  *    the over-cap spelling the size gate degrades to when |Q|·nprobe
+  *    crosses MaxBroadcastProbeRows (round-16 verdict item 1: the price
+  *    of scale-safety, measured, never assumed);
+  *  - `hier_pruned_sec`: the same chain with TWO-LEVEL probe selection
+  *    (gprobe groups of the published √nlist-group quantizer — round-16
+  *    verdict item 2's sub-linear selection path) + `hier_recall_at_5`;
   *  - `linkpred_pruned_sec`: [[Graph.linkPredictionIvfPruned]] over the
-  *    same cohort (round-15 verdict item 6 — both IVF consumers at the
-  *    scaled cohort);
+  *    same cohort at its nprobe=8 default (round-16 verdict item 4 —
+  *    the 0.91-vs-0.66 recall floor);
   *  - `exact_sample_sec`: the exact broadcast scan over a deterministic
   *    128-query sample — the exact chain at the full cohort would be
   *    |Q|·corpus cosines (quadratic in the node count, the very thing
   *    pruning removes), so the full-cohort exact cost is reported as
   *    per-query × |Q| (labeled an extrapolation);
-  *  - `recall_at_5` / `linkpred_recall_at_5`: |pruned ∩ exact| / |exact|
-  *    over the sampled queries — measured, not asserted.
+  *  - `recall_at_5` / `linkpred_recall_at_5` / `hier_recall_at_5`:
+  *    |pruned ∩ exact| / |exact| over the sampled queries — measured,
+  *    not asserted.
+  *
+  * `SPARK_GRAFT_IVF_NLIST_SWEEP=1` additionally re-runs the pruned and
+  * hier spellings at 10× nlist (fresh centroid publish) — the flatness
+  * evidence for two-level selection: exact selection scales ~linearly
+  * with nlist, two-level as its square root.
   *
   * First run per scale window pays the one-time centroid publish
   * (train-once contract); the MEDIAN measures serving. Output: one JSON
-  * line, recorded into BASELINE.md per round.
+  * line, recorded per round by round_close.sh (BENCH_ivf_serving_r<N>)
+  * and summarized in BASELINE.md.
   */
 object IvfServingBench {
 
@@ -42,6 +57,9 @@ object IvfServingBench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val nlistEnv = sys.env.get("SPARK_GRAFT_IVF_NLIST").map(_.toInt)
     val nprobe = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "4").toInt
+    val lpNprobe = sys.env.getOrElse("SPARK_GRAFT_IVF_LP_NPROBE", "8").toInt
+    val gprobe = sys.env.getOrElse("SPARK_GRAFT_IVF_GPROBE", "4").toInt
+    val nlistSweep = sys.env.get("SPARK_GRAFT_IVF_NLIST_SWEEP").contains("1")
     val k = 5
     val spark = graft.engine.Sessions.builder("graft-ivf-bench")
       .master(s"local[$cpus]")
@@ -59,10 +77,10 @@ object IvfServingBench {
     val corpusN = emb.count()
     // the IVF deployment contract: nlist ∝ corpus (~250 vectors/bucket),
     // so candidates/query ≈ nprobe·250 stay BOUNDED as the corpus grows —
-    // the pruned path is then linear in |Q| and flat in corpus, which is
-    // the sublinearity this bench exists to demonstrate (a FIXED nlist
-    // would leave candidates at nprobe/nlist of |Q|·corpus: still a 16×
-    // cut, but quadratic in scale)
+    // the pruned path is then linear in |Q| and flat in corpus. Probe
+    // SELECTION under this rule is O(nlist) = O(corpus/250) per query —
+    // the two-level hier rows below are the sub-linear fix (round-16
+    // verdict item 2), measured side by side.
     val nlist = nlistEnv.getOrElse(
       math.max(16, math.min(512, (corpusN / 250).toInt)))
     // the every-user cohort: EVERY customer node in the published table
@@ -89,10 +107,26 @@ object IvfServingBench {
         .foreach(_.unpersist(blocking = false))
       dt
     }
-    val prunedSec = sweep(() => Graph.embeddingNeighborsIvfPruned(
-      emb, cohort, wh, slug, k, nlist, nprobe))
+    // the over-cap spelling: hint off AND planner auto-broadcast off, so
+    // the probe join genuinely shuffles on cluster (at bench scale the
+    // planner would otherwise re-broadcast the small side from stats)
+    def sweepShuffled(f: () => DataFrame): Seq[Double] = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try sweep(f)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    def prunedAt(nl: Int, q: DataFrame) = () =>
+      Graph.embeddingNeighborsIvfPruned(emb, q, wh, slug, k, nl, nprobe)
+    def hierAt(nl: Int, q: DataFrame) = () =>
+      Graph.embeddingNeighborsIvfPruned(emb, q, wh, slug, k, nl, nprobe,
+        gprobe = gprobe)
+    val prunedSec = sweep(prunedAt(nlist, cohort))
+    val prunedShufSec = sweepShuffled(() =>
+      Graph.embeddingNeighborsIvfPruned(emb, cohort, wh, slug, k, nlist,
+        nprobe, broadcastQueries = Some(false)))
+    val hierSec = sweep(hierAt(nlist, cohort))
     val lpPrunedSec = sweep(() => Graph.linkPredictionIvfPruned(
-      emb, edges, cohort, wh, slug, k, nlist, nprobe))
+      emb, edges, cohort, wh, slug, k, nlist, lpNprobe))
     val exactSec = sweep(() => Graph.embeddingNeighbors(emb, sample, k))
     val lpExactSec = sweep(() => Graph.linkPrediction(emb, edges, sample, k))
     // measured recall over the sampled queries: |pruned ∩ exact|/|exact|
@@ -100,17 +134,32 @@ object IvfServingBench {
       df.select("query", "node").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
     val exactPairs = pairs(Graph.embeddingNeighbors(emb, sample, k))
-    val prunedPairs = pairs(Graph.embeddingNeighborsIvfPruned(
+    def recallOf(df: DataFrame): Double =
+      (exactPairs intersect pairs(df)).size.toDouble /
+        math.max(1, exactPairs.size)
+    val recall = recallOf(Graph.embeddingNeighborsIvfPruned(
       emb, sample, wh, slug, k, nlist, nprobe))
-    val recall = (exactPairs intersect prunedPairs).size.toDouble /
-      math.max(1, exactPairs.size)
+    val hierRecall = recallOf(Graph.embeddingNeighborsIvfPruned(
+      emb, sample, wh, slug, k, nlist, nprobe, gprobe = gprobe))
     val lpExactPairs = pairs(Graph.linkPrediction(emb, edges, sample, k))
     val lpPrunedPairs = pairs(Graph.linkPredictionIvfPruned(
-      emb, edges, sample, wh, slug, k, nlist, nprobe))
+      emb, edges, sample, wh, slug, k, nlist, lpNprobe))
     val lpRecall = (lpExactPairs intersect lpPrunedPairs).size.toDouble /
       math.max(1, lpExactPairs.size)
     def triple(xs: Seq[Double]): String =
       s"""{"min":${xs.min},"median":${median(xs)},"max":${xs.max}}"""
+    // the flatness evidence: probe selection at 10× nlist (exact grows
+    // ~linearly in nlist, two-level as ~√nlist). One fresh centroid +
+    // group publish at the swept nlist — a one-time training cost, paid
+    // only when the sweep flag is set.
+    val sweepJson = if (!nlistSweep) "" else {
+      val nl10 = math.min(math.max(nlist * 10, 16), (corpusN / 2).toInt)
+      val p10 = sweep(prunedAt(nl10, cohort))
+      val h10 = sweep(hierAt(nl10, cohort))
+      s""""nlist_sweep":{"nlist":$nl10,""" +
+        s""""pruned_sec":${triple(p10)},""" +
+        s""""hier_pruned_sec":${triple(h10)}},"""
+    }
     // the full-cohort exact cost is an EXTRAPOLATION (per-sampled-query
     // median × |Q|) — running it would be the |Q|·corpus scan pruning
     // exists to avoid
@@ -118,13 +167,18 @@ object IvfServingBench {
     val json =
       s"""{"metric":"ivf_serving","sf":"$sfDir","corpus":$corpusN,""" +
         s""""queries":$nq,"sample_queries":$nSample,"k":$k,""" +
-        s""""nlist":$nlist,"nprobe":$nprobe,""" +
+        s""""nlist":$nlist,"nprobe":$nprobe,"lp_nprobe":$lpNprobe,""" +
+        s""""gprobe":$gprobe,""" +
         s""""pruned_sec":${triple(prunedSec)},""" +
+        s""""pruned_shuffled_sec":${triple(prunedShufSec)},""" +
+        s""""hier_pruned_sec":${triple(hierSec)},""" +
         s""""linkpred_pruned_sec":${triple(lpPrunedSec)},""" +
         s""""exact_sample_sec":${triple(exactSec)},""" +
         s""""linkpred_exact_sample_sec":${triple(lpExactSec)},""" +
         s""""exact_full_cohort_sec_extrapolated":$exactExtrapolated,""" +
-        s""""recall_at_5":$recall,"linkpred_recall_at_5":$lpRecall}"""
+        sweepJson +
+        s""""recall_at_5":$recall,"hier_recall_at_5":$hierRecall,""" +
+        s""""linkpred_recall_at_5":$lpRecall}"""
     println(json)
     spark.stop()
   }

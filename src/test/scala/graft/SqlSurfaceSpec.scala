@@ -54,6 +54,64 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(agg.getLong(0) === viaSql.size.toLong && agg.getLong(1) >= 1L)
   }
 
+  test("registerSearchViews: caller query views serve through SQL and match the Column API") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh2").toString
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    emb.where(col("vec_id") % 89 === 2).select("vec_id", "embedding")
+      .createOrReplaceTempView("spec_ivf_queries")
+    spark.createDataFrame(Seq(
+      Tuple1("vector"), Tuple1("stream"), Tuple1("zzz_no_such_term")))
+      .toDF("term").createOrReplaceTempView("spec_bm25_queries")
+    SqlSurface.registerSearchViews(spark, sf,
+      ivfQueryView = Some("spec_ivf_queries"),
+      bm25QueryView = Some("spec_bm25_queries"), baseDir = wh)
+    // IVF: SQL view == Column API with the same external query table
+    val viaSql = spark.sql(
+      "SELECT query_id, rank, vec_id, cosine FROM graft_ivf_search ORDER BY query_id, rank")
+      .collect().map(_.toString).toSeq
+    val viaApi = graft.operators.Similarity.ivfTopKPublished(
+      emb, wh, s"sqlivf_${sf.split('/').last}",
+      queryTable = Some(emb.where(col("vec_id") % 89 === 2)
+        .select("vec_id", "embedding")))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty && viaSql === viaApi,
+      "graft_ivf_search diverged from the Column-API external-query serve")
+    // BM25: SQL view == Column API; the unknown term drops out naturally
+    val bmSql = spark.sql(
+      "SELECT query_term, rank, doc_id, score FROM graft_bm25_search ORDER BY query_term, rank")
+      .collect().map(_.toString).toSeq
+    val bmApi = graft.operators.TextAnalysis.bm25TopK(
+      graft.engine.Tables.documents(spark, sf),
+      queryTable = Some(spark.table("spec_bm25_queries")))
+      .orderBy("query_term", "rank").collect().map(_.toString).toSeq
+    assert(bmSql.nonEmpty && bmSql === bmApi,
+      "graft_bm25_search diverged from the Column-API external-query serve")
+    assert(!bmSql.exists(_.contains("zzz_no_such_term")),
+      "a term with no postings must drop out, not NULL-pad")
+  }
+
+  test("registerSearchViews: missing views and columns fail loudly at registration") {
+    def bad(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(bad(SqlSurface.registerSearchViews(spark, sf))
+      .contains("at least one query view"))
+    assert(bad(SqlSurface.registerSearchViews(spark, sf,
+      ivfQueryView = Some("no_such_view_anywhere")))
+      .contains("not registered"))
+    spark.createDataFrame(Seq(Tuple1(1L))).toDF("wrong_col")
+      .createOrReplaceTempView("spec_bad_queries")
+    assert(bad(SqlSurface.registerSearchViews(spark, sf,
+      ivfQueryView = Some("spec_bad_queries")))
+      .contains("missing column"))
+    assert(bad(SqlSurface.registerSearchViews(spark, sf,
+      bm25QueryView = Some("spec_bad_queries")))
+      .contains("missing column"))
+    assert(bad(SqlSurface.registerSearchViews(spark, sf,
+      ivfQueryView = Some("spec_bad_queries"), nprobe = 9, nlist = 8))
+      .contains("nprobe"))
+  }
+
   test("registerLlmViews: argument validation fails loudly at registration") {
     def bad(f: => Unit): String =
       intercept[IllegalArgumentException](f).getMessage

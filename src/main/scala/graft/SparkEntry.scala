@@ -793,6 +793,19 @@ object SparkEntry {
       s.sql("""SELECT doc_a, doc_b, jaccard FROM graft_minhash_pairs
               |ORDER BY doc_a, doc_b""".stripMargin)
     }),
+    // query-by-example from pure SQL (round 17): the caller registers a
+    // query view — here a held-out id subset so DuckDB can replay it —
+    // and SELECTs ANN results from graft_ivf_search, served against the
+    // SAME published centroid artifact as graft_ivf_topk
+    "sql_graft_ivf_search" -> ((s, d) => {
+      Tables.embeddings(s, d).where(col("vec_id") % 89 === 2)
+        .select("vec_id", "embedding")
+        .createOrReplaceTempView("graft_spec_external_queries")
+      SqlSurface.registerSearchViews(s, d,
+        ivfQueryView = Some("graft_spec_external_queries"))
+      s.sql("""SELECT query_id, rank, vec_id, cosine FROM graft_ivf_search
+              |ORDER BY query_id, rank""".stripMargin)
+    }),
     "agg_salted_user_counts" -> ((s, d) => Relational.saltedUserTypeCounts(s, d)),
     // deliberately-skewed shuffle join, salted: results must be identical
     // to the plain join (the salt is a physical-plan rewrite only)
@@ -4104,6 +4117,50 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // sql_graft_ivf_search: the SQL-surface query-by-example view — the
+    // sim_ivf_external_topk replay against the sqlivf published artifact
+    // (the one graft_ivf_topk serves from) with the caller's held-out
+    // query subset (vec_id % 89 = 2)
+    "sql_graft_ivf_search" ->
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "sqlivf_" + sf)}/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |d AS (SELECT nn.vec_id, c.list_id,
+        |             list_reduce([nn.nv[i] * c.centroid[i]
+        |                          for i in range(1, 1 + len(nn.nv))],
+        |                         (x, y) -> x + y) AS dt
+        |      FROM nn CROSS JOIN c),
+        |a AS (SELECT vec_id, list_id AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |p AS (SELECT query_id, list_id FROM (
+        |        SELECT vec_id AS query_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d WHERE vec_id % 89 = 2)
+        |      WHERE rn <= 4),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 89 = 2),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM a JOIN p ON a.cluster = p.list_id
+        |         WHERE a.vec_id <> p.query_id),
+        |s AS (SELECT cand.query_id, cand.vec_id,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM cand JOIN n ON n.vec_id = cand.vec_id
+        |      JOIN q ON q.query_id = cand.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // sim_pq_topk: same training/serving split as sim_ivf_topk — the
     // Spark query publishes its trained PQ codebooks (s, j, centroid) and
     // the oracle replays serving: code assignment per subspace
@@ -6384,9 +6441,11 @@ object SparkEntry {
          |ORDER BY src""".stripMargin
     },
     // graph_betweenness_sampled: the closeness unrolled BFS with an
-    // integer sigma column, then the backward dependency levels as
-    // paired term/fold CTEs — 9 dp successor-ordered folds per level,
-    // 6 dp src-ordered fold at the end, matching the Spark chain exactly
+    // integer sigma column, then the backward dependency levels with
+    // terms QUANTIZED to 1e-9-grain BIGINTs at birth and folded by plain
+    // SUM (round 17 — long addition is associative, so the fold needs no
+    // order and no buffer; the final 1e-6 output grain is integer
+    // floor-division, one double division at the very end)
     "graph_betweenness_sampled" -> {
       val fwd = (r: Int) =>
         s"""c$r AS MATERIALIZED (
@@ -6401,20 +6460,18 @@ object SparkEntry {
            |  SELECT src, node, hops, sigma FROM v${r - 1}
            |  UNION ALL SELECT src, node, hops, sigma FROM n$r)""".stripMargin
       val bwd = (h: Int) =>
-        s"""t$h AS (SELECT c.src, c.node, w.node AS wn,
-           |              ${graft.functions.OracleRound.duck(
-                  s"(CAST(c.sigma AS DOUBLE) / w.sigma) * (1.0 + w.delta)",
-                  9)} AS term
+        s"""t$h AS (SELECT c.src, c.node,
+           |              CAST(floor((CAST(c.sigma AS DOUBLE) / w.sigma) *
+           |                         (1.0 + CAST(w.delta_sc AS DOUBLE) / 1000000000.0) *
+           |                         1000000000.0 + 0.5) AS BIGINT) AS term_sc
            |       FROM (SELECT * FROM v3 WHERE hops = $h) c
            |       JOIN e ON e.u = c.node
            |       JOIN d${h + 1} w ON w.src = c.src AND w.node = e.v),
-           |f$h AS (SELECT src, node,
-           |              ${graft.functions.OracleRound.duck(
-                  "list_reduce(list_prepend(0.0, list(term ORDER BY wn)), " +
-                    "(a, x) -> a + x)", 9)} AS delta
+           |f$h AS (SELECT src, node, CAST(sum(term_sc) AS BIGINT) AS delta_sc
            |       FROM t$h GROUP BY src, node),
            |d$h AS MATERIALIZED (
-           |  SELECT c.src, c.node, c.sigma, coalesce(f.delta, 0.0) AS delta
+           |  SELECT c.src, c.node, c.sigma,
+           |         coalesce(f.delta_sc, 0) AS delta_sc
            |  FROM (SELECT * FROM v3 WHERE hops = $h) c
            |  LEFT JOIN f$h f ON f.src = c.src AND f.node = c.node)""".stripMargin
       s"""WITH e0 AS MATERIALIZED (
@@ -6427,15 +6484,15 @@ object SparkEntry {
          |  FROM orders WHERE o_custkey < 10),
          |${(1 to 3).map(fwd).mkString(",\n")},
          |d3 AS MATERIALIZED (
-         |  SELECT src, node, sigma, 0.0 AS delta FROM v3 WHERE hops = 3),
+         |  SELECT src, node, sigma, CAST(0 AS BIGINT) AS delta_sc
+         |  FROM v3 WHERE hops = 3),
          |${(2 to 1 by -1).map(bwd).mkString(",\n")},
-         |alld AS (SELECT src, node, delta FROM d3
-         |         UNION ALL SELECT src, node, delta FROM d2
-         |         UNION ALL SELECT src, node, delta FROM d1)
+         |alld AS (SELECT src, node, delta_sc FROM d3
+         |         UNION ALL SELECT src, node, delta_sc FROM d2
+         |         UNION ALL SELECT src, node, delta_sc FROM d1)
          |SELECT node, CAST(count(*) AS INTEGER) AS n_sources,
-         |       ${graft.functions.OracleRound.duck(
-              "list_reduce(list_prepend(0.0, list(delta ORDER BY src)), " +
-                "(a, x) -> a + x)", 6)} AS betweenness
+         |       CAST((CAST(sum(delta_sc) AS BIGINT) + 500) // 1000 AS DOUBLE)
+         |         / 1000000.0 AS betweenness
          |FROM alld GROUP BY node
          |ORDER BY node""".stripMargin
     },

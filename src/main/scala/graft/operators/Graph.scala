@@ -316,12 +316,33 @@ object Graph {
     // symmetrize+distinct+window shuffles — the |E|-shaped cost that
     // dominated this operator (round-16 profile, docs/PLANS.md: the
     // adjacency build is ~85-90% of the inline query at 10x and carries
-    // its recording variance). CONTRACT: the table must have been built with
-    // maxFanout >= fanouts.max under the SAME salt; the sampled ranks are
-    // deterministic (md5 hash, ties by v), so the published table and the
-    // inline build yield bit-identical trees.
+    // its recording variance). CONTRACT: the table must have been built
+    // with maxFanout >= fanouts.max under the SAME salt; the sampled
+    // ranks are deterministic (md5 hash, ties by v), so the published
+    // table and the inline build yield bit-identical trees. VALIDATED
+    // here from the rnk column's build metadata (round-16 advice: a
+    // mismatched adjacency used to silently truncate/diverge the trees)
+    // — no data pass, fails loudly at plan build.
     val ranked = adjacency match {
-      case Some(adj) => adj.where(col("rnk") <= fanouts.max)
+      case Some(adj) =>
+        val rnkField = adj.schema.find(_.name == "rnk").getOrElse(
+          throw new IllegalArgumentException(
+            "adjacency must carry the rnk column sageAdjacency builds"))
+        val md = rnkField.metadata
+        require(md.contains("graft.sage.salt") &&
+          md.contains("graft.sage.maxFanout"),
+          "adjacency carries no sageAdjacency build metadata — rebuild it " +
+            "via sageAdjacency/sharedSageAdjacency (pre-round-17 tables " +
+            "predate the stamp; republish under the current slug)")
+        require(md.getString("graft.sage.salt") == salt,
+          s"adjacency was built under salt '${md.getString("graft.sage.salt")}' " +
+            s"but sageSample was asked for salt '$salt' — the sampled ranks " +
+            "would diverge silently")
+        require(md.getLong("graft.sage.maxFanout") >= fanouts.max,
+          s"adjacency was cut at maxFanout=${md.getLong("graft.sage.maxFanout")} " +
+            s"but fanouts.max=${fanouts.max} — hops past the cut would be " +
+            "silently truncated")
+        adj.where(col("rnk") <= fanouts.max)
       case None => OpCache.materialize(
         sageAdjacency(edges, fanouts.max, salt))
     }
@@ -360,7 +381,17 @@ object Graph {
         lit(s"$salt:"), col("u"), lit(":"), col("v"))), 1, 13), 16, 10)
       .cast("long")
     val wRank = Window.partitionBy(col("u")).orderBy(h, col("v"))
-    sym.withColumn("rnk", row_number().over(wRank))
+    // the build params ride the rnk column's METADATA (round-16 advice:
+    // the sageSample contract — same salt, maxFanout >= fanouts.max —
+    // was documented but unchecked, so a mismatched adjacency silently
+    // served truncated/divergent trees). Schema metadata survives the
+    // parquet publish round-trip, so sharedSageAdjacency consumers are
+    // validated without a data pass.
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.sage.salt", salt)
+      .putLong("graft.sage.maxFanout", maxFanout.toLong)
+      .build()
+    sym.withColumn("rnk", row_number().over(wRank).as("rnk", meta))
       .where(col("rnk") <= maxFanout)
   }
 
@@ -967,15 +998,16 @@ object Graph {
     *
     * Backward phase: dependency δ(v) = Σ_w (σ_v/σ_w)(1 + δ_w) over
     * successors w at hop+1 — one level-sized equi-join per hop, walked
-    * H−1 → 1. Determinism: each term is rounded 9 dp and the per-(src,v)
-    * sum is a SEQUENTIAL fold in successor order (the adamicAdar
-    * discipline), then re-rounded 9 dp per level, so δ replays
-    * bit-identically on any engine; the per-group fold buffer is bounded
-    * by the node's successor count in the DAG (the node2vec candidate
-    * window's max-degree bound — a hub-heavy corpus uses the same salted
-    * cap or successor sampling, both of which change the estimator and
-    * are therefore opt-in, not silent). Betweenness(v) = the src-ordered
-    * fold of the ≤ k per-source dependencies, 6 dp.
+    * H−1 → 1. Determinism (round 17): each term is quantized to 1e-9
+    * grains AS A LONG at birth (floor(term·1e9 + 0.5) — the same grain
+    * the old 9-dp double fold used) and every fold is a plain integer
+    * SUM — associative, so no fold order, no per-group buffer, and no
+    * hub cap: the aggregation is pure map-side partial sums at any
+    * degree distribution (the round-16 carried caution about the
+    * successor-count-bounded collect_list buffer is retired, not
+    * documented around). Betweenness(v) = Σ over sources of δ_sc,
+    * floor-divided to the 1e-6 output grain in integers; the single
+    * double division at the end rounds identically on any engine.
     */
   def betweennessSampled(
       edges: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
@@ -1014,15 +1046,21 @@ object Graph {
     }
 
     // backward: δ per level, H−1 → 1 (hop-H nodes seed δ = 0; the DAG
-    // only links consecutive levels, so each round joins two level frames)
-    def termFold(digits: Int): Column =
-      OracleRound.roundN(
-        aggregate(
-          sort_array(collect_list(struct(col("wn"), col("term")))),
-          lit(0.0), (acc, s) => acc + s.getField("term")), digits)
+    // only links consecutive levels, so each round joins two level
+    // frames). Round 17 (verdict item 6): terms are quantized to 1e-9
+    // grains as LONGS at birth — floor(term·1e9 + 0.5), the same
+    // quantization the old 9-dp double fold applied — and every fold is
+    // a PLAIN INTEGER SUM. Long addition is associative, so the fold
+    // needs no order, no per-group collect_list buffer, and no salted
+    // two-phase cap: map-side partial aggregation does the work and a
+    // hub's successor list never concentrates in one task buffer — the
+    // last documented hub-bounded buffer in the graph family retires.
+    // Headroom: δ_sc ≤ paths·1e9 ≈ 1e15 at the hop bound, far under
+    // 2^63; both engines replay the identical integer arithmetic.
     var deltaNext = visited.where(col("hops") === maxHops)
-      .select(col("src"), col("node"), col("sigma"), lit(0.0).as("delta"))
-    var allDeltas = deltaNext.select(col("src"), col("node"), col("delta"))
+      .select(col("src"), col("node"), col("sigma"),
+        lit(0L).as("delta_sc"))
+    var allDeltas = deltaNext.select(col("src"), col("node"), col("delta_sc"))
     ((maxHops - 1) to 1 by -1).foreach { h =>
       val cur = visited.where(col("hops") === h)
         .select(col("src"), col("node"), col("sigma"))
@@ -1031,31 +1069,36 @@ object Graph {
         .join(deltaNext.as("w"),
           col("v") === col("w.node") && col("c.src") === col("w.src"))
         .select(col("c.src").as("src"), col("c.node").as("node"),
-          col("w.node").as("wn"),
-          OracleRound.roundN(
-            (col("c.sigma").cast("double") / col("w.sigma")) *
-              (lit(1.0) + col("w.delta")), 9).as("term"))
+          floor((col("c.sigma").cast("double") / col("w.sigma")) *
+            (lit(1.0) + col("w.delta_sc").cast("double") / lit(1e9)) *
+            lit(1e9) + lit(0.5)).cast("long").as("term_sc"))
       val folded = terms.groupBy(col("src"), col("node"))
-        .agg(termFold(9).as("delta"))
+        .agg(sum(col("term_sc")).as("delta_sc"))
       val (dNext, freeD) = OpCache.checkpointWithHandle(
         cur.join(folded, Seq("src", "node"), "left")
           .select(col("src"), col("node"), col("sigma"),
-            coalesce(col("delta"), lit(0.0)).as("delta")))
+            coalesce(col("delta_sc"), lit(0L)).as("delta_sc")))
       OpCache.defer(spark)(freeD)
       deltaNext = dNext
       allDeltas = allDeltas.unionByName(
-        dNext.select(col("src"), col("node"), col("delta")))
+        dNext.select(col("src"), col("node"), col("delta_sc")))
     }
     OpCache.defer(spark)(freeE)
     OpCache.defer(spark)(freeVisited)
 
-    // bc(v) = the src-ordered fold of per-source dependencies; a node
-    // appears once per (src, level) — dist is unique per (src, node)
+    // bc(v) = Σ over sources of δ_sc, still exact in longs; the 6-dp
+    // output grain is integer floor-division (δ_sc grains are 1e-9, the
+    // output 1e-6 — (x + 500) div 1000 IS floor(x/1000 + 0.5) for the
+    // non-negative δ), so no double enters until the final /1e6, which
+    // both engines round identically once. A node appears once per
+    // (src, level) — dist is unique per (src, node).
     allDeltas
-      .select(col("src").as("wn"), col("node"), col("delta").as("term"))
       .groupBy(col("node"))
       .agg(count(lit(1)).cast("int").as("n_sources"),
-        termFold(6).as("betweenness"))
+        sum(col("delta_sc")).as("s"))
+      .select(col("node"), col("n_sources"),
+        (expr("(s + 500) div 1000").cast("double") / lit(1e6))
+          .as("betweenness"))
   }
 
   /** Local clustering coefficient per node over an undirected (p1 < p2)
@@ -1358,7 +1401,10 @@ object Graph {
     if (cacheKey.isEmpty) live()
     else PublishGuard.sharedTable(
       edges.sparkSession, walkTableCache, baseDir,
-      "sage_adjacency", cacheKey, Seq(salt, s"f$maxFanout"),
+      // "m1": the metadata revision — round-17 stamps the build params on
+      // the rnk column and sageSample validates them, so pre-stamp tables
+      // must republish under a fresh slug rather than fail the check
+      "sage_adjacency", cacheKey, Seq(salt, s"f$maxFanout", "m1"),
       PublishGuard.fingerprint(edges, Seq(col("u"), col("v"))),
       "sage sampled adjacency table")(live)
   }

@@ -65,20 +65,17 @@ class GraphSpec extends AnyFunSuite {
     val got = Graph.betweennessSampled(edges, sources).collect()
       .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
     // third derivation: hop-bounded Brandes in plain JVM code with the
-    // SAME rounding/fold-order rules (9 dp successor-ordered, 6 dp
-    // src-ordered)
+    // SAME 1e-9-grain integer quantization (round 17: terms become longs
+    // at birth and every fold is a plain sum — associative, so NO fold
+    // order is part of the contract anymore)
     val adj = {
       val es = edges.collect().map(r => (r.getString(0), r.getString(1))).toSet
       (es ++ es.map(_.swap)).groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
     }
-    def r(x: Double, digits: Int): Double = {
-      val p = math.pow(10, digits)
-      math.floor(x * p + 0.5) / p
-    }
     val srcs = sources.collect().map(_.getString(0)).toSeq.sorted
     val H = 3
-    val acc = scala.collection.mutable.Map[String, List[(String, Double)]]()
+    val acc = scala.collection.mutable.Map[String, List[(String, Long)]]()
     srcs.foreach { s =>
       val dist = scala.collection.mutable.Map(s -> 0)
       val sigma = scala.collection.mutable.Map(s -> 1L)
@@ -94,23 +91,23 @@ class GraphSpec extends AnyFunSuite {
         next.foreach { case (v, sg) => sigma(v) = sg }
         frontier = next.keySet.toSet
       }
-      val delta = scala.collection.mutable.Map[String, Double]()
-      dist.filter(_._2 == H).keys.foreach(v => delta(v) = 0.0)
+      val deltaSc = scala.collection.mutable.Map[String, Long]()
+      dist.filter(_._2 == H).keys.foreach(v => deltaSc(v) = 0L)
       (H - 1 to 1 by -1).foreach { h =>
         dist.filter(_._2 == h).keys.foreach { v =>
-          val terms = adj.getOrElse(v, Set.empty).toSeq
+          deltaSc(v) = adj.getOrElse(v, Set.empty).toSeq
             .filter(w => dist.get(w).contains(h + 1))
-            .sorted
-            .map(w => r(sigma(v).toDouble / sigma(w) * (1.0 + delta(w)), 9))
-          delta(v) = r(terms.foldLeft(0.0)(_ + _), 9)
+            .map(w => math.floor(sigma(v).toDouble / sigma(w) *
+              (1.0 + deltaSc(w).toDouble / 1e9) * 1e9 + 0.5).toLong)
+            .sum
         }
       }
       dist.filter(_._2 > 0).keys.foreach { v =>
-        acc(v) = acc.getOrElse(v, Nil) :+ (s -> delta(v))
+        acc(v) = acc.getOrElse(v, Nil) :+ (s -> deltaSc(v))
       }
     }
     val expect = acc.map { case (v, ds) =>
-      v -> ((ds.size, r(ds.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _), 6)))
+      v -> ((ds.size, ((ds.map(_._2).sum + 500L) / 1000L).toDouble / 1e6))
     }.toMap
     assert(got.keySet === expect.keySet)
     val diverged = got.filter { case (v, g) => expect(v) != g }
@@ -119,6 +116,23 @@ class GraphSpec extends AnyFunSuite {
     // the trade graph is bipartite: customers at odd hops, suppliers at
     // even — so positive betweenness exists on both sides
     assert(got.exists { case (v, (_, b)) => v.startsWith("s:") && b > 0 })
+  }
+
+  test("betweennessSampled: hub-stress — a 500-successor fold is exact with no per-group buffer") {
+    import spark.implicits._
+    // star with 500 leaves, source = one leaf: the center's backward
+    // fold sums 499 one-grain terms (σ=1/1 · (1+0) each). The round-16
+    // spelling buffered all 499 struct terms in one collect_list per
+    // group — the documented hub-bounded buffer; the integer-sum fold
+    // has no buffer at ANY degree, and the value is exact: δ(h) = 499.
+    val k = 500
+    val star = (1 to k).map(i => ("h", f"l$i%03d")).toDF("u", "v")
+    val got = Graph.betweennessSampled(star, Seq("l001").toDF("src"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("h") === (k - 1).toDouble,
+      s"hub dependency must be exactly ${k - 1}, got ${got("h")}")
+    assert(got.count { case (n, b) => n != "h" && b == 0.0 } === k - 1,
+      "every other leaf is a hop-2 endpoint with zero dependency")
   }
 
   test("randomWalks: JVM-recomputed trace matches exactly; every step walks an edge") {
@@ -272,6 +286,20 @@ class GraphSpec extends AnyFunSuite {
         r.getString(3), r.getInt(4))).toSet
     assert(viaShared === got,
       "published-adjacency sampling diverged from the inline build")
+    // the adjacency contract is VALIDATED at use, not just documented
+    // (round-16 advice): metadata survives the parquet publish, and a
+    // wrong-salt / too-small-fanout / foreign adjacency fails loudly
+    // instead of silently truncating or diverging the trees
+    val published = Graph.sharedSageAdjacency(e, cacheKey = "sagespec", baseDir = wh)
+    def msg(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Graph.sageSample(e, seeds, fanouts = Seq(3, 2),
+      salt = "othersalt", adjacency = Some(published))).contains("salt"))
+    assert(msg(Graph.sageSample(e, seeds, fanouts = Seq(5, 2),
+      adjacency = Some(published))).contains("maxFanout"))
+    assert(msg(Graph.sageSample(e, seeds, fanouts = Seq(3, 2),
+      adjacency = Some(published.withColumn("rnk", col("rnk") * 1))))
+      .contains("metadata"), "a rebuilt rnk column must drop the stamp")
   }
 
   test("node2vecWalks: JVM inverse-CDF recompute matches; bias weights steer the draw") {

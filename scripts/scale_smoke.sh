@@ -38,14 +38,21 @@ OUT=${1:-/tmp/graft_sf1}
 # pruned-only production IVF spellings (no exact chain — their ratio is
 # the pruning story itself: candidates ~ nprobe/nlist of |Q|x corpus)
 # and the SQL-surface minhash view (same plan as dedup_minhash_lsh,
-# through spark.sql). sim_semantic_prune is deliberately NOT smoked: the 10x fixture
+# through spark.sql) + (round 17) the two-level-selection serving
+# spelling (its quadratic risk is the group-member scan degenerating to
+# the full centroid scan). sql_graft_ivf_search is NOT smoked for the
+# sim_semantic_prune reason below: its %-subset query side grows with
+# the corpus while the view's nlist stays frozen at 16 under the
+# fixture, so candidates grow as |Q|x(corpus/nlist) — quadratic by
+# fixture construction, not by operator (production = nlist ∝ corpus).
+# sim_semantic_prune is deliberately NOT smoked: the 10x fixture
 # replicates vectors under the FROZEN published 16-centroid table, so
 # within-cluster density (and the pair join) grows quadratically BY
 # CONSTRUCTION of the fixture, not of the operator — the production
 # contract is nlist ∝ corpus (bounded cluster population; see the
 # operator scaladoc), and at nlist beyond a few hundred the
 # centroid-literal assignment hands off to the IVF partition-pruned path.
-QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks,graph_sage_sample,sim_hybrid_rrf,graph_walk_context_pairs,graph_node2vec_context_pairs,graph_embedding_neighbors,graph_embedding_neighbors_ivf,graph_link_prediction_ivf,graph_embedding_neighbors_ivf_pruned,graph_link_prediction_ivf_pruned,sql_graft_minhash_pairs}
+QUERIES=${2:-dedup_cross_corpus,dedup_clusters,pipeline_curated_corpus,pipeline_release_gate,sim_pq_topk,dedup_edit_distance,dedup_containment,graph_pagerank,graph_triangles,dedup_substring_spans,graph_ppr_cohort,graph_pagerank_weighted,graph_hits,graph_label_prop,events_rfm_segments,multimodal_image_neardup,events_top_paths,multimodal_audio_neardup,multimodal_phash_search,multimodal_video_neardup,dedup_minhash_search,multimodal_video_scenes,sim_radius_search,graph_random_walks,events_path_nll,pipeline_skew_profile,graph_closeness_sampled,graph_betweenness_sampled,graph_node2vec_walks,graph_sage_sample,sim_hybrid_rrf,graph_walk_context_pairs,graph_node2vec_context_pairs,graph_embedding_neighbors,graph_embedding_neighbors_ivf,graph_link_prediction_ivf,graph_embedding_neighbors_ivf_pruned,graph_link_prediction_ivf_pruned,sql_graft_minhash_pairs,graph_embedding_neighbors_ivf_hier}
 sbt -batch compile >/dev/null 2>&1
 if [ ! -d "$OUT/lineitem.parquet" ]; then
   echo "[scale_smoke] building 10x fixture at $OUT"

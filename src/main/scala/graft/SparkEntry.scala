@@ -717,6 +717,15 @@ object SparkEntry {
         baseDir = "/tmp/graft_warehouse",
         slug = s"ivf_centroids_${d.split('/').last}")
         .orderBy("query_id", "rank")),
+    // two-level probe selection on the Similarity ANN surface (round 17;
+    // the Graph serving sibling is graph_embedding_neighbors_ivf_hier):
+    // the SAME published centroids plus the published √nlist-group
+    // quantizer — probes restricted to the top-2 of 4 groups' members
+    "sim_ivf_hier_topk" -> ((s, d) =>
+      Similarity.ivfTopKPublishedHier(Tables.embeddings(s, d),
+        baseDir = "/tmp/graft_warehouse",
+        slug = s"ivf_centroids_${d.split('/').last}")
+        .orderBy("query_id", "rank")),
     // the retrieval deployment: an EXTERNAL query table (here a held-out
     // id subset, so DuckDB can replay it) served against the SAME
     // published centroid artifact as sim_ivf_topk — same assignment,
@@ -4058,6 +4067,73 @@ object SparkEntry {
         |               row_number() OVER (PARTITION BY vec_id
         |                                  ORDER BY dt DESC, list_id DESC) AS rn
         |        FROM d WHERE vec_id < 10)
+        |      WHERE rn <= 4),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM a JOIN p ON a.cluster = p.list_id
+        |         WHERE a.vec_id <> p.query_id),
+        |s AS (SELECT cand.query_id, cand.vec_id,
+        |             list_reduce([q.qv[i] * n.v[i] for i in range(1, 1 + len(q.qv))],
+        |                         (x, y) -> x + y) / (q.qn * n.nrm) AS cosine
+        |      FROM cand JOIN n ON n.vec_id = cand.vec_id
+        |      JOIN q ON q.query_id = cand.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_ivf_hier_topk: the sim_ivf_topk replay with TWO-LEVEL probe
+    // selection (round 17) — the published √nlist-group quantizer table,
+    // the DERIVED centroid→group map (argmax dot, ties → larger group
+    // id), each query's top-2 groups, probes restricted to their members
+    "sim_ivf_hier_topk" ->
+      s"""WITH c AS (SELECT list_id, centroid
+        |           FROM read_parquet('${Similarity.ivfCentroidsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf)}/*.parquet')),
+        |g AS (SELECT group_id, centroid
+        |      FROM read_parquet('${Similarity.ivfGroupsPath("/tmp/graft_warehouse", "ivf_centroids_" + sf, 16, 3, 4, 3)}/*.parquet')),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, v, nrm, [x / nrm for x in v] AS nv FROM n),
+        |d AS (SELECT nn.vec_id, c.list_id,
+        |             list_reduce([nn.nv[i] * c.centroid[i]
+        |                          for i in range(1, 1 + len(nn.nv))],
+        |                         (x, y) -> x + y) AS dt
+        |      FROM nn CROSS JOIN c),
+        |cmap AS (SELECT list_id, group_id FROM (
+        |           SELECT c.list_id, g.group_id,
+        |                  row_number() OVER (PARTITION BY c.list_id
+        |                    ORDER BY list_reduce(
+        |                      [c.centroid[i] * g.centroid[i]
+        |                       for i in range(1, 1 + len(c.centroid))],
+        |                      (x, y) -> x + y) DESC, g.group_id DESC) AS rn
+        |           FROM c CROSS JOIN g)
+        |         WHERE rn = 1),
+        |qg AS (SELECT vec_id, group_id FROM (
+        |         SELECT nn.vec_id, g.group_id,
+        |                row_number() OVER (PARTITION BY nn.vec_id
+        |                  ORDER BY list_reduce(
+        |                    [nn.nv[i] * g.centroid[i]
+        |                     for i in range(1, 1 + len(nn.nv))],
+        |                    (x, y) -> x + y) DESC, g.group_id DESC) AS rn
+        |         FROM nn CROSS JOIN g WHERE nn.vec_id < 10)
+        |       WHERE rn <= 2),
+        |a AS (SELECT vec_id, list_id AS cluster FROM (
+        |        SELECT vec_id, list_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY dt DESC, list_id DESC) AS rn
+        |        FROM d)
+        |      WHERE rn = 1),
+        |p AS (SELECT query_id, list_id FROM (
+        |        SELECT d.vec_id AS query_id, d.list_id,
+        |               row_number() OVER (PARTITION BY d.vec_id
+        |                                  ORDER BY d.dt DESC, d.list_id DESC) AS rn
+        |        FROM d
+        |        JOIN cmap m ON m.list_id = d.list_id
+        |        JOIN qg ON qg.vec_id = d.vec_id AND qg.group_id = m.group_id
+        |        WHERE d.vec_id < 10)
         |      WHERE rn <= 4),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
         |cand AS (SELECT p.query_id, a.vec_id

@@ -744,12 +744,16 @@ object Similarity {
     }
   }
 
-  /** Sign-bit bucket id of vector column `v` for one table's planes. */
-  private[operators] def bucketId(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, b) =>
-      val planeLit = array(p.map(lit): _*)
-      when(VectorOps.dot(v, planeLit) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Sign-bit bucket id of vector column `v` for one table's planes —
+    * one fused codegen'd pass over the plane matrix as task data
+    * ([[graft.functions.LshBucketExpr]]; the per-plane literal-dot
+    * spelling put bits·dim Literal nodes per table into the plan).
+    */
+  private[graft] def bucketId(v: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.LshBucketExpr(
+      GraftBridge.expression(v), planes))
+  }
 
   /** Spherical k-means coarse quantizer for IVF: deterministic init (the
     * first `nlist` vectors), fixed `iters` Lloyd rounds. Assignment is
@@ -941,7 +945,8 @@ object Similarity {
       centroids: Option[Array[Array[Double]]] = None,
       cacheKey: String = "",
       queryTable: Option[DataFrame] = None,
-      broadcastQueries: Option[Boolean] = None): DataFrame = {
+      broadcastQueries: Option[Boolean] = None,
+      hierGroups: Option[(Array[Array[Double]], Int)] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(embeddings, nlist, iters, cacheKey))
     // the bucketed corpus feeds both the query side and the probe join
     val e = OpCache.materialize(
@@ -953,9 +958,14 @@ object Similarity {
 
     // per-query probe list: nprobe clusters with the highest centroid dot
     // (the transform runs over nprobe elements, not nlist — the nlist-wide
-    // scoring is fused inside the codegen'd probeStructs expression)
-    val probes = transform(
-      probeStructs(col("nv"), cents, nprobe), s => s.getField("i"))
+    // scoring is fused inside the codegen'd probeStructs expression;
+    // hierGroups switches selection to the TWO-LEVEL published group
+    // quantizer — top-gprobe groups, then their members only)
+    val probes = transform(hierGroups match {
+      case Some((gcents, gprobe)) =>
+        hierProbeStructs(col("nv"), gcents, cents, gprobe, nprobe)
+      case None => probeStructs(col("nv"), cents, nprobe)
+    }, s => s.getField("i"))
     // probe lists EXPLODE into (query, cluster) rows so the candidate
     // former is an EQUI-join on the cluster id (round 16): the previous
     // array_contains gate had no equi key, so Spark ran a
@@ -1035,15 +1045,25 @@ object Similarity {
     }
   }
 
+  /** All `m` PQ subspace codes in ONE fused codegen'd pass
+    * ([[graft.functions.PqCodesExpr]] — the [[probeStructs]] discipline
+    * for codebooks: constant plan size, no m·ksub literal trees).
+    * Returns `array<int>` of length m; consumers extract per-subspace
+    * columns from the array attribute, computed once per row.
+    */
+  private[graft] def pqCodes(
+      nv: Column, books: Array[Array[Array[Double]]], dsub: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.PqCodesExpr(
+      GraftBridge.expression(nv), books, dsub))
+  }
+
   /** Nearest codebook entry for a subvector: argmin ‖x−c‖² computed as
-    * argmax (x·c − ‖c‖²/2) — exact, since ‖x‖² is common to all entries.
+    * argmax (x·c − ‖c‖²/2) — exact, since ‖x‖² is common to all entries;
+    * ties → larger code. The single-book head of [[pqCodes]].
     */
   private def nearestCode(sv: Column, book: Array[Array[Double]]): Column =
-    array_max(array(book.zipWithIndex.map { case (c, j) =>
-      val bias = c.map(x => x * x).sum / 2.0
-      struct((VectorOps.dot(sv, array(c.map(lit): _*)) - lit(bias)).as("d"),
-        lit(j).as("i"))
-    }: _*)).getField("i")
+    pqCodes(sv, Array(book), book(0).length).getItem(0)
 
   /** `init` warm-starts each subspace's Lloyd rounds from a prior
     * codebook (round-15 verdict item 4 — see [[trainIvfCentroids]]).
@@ -1122,6 +1142,35 @@ object Similarity {
     val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
     ivfTopK(embeddings, numQueries, k, nlist, nprobe, iters, Some(cents),
       queryTable = queryTable)
+  }
+
+  /** [[ivfTopKPublished]] with TWO-LEVEL probe selection (round 17): the
+    * same published centroid artifact plus the √nlist-group quantizer
+    * from [[publishedIvfGroups]] — per-query probe selection scores
+    * ngroups group centroids and only the top-`gprobe` groups' members,
+    * O(√nlist·(1+gprobe)) dots instead of O(nlist). Selection is
+    * approximate exactly like IVF probing itself (the recall knob is
+    * gprobe beside nprobe); the DuckDB oracle replays both stages from
+    * the two published tables.
+    */
+  def ivfTopKPublishedHier(
+      embeddings: DataFrame,
+      baseDir: String,
+      slug: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      gprobe: Int = 2,
+      ngroups: Int = 0,
+      iters: Int = 3,
+      queryTable: Option[DataFrame] = None): DataFrame = {
+    val cents = publishedIvfCentroids(embeddings, baseDir, slug, nlist, iters)
+    val gcents = publishedIvfGroups(
+      embeddings, baseDir, slug, nlist, iters, ngroups,
+      centroids = Some(cents))
+    ivfTopK(embeddings, numQueries, k, nlist, nprobe, iters, Some(cents),
+      queryTable = queryTable, hierGroups = Some((gcents, gprobe)))
   }
 
   /** Write trained IVF centroids as a (list_id, centroid) parquet table.
@@ -1610,13 +1659,29 @@ object Similarity {
         .withColumn("nrm", VectorOps.l2Norm(col("v")))
         .withColumn("nv", transform(col("v"), x => x / col("nrm"))))
 
-    // the compressed index: ids + m codes (this is ALL the ADC scan reads)
-    val coded = e.select(
-      (col("vec_id") +: (0 until m).map { s =>
-        nearestCode(slice(col("nv"), s * dsub + 1, dsub), books(s)).as(s"c$s")
-      }): _*)
+    // the compressed index: ids + m codes (this is ALL the ADC scan
+    // reads). The codes array is ONE fused expression evaluated once per
+    // row (the two-project shape keeps CollapseProject from inlining m
+    // copies); getItem fans it out to the per-subspace columns
+    val coded = e
+      .withColumn("codes", pqCodes(col("nv"), books, dsub))
+      .select(
+        (col("vec_id") +: (0 until m).map { s =>
+          col("codes").getItem(s).as(s"c$s")
+        }): _*)
 
     // per-query ADC tables: table[s][j] = q_sub(s) · book(s)(j)
+    // DRIVER-BOUNDED by contract: each query gets an m-row ADC lookup
+    // table built on the driver, so the query side must stay a bounded
+    // set — an external cohort-shaped table fails loudly here instead of
+    // collecting the cohort into driver memory (use ivfTopK's
+    // distributed probe join for cohort-scale serving)
+    queryTable.foreach { qt =>
+      val nq = qt.count()
+      require(nq <= 10000,
+        s"ADC serving builds per-query driver tables: $nq external " +
+          "queries > 10000 — route cohort-scale serving through ivfTopK")
+    }
     val qTables = queryBase(e, numQueries, queryTable)
       .select(col("vec_id"), col("nv")).orderBy(col("vec_id")).collect()
       .map { r =>
@@ -1694,12 +1759,25 @@ object Similarity {
         .withColumn("nrm", VectorOps.l2Norm(col("v")))
         .withColumn("nv", transform(col("v"), x => x / col("nrm")))
         .withColumn("cluster", assignCluster(col("nv"), cents)))
-    val coded = e.select(
-      (col("vec_id") +: col("cluster") +: (0 until m).map { s =>
-        nearestCode(slice(col("nv"), s * dsub + 1, dsub), books(s)).as(s"c$s")
-      }): _*)
+    val coded = e
+      .withColumn("codes", pqCodes(col("nv"), books, dsub))
+      .select(
+        (col("vec_id") +: col("cluster") +: (0 until m).map { s =>
+          col("codes").getItem(s).as(s"c$s")
+        }): _*)
 
     // per-query probe list + ADC tables, driver-built from the bounded set
+    // DRIVER-BOUNDED by contract: each query gets an m-row ADC lookup
+    // table built on the driver, so the query side must stay a bounded
+    // set — an external cohort-shaped table fails loudly here instead of
+    // collecting the cohort into driver memory (use ivfTopK's
+    // distributed probe join for cohort-scale serving)
+    queryTable.foreach { qt =>
+      val nq = qt.count()
+      require(nq <= 10000,
+        s"ADC serving builds per-query driver tables: $nq external " +
+          "queries > 10000 — route cohort-scale serving through ivfTopK")
+    }
     val qSide = queryBase(e, numQueries, queryTable)
       .select(col("vec_id"), col("nv")).orderBy(col("vec_id")).collect()
       .map { r =>

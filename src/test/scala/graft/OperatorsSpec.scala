@@ -804,6 +804,89 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("LshBucketExpr: bit-identical to the per-plane when-dot spelling it replaced (codegen + interpreted)") {
+    def literalBucket(v: org.apache.spark.sql.Column,
+        planes: Array[Array[Double]]) =
+      planes.zipWithIndex.map { case (p, b) =>
+        when(graft.functions.VectorOps.dot(v,
+          array(p.map(lit).toIndexedSeq: _*)) > 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val planes = Similarity.mdHyperplanes(tables = 1, bits = 16, dim = 8)(0)
+    val vecs = Tables.embeddings(spark, sf).limit(64)
+      .select(col("vec_id"),
+        slice(graft.functions.VectorOps.asDouble(col("embedding")), 1, 8)
+          .as("v"))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val rows = vecs.select(col("vec_id"),
+          Similarity.bucketId(col("v"), planes).as("fast"),
+          literalBucket(col("v"), planes).as("ref")).collect()
+        assert(rows.length === 64)
+        rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+          s"bucket diverged for vec ${r.getLong(0)} (codegen=$codegen)"))
+        assert(rows.map(_.getLong(1)).distinct.length > 1,
+          "fixture degenerate: all vectors hashed to one bucket")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bucketId(col("v"), Array.empty[Array[Double]])
+    }
+  }
+
+  test("PqCodesExpr: bit-identical to the literal per-subspace argmax it replaced (codegen + interpreted)") {
+    // the literal spelling (round 16): per subspace an
+    // array_max(array(struct(dot(sv, array(lit…)) − bias, j)…)) tree —
+    // m·ksub literal arrays. Reconstructed as the reference.
+    def literalCode(sv: org.apache.spark.sql.Column,
+        book: Array[Array[Double]]) =
+      array_max(array(book.zipWithIndex.map { case (c, j) =>
+        val bias = c.map(x => x * x).sum / 2.0
+        struct((graft.functions.VectorOps.dot(sv,
+          array(c.map(lit).toIndexedSeq: _*)) - lit(bias)).as("d"),
+          lit(j).as("i"))
+      }.toIndexedSeq: _*)).getField("i")
+    val m = 4
+    val dsub = 4
+    val ksub = 6
+    // deterministic books with a duplicated entry per subspace (indices
+    // 1 and 4 share values → exact ties exercise the larger-code branch)
+    val books = Array.tabulate(m, ksub, dsub) { (s, j, t) =>
+      val base = if (j == 4) 1 else j
+      (((s * 131 + base * 31 + t) * 2654435761L) % 1013).toDouble / 1013.0 - 0.5
+    }
+    val vecs = Tables.embeddings(spark, sf).limit(64)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          x / graft.functions.VectorOps.l2Norm(col("v"))).as("nv"))
+      .select(col("vec_id"), slice(col("nv"), 1, m * dsub).as("nv"))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val rows = vecs.select(
+          (col("vec_id") +:
+            Similarity.pqCodes(col("nv"), books, dsub).as("fast") +:
+            (0 until m).map(s => literalCode(
+              slice(col("nv"), s * dsub + 1, dsub), books(s)).as(s"r$s"))): _*)
+          .collect()
+        assert(rows.length === 64)
+        rows.foreach { r =>
+          val fast = r.getSeq[Int](1)
+          val ref = (0 until m).map(s => r.getInt(2 + s))
+          assert(fast === ref,
+            s"codes diverged for vec ${r.getLong(0)} (codegen=$codegen): " +
+              s"$fast vs $ref")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodes(col("nv"), Array.empty[Array[Array[Double]]], dsub)
+    }
+  }
+
   test("HierCentroidProbesExpr: gprobe=ngroups equals exact selection; restricted selection equals brute force over probed members") {
     val dim = 8
     val nlist = 12

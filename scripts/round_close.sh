@@ -71,6 +71,11 @@ EOF
 
 # movers block (round-15 verdict item 5: the window-drift explanation was
 # narrative — "broad uniform movers = box drift" — and got load-bearing).
+# CAVEAT (round 17): isolated_norm is UPWARD-biased for queries whose
+# cost amortizes shared published-table reads across their family (the
+# isolated subset denies the family) — adjudicate a confirmed mover by
+# re-running it WITH its family on a quiet window and record the result
+# in movers.builder_recheck, as the round-17 close did.
 # Any common query whose probe-normalized median moved >1.5x vs the
 # PREVIOUS close gets an automatic isolated re-run (fresh JVM, 3 medians,
 # its own probe bracket) appended to the artifact, so the next judge

@@ -115,18 +115,22 @@ object IvfServingBench {
       try sweep(f)
       finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
+    // gprobe = 0 FORCES exact selection on the "pruned" rows (the
+    // production default is AUTO, which would silently go two-level at
+    // the sweep's 10× nlist and erase the A/B this bench exists to show)
     def prunedAt(nl: Int, q: DataFrame) = () =>
-      Graph.embeddingNeighborsIvfPruned(emb, q, wh, slug, k, nl, nprobe)
+      Graph.embeddingNeighborsIvfPruned(emb, q, wh, slug, k, nl, nprobe,
+        gprobe = 0)
     def hierAt(nl: Int, q: DataFrame) = () =>
       Graph.embeddingNeighborsIvfPruned(emb, q, wh, slug, k, nl, nprobe,
         gprobe = gprobe)
     val prunedSec = sweep(prunedAt(nlist, cohort))
     val prunedShufSec = sweepShuffled(() =>
       Graph.embeddingNeighborsIvfPruned(emb, cohort, wh, slug, k, nlist,
-        nprobe, broadcastQueries = Some(false)))
+        nprobe, broadcastQueries = Some(false), gprobe = 0))
     val hierSec = sweep(hierAt(nlist, cohort))
     val lpPrunedSec = sweep(() => Graph.linkPredictionIvfPruned(
-      emb, edges, cohort, wh, slug, k, nlist, lpNprobe))
+      emb, edges, cohort, wh, slug, k, nlist, lpNprobe, gprobe = 0))
     val exactSec = sweep(() => Graph.embeddingNeighbors(emb, sample, k))
     val lpExactSec = sweep(() => Graph.linkPrediction(emb, edges, sample, k))
     // measured recall over the sampled queries: |pruned ∩ exact|/|exact|
@@ -138,12 +142,12 @@ object IvfServingBench {
       (exactPairs intersect pairs(df)).size.toDouble /
         math.max(1, exactPairs.size)
     val recall = recallOf(Graph.embeddingNeighborsIvfPruned(
-      emb, sample, wh, slug, k, nlist, nprobe))
+      emb, sample, wh, slug, k, nlist, nprobe, gprobe = 0))
     val hierRecall = recallOf(Graph.embeddingNeighborsIvfPruned(
       emb, sample, wh, slug, k, nlist, nprobe, gprobe = gprobe))
     val lpExactPairs = pairs(Graph.linkPrediction(emb, edges, sample, k))
     val lpPrunedPairs = pairs(Graph.linkPredictionIvfPruned(
-      emb, edges, sample, wh, slug, k, nlist, lpNprobe))
+      emb, edges, sample, wh, slug, k, nlist, lpNprobe, gprobe = 0))
     val lpRecall = (lpExactPairs intersect lpPrunedPairs).size.toDouble /
       math.max(1, lpExactPairs.size)
     def triple(xs: Seq[Double]): String =

@@ -1833,12 +1833,16 @@ object Graph {
       k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 3,
       broadcastQueries: Option[Boolean] = None,
-      gprobe: Int = 0, ngroups: Int = 0): DataFrame = {
+      gprobe: Int = -1, ngroups: Int = 0): DataFrame = {
     // the broadcast decision lives in ivfServingSides (size-gated; None =
-    // measure the cohort) — q arrives pre-hinted when it fits; gprobe > 0
-    // switches probe selection to the published two-level quantizer
-    val (cents, hier) =
-      embeddingCentroidsAndGroups(emb, baseDir, slug, nlist, iters, gprobe, ngroups)
+    // measure the cohort) — q arrives pre-hinted when it fits. gprobe is
+    // AUTO by default (Similarity.resolveGprobe): two-level selection
+    // engages once nlist ≥ HierAutoNlist, so the scale path needs no
+    // caller opt-in while oracle-scale defaults stay exact-selection
+    // (bit-identical); 0 forces exact, > 0 explicit two-level
+    val (cents, hier) = embeddingCentroidsAndGroups(
+      emb, baseDir, slug, nlist, iters,
+      Similarity.resolveGprobe(gprobe, nlist), ngroups)
     val (n, q) = ivfServingSides(emb, queries, cents, nprobe, broadcastQueries, hier)
     val cands = n.join(q, Seq("cluster"))
       .where(col("node") =!= col("query"))
@@ -1855,14 +1859,16 @@ object Graph {
       k: Int = 5, nlist: Int = 16, nprobe: Int = 8,
       iters: Int = 3, sidePrefix: String = "s:",
       broadcastQueries: Option[Boolean] = None,
-      gprobe: Int = 0, ngroups: Int = 0): DataFrame = {
+      gprobe: Int = -1, ngroups: Int = 0): DataFrame = {
     // nprobe defaults to 8 here, not 4 (round-16 verdict item 4): the
     // every-user recommendation this spelling is named for measured
     // recall@5 = 0.66 at nprobe=4 on the 10× cohort vs 0.91 at nprobe=8
     // for ~1.6× serving cost (BASELINE.md sensitivity) — the recall
-    // floor round_close gates on needs the 8-probe candidate set
-    val (cents, hier) =
-      embeddingCentroidsAndGroups(emb, baseDir, slug, nlist, iters, gprobe, ngroups)
+    // floor round_close gates on needs the 8-probe candidate set.
+    // gprobe is AUTO (see embeddingNeighborsIvfPruned)
+    val (cents, hier) = embeddingCentroidsAndGroups(
+      emb, baseDir, slug, nlist, iters,
+      Similarity.resolveGprobe(gprobe, nlist), ngroups)
     val (n, q) = ivfServingSides(emb, queries, cents, nprobe, broadcastQueries, hier)
     val cands = n.where(col("node").startsWith(sidePrefix))
       .join(q, Seq("cluster"))

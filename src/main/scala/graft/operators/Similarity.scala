@@ -1497,6 +1497,28 @@ object Similarity {
     if (ngroups > 0) ngroups
     else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
+  /** The nlist at which the production serving spellings switch to
+    * two-level probe selection AUTOMATICALLY: below it the flat
+    * centroid scan is a rounding error (≤ ~2% of per-query cost at the
+    * measured geometry); above it the O(nlist) scan starts competing
+    * with the candidate scan itself (the IvfServingBench 10×-nlist
+    * sweep: at nlist 630 two-level already beats exact selection) and
+    * keeps growing linearly with the corpus under the nlist ∝ corpus
+    * rule.
+    */
+  private[graft] val HierAutoNlist = 256
+
+  /** gprobe resolution for the production serving spellings: negative =
+    * AUTO (two-level at 4 probed groups once nlist ≥ [[HierAutoNlist]],
+    * exact below — so the oracle-scale defaults stay bit-identical while
+    * the scale path needs no caller opt-in); 0 = forced exact; positive
+    * = explicit two-level.
+    */
+  private[graft] def resolveGprobe(gprobe: Int, nlist: Int): Int =
+    if (gprobe >= 0) gprobe
+    else if (nlist >= HierAutoNlist) 4
+    else 0
+
   def ivfGroupsPath(
       baseDir: String, slug: String, nlist: Int = 16, iters: Int = 3,
       ngroups: Int = 4, giters: Int = 3): String =

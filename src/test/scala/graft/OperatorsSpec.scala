@@ -952,6 +952,15 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.trainCentroidGroups(cents, nlist + 1, 1)
     }
+    // the production AUTO policy: exact selection below HierAutoNlist
+    // (oracle-scale defaults stay bit-identical), two-level at 4 groups
+    // above; explicit values pass through untouched
+    assert(Similarity.resolveGprobe(-1, 16) === 0)
+    assert(Similarity.resolveGprobe(-1, Similarity.HierAutoNlist - 1) === 0)
+    assert(Similarity.resolveGprobe(-1, Similarity.HierAutoNlist) === 4)
+    assert(Similarity.resolveGprobe(-1, 5120) === 4)
+    assert(Similarity.resolveGprobe(0, 5120) === 0)
+    assert(Similarity.resolveGprobe(2, 16) === 2)
   }
 
   test("quality classifier: published-weights margins recompute exactly, model beats the all-positive baseline") {

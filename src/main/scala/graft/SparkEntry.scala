@@ -726,6 +726,12 @@ object SparkEntry {
         baseDir = "/tmp/graft_warehouse",
         slug = s"ivf_centroids_${d.split('/').last}")
         .orderBy("query_id", "rank")),
+    // binary sign-quantization ANN (round 17): 63-bit sign codes +
+    // Hamming rank — the 1-bit point of the quantization family, one
+    // long per vector; agreement with cosine measured in SimilaritySpec
+    "sim_hamming_topk" -> ((s, d) =>
+      Similarity.hammingTopK(Tables.embeddings(s, d))
+        .orderBy("query_id", "rank")),
     // the retrieval deployment: an EXTERNAL query table (here a held-out
     // id subset, so DuckDB can replay it) served against the SAME
     // published centroid artifact as sim_ivf_topk — same assignment,
@@ -4190,6 +4196,33 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim_hamming_topk: sign codes re-derived in SQL (same strict > 0
+    // sign test, bits 0..62 OR-folded into one BIGINT), Hamming =
+    // bit_count(xor), rank (hamming asc, vec_id asc) — a deterministic
+    // function of the codes, replayed exactly
+    "sim_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce([x * x for x in v], (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |nn AS (SELECT vec_id, [x / nrm for x in v] AS nv FROM n),
+        |codes AS (SELECT vec_id,
+        |            list_reduce(list_prepend(0::BIGINT,
+        |              [CASE WHEN nv[t + 1] > 0 THEN (1::BIGINT << t)
+        |                    ELSE 0::BIGINT END
+        |               for t in range(0, 63)]), (a, x) -> a | x) AS code
+        |          FROM nn),
+        |q AS (SELECT vec_id AS query_id, code AS qcode FROM codes
+        |      WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, c.vec_id,
+        |             CAST(bit_count(xor(c.code, q.qcode)) AS INTEGER) AS hamming
+        |      FROM codes c JOIN q ON c.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, hamming FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY hamming, vec_id) AS rank
         |  FROM s)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

@@ -74,6 +74,63 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Binary (sign-quantized) ANN top-k — the 1-bit-per-dimension
+    * compression point of the quantization family (int8
+    * [[quantizeInt8]] → PQ [[pqTopK]] → THIS): every vector compresses
+    * to a 63-bit sign code (bit t set iff nv[t+1] > 0 — exactly the
+    * [[bucketId]] sign loop driven with IDENTITY hyperplanes, so the
+    * codegen'd [[graft.functions.LshBucketExpr]] does the binarization),
+    * and candidates rank by Hamming distance `bit_count(code XOR
+    * qcode)` — pure integer ops over ONE long per vector, the cheapest
+    * scan the engine offers (~64× less data than the float vectors;
+    * the standard shortlist stage before an exact rerank). Ties break
+    * (hamming asc, vec_id asc); the ranking is a deterministic function
+    * of the published sign codes, so the DuckDB oracle replays it
+    * bit-for-bit — and its agreement with full-precision cosine is
+    * MEASURED (SimilaritySpec recall floor), not assumed.
+    *
+    * Dimensions past 63 don't contribute (one 64-bit word, sign bit
+    * reserved — the single-word binarization; multi-word codes are the
+    * straightforward extension). Scale shape: the bounded query set
+    * broadcasts and the corpus scans once, like [[bruteForceTopK]] —
+    * but over 8-byte codes instead of dim·8-byte vectors.
+    */
+  def hammingTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      queryTable: Option[DataFrame] = None): DataFrame = {
+    val signPlanes = Array.tabulate(63) { t =>
+      val p = new Array[Double](t + 1); p(t) = 1.0; p
+    }
+    val e = Partitioning.ensureParallelism(embeddings, col("vec_id"))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nv", transform(col("v"), x => x / VectorOps.l2Norm(col("v"))))
+      .withColumn("code", bucketId(col("nv"), signPlanes))
+      .select(col("vec_id"), col("code"))
+    // external queries binarize through the same sign loop; the internal
+    // default is the corpus's first numQueries codes (the queryBase
+    // convention, over the already-coded frame)
+    val queries = queryTable match {
+      case Some(qt) =>
+        qt.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+          .withColumn("nv",
+            transform(col("v"), x => x / VectorOps.l2Norm(col("v"))))
+          .withColumn("qcode", bucketId(col("nv"), signPlanes))
+          .select(col("vec_id").as("query_id"), col("qcode"))
+      case None => e.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("int").as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "hamming")
+  }
+
   /** Radius (range) similarity search: ALL corpus vectors with cosine ≥
     * `threshold` to each query — the range-query complement of the
     * top-k serving surface ("everything semantically this close", the

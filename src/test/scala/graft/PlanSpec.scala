@@ -143,7 +143,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_mmr_rerank",
     // triplets: ONE bruteforce theta-join scored pass feeding both
     // rank-1 cuts
-    "sim_triplets")
+    "sim_triplets",
+    // hamming: the bruteforce bounded-query theta join over 8-byte sign
+    // codes (the whole point: the scan reads one long per vector)
+    "sim_hamming_topk")
 
   test("no cartesian product in any query plan; nested loops only where bounded") {
     // defend against sibling suites of the shared session having toggled

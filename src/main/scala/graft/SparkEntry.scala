@@ -314,7 +314,9 @@ object SparkEntry {
     "pipeline_curated_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.curatedCorpusFromClusters(docs,
-        Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("doc_id")
+        Dedup.sharedNearDupClusters(docs, cacheKey = d),
+        enrichment = Some(Curation.sharedGateEnrichment(docs, cacheKey = d)))
+        .orderBy("doc_id")
     }),
     // stage-survival funnel over the same gate chain: ingest → near-dup
     // canonical → lang → quality, cumulative conditional sums in ONE
@@ -322,14 +324,18 @@ object SparkEntry {
     "pipeline_funnel_report" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.curationFunnel(docs,
-        Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("stage")
+        Dedup.sharedNearDupClusters(docs, cacheKey = d),
+        enrichment = Some(Curation.sharedGateEnrichment(docs, cacheKey = d)))
+        .orderBy("stage")
     }),
     // quality-argmax canonicalization: keep each cluster's BEST copy
     // (not its smallest id) — same shared cluster table
     "pipeline_best_of_cluster" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.curatedCorpusBestOfCluster(docs,
-        Dedup.sharedNearDupClusters(docs, cacheKey = d)).orderBy("doc_id")
+        Dedup.sharedNearDupClusters(docs, cacheKey = d),
+        enrichment = Some(Curation.sharedGateEnrichment(docs, cacheKey = d)))
+        .orderBy("doc_id")
     }),
     // the pre-training release gate: dedup-canonical + language + quality
     // + decontamination + PII exposure, one composed plan over the same
@@ -337,7 +343,9 @@ object SparkEntry {
     "pipeline_release_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.releaseGate(docs, Dedup.sharedNearDupClusters(docs, cacheKey = d),
-        docs.where(col("doc_id") % 50 === 0)).orderBy("doc_id")
+        docs.where(col("doc_id") % 50 === 0),
+        enrichment = Some(Curation.sharedGateEnrichment(docs, cacheKey = d)))
+        .orderBy("doc_id")
     }),
     // the MULTIMODAL release gate: the text gate (dedup-canonical +
     // lang + quality over the shared text cluster table) composed with
@@ -349,7 +357,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Curation.multimodalReleaseGate(docs,
         Dedup.sharedNearDupClusters(docs, cacheKey = d),
-        Multimodal.sharedImageClusters(s, docs, cacheKey = d))
+        Multimodal.sharedImageClusters(s, docs, cacheKey = d),
+        enrichment = Some(Curation.sharedGateEnrichment(docs, cacheKey = d)))
         .orderBy("doc_id")
     }),
     // the FULL multimodal gate: text + image + audio + video cluster
@@ -361,7 +370,8 @@ object SparkEntry {
         Dedup.sharedNearDupClusters(docs, cacheKey = d),
         Multimodal.sharedImageClusters(s, docs, cacheKey = d),
         Multimodal.sharedAudioClusters(s, docs, cacheKey = d),
-        Multimodal.sharedVideoClusters(s, docs, cacheKey = d))
+        Multimodal.sharedVideoClusters(s, docs, cacheKey = d),
+        enrichment = Some(Curation.sharedGateEnrichment(docs, cacheKey = d)))
         .orderBy("doc_id")
     }),
     // sliding-window passage chunking (RAG / training-window split);

@@ -67,11 +67,48 @@ object Curation {
         TextAnalysis.qualityOf(col("text"), col("toks")).as("quality"),
         size(col("toks")).as("n_tokens"))
 
+  private val enrichmentTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook — drop the in-JVM enrichment-table memo. */
+  private[graft] def clearGateEnrichmentMemo(): Unit =
+    enrichmentTableCache.clear()
+
+  /** [[gateEnrichment]] computed ONCE per cacheKey and PUBLISHED — the
+    * [[Dedup.sharedNearDupClusters]] discipline applied to the gate
+    * metrics. Two independent costs retire per consumer: the
+    * tokenize+langID+quality scan itself (six `pipeline_*` gate queries
+    * re-ran it), and — the round-18 profile's bigger find — the
+    * EXPRESSION-DUPLICATING filter pushdown on the live form: Catalyst
+    * pushes `languageGate && qualityGate` below the `toks` projection,
+    * inlining the full tokenize chain into every `array_intersect` of
+    * the langPred CASE (~20 evaluations per row; whole-stage-codegen
+    * subexpression elimination skips conditionally-evaluated branches),
+    * then recomputes the projection after the join — measured 2.5 s for
+    * a query whose enrichment pass alone is 0.4 s. Against the published
+    * table the gates filter PLAIN COLUMNS, so neither cost exists.
+    * Same stale-key detection as every shared table: the fingerprint of
+    * (doc_id, text) is re-checked on every reuse. `cacheKey` must encode
+    * the data version (pass `""` to compute live).
+    */
+  def sharedGateEnrichment(
+      docs: DataFrame, cacheKey: String, baseDir: String = ""): DataFrame =
+    if (cacheKey.isEmpty) gateEnrichment(docs)
+    else {
+      val fp = graft.engine.PublishGuard.fingerprint(
+        docs, Seq(col("doc_id"), col("text")))
+      graft.engine.PublishGuard.sharedTable(
+        docs.sparkSession, enrichmentTableCache, baseDir,
+        "gate_enrichment", cacheKey, Nil, fp,
+        "gate enrichment table")(() => gateEnrichment(docs))
+    }
+
   def curatedCorpusFromClusters(
       docs: DataFrame,
       clusters: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
-    val enriched = gateEnrichment(docs)
+      minQuality: Double = 0.5,
+      enrichment: Option[DataFrame] = None): DataFrame = {
+    val enriched = enrichment.getOrElse(gateEnrichment(docs))
     clusters
       .join(enriched, "doc_id")
       .where(col("doc_id") === col("cluster_id") &&
@@ -97,8 +134,10 @@ object Curation {
       docs: DataFrame,
       textClusters: DataFrame,
       imageClusters: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
-    val curated = curatedCorpusFromClusters(docs, textClusters, minQuality)
+      minQuality: Double = 0.5,
+      enrichment: Option[DataFrame] = None): DataFrame = {
+    val curated =
+      curatedCorpusFromClusters(docs, textClusters, minQuality, enrichment)
     val img = imageClusters.select(
       col("doc_id"), col("cluster_id").as("image_cluster_id"))
     curated.join(img, Seq("doc_id"), "left")
@@ -122,8 +161,10 @@ object Curation {
       imageClusters: DataFrame,
       audioClusters: DataFrame,
       videoClusters: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
-    val curated = curatedCorpusFromClusters(docs, textClusters, minQuality)
+      minQuality: Double = 0.5,
+      enrichment: Option[DataFrame] = None): DataFrame = {
+    val curated =
+      curatedCorpusFromClusters(docs, textClusters, minQuality, enrichment)
     def canon(cl: DataFrame, idCol: String): DataFrame =
       cl.select(col("doc_id"), col("cluster_id").as(idCol))
     curated
@@ -155,8 +196,9 @@ object Curation {
   def curatedCorpusBestOfCluster(
       docs: DataFrame,
       clusters: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
-    val enriched = gateEnrichment(docs)
+      minQuality: Double = 0.5,
+      enrichment: Option[DataFrame] = None): DataFrame = {
+    val enriched = enrichment.getOrElse(gateEnrichment(docs))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
     clusters
@@ -268,8 +310,10 @@ object Curation {
       clusters: DataFrame,
       benchmark: DataFrame,
       minQuality: Double = 0.5,
-      maxOverlap: Int = 10): DataFrame = {
-    val curated = curatedCorpusFromClusters(docs, clusters, minQuality)
+      maxOverlap: Int = 10,
+      enrichment: Option[DataFrame] = None): DataFrame = {
+    val curated =
+      curatedCorpusFromClusters(docs, clusters, minQuality, enrichment)
     val decon = decontaminate(docs, benchmark, minOverlap = maxOverlap)
     val pii = scrubPii(docs).select(col("doc_id"),
       (col("n_emails") + col("n_urls") + col("n_phones")).as("n_pii"))
@@ -636,8 +680,10 @@ object Curation {
   def curationFunnel(
       docs: DataFrame,
       clusters: DataFrame,
-      minQuality: Double = 0.5): DataFrame = {
-    val enriched = clusters.join(gateEnrichment(docs), "doc_id")
+      minQuality: Double = 0.5,
+      enrichment: Option[DataFrame] = None): DataFrame = {
+    val enriched =
+      clusters.join(enrichment.getOrElse(gateEnrichment(docs)), "doc_id")
     val canonical = col("doc_id") === col("cluster_id")
     val langOk = canonical && languageGate
     val qualOk = langOk && qualityGate(minQuality)

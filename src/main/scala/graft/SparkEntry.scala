@@ -1349,11 +1349,11 @@ object SparkEntry {
     }),
     // 5-iteration damped PageRank on the symmetrized trade graph
     // (checkpointed contributions loop — one |E| join + sum per round)
-    "graph_pagerank" -> ((s, d) =>
-      Graph.pageRank(
-        Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
-          cacheKey = d))
-        .orderBy("node")),
+    "graph_pagerank" -> ((s, d) => {
+      val adj = Graph.sharedSymAdjacency(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.pageRank(adj.edges, adjacency = Some(adj)).orderBy("node")
+    }),
     // per-part triangle counts on the co-purchase (market-basket) graph —
     // a projection of the compute-once published triangle-stats table
     // (shared with graph_clustering_coeff, keyed on the data dir)
@@ -1370,40 +1370,47 @@ object SparkEntry {
         .orderBy("role", "node")),
     // weighted PageRank: walk probability follows trade volume
     // (order-line counts), not mere adjacency
-    "graph_pagerank_weighted" -> ((s, d) =>
-      Graph.weightedPageRank(
-        Graph.sharedWeightedTradeEdges(
-          Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d))
-        .orderBy("node")),
+    "graph_pagerank_weighted" -> ((s, d) => {
+      val adj = Graph.sharedSymWeightedAdjacency(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.weightedPageRank(adj.edges, adjacency = Some(adj))
+        .orderBy("node")
+    }),
     // harmonic closeness from a sampled 10-customer cohort: per-source
     // hop-bounded BFS in ONE (src, node)-keyed frame, harmonic sum as a
     // fixed-order expression over integer hop counts
-    "graph_closeness_sampled" -> ((s, d) =>
-      Graph.closenessSampled(
-        Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
-          cacheKey = d),
+    "graph_closeness_sampled" -> ((s, d) => {
+      val adj = Graph.sharedSymAdjacency(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.closenessSampled(adj.edges,
         Tables.orders(s, d).where(col("o_custkey") < 10)
-          .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct())
-        .orderBy("src")),
+          .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct(),
+        adjacency = Some(adj))
+        .orderBy("src")
+    }),
     // hop-bounded sampled Brandes betweenness from the same 10-customer
     // cohort: forward BFS carries exact integer path counts, backward
     // dependency folds are successor-ordered at 9 dp — replayable
-    "graph_betweenness_sampled" -> ((s, d) =>
-      Graph.betweennessSampled(
-        Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
-          cacheKey = d),
+    "graph_betweenness_sampled" -> ((s, d) => {
+      val adj = Graph.sharedSymAdjacency(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.betweennessSampled(adj.edges,
         Tables.orders(s, d).where(col("o_custkey") < 10)
-          .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct())
-        .orderBy("node")),
+          .select(concat(lit("c:"), col("o_custkey")).as("src")).distinct(),
+        adjacency = Some(adj))
+        .orderBy("node")
+    }),
     // personalized PageRank: proximity to a 10-customer cohort (teleport
     // to sources only — the related-supplier recommendation primitive)
-    "graph_ppr_cohort" -> ((s, d) =>
-      Graph.personalizedPageRank(
-        Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
-          cacheKey = d),
+    "graph_ppr_cohort" -> ((s, d) => {
+      val adj = Graph.sharedSymAdjacency(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.personalizedPageRank(adj.edges,
         Tables.orders(s, d).where(col("o_custkey") < 10)
-          .select(concat(lit("c:"), col("o_custkey")).as("u")).distinct())
-        .orderBy("node")),
+          .select(concat(lit("c:"), col("o_custkey")).as("u")).distinct(),
+        adjacency = Some(adj))
+        .orderBy("node")
+    }),
     // cluster-balanced diversity sample off the PUBLISHED IVF centroids
     // (compute-once shared with the ANN serving paths): map-only
     // assignment + bounded bottom-k per cluster — never a corpus-wide
@@ -1503,14 +1510,15 @@ object SparkEntry {
           cacheKey = d))),
     // hop-bounded BFS from a customer cohort over the trade graph:
     // min-hop distance within 3 hops (supply-chain blast radius)
-    "graph_reach" -> ((s, d) =>
-      Graph.reach(
-        Graph.sharedTradeEdges(Tables.orders(s, d), Tables.lineitem(s, d),
-          cacheKey = d),
+    "graph_reach" -> ((s, d) => {
+      val adj = Graph.sharedSymAdjacency(
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)
+      Graph.reach(adj.edges,
         Tables.customer(s, d).where(col("c_nationkey") === 1)
           .select(concat(lit("c:"), col("c_custkey")).as("node")),
-        maxHops = 3)
-        .orderBy("node")),
+        maxHops = 3, adjacency = Some(adj))
+        .orderBy("node")
+    }),
     // ── BPE tokenizer: train / audit / serve ───────────────────────────
     // the learned merge table (training's audit trail): corpus → ONE word
     // shuffle, then a vocab-sized 24-round argmax loop; published via

@@ -184,7 +184,31 @@ object PublishGuard {
       cacheKey: String,
       params: Seq[String],
       fp: Fingerprint,
-      what: String)(compute: () => DataFrame): DataFrame = {
+      what: String)(compute: () => DataFrame): DataFrame =
+    sharedTableWithNotes(spark, memo, baseDir, family, cacheKey, params, fp,
+      what, _ => Map.empty)(compute)._1
+
+  /** [[sharedTable]] that additionally records publish-time NOTES derived
+    * from the staged artifact (row counts, node counts — facts a consumer
+    * would otherwise recompute with a job per call) and returns them with
+    * the table. Notes must be deterministic functions of the artifact so
+    * a racing publish loser reading the winner's sidecar sees the same
+    * values it would have written. Unknown keys never affect staleness
+    * checks ([[readSidecar]] parses only rows/hash), so note evolution is
+    * compatible both ways; a caller must tolerate missing keys (tables
+    * published before its note was introduced).
+    */
+  def sharedTableWithNotes(
+      spark: SparkSession,
+      memo: java.util.concurrent.ConcurrentHashMap[String, String],
+      baseDir: String,
+      family: String,
+      cacheKey: String,
+      params: Seq[String],
+      fp: Fingerprint,
+      what: String,
+      notesOf: DataFrame => Map[String, String])(
+      compute: () => DataFrame): (DataFrame, Map[String, String]) = {
     val base =
       if (baseDir.nonEmpty) baseDir
       else spark.conf.get("spark.graft.warehouse.dir", "")
@@ -211,7 +235,8 @@ object PublishGuard {
           if (!fs.exists(new Path(outPath, "_SUCCESS"))) {
             publishAtomic(spark, out) { staging =>
               compute().write.mode("overwrite").parquet(staging)
-              writeSidecar(fs, new Path(staging), fp)
+              writeSidecar(fs, new Path(staging), fp,
+                notesOf(spark.read.parquet(staging)))
             }
           }
           out
@@ -222,15 +247,14 @@ object PublishGuard {
           val outPath = new Path(out)
           writeSidecar(
             outPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-            outPath, fp)
+            outPath, fp, notesOf(spark.read.parquet(out)))
           out
         }
       })
     val dirPath = new Path(dir)
-    verifySidecar(
-      dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      dirPath, fp, what)
-    spark.read.parquet(dir)
+    val dirFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    verifySidecar(dirFs, dirPath, fp, what)
+    (spark.read.parquet(dir), readSidecarNotes(dirFs, dirPath))
   }
 
   /** Publish-or-reuse a DataFrame-valued artifact at a FIXED path — the

@@ -395,6 +395,151 @@ object Graph {
       .where(col("rnk") <= maxFanout)
   }
 
+  /** Node-count threshold of the "small dim" regime: at or below it the
+    * loop operators broadcast their node-sized state frame per round and
+    * stream the edge frame map-side; above it state co-partitions into
+    * the edge layout. One named constant so the six loop operators can
+    * never drift apart.
+    */
+  private[graft] val BroadcastNodeThreshold = 1000000L
+
+  /** Memo for the published sym-adjacency tables. Deliberately SEPARATE
+    * from [[edgeTableCache]]: the sym publisher's compute() calls
+    * [[sharedTradeEdges]], and a nested `computeIfAbsent` on one
+    * ConcurrentHashMap throws "Recursive update" whenever the two keys
+    * hash into the same bin (hash-dependent, so it surfaced only at one
+    * scale factor).
+    */
+  private val symTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook — drop the in-JVM sym-adjacency memo. */
+  private[graft] def clearSymTableMemo(): Unit = symTableCache.clear()
+
+  /** A symmetrized, degree-annotated adjacency served from a PUBLISHED
+    * table, with the publish-time facts every loop consumer otherwise
+    * recomputes with a job per call: `rows` (the symmetrized edge count —
+    * sizes the co-partition layout) and `nNodes` (the distinct node
+    * count — the teleport denominator and the broadcast-regime gate).
+    * Both ride the sidecar notes, so a reuse pays ZERO count jobs.
+    */
+  final case class SymAdjacency(edges: DataFrame, rows: Long, nNodes: Long)
+
+  /** The symmetrized out-degree-annotated edge frame (u, v, deg) — the
+    * pageRank/PPR loop input, shared between the inline path and the
+    * [[sharedSymAdjacency]] publisher so the two spellings can never
+    * drift.
+    */
+  private def symDegAdjacency(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v"), col("u")))
+    sym.join(sym.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
+  }
+
+  /** Weighted sibling: (u, v, w, wdeg). */
+  private def symWeightedAdjacency(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v"), col("u"), col("w")))
+    sym.join(sym.groupBy(col("u")).agg(sum(col("w")).as("wdeg")), "u")
+  }
+
+  /** [[symDegAdjacency]] over the shared trade edges, computed ONCE per
+    * cacheKey and PUBLISHED — the round-17 deferral measured and landed:
+    * every trade-graph loop consumer (pagerank, weighted pagerank, PPR,
+    * reach, closeness, betweenness) re-derived the same symmetrize + deg
+    * join + repartition + two counts per call (~1.8 s/query at sf0.1
+    * before its loop even started). Consumers in the broadcast regime
+    * stream this table directly (no per-call checkpoint — parquet IS the
+    * materialization); the co-partition regime repartitions it once.
+    * The fingerprint pins the ORIGINAL fact inputs (the
+    * [[sharedCopurchaseTriangleStats]] discipline), so a stale key fails
+    * loudly without re-deriving the edge join.
+    */
+  def sharedSymAdjacency(
+      orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, baseDir: String = ""): SymAdjacency = {
+    require(cacheKey.nonEmpty,
+      "sharedSymAdjacency needs a cache key (inline callers build the " +
+        "adjacency live inside the loop operators)")
+    val (df, notes) = PublishGuard.sharedTableWithNotes(
+      orders.sparkSession, symTableCache, baseDir,
+      "sym_adjacency", cacheKey, Nil,
+      tradeFingerprint(orders, lineitem),
+      "symmetrized trade adjacency table",
+      staged => Map(
+        "out_rows" -> staged.count().toString,
+        "out_nodes" -> staged.select(col("u")).distinct().count().toString))(
+      () => symDegAdjacency(
+        sharedTradeEdges(orders, lineitem, cacheKey, baseDir)))
+    SymAdjacency(df,
+      notes.get("out_rows").map(_.toLong).getOrElse(df.count()),
+      notes.get("out_nodes").map(_.toLong)
+        .getOrElse(df.select(col("u")).distinct().count()))
+  }
+
+  /** [[symWeightedAdjacency]] published once per cacheKey — the weighted
+    * sibling of [[sharedSymAdjacency]].
+    */
+  def sharedSymWeightedAdjacency(
+      orders: DataFrame, lineitem: DataFrame,
+      cacheKey: String, baseDir: String = ""): SymAdjacency = {
+    require(cacheKey.nonEmpty,
+      "sharedSymWeightedAdjacency needs a cache key")
+    val (df, notes) = PublishGuard.sharedTableWithNotes(
+      orders.sparkSession, symTableCache, baseDir,
+      "sym_adjacency_weighted", cacheKey, Nil,
+      tradeFingerprint(orders, lineitem),
+      "symmetrized weighted trade adjacency table",
+      staged => Map(
+        "out_rows" -> staged.count().toString,
+        "out_nodes" -> staged.select(col("u")).distinct().count().toString))(
+      () => symWeightedAdjacency(
+        sharedWeightedTradeEdges(orders, lineitem, cacheKey, baseDir)))
+    SymAdjacency(df,
+      notes.get("out_rows").map(_.toLong).getOrElse(df.count()),
+      notes.get("out_nodes").map(_.toLong)
+        .getOrElse(df.select(col("u")).distinct().count()))
+  }
+
+  /** Resolve a loop operator's edge frame from either spelling.
+    *
+    * Published adjacency: in the broadcast regime the parquet table IS
+    * the materialization — the loop streams it per round with no
+    * per-call checkpoint, count, or distinct (the counts ride the
+    * sidecar); in the co-partition regime it repartitions + checkpoints
+    * ONCE into the layout the per-round join reuses. Inline: the
+    * original build (checkpoint the derived frame, size the layout off
+    * its count, re-cut pre-partitioned, measure n) — unchanged, so
+    * callers without a published table lose nothing.
+    * Returns (e, freeE, nNodes).
+    */
+  private def resolveLoopEdges(
+      inline: => DataFrame,
+      adjacency: Option[SymAdjacency]): (DataFrame, () => Unit, Long) =
+    adjacency match {
+      case Some(adj) =>
+        if (adj.nNodes <= BroadcastNodeThreshold)
+          (adj.edges, () => (), adj.nNodes)
+        else {
+          val parts = Dedup.ccLoopPartitions(adj.rows,
+            adj.edges.sparkSession.sparkContext.defaultParallelism)
+          val (e, freeE) = OpCache.checkpointWithHandle(
+            adj.edges.repartition(parts, col("u")))
+          (e, freeE, adj.nNodes)
+        }
+      case None =>
+        val frame = inline
+        val spark = frame.sparkSession
+        val (e0, freeE0) = OpCache.checkpointWithHandle(frame)
+        val parts = Dedup.ccLoopPartitions(
+          e0.count(), spark.sparkContext.defaultParallelism)
+        val (e, freeE) = OpCache.checkpointWithHandle(
+          e0.repartition(parts, col("u")))
+        freeE0()
+        val n = e.select(col("u")).distinct().count()
+        (e, freeE, n)
+    }
+
   /** Damped PageRank over the symmetrized edge list, a FIXED number of
     * iterations (fixed so the result is deterministic and
     * oracle-replayable; convergence-probe variants belong to monitoring,
@@ -408,29 +553,17 @@ object Graph {
     * mass and the per-round mass total stays 1 (GraphSpec asserts it).
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-               checkpointEvery: Int = 8): DataFrame = {
+               checkpointEvery: Int = 8,
+               adjacency: Option[SymAdjacency] = None): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val spark = edges.sparkSession
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v"), col("u")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // edge list annotated with source out-degree, built once, lineage-cut —
-    // the loop re-reads it every round, so without the cut the upstream
-    // edge derivation would re-execute `iters` times; loop parallelism is
-    // tied to |E| (PlanSpec's fixed-parallelism guard)
-    // materialize the annotated edge list once, size the loop off the
-    // cached count, then re-cut it PRE-PARTITIONED BY SOURCE: in the
-    // co-partitioned (large graph) regime each round's join then exchanges
-    // only the node-sized rank frame — the edge blocks never re-shuffle
-    // across rounds (a lazy `repartition` here would re-execute its
-    // exchange inside every round's plan instead)
-    val (e0, freeE0) = OpCache.checkpointWithHandle(sym.join(deg, "u"))
-    val parts = Dedup.ccLoopPartitions(
-      e0.count(), spark.sparkContext.defaultParallelism)
-    val (e, freeE) = OpCache.checkpointWithHandle(
-      e0.repartition(parts, col("u")))
-    freeE0()
-    val n = e.select(col("u")).distinct().count() // bounded driver pull: one long
+    // edge list annotated with source out-degree: published adjacency
+    // (zero per-call jobs — see resolveLoopEdges) or built once and
+    // lineage-cut pre-partitioned by source — in the co-partitioned
+    // (large graph) regime each round's join then exchanges only the
+    // node-sized rank frame; loop parallelism is tied to |E| (PlanSpec's
+    // fixed-parallelism guard)
+    val (e, freeE, n) = resolveLoopEdges(symDegAdjacency(edges), adjacency)
     val teleport = (1.0 - damping) / n
     // a fixed-iteration loop needs NO per-round action (unlike the CC
     // loop's convergence probe), so rounds CHAIN LAZILY into one job of
@@ -446,7 +579,7 @@ object Graph {
     // the per-round |E|-sized contribution stream collapses via MAP-SIDE
     // partial aggregation before its exchange (no manual repartition —
     // that would ship raw contributions).
-    val broadcastRanks = n <= 1000000L
+    val broadcastRanks = n <= BroadcastNodeThreshold
     var ranks = e.select(col("u")).distinct()
       .select(col("u"), lit(1.0 / n).as("rank"))
     var freeRanks: () => Unit = () => ()
@@ -494,21 +627,14 @@ object Graph {
     * [[pageRank]]; the edge cache additionally carries (w, wdeg).
     */
   def weightedPageRank(edges: DataFrame, iters: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      adjacency: Option[SymAdjacency] = None): DataFrame = {
     require(iters >= 1, "weightedPageRank needs at least one iteration")
     val spark = edges.sparkSession
-    val sym = edges.select(col("u"), col("v"), col("w"))
-      .union(edges.select(col("v"), col("u"), col("w")))
-    val wdeg = sym.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
-    val (e0, freeE0) = OpCache.checkpointWithHandle(sym.join(wdeg, "u"))
-    val parts = Dedup.ccLoopPartitions(
-      e0.count(), spark.sparkContext.defaultParallelism)
-    val (e, freeE) = OpCache.checkpointWithHandle(
-      e0.repartition(parts, col("u")))
-    freeE0()
-    val n = e.select(col("u")).distinct().count()
+    val (e, freeE, n) =
+      resolveLoopEdges(symWeightedAdjacency(edges), adjacency)
     val teleport = (1.0 - damping) / n
-    val broadcastRanks = n <= 1000000L
+    val broadcastRanks = n <= BroadcastNodeThreshold
     var ranks = e.select(col("u")).distinct()
       .select(col("u"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -534,18 +660,12 @@ object Graph {
     * for every node reached within `iters` hops.
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      adjacency: Option[SymAdjacency] = None): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
     val spark = edges.sparkSession
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v"), col("u")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val (e0, freeE0) = OpCache.checkpointWithHandle(sym.join(deg, "u"))
-    val parts = Dedup.ccLoopPartitions(
-      e0.count(), spark.sparkContext.defaultParallelism)
-    val (e, freeE) = OpCache.checkpointWithHandle(
-      e0.repartition(parts, col("u")))
-    freeE0()
+    val (e, freeE, nNodes) =
+      resolveLoopEdges(symDegAdjacency(edges), adjacency)
     // the source set is cohort-sized by definition — broadcast it; |S| is
     // a bounded driver pull like pageRank's n
     val (src, freeSrc) = OpCache.checkpointWithHandle(
@@ -553,8 +673,7 @@ object Graph {
     val nS = src.count()
     require(nS > 0, "personalizedPageRank needs a non-empty source set")
     val teleport = (1.0 - damping) / nS
-    val nNodes = e.select(col("u")).distinct().count()
-    val broadcastRanks = nNodes <= 1000000L
+    val broadcastRanks = nNodes <= BroadcastNodeThreshold
     var ranks = src.select(col("u"), lit(1.0 / nS).as("rank"))
     for (_ <- 1 to iters) {
       val rhs = if (broadcastRanks) broadcast(ranks) else ranks
@@ -867,18 +986,15 @@ object Graph {
     * sound because an empty frontier can never produce a later one, so
     * the remaining rounds are no-ops by construction.
     */
-  def reach(edges: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+  def reach(edges: DataFrame, sources: DataFrame, maxHops: Int = 3,
+      adjacency: Option[SymAdjacency] = None): DataFrame = {
     require(maxHops >= 1, "reach needs at least one hop")
     val spark = edges.sparkSession
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val (e0, freeE0) = OpCache.checkpointWithHandle(sym)
-    val parts = Dedup.ccLoopPartitions(
-      e0.count(), spark.sparkContext.defaultParallelism)
-    val (e, freeE) = OpCache.checkpointWithHandle(e0.repartition(parts, col("u")))
-    freeE0()
-    val broadcastNodes =
-      e.select(col("u")).distinct().count() <= 1000000L
+    val (e, freeE, nNodes) = resolveLoopEdges(
+      edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v"))),
+      adjacency.map(a => a.copy(edges = a.edges.select(col("u"), col("v")))))
+    val broadcastNodes = nNodes <= BroadcastNodeThreshold
     def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
 
     var (visited, freeVisited) = OpCache.checkpointWithHandle(
@@ -927,18 +1043,15 @@ object Graph {
     * rows of 3 columns.
     */
   def closenessSampled(
-      edges: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+      edges: DataFrame, sources: DataFrame, maxHops: Int = 3,
+      adjacency: Option[SymAdjacency] = None): DataFrame = {
     require(maxHops >= 1, "closeness needs at least one hop")
     val spark = edges.sparkSession
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val (e0, freeE0) = OpCache.checkpointWithHandle(sym)
-    val parts = Dedup.ccLoopPartitions(
-      e0.count(), spark.sparkContext.defaultParallelism)
-    val (e, freeE) = OpCache.checkpointWithHandle(e0.repartition(parts, col("u")))
-    freeE0()
-    val broadcastNodes =
-      e.select(col("u")).distinct().count() <= 1000000L
+    val (e, freeE, nNodes) = resolveLoopEdges(
+      edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v"))),
+      adjacency.map(a => a.copy(edges = a.edges.select(col("u"), col("v")))))
+    val broadcastNodes = nNodes <= BroadcastNodeThreshold
     def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
 
     var (visited, freeVisited) = OpCache.checkpointWithHandle(
@@ -1010,18 +1123,15 @@ object Graph {
     * double division at the end rounds identically on any engine.
     */
   def betweennessSampled(
-      edges: DataFrame, sources: DataFrame, maxHops: Int = 3): DataFrame = {
+      edges: DataFrame, sources: DataFrame, maxHops: Int = 3,
+      adjacency: Option[SymAdjacency] = None): DataFrame = {
     require(maxHops >= 2, "betweenness needs at least two hops")
     val spark = edges.sparkSession
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val (e0, freeE0) = OpCache.checkpointWithHandle(sym)
-    val parts = Dedup.ccLoopPartitions(
-      e0.count(), spark.sparkContext.defaultParallelism)
-    val (e, freeE) = OpCache.checkpointWithHandle(e0.repartition(parts, col("u")))
-    freeE0()
-    val broadcastNodes =
-      e.select(col("u")).distinct().count() <= 1000000L
+    val (e, freeE, nNodes) = resolveLoopEdges(
+      edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v"))),
+      adjacency.map(a => a.copy(edges = a.edges.select(col("u"), col("v")))))
+    val broadcastNodes = nNodes <= BroadcastNodeThreshold
     def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
 
     // forward: (src, node, hops, sigma) with sigma the shortest-path count

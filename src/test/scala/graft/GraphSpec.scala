@@ -681,6 +681,49 @@ class GraphSpec extends AnyFunSuite {
       pairs(Graph.degreeHistogram(Graph.tradeEdges(o, li))))
   }
 
+  test("shared sym adjacency: loop operators match the inline spelling row-for-row") {
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val key = s"graphspec-sym-${System.nanoTime()}" // fresh memo entry
+    val adj = Graph.sharedSymAdjacency(o, li, cacheKey = key)
+    val edges = Graph.tradeEdges(o, li)
+    // the sidecar notes carry the counts a consumer would otherwise
+    // recompute per call — they must match the data exactly
+    assert(adj.rows == adj.edges.count())
+    assert(adj.nNodes ==
+      adj.edges.select(col("u")).distinct().count())
+    // a second resolve reads the SAME parquet files (compute-once)
+    val adj2 = Graph.sharedSymAdjacency(o, li, cacheKey = key)
+    assert(adj.edges.inputFiles.nonEmpty &&
+      adj.edges.inputFiles.toSet == adj2.edges.inputFiles.toSet)
+    // every loop operator: published-adjacency path == inline path
+    assert(rows(Graph.pageRank(edges, adjacency = Some(adj))) ==
+      rows(Graph.pageRank(edges)))
+    val cohort = o.where(col("o_custkey") < 10)
+      .select(concat(lit("c:"), col("o_custkey")).as("u")).distinct()
+    assert(rows(Graph.personalizedPageRank(edges, cohort,
+        adjacency = Some(adj))) ==
+      rows(Graph.personalizedPageRank(edges, cohort)))
+    val srcs = cohort.select(col("u").as("src"))
+    assert(rows(Graph.closenessSampled(edges, srcs,
+        adjacency = Some(adj))) ==
+      rows(Graph.closenessSampled(edges, srcs)))
+    assert(rows(Graph.betweennessSampled(edges, srcs,
+        adjacency = Some(adj))) ==
+      rows(Graph.betweennessSampled(edges, srcs)))
+    val reachSrc = cohort.select(col("u").as("node"))
+    assert(rows(Graph.reach(edges, reachSrc, adjacency = Some(adj))) ==
+      rows(Graph.reach(edges, reachSrc)))
+    val wadj = Graph.sharedSymWeightedAdjacency(o, li, cacheKey = key)
+    assert(wadj.rows == wadj.edges.count())
+    assert(rows(Graph.weightedPageRank(Graph.weightedTradeEdges(o, li),
+        adjacency = Some(wadj))) ==
+      rows(Graph.weightedPageRank(Graph.weightedTradeEdges(o, li))))
+    graft.engine.OpCache.release(spark)
+  }
+
   test("shared walk corpora equal the live walks and compute once") {
     val o = Tables.orders(spark, sf)
     val li = Tables.lineitem(spark, sf)

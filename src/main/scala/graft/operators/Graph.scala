@@ -715,9 +715,13 @@ object Graph {
     require(iters >= 1, "hits needs at least one iteration")
     val spark = edges.sparkSession
     val (e, freeE) = OpCache.checkpointWithHandle(edges.select(col("u"), col("v")))
-    val nHubs = e.select(col("u")).distinct().count()
-    val nNodes = nHubs + e.select(col("v")).distinct().count()
-    val broadcastScores = nNodes <= 1000000L
+    // both exact distinct counts in ONE job (two aggregates over one scan
+    // via Expand) — they were two sequential count jobs (round 18)
+    val cnt = e.agg(count_distinct(col("u")).as("nu"),
+      count_distinct(col("v")).as("nv")).head()
+    val nHubs = cnt.getLong(0)
+    val nNodes = nHubs + cnt.getLong(1)
+    val broadcastScores = nNodes <= BroadcastNodeThreshold
     def bc(df: DataFrame): DataFrame = if (broadcastScores) broadcast(df) else df
     // the raw in-flow frame feeds BOTH the L1 normalizer aggregate and
     // the division — left lazy, each of the two references re-derives the
@@ -725,6 +729,10 @@ object Graph {
     // the base join — the first cut hung at sf0.01). The frames are
     // node-sized, so a per-round lineage cut is cheap and makes each
     // round read the previous round's cached blocks exactly once.
+    // (Round 18 A/B, rejected: a whole-frame window sum normalizer —
+    // lazy, no per-half-round cut — measured 7.0 s vs 5.0 s on a quiet
+    // window; the 10 chained single-partition window stages cost more
+    // than the checkpoints they replaced.)
     val frees = scala.collection.mutable.ListBuffer.empty[() => Unit]
     def l1(df: DataFrame, key: String): DataFrame = {
       val (raw, freeRaw) = OpCache.checkpointWithHandle(df)

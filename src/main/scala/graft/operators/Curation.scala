@@ -1241,9 +1241,16 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),
         map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
-      .join(docs.select(col("doc_id"),
-        (TextAnalysis.langPredOf(TextAnalysis.tokens(col("text")))
-          === targetLang).cast("double").as("y")), "doc_id")
+      // two-step select: `toks` must bind as an ATTRIBUTE before
+      // langPredOf references it ~25 times inside the CASE — inlining
+      // tokens(text) there re-evaluates the tokenize chain per branch
+      // (codegen subexpression elimination skips conditional branches;
+      // round-18 plan audit measured 35 chain copies in this projection)
+      .join(docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          (TextAnalysis.langPredOf(col("toks"))
+            === targetLang).cast("double").as("y")), "doc_id")
       .select(col("doc_id"), col("y"), col("n_grams"),
         transform(sequence(lit(0L), lit(buckets - 1L)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")
@@ -1539,16 +1546,26 @@ object Curation {
       targetLang: String = "en",
       salt: String = "dsir"): DataFrame = {
     val spark = docs.sparkSession
-    val toks = TextAnalysis.tokens(col("text"))
+    // two-step select: bind `toks` as an attribute FIRST — the bigram
+    // lambda references it per element, and with tokens(text) inlined
+    // the tokenize chain re-evaluates per bigram (O(len²) per document;
+    // round-18 plan audit)
+    val toks = col("toks")
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
       .otherwise(array())
-    val bc = Partitioning.ensureParallelism(docs, col("doc_id"))
-      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(concat(lit(s"$salt:"), col("bg"))), 1, 13),
-          16, 10).cast("long") % buckets).as("b"))
+    // materialized: three aggregates (per-doc counts, raw totals, target
+    // totals) consume this frame — lazy, each re-ran the tokenize +
+    // bigram + md5 pass (round 18; the containmentPlan discipline)
+    val bc = graft.engine.OpCache.materialize(
+      Partitioning.ensureParallelism(docs, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(concat(lit(s"$salt:"), col("bg"))), 1, 13),
+            16, 10).cast("long") % buckets).as("b")))
     val perDoc = bc.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
     val rawB = bc.groupBy(col("b")).agg(count(lit(1)).as("r_b"))

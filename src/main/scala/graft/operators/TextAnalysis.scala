@@ -502,6 +502,10 @@ object TextAnalysis {
     */
   def collocations(
       docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    // NOT materialized (round-18 A/B, rejected): caching this frame for
+    // its two consumers measured 1.5 s vs 1.0 s — persisting the token
+    // arrays costs more than the duplicated tokenize pass at any scale
+    // where the arrays dominate the text
     val base = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val uni = base.select(explode(col("toks")).as("term"))
@@ -823,6 +827,9 @@ object TextAnalysis {
     * is the queried terms' posting mass, not the corpus.
     */
   def phraseMatches(docs: DataFrame): DataFrame = {
+    // NOT materialized (round-18 A/B, rejected): caching this frame for
+    // its two consumers measured 1.8 s vs 1.4 s — same trade as
+    // [[collocations]]
     val base = graft.engine.Partitioning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val grams = base

@@ -163,6 +163,61 @@ object ProfR18 {
             Dedup.sharedNearDupClusters(docs, cacheKey = sfDir),
             docs.where(col("doc_id") % 50 === 0))))
       }
+    } else if (mode == "fp") {
+      import graft.engine.PublishGuard
+      for (i <- 1 to 3) {
+        t(s"#$i fingerprint(orders)") {
+          PublishGuard.fingerprint(orders,
+            Seq(col("o_orderkey"), col("o_custkey"))).rows
+        }
+        t(s"#$i fingerprint(lineitem)") {
+          PublishGuard.fingerprint(lineitem,
+            Seq(col("l_orderkey"), col("l_suppkey"))).rows
+        }
+        t(s"#$i fingerprint(docs text)") {
+          PublishGuard.fingerprint(docs,
+            Seq(col("doc_id"), col("text"))).rows
+        }
+        t(s"#$i sharedTradeEdges call only") {
+          graft.operators.Graph.sharedTradeEdges(
+            orders, lineitem, cacheKey = sfDir); 0L
+        }
+        t(s"#$i sharedTradeEdges + count") {
+          graft.operators.Graph.sharedTradeEdges(
+            orders, lineitem, cacheKey = sfDir).count()
+        }
+      }
+    } else if (mode == "ann") {
+      import graft.operators.Graph
+      for (i <- 1 to 2) {
+        t(s"#$i sharedTradeEdges reuse")(
+          Graph.sharedTradeEdges(orders, lineitem, cacheKey = sfDir).count())
+        val edges = Graph.sharedTradeEdges(orders, lineitem, cacheKey = sfDir)
+        t(s"#$i sharedWalkCorpus reuse")(
+          Graph.sharedWalkCorpus(edges, cacheKey = sfDir).count())
+        val corpus = Graph.sharedWalkCorpus(edges, cacheKey = sfDir)
+        t(s"#$i publishedNodeEmbeddings reuse")(
+          Graph.publishedNodeEmbeddings(corpus,
+            baseDir = "/tmp/graft_warehouse",
+            slug = s"node_emb_${sfDir.split('/').last}").count())
+        val emb = Graph.publishedNodeEmbeddings(corpus,
+          baseDir = "/tmp/graft_warehouse",
+          slug = s"node_emb_${sfDir.split('/').last}")
+        val cohort = orders.where(col("o_custkey") < 10)
+          .select(concat(lit("c:"), col("o_custkey")).as("node")).distinct()
+        t(s"#$i nbrs_ivf_pruned serve+noop")(
+          noop(Graph.embeddingNeighborsIvfPruned(emb, cohort,
+            baseDir = "/tmp/graft_warehouse",
+            slug = s"node_emb_ivf_${sfDir.split('/').last}")))
+        t(s"#$i nbrs_ivf full+noop")(
+          noop(Graph.embeddingNeighborsIvf(emb, cohort,
+            baseDir = "/tmp/graft_warehouse",
+            slug = s"node_emb_ivf_${sfDir.split('/').last}")))
+        t(s"#$i linkpred_ivf full+noop")(
+          noop(Graph.linkPredictionIvf(emb, edges, cohort,
+            baseDir = "/tmp/graft_warehouse",
+            slug = s"node_emb_ivf_${sfDir.split('/').last}")))
+      }
     } else if (mode == "dedup2") {
       for (i <- 1 to 2) {
         t(s"#$i crossCorpusPairs full+noop")(

@@ -126,8 +126,12 @@ object SparkEntry {
     // ── deduplication (LLM-pipeline operators) ──────────────────────────
     "dedup_exact_docs" -> ((s, d) =>
       Dedup.exactDedup(Tables.documents(s, d)).orderBy("keep_id")),
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardPairs(docs,
+        shingles = Some(Dedup.sharedDocShingles(docs, cacheKey = d)))
+        .orderBy("doc_a", "doc_b")
+    }),
     // LSH candidates verified with the EXACT shingle jaccard: the result
     // is exactPairs ∩ candidates, so with banding recall 1.0 (DedupSpec
     // measures it) the DuckDB exact-pair oracle value-checks this path
@@ -176,16 +180,24 @@ object SparkEntry {
     // asymmetric containment |A∩B|/|A| ≥ 0.8 (excerpt/quote detection —
     // high containment where jaccard stays low); A-side rarest-first
     // prefix prunes, B-side posts all shingles (no sound B pruning)
-    "dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d))
-        .orderBy("doc_a", "doc_b")),
+    "dedup_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.containmentPairs(docs,
+        shingles = Some(Dedup.sharedDocShingles(docs, cacheKey = d)))
+        .orderBy("doc_a", "doc_b")
+    }),
     // incremental shape: dedup a "new crawl" (every 5th doc) against the
     // rest of the corpus without re-clustering it
-    "dedup_cross_corpus" -> ((s, d) =>
+    "dedup_cross_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.sharedDocShingles(docs, cacheKey = d)
       Dedup.crossCorpusPairs(
-        Tables.documents(s, d).where(col("doc_id") % 5 === 0),
-        Tables.documents(s, d).where(col("doc_id") % 5 =!= 0))
-        .orderBy("new_id", "old_id")),
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        shingles = Some((sh.where(col("doc_id") % 5 === 0),
+          sh.where(col("doc_id") % 5 =!= 0))))
+        .orderBy("new_id", "old_id")
+    }),
     // the md5-keyed SQL-expressible simhash: hash-checked against DuckDB
     // (bit-for-bit signature parity). The xxhash64 production form —
     // including the skew-capped salted buckets — stays the library

@@ -45,13 +45,74 @@ object PublishGuard {
 
   /** One map-side pass over `df`: partial (count, xor) per partition, one
     * combine row. Never shuffles data-sized frames.
+    *
+    * MEMOIZED (round 18) by (canonicalized plan, fingerprint columns,
+    * input-file metadata signature): the published-artifact chains
+    * (edges → walk corpus → embeddings → centroids) re-verify every link
+    * on every consumer call, so a bench/serving session paid a
+    * fingerprint JOB per link per query (~1.1 s/query measured on the
+    * ANN family). For a frame whose every leaf is a file scan, the file
+    * set + per-file (length, mtime) is a sound staleness key — any real
+    * rewrite (publishes write fresh files; testdata regeneration
+    * replaces files) changes it and forces a recompute from data, so a
+    * stale cache key still fails loudly. Frames with any non-file leaf
+    * (in-memory, checkpointed) are never memoized.
     */
   def fingerprint(df: DataFrame, cols: Seq[Column]): Fingerprint = {
-    val r = df.select(xxhash64(cols: _*).as("__fph"))
-      .agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(__fph)"), lit(0L)).as("h"))
-      .head()
-    Fingerprint(r.getLong(0), r.getLong(1))
+    def compute(): Fingerprint = {
+      val r = df.select(xxhash64(cols: _*).as("__fph"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(__fph)"), lit(0L)).as("h"))
+        .head()
+      Fingerprint(r.getLong(0), r.getLong(1))
+    }
+    fingerprintKey(df, cols) match {
+      case Some(key) =>
+        val hit = fpMemo.get(key)
+        if (hit != null) hit
+        else {
+          val fp = compute()
+          fpMemo.putIfAbsent(key, fp)
+          fp
+        }
+      case None => compute()
+    }
+  }
+
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Fingerprint]()
+
+  /** Test hook — drop the fingerprint memo (fresh-session simulation). */
+  private[graft] def clearFingerprintMemo(): Unit = fpMemo.clear()
+
+  /** The memo key, or None when the frame is not purely file-backed.
+    * Plan semantics (canonicalized hash) + the exact fingerprint columns
+    * + sorted (path, length, mtime) of every input file.
+    */
+  private def fingerprintKey(
+      df: DataFrame, cols: Seq[Column]): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val analyzed = df.queryExecution.analyzed
+    val leaves = analyzed.collectLeaves()
+    val allFileBacked = leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case _ => false
+    }
+    if (!allFileBacked) None
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val sig = new StringBuilder
+      df.inputFiles.sorted.foreach { f =>
+        val p = new Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        sig.append(f).append(':').append(st.getLen).append(':')
+          .append(st.getModificationTime).append('|')
+      }
+      Some(analyzed.semanticHash().toString + "/" +
+        cols.map(c => org.apache.spark.sql.GraftBridge.expression(c)
+          .canonicalized.toString).mkString(",") + "/" + sig)
+    }
   }
 
   /** `notes` records publish-time facts that don't key the cache but do

@@ -52,6 +52,44 @@ object Dedup {
     */
   def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(text), k)
 
+  /** The per-doc hashed-shingle-set frame (doc_id, shs) every exact
+    * set-similarity operator starts from — one definition shared by the
+    * live paths and the [[sharedDocShingles]] publisher.
+    */
+  private def shingleBase(docs: DataFrame, k: Int): DataFrame =
+    Partitioning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(shinglesOf(col("toks"), k),
+          s => xxhash64(s))).as("shs"))
+
+  private val shingleTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook — drop the in-JVM shingle-table memo. */
+  private[graft] def clearShingleTableMemo(): Unit = shingleTableCache.clear()
+
+  /** The (doc_id, shs) shingle-set frame computed ONCE per (cacheKey, k)
+    * and PUBLISHED — the walk-corpus discipline applied to the text
+    * set-similarity family: `dedup_ngram_jaccard`, `dedup_containment`,
+    * and `dedup_cross_corpus` each re-ran the identical tokenize +
+    * shingle + hash pass per call (round 18). k rides the params slug;
+    * the fingerprint pins (doc_id, text). `cacheKey` must encode the
+    * data version (pass `""` to compute live).
+    */
+  def sharedDocShingles(
+      docs: DataFrame, cacheKey: String, k: Int = 3,
+      baseDir: String = ""): DataFrame =
+    if (cacheKey.isEmpty) shingleBase(docs, k)
+    else {
+      val fp = graft.engine.PublishGuard.fingerprint(
+        docs, Seq(col("doc_id"), col("text")))
+      graft.engine.PublishGuard.sharedTable(
+        docs.sparkSession, shingleTableCache, baseDir,
+        "doc_shingles", cacheKey, Seq(s"k$k"), fp,
+        "doc shingle-set table")(() => shingleBase(docs, k))
+    }
+
   /** Exact dedup: group documents by the md5 of their normalized text; keep
     * the smallest doc_id as canonical, count group size. One shuffle on the
     * digest — the canonical exact-dedup plan at any scale.
@@ -87,15 +125,13 @@ object Dedup {
     * ≈ shingles²/2⁶⁴ — vanishing, and the DuckDB oracle computes the
     * string form, so any effect would surface as a hash mismatch).
     */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      shingles: Option[DataFrame] = None): DataFrame = {
     // materialize once: the posting explode + both verify joins reuse it
-    // (OpCache so callers can free the blocks once done — see OpCache doc)
-    val base = OpCache.materialize(
-      Partitioning.ensureParallelism(docs, col("doc_id"))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(transform(shinglesOf(col("toks"), k),
-            s => xxhash64(s))).as("shs")))
+    // (OpCache so callers can free the blocks once done — see OpCache doc).
+    // A published shingle table ([[sharedDocShingles]]) IS materialized
+    // storage, so it serves directly.
+    val base = shingles.getOrElse(OpCache.materialize(shingleBase(docs, k)))
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ordered = sh.join(dfreq, "sh")
@@ -164,8 +200,10 @@ object Dedup {
     */
   def containmentPairs(
       docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      hotShingleCap: Int = 4096): DataFrame = {
-    val (base, prefixA, shB) = containmentPlan(docs, k, threshold, hotShingleCap)
+      hotShingleCap: Int = 4096,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val (base, prefixA, shB) =
+      containmentPlan(docs, k, threshold, hotShingleCap, shingles)
     val cands = prefixA
       .join(shB, Seq("sh", "salt"))
       .where(col("doc_a") =!= col("doc_b"))
@@ -189,15 +227,11 @@ object Dedup {
     */
   private[graft] def containmentPlan(
       docs: DataFrame, k: Int, threshold: Double,
-      hotShingleCap: Int): (DataFrame, DataFrame, DataFrame) = {
+      hotShingleCap: Int,
+      shingles: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(hotShingleCap >= 1, s"hotShingleCap must be >= 1, got $hotShingleCap")
-    val base = OpCache.materialize(
-      Partitioning.ensureParallelism(docs, col("doc_id"))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(transform(shinglesOf(col("toks"), k),
-            s => xxhash64(s))).as("shs")))
+    val base = shingles.getOrElse(OpCache.materialize(shingleBase(docs, k)))
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ordered = sh.join(dfreq, "sh")
@@ -244,15 +278,13 @@ object Dedup {
       newDocs: DataFrame,
       existing: DataFrame,
       k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    def shingled(df: DataFrame) = OpCache.materialize(
-      Partitioning.ensureParallelism(df, col("doc_id"))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(transform(shinglesOf(col("toks"), k),
-            s => xxhash64(s))).as("shs")))
-    val bNew = shingled(newDocs)
-    val bOld = shingled(existing)
+      threshold: Double = 0.5,
+      shingles: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    def shingled(df: DataFrame) = OpCache.materialize(shingleBase(df, k))
+    val (bNew, bOld) = shingles match {
+      case Some((sn, so)) => (sn, so)
+      case None => (shingled(newDocs), shingled(existing))
+    }
     // shared df order over BOTH corpora (vocab-sized; feeds two consumers)
     val dfreq = OpCache.materialize(
       bNew.select(explode(col("shs")).as("sh"))

@@ -681,14 +681,20 @@ object Graph {
         .select(col("v"), (col("rank") / col("deg")).as("c"))
       // teleport lands on every source EVEN IF it received no walk mass
       // this round (a customer source in a bipartite graph gets walk mass
-      // only on even hops): union the damped walk sums with the teleport
-      // rows and re-aggregate — a node's rank is then at most a 2-term
-      // sum, and IEEE addition is commutative, so the value is
-      // order-deterministic for the oracle
-      ranks = contribs.groupBy(col("v").as("u"))
-        .agg((lit(damping) * sum(col("c"))).as("rank"))
-        .unionByName(src.select(col("u"), lit(teleport).as("rank")))
-        .groupBy(col("u")).agg(sum(col("rank")).as("rank"))
+      // only on even hops): the teleport rows enter the SAME aggregation
+      // as the walk contributions, tagged into their own column, so one
+      // group computes damping·Σc + Σt in a single exchange — round 18
+      // folded the old union + second re-aggregate (two exchanges per
+      // round) into this. Values are unchanged: a walk+teleport node is
+      // the identical 2-term IEEE sum, a teleport-only node sums zero
+      // walk mass, and a walk-only node adds +0.0 (exact for the
+      // positive damped sums here) — order-deterministic for the oracle
+      // either way.
+      ranks = contribs.select(col("v").as("u"), col("c"), lit(0.0).as("t"))
+        .unionByName(src.select(col("u"), lit(0.0).as("c"),
+          lit(teleport).as("t")))
+        .groupBy(col("u"))
+        .agg((lit(damping) * sum(col("c")) + sum(col("t"))).as("rank"))
     }
     OpCache.defer(spark)(freeE)
     OpCache.defer(spark)(freeSrc)
